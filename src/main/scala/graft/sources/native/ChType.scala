@@ -1,0 +1,229 @@
+package graft.sources.native
+
+import org.apache.spark.sql.types._
+
+/**
+ * Structural model of ClickHouse type names as they appear in Native
+ * format column headers (e.g. "UInt64", "Nullable(String)",
+ * "Enum8('a' = 1, 'b' = 2)", "Array(Float32)").
+ *
+ * The reference parses these with an ad-hoc split-at-'(' scheme
+ * (reference src/lib.rs:106-141) and a hand-rolled Enum8 parameter
+ * parser (src/lib.rs:78-104); anything it does not know degrades to an
+ * `<unsupported:T>` string sentinel per cell (src/lib.rs:137,168-170).
+ * We keep the same graceful-degradation floor but decode a much wider
+ * family natively (the reference only handles String, UInt8, UInt64,
+ * Int32 and Enum8 — README.md:128-140).
+ */
+sealed trait ChType {
+  /** Spark logical type this ClickHouse type maps to. */
+  def sparkType: DataType
+  /** Canonical ClickHouse name (round-trips through our writer). */
+  def name: String
+}
+
+object ChType {
+  case object ChString extends ChType { val sparkType = StringType; val name = "String" }
+  final case class ChFixedString(n: Int) extends ChType {
+    val sparkType = StringType; def name = s"FixedString($n)"
+  }
+  case object ChUInt8  extends ChType { val sparkType = IntegerType; val name = "UInt8" }
+  case object ChUInt16 extends ChType { val sparkType = IntegerType; val name = "UInt16" }
+  case object ChUInt32 extends ChType { val sparkType = LongType;    val name = "UInt32" }
+  // Spark has no unsigned 64-bit: widen to signed Long. Values >= 2^63
+  // wrap negative — documented overflow choice (SURVEY §1.3); the
+  // reference is worse (truncates u64 to i32, src/lib.rs:336-344).
+  case object ChUInt64 extends ChType { val sparkType = LongType; val name = "UInt64" }
+  case object ChInt8   extends ChType { val sparkType = IntegerType; val name = "Int8" }
+  case object ChInt16  extends ChType { val sparkType = IntegerType; val name = "Int16" }
+  case object ChInt32  extends ChType { val sparkType = IntegerType; val name = "Int32" }
+  case object ChInt64  extends ChType { val sparkType = LongType;    val name = "Int64" }
+  case object ChFloat32 extends ChType { val sparkType = FloatType;  val name = "Float32" }
+  case object ChFloat64 extends ChType { val sparkType = DoubleType; val name = "Float64" }
+  case object ChBool   extends ChType { val sparkType = BooleanType; val name = "Bool" }
+  /** UInt16 days since unix epoch. */
+  case object ChDate extends ChType { val sparkType = DateType; val name = "Date" }
+  /** UInt32 seconds since unix epoch (optional tz parameter ignored for storage). */
+  final case class ChDateTime(tz: Option[String]) extends ChType {
+    val sparkType = TimestampType
+    def name = tz.fold("DateTime")(z => s"DateTime('$z')")
+  }
+  /** Int64 ticks at 10^-precision seconds since epoch. */
+  final case class ChDateTime64(precision: Int, tz: Option[String]) extends ChType {
+    val sparkType = TimestampType
+    def name = tz.fold(s"DateTime64($precision)")(z => s"DateTime64($precision, '$z')")
+  }
+  /** Int8 code decoded to its label (reference src/lib.rs:157-166). */
+  final case class ChEnum8(values: Seq[(String, Byte)]) extends ChType {
+    val sparkType = StringType
+    def name = values.map { case (k, v) => s"'$k' = $v" }.mkString("Enum8(", ", ", ")")
+    lazy val byCode: Map[Byte, String] = values.map(_.swap).toMap
+  }
+  final case class ChNullable(inner: ChType) extends ChType {
+    def sparkType = inner.sparkType
+    def name = s"Nullable(${inner.name})"
+  }
+  final case class ChArray(inner: ChType) extends ChType {
+    def sparkType = ArrayType(inner.sparkType, containsNull = inner.isInstanceOf[ChNullable])
+    def name = s"Array(${inner.name})"
+  }
+  /** Dictionary-encoded column; wire layout differs from plain columns. */
+  final case class ChLowCardinality(inner: ChType) extends ChType {
+    def sparkType = inner.sparkType
+    def name = s"LowCardinality(${inner.name})"
+  }
+  /**
+   * Recognized-but-not-decoded type with a KNOWN fixed byte width
+   * (UUID, IPv4/6, Int128/256, Decimal*): the reader consumes the
+   * bytes and emits the literal string `<unsupported:T>` per cell —
+   * the reference's degradation sentinel (src/lib.rs:137), but
+   * without corrupting the positions of later columns (the reference
+   * never advances its cursor for unknown types and misparses
+   * whatever follows).
+   */
+  final case class ChOpaqueFixed(raw: String, width: Int) extends ChType {
+    val sparkType = StringType
+    def name = raw
+  }
+
+  /**
+   * Truly unknown type: schema inference still succeeds (StringType),
+   * but data decode raises — we cannot know the byte width, and
+   * silently misparsing subsequent columns (what the reference does,
+   * src/lib.rs:168-170) is worse than failing loudly.
+   */
+  final case class ChUnsupported(raw: String) extends ChType {
+    val sparkType = StringType
+    def name = raw
+  }
+
+  /**
+   * Recursive-descent parser for type names. Reference equivalent:
+   * src/lib.rs:106-141 (split at '(') + src/lib.rs:78-104 (Enum8
+   * params). Ours nests (Array(Nullable(String)) etc.).
+   */
+  def parse(s: String): ChType = {
+    val t = s.trim
+    val (base, params) = t.indexOf('(') match {
+      case -1 => (t, "")
+      case i if t.endsWith(")") => (t.substring(0, i), t.substring(i + 1, t.length - 1))
+      case _ => return ChUnsupported(t)
+    }
+    base match {
+      case "String"   => ChString
+      case "UInt8"    => ChUInt8
+      case "UInt16"   => ChUInt16
+      case "UInt32"   => ChUInt32
+      case "UInt64"   => ChUInt64
+      case "Int8"     => ChInt8
+      case "Int16"    => ChInt16
+      case "Int32" | "Int" => ChInt32
+      case "Int64"    => ChInt64
+      case "Float32"  => ChFloat32
+      case "Float64"  => ChFloat64
+      case "Bool"     => ChBool
+      case "Date"     => ChDate
+      case "DateTime" =>
+        ChDateTime(if (params.isEmpty) None else Some(stripQuotes(params)))
+      case "DateTime64" =>
+        val parts = splitTopLevel(params)
+        val prec = parts.headOption.flatMap(p => p.trim.toIntOption).getOrElse(3)
+        ChDateTime64(prec, parts.drop(1).headOption.map(stripQuotes))
+      case "FixedString" =>
+        params.trim.toIntOption.map(ChFixedString).getOrElse(ChUnsupported(t))
+      case "Enum8" =>
+        parseEnumParams(params).map(ChEnum8).getOrElse(ChUnsupported(t))
+      case "Nullable" => ChNullable(parse(params))
+      case "Array"    => ChArray(parse(params))
+      case "LowCardinality" => ChLowCardinality(parse(params))
+      case "UUID"               => ChOpaqueFixed(t, 16)
+      case "IPv4"               => ChOpaqueFixed(t, 4)
+      case "IPv6"               => ChOpaqueFixed(t, 16)
+      case "Int128" | "UInt128" => ChOpaqueFixed(t, 16)
+      case "Int256" | "UInt256" => ChOpaqueFixed(t, 32)
+      case "Decimal32"          => ChOpaqueFixed(t, 4)
+      case "Decimal64"          => ChOpaqueFixed(t, 8)
+      case "Decimal128"         => ChOpaqueFixed(t, 16)
+      case "Decimal256"         => ChOpaqueFixed(t, 32)
+      case "Decimal" =>
+        // width by precision: P<=9 → 4B, <=18 → 8B, <=38 → 16B, else 32B
+        splitTopLevel(params).headOption.flatMap(_.trim.toIntOption) match {
+          case Some(p) if p <= 9  => ChOpaqueFixed(t, 4)
+          case Some(p) if p <= 18 => ChOpaqueFixed(t, 8)
+          case Some(p) if p <= 38 => ChOpaqueFixed(t, 16)
+          case Some(_)            => ChOpaqueFixed(t, 32)
+          case None               => ChUnsupported(t)
+        }
+      case _ => ChUnsupported(t)
+    }
+  }
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Split "a, b, c" at top-level commas (not inside quotes/parens). */
+  private[native] def splitTopLevel(s: String): Seq[String] = {
+    if (s.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQuote = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inQuote = false
+      } else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  /**
+   * Parse "'a' = 1, 'b' = 2" → [(a,1),(b,2)]. Malformed pairs are
+   * skipped, an empty list yields None — both mirroring the reference
+   * (src/lib.rs:87-97 skip, :81-83 empty).
+   */
+  private[native] def parseEnumParams(params: String): Option[Seq[(String, Byte)]] = {
+    val pairs = splitTopLevel(params).flatMap { p =>
+      p.split("=", 2) match {
+        case Array(k, v) =>
+          val key = stripQuotes(k)
+          v.trim.toByteOption.map(key -> _)
+        case _ => None
+      }
+    }
+    if (pairs.isEmpty) None else Some(pairs)
+  }
+
+  /** Spark type → ClickHouse type for the writer (fixtures, sinks). */
+  def forSpark(dt: DataType, nullable: Boolean): ChType = {
+    val base = dt match {
+      case StringType    => ChString
+      case BooleanType   => ChBool
+      case ByteType      => ChInt8
+      case ShortType     => ChInt16
+      case IntegerType   => ChInt32
+      case LongType      => ChInt64
+      case FloatType     => ChFloat32
+      case DoubleType    => ChFloat64
+      case DateType      => ChDate
+      case _: TimestampType.type => ChDateTime64(6, None)
+      case ArrayType(et, cn) => ChArray(forSpark(et, cn))
+      case other =>
+        throw new IllegalArgumentException(
+          s"clickhouse_native writer: unsupported Spark type $other")
+    }
+    // Native format has no Nullable(Array(...)) — arrays themselves are
+    // non-nullable in ClickHouse; only wrap scalars.
+    if (nullable && !base.isInstanceOf[ChArray]) ChNullable(base) else base
+  }
+}

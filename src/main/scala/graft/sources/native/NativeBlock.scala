@@ -1,0 +1,239 @@
+package graft.sources.native
+
+import graft.sources.native.ChType._
+import graft.sources.native.NativeCodec.{Input, Output}
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * One decoded column of a Native block. `values` holds Catalyst-ready
+ * values: UTF8String, java.lang.Integer/Long/Boolean/Float/Double,
+ * ArrayData, or null.
+ */
+final case class NativeColumn(name: String, chType: ChType, values: Array[Any])
+
+/** A decoded Native block: self-describing columnar batch (SURVEY §1.1). */
+final case class NativeBlock(columns: Array[NativeColumn]) {
+  def numRows: Int = if (columns.isEmpty) 0 else columns(0).values.length
+}
+
+/**
+ * Per-type column value codec. The reference's decode loop is
+ * src/lib.rs:143-175 (String/UInt8/UInt64/Int32/Enum8, everything
+ * else degraded to a sentinel string); ours covers the full §1.3
+ * family and nests Nullable/Array.
+ *
+ * Decoding is column-at-a-time into flat arrays — the columnar layout
+ * the wire format already has — rather than the reference's
+ * row-at-a-time boxed-enum cells (src/lib.rs:28-35).
+ */
+object ColumnCodec {
+
+  /** Decode `rows` values of `t` from `in` into a Catalyst-value array. */
+  def decode(in: Input, t: ChType, rows: Int): Array[Any] = {
+    val out = new Array[Any](rows)
+    t match {
+      case ChString =>
+        var i = 0
+        while (i < rows) { out(i) = UTF8String.fromString(in.readString()); i += 1 }
+      case ChFixedString(n) =>
+        // FixedString(n): n raw bytes per value, NUL-padded; sanitize
+        // strips the padding (reference strips NUL everywhere, src/lib.rs:73-74).
+        var i = 0
+        while (i < rows) {
+          out(i) = UTF8String.fromString(NativeCodec.sanitize(
+            new String(in.readBytes(n), java.nio.charset.StandardCharsets.UTF_8)))
+          i += 1
+        }
+      case ChUInt8 =>
+        var i = 0
+        while (i < rows) { out(i) = Integer.valueOf(in.readByte()); i += 1 }
+      case ChInt8 =>
+        var i = 0
+        while (i < rows) { out(i) = Integer.valueOf(in.readByte().toByte.toInt); i += 1 }
+      case ChBool =>
+        var i = 0
+        while (i < rows) { out(i) = java.lang.Boolean.valueOf(in.readByte() != 0); i += 1 }
+      case ChUInt16 =>
+        var i = 0
+        while (i < rows) { out(i) = Integer.valueOf(in.readShortLE() & 0xffff); i += 1 }
+      case ChInt16 =>
+        var i = 0
+        while (i < rows) { out(i) = Integer.valueOf(in.readShortLE().toInt); i += 1 }
+      case ChUInt32 =>
+        var i = 0
+        while (i < rows) { out(i) = java.lang.Long.valueOf(in.readIntLE() & 0xffffffffL); i += 1 }
+      case ChInt32 =>
+        var i = 0
+        while (i < rows) { out(i) = Integer.valueOf(in.readIntLE()); i += 1 }
+      case ChUInt64 | ChInt64 =>
+        var i = 0
+        while (i < rows) { out(i) = java.lang.Long.valueOf(in.readLongLE()); i += 1 }
+      case ChFloat32 =>
+        var i = 0
+        while (i < rows) { out(i) = java.lang.Float.valueOf(in.readFloatLE()); i += 1 }
+      case ChFloat64 =>
+        var i = 0
+        while (i < rows) { out(i) = java.lang.Double.valueOf(in.readDoubleLE()); i += 1 }
+      case ChDate =>
+        // UInt16 days since epoch == Spark DateType's internal Int days.
+        var i = 0
+        while (i < rows) { out(i) = Integer.valueOf(in.readShortLE() & 0xffff); i += 1 }
+      case ChDateTime(_) =>
+        // UInt32 epoch seconds → Catalyst micros.
+        var i = 0
+        while (i < rows) { out(i) = java.lang.Long.valueOf((in.readIntLE() & 0xffffffffL) * 1000000L); i += 1 }
+      case ChDateTime64(p, _) =>
+        var i = 0
+        if (p <= 6) {
+          val scale = math.pow(10, 6 - p).toLong
+          while (i < rows) { out(i) = java.lang.Long.valueOf(in.readLongLE() * scale); i += 1 }
+        } else {
+          val div = math.pow(10, p - 6).toLong
+          while (i < rows) { out(i) = java.lang.Long.valueOf(in.readLongLE() / div); i += 1 }
+        }
+      case e @ ChEnum8(_) =>
+        // Int8 code → declared label, or "Unknown(N)" (src/lib.rs:157-166).
+        var i = 0
+        while (i < rows) {
+          val code = in.readByte().toByte
+          out(i) = UTF8String.fromString(e.byCode.getOrElse(code, s"Unknown($code)"))
+          i += 1
+        }
+      case ChNullable(inner) =>
+        // Wire layout: null-mask byte per row first, then inner values
+        // (ClickHouse writes a default value in the slot of a null).
+        val mask = new Array[Boolean](rows)
+        var i = 0
+        while (i < rows) { mask(i) = in.readByte() != 0; i += 1 }
+        val inner_vals = decode(in, inner, rows)
+        i = 0
+        while (i < rows) { out(i) = if (mask(i)) null else inner_vals(i); i += 1 }
+      case ChArray(inner) =>
+        // Wire layout: UInt64 cumulative end-offsets per row, then the
+        // flattened element stream.
+        val offsets = new Array[Long](rows)
+        var i = 0
+        while (i < rows) { offsets(i) = in.readLongLE(); i += 1 }
+        val total = if (rows == 0) 0 else offsets(rows - 1).toInt
+        val flat = decode(in, inner, total)
+        var start = 0
+        i = 0
+        while (i < rows) {
+          val end = offsets(i).toInt
+          out(i) = new GenericArrayData(java.util.Arrays.copyOfRange(flat.asInstanceOf[Array[AnyRef]], start, end))
+          start = end
+          i += 1
+        }
+      case ChOpaqueFixed(raw, width) =>
+        // Consume the bytes, emit the reference's degradation sentinel
+        // (src/lib.rs:137) — later columns stay correctly aligned.
+        val sentinel = UTF8String.fromString(s"<unsupported:$raw>")
+        in.skipFully(width.toLong * rows)
+        var i = 0
+        while (i < rows) { out(i) = sentinel; i += 1 }
+      case ChLowCardinality(_) | _: ChUnsupported =>
+        throw new UnsupportedColumnException(t.name)
+    }
+    out
+  }
+
+  /** Byte width for fixed-width types (None = variable). Used for skip-decode. */
+  def fixedWidth(t: ChType): Option[Int] = t match {
+    case ChUInt8 | ChInt8 | ChBool | _: ChEnum8 => Some(1)
+    case ChUInt16 | ChInt16 | ChDate => Some(2)
+    case ChUInt32 | ChInt32 | ChFloat32 | _: ChDateTime => Some(4)
+    case ChUInt64 | ChInt64 | ChFloat64 | _: ChDateTime64 => Some(8)
+    case ChFixedString(n) => Some(n)
+    case ChOpaqueFixed(_, w) => Some(w)
+    case _ => None
+  }
+
+  /**
+   * Skip `rows` values of type `t` without materializing — column
+   * pruning inside a block (SURVEY §4.2: strictly better than the
+   * reference's decode-everything, src/lib.rs:251). Strings require
+   * length-walking; fixed-width types are a single seek.
+   */
+  def skip(in: Input, t: ChType, rows: Int): Unit = t match {
+    case _ if fixedWidth(t).isDefined =>
+      in.skipFully(fixedWidth(t).get.toLong * rows)
+    case ChString =>
+      var i = 0
+      while (i < rows) { in.skipFully(in.readVarUInt()); i += 1 }
+    case ChNullable(inner) =>
+      in.skipFully(rows.toLong)
+      skip(in, inner, rows)
+    case ChArray(inner) =>
+      var last = 0L
+      var i = 0
+      while (i < rows) { last = in.readLongLE(); i += 1 }
+      skip(in, inner, last.toInt)
+    case other => throw new UnsupportedColumnException(other.name)
+  }
+
+  /** Encode a column of Catalyst values (inverse of decode). */
+  def encode(out: Output, t: ChType, values: Array[Any]): Unit = t match {
+    case ChString =>
+      var i = 0
+      while (i < values.length) { out.writeString(String.valueOf(values(i))); i += 1 }
+    case ChUInt8 | ChInt8 =>
+      var i = 0
+      while (i < values.length) { out.writeByte(values(i).asInstanceOf[Number].intValue() & 0xff); i += 1 }
+    case ChBool =>
+      var i = 0
+      while (i < values.length) { out.writeByte(if (values(i).asInstanceOf[Boolean]) 1 else 0); i += 1 }
+    case ChUInt16 | ChInt16 | ChDate =>
+      var i = 0
+      while (i < values.length) { out.writeShortLE(values(i).asInstanceOf[Number].shortValue()); i += 1 }
+    case ChUInt32 | ChInt32 =>
+      var i = 0
+      while (i < values.length) { out.writeIntLE(values(i).asInstanceOf[Number].intValue()); i += 1 }
+    case ChUInt64 | ChInt64 =>
+      var i = 0
+      while (i < values.length) { out.writeLongLE(values(i).asInstanceOf[Number].longValue()); i += 1 }
+    case ChFloat32 =>
+      var i = 0
+      while (i < values.length) { out.writeFloatLE(values(i).asInstanceOf[Float]); i += 1 }
+    case ChFloat64 =>
+      var i = 0
+      while (i < values.length) { out.writeDoubleLE(values(i).asInstanceOf[Double]); i += 1 }
+    case ChDateTime(_) =>
+      var i = 0
+      while (i < values.length) { out.writeIntLE((values(i).asInstanceOf[Long] / 1000000L).toInt); i += 1 }
+    case ChDateTime64(p, _) =>
+      val div = math.pow(10, 6 - p).toLong
+      var i = 0
+      while (i < values.length) { out.writeLongLE(values(i).asInstanceOf[Long] / div); i += 1 }
+    case ChNullable(inner) =>
+      var i = 0
+      while (i < values.length) { out.writeByte(if (values(i) == null) 1 else 0); i += 1 }
+      val defaults = values.map(v => if (v == null) defaultValue(inner) else v)
+      encode(out, inner, defaults)
+    case ChArray(inner) =>
+      var cum = 0L
+      var i = 0
+      while (i < values.length) {
+        cum += values(i).asInstanceOf[ArrayData].numElements()
+        out.writeLongLE(cum)
+        i += 1
+      }
+      val flat = values.flatMap(v => v.asInstanceOf[ArrayData].toObjectArray(inner.sparkType))
+      encode(out, inner, flat.asInstanceOf[Array[Any]])
+    case other =>
+      throw new UnsupportedColumnException(other.name)
+  }
+
+  private def defaultValue(t: ChType): Any = t match {
+    case ChString | _: ChFixedString | _: ChEnum8 => UTF8String.fromString("")
+    case ChBool => java.lang.Boolean.FALSE
+    case ChUInt8 | ChInt8 | ChUInt16 | ChInt16 | ChInt32 | ChDate => Integer.valueOf(0)
+    case ChFloat32 => java.lang.Float.valueOf(0f)
+    case ChFloat64 => java.lang.Double.valueOf(0d)
+    case _ => java.lang.Long.valueOf(0L)
+  }
+}
+
+final class UnsupportedColumnException(val typeName: String)
+  extends RuntimeException(s"<unsupported:$typeName>")
