@@ -48,9 +48,15 @@ object ChType {
     val sparkType = TimestampType
     def name = tz.fold("DateTime")(z => s"DateTime('$z')")
   }
-  /** Int64 ticks at 10^-precision seconds since epoch. */
+  /**
+   * Int64 ticks at 10^-precision seconds since epoch. With an explicit
+   * timezone parameter → instant semantics (`TimestampType`); without →
+   * wall-clock (`TimestampNTZType`), which is also what the writer emits
+   * for Spark NTZ columns so they roundtrip type-faithfully. The
+   * in-memory value is Catalyst micros (Long) either way.
+   */
   final case class ChDateTime64(precision: Int, tz: Option[String]) extends ChType {
-    val sparkType = TimestampType
+    def sparkType: DataType = if (tz.isDefined) TimestampType else TimestampNTZType
     def name = tz.fold(s"DateTime64($precision)")(z => s"DateTime64($precision, '$z')")
   }
   /** Int8 code decoded to its label (reference src/lib.rs:157-166). */
@@ -216,7 +222,8 @@ object ChType {
       case FloatType     => ChFloat32
       case DoubleType    => ChFloat64
       case DateType      => ChDate
-      case _: TimestampType.type => ChDateTime64(6, None)
+      case TimestampType    => ChDateTime64(6, Some("UTC")) // instant semantics
+      case TimestampNTZType => ChDateTime64(6, None)        // wall-clock
       case ArrayType(et, cn) => ChArray(forSpark(et, cn))
       case other =>
         throw new IllegalArgumentException(

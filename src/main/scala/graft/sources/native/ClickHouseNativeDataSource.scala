@@ -6,8 +6,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -45,11 +48,16 @@ class ClickHouseNativeDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = NativeIO.resolveFiles(NativeIO.paths(options))
+    val conf = NativeIO.sessionHadoopConf()
+    val paths = NativeIO.paths(options)
+    val files = NativeIO.resolveFiles(paths, conf)
     files.headOption match {
-      case None => new StructType()
+      case None =>
+        // A typo'd path must fail loudly, not scan as 0 rows.
+        throw new IllegalArgumentException(
+          s"clickhouse_native: no files found for path(s): ${paths.mkString(", ")}")
       case Some(p) =>
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(conf)
         val header = {
           val s = fs.open(p)
           try NativeBlockReader.readHeader(s) finally s.close()
@@ -66,6 +74,15 @@ class ClickHouseNativeDataSource extends TableProvider with DataSourceRegister {
 }
 
 private[native] object NativeIO {
+  /**
+   * Session Hadoop configuration (S3/GCS credentials, fs.* settings) —
+   * driver-side capture; ship to executors via [[SerializableHadoopConf]].
+   * Bare `new Configuration()` would silently drop all of it.
+   */
+  def sessionHadoopConf(): Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   /** Extract load paths from options ("path" or JSON-array "paths"). */
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).map { json =>
@@ -78,8 +95,7 @@ private[native] object NativeIO {
   }
 
   /** Expand dirs and globs into concrete .clickhouse/.native data files. */
-  def resolveFiles(paths: Seq[String]): Seq[Path] = {
-    val conf = new Configuration()
+  def resolveFiles(paths: Seq[String], conf: Configuration): Seq[Path] = {
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -123,11 +139,12 @@ private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[Strin
 
   override def pushLimit(l: Int): Boolean = { limit = l; false /* keep host-side limit too */ }
 
-  override def build(): Scan = new NativeScan(fullSchema, required, paths, limit)
+  override def build(): Scan = new NativeScan(fullSchema, required, paths, limit,
+    new SerializableHadoopConf(NativeIO.sessionHadoopConf()))
 }
 
 private[native] class NativeScan(fullSchema: StructType, required: StructType,
-    paths: Seq[String], limit: Int) extends Scan with Batch {
+    paths: Seq[String], limit: Int, conf: SerializableHadoopConf) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -135,18 +152,18 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
       (if (limit >= 0) s" limit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
-    NativeIO.resolveFiles(paths).map(p => NativeInputPartition(p.toString): InputPartition).toArray
+    NativeIO.resolveFiles(paths, conf.value).map(p => NativeInputPartition(p.toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NativeReaderFactory(required, limit)
+    new NativeReaderFactory(required, limit, conf)
 }
 
 private[native] case class NativeInputPartition(file: String) extends InputPartition
 
-private[native] class NativeReaderFactory(required: StructType, limit: Int)
-    extends PartitionReaderFactory {
+private[native] class NativeReaderFactory(required: StructType, limit: Int,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NativePartitionReader(partition.asInstanceOf[NativeInputPartition].file, required, limit)
+    new NativePartitionReader(partition.asInstanceOf[NativeInputPartition].file, required, limit, conf.value)
 }
 
 /**
@@ -154,11 +171,11 @@ private[native] class NativeReaderFactory(required: StructType, limit: Int)
  * block at a time (never the whole file — contrast reference
  * src/lib.rs:271-279 which materializes everything, twice).
  */
-private[native] class NativePartitionReader(file: String, required: StructType, limit: Int)
-    extends PartitionReader[InternalRow] {
+private[native] class NativePartitionReader(file: String, required: StructType, limit: Int,
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
-  private val stream = path.getFileSystem(new Configuration()).open(path)
+  private val stream = path.getFileSystem(conf).open(path)
   private val blocks = new NativeBlockReader(stream, Some(required.fieldNames.toSet))
 
   private var colValues: Array[Array[Any]] = _ // per required-field value arrays
@@ -204,8 +221,13 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String)
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def overwrite(filters: Array[Filter]): WriteBuilder = truncate()
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new NativeBatchWrite(schema, path, truncateFirst)
+  override def build(): Write = {
+    // Validate the schema driver-side at planning, so an unsupported
+    // type is one clean error, not a stage failure inside a task.
+    schema.fields.foreach(f => ChType.forSpark(f.dataType, f.nullable))
+    new Write {
+      override def toBatch: BatchWrite = new NativeBatchWrite(schema, path, truncateFirst)
+    }
   }
 }
 
@@ -213,20 +235,25 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // Driver-side, before any task launches: clear the target on overwrite.
+    val conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf())
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(conf.value)
     if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new NativeWriterFactory(schema, path)
+    new NativeWriterFactory(schema, path, conf)
   }
+  // Spark's default useCommitCoordinator() (true) guarantees at most one
+  // committed attempt per partition; aborted attempts delete their file
+  // (NativeDataWriter.abort), so speculative/retried tasks leave no
+  // duplicate or truncated parts behind.
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private[native] class NativeWriterFactory(schema: StructType, path: String)
-    extends DataWriterFactory {
+private[native] class NativeWriterFactory(schema: StructType, path: String,
+    conf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new NativeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.clickhouse")
+    new NativeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.clickhouse", conf.value)
 }
 
 /**
@@ -234,20 +261,30 @@ private[native] class NativeWriterFactory(schema: StructType, path: String)
  * (The reference has no write path at all; fixtures required a real
  * ClickHouse — README.md:43-47.)
  */
-private[native] class NativeDataWriter(schema: StructType, file: String)
+private[native] class NativeDataWriter(schema: StructType, file: String, conf: Configuration)
     extends DataWriter[InternalRow] {
 
   private val rowsPerBlock = 65536
   private val chTypes = schema.fields.map(f => ChType.forSpark(f.dataType, f.nullable))
   private val path = new Path(file)
-  private val writer = new NativeBlockWriter(path.getFileSystem(new Configuration()).create(path, true))
+  private val writer = new NativeBlockWriter(path.getFileSystem(conf).create(path, true))
   private val buffer = Array.fill(schema.length)(new scala.collection.mutable.ArrayBuffer[Any](rowsPerBlock))
   private var buffered = 0
 
   override def write(record: InternalRow): Unit = {
     var i = 0
     while (i < schema.length) {
-      buffer(i) += (if (record.isNullAt(i)) null else record.get(i, schema.fields(i).dataType))
+      // Spark reuses the InternalRow (and the UTF8String/ArrayData
+      // backing buffers) across rows — buffering a reference without
+      // copying aliases later rows' bytes and corrupts the file.
+      val v =
+        if (record.isNullAt(i)) null
+        else record.get(i, schema.fields(i).dataType) match {
+          case s: UTF8String => s.clone()
+          case a: ArrayData  => a.copy()
+          case other         => other
+        }
+      buffer(i) += v
       i += 1
     }
     buffered += 1
@@ -259,7 +296,7 @@ private[native] class NativeDataWriter(schema: StructType, file: String)
       val cols = schema.fields.indices.map { i =>
         NativeColumn(schema.fields(i).name, chTypes(i), buffer(i).toArray)
       }.toArray
-      writer.writeBlock(NativeBlock(cols))
+      writer.writeBlock(NativeBlock(cols, buffered))
       buffer.foreach(_.clear())
       buffered = 0
     }
@@ -270,7 +307,15 @@ private[native] class NativeDataWriter(schema: StructType, file: String)
     writer.close()
     NativeCommitMessage(file)
   }
-  override def abort(): Unit = writer.close()
+
+  override def abort(): Unit = {
+    // Failed/speculative attempt: remove the partial part file so a
+    // retry (different taskId → different name) can't leave truncated
+    // or duplicate data behind.
+    writer.close()
+    val fs = path.getFileSystem(conf)
+    if (fs.exists(path)) fs.delete(path, false)
+  }
   override def close(): Unit = ()
 }
 

@@ -13,10 +13,13 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 final case class NativeColumn(name: String, chType: ChType, values: Array[Any])
 
-/** A decoded Native block: self-describing columnar batch (SURVEY §1.1). */
-final case class NativeBlock(columns: Array[NativeColumn]) {
-  def numRows: Int = if (columns.isEmpty) 0 else columns(0).values.length
-}
+/**
+ * A decoded Native block: self-describing columnar batch (SURVEY §1.1).
+ * `numRows` comes from the block header, NOT from the decoded columns —
+ * a fully-pruned block (`count(*)`: Catalyst requires zero columns)
+ * still knows how many rows it carries.
+ */
+final case class NativeBlock(columns: Array[NativeColumn], numRows: Int)
 
 /**
  * Per-type column value codec. The reference's decode loop is
@@ -203,9 +206,16 @@ object ColumnCodec {
       var i = 0
       while (i < values.length) { out.writeIntLE((values(i).asInstanceOf[Long] / 1000000L).toInt); i += 1 }
     case ChDateTime64(p, _) =>
-      val div = math.pow(10, 6 - p).toLong
+      // Catalyst micros → 10^-p ticks; p > 6 needs a multiply (the
+      // inverse of decode's divide), not 10^(6-p).toLong which is 0.
       var i = 0
-      while (i < values.length) { out.writeLongLE(values(i).asInstanceOf[Long] / div); i += 1 }
+      if (p <= 6) {
+        val div = math.pow(10, 6 - p).toLong
+        while (i < values.length) { out.writeLongLE(values(i).asInstanceOf[Long] / div); i += 1 }
+      } else {
+        val mul = math.pow(10, p - 6).toLong
+        while (i < values.length) { out.writeLongLE(values(i).asInstanceOf[Long] * mul); i += 1 }
+      }
     case ChNullable(inner) =>
       var i = 0
       while (i < values.length) { out.writeByte(if (values(i) == null) 1 else 0); i += 1 }

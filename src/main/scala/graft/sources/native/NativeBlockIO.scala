@@ -71,7 +71,7 @@ final class NativeBlockReader(stream: InputStream, projection: Option[Set[String
       }
       c += 1
     }
-    Some(NativeBlock(cols.result()))
+    Some(NativeBlock(cols.result(), nRows))
   }
 
   override def close(): Unit = stream.close()

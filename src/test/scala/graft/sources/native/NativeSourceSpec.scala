@@ -1,0 +1,121 @@
+package graft.sources.native
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * End-to-end DataSource V2 tests crossing the write→read boundary —
+ * the layer the pure codec tests never exercised (which is how the
+ * round-1 writer-aliasing and count(*)=0 bugs shipped).
+ */
+class NativeSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-native-$tag").toString + "/out"
+
+  test("DSv2 roundtrip: nation (strings + ints) full-content equality") {
+    val src = spark.read.parquet(s"${SparkTestBase.sfDir}/nation.parquet")
+    val dir = tmpDir("nation")
+    src.write.format("clickhouse_native").mode("overwrite").save(dir)
+    val back = spark.read.format("clickhouse_native").load(dir)
+    val a = src.collect().toSet
+    val b = back.collect().toSet
+    assert(b.size === a.size)
+    assert(b === a)
+    // the round-1 bug collapsed n_name to 2 distinct values on disk
+    assert(back.select("n_name").distinct().count() === src.select("n_name").distinct().count())
+  }
+
+  test("DSv2 count(*) over native source (empty projection emits header rows)") {
+    val src = spark.read.parquet(s"${SparkTestBase.sfDir}/region.parquet")
+    val dir = tmpDir("count")
+    src.write.format("clickhouse_native").mode("overwrite").save(dir)
+    val back = spark.read.format("clickhouse_native").load(dir)
+    assert(back.count() === src.count()) // round-1: returned 0
+    assert(back.collect().length === src.count())
+  }
+
+  test("DSv2 roundtrip: doubles, timestamps, wider table (orders)") {
+    val src = spark.read.parquet(s"${SparkTestBase.sfDir}/orders.parquet")
+    val dir = tmpDir("orders")
+    src.write.format("clickhouse_native").mode("overwrite").save(dir)
+    val back = spark.read.format("clickhouse_native").load(dir)
+    assert(back.collect().toSet === src.collect().toSet)
+  }
+
+  test("DSv2 roundtrip: arrays of floats (embeddings)") {
+    val src = spark.read.parquet(s"${SparkTestBase.sfDir}/embeddings.parquet")
+    val dir = tmpDir("emb")
+    src.write.format("clickhouse_native").mode("overwrite").save(dir)
+    val back = spark.read.format("clickhouse_native").load(dir)
+    val a = src.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = back.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(b.keySet === a.keySet)
+    assert(a.forall { case (k, v) => b(k) == v })
+  }
+
+  test("DSv2 roundtrip: nulls survive (Nullable wire layout)") {
+    import spark.implicits._
+    val src = Seq((1L, Some("x"), Some(1.5)), (2L, None, None), (3L, Some(""), Some(-0.0)))
+      .toDF("id", "s", "d")
+    val dir = tmpDir("nulls")
+    src.write.format("clickhouse_native").mode("overwrite").save(dir)
+    val back = spark.read.format("clickhouse_native").load(dir)
+    assert(back.collect().toSet === src.collect().toSet)
+  }
+
+  test("multi-block multi-column interleaving (reference's bug class, SURVEY §1.1)") {
+    // Hand-write 3 blocks × 2 columns with the block writer, read via DSv2.
+    val dir = Files.createTempDirectory("graft-native-mb")
+    val f = dir.resolve("mb.clickhouse")
+    val os = java.nio.file.Files.newOutputStream(f)
+    val w = new NativeBlockWriter(os)
+    import org.apache.spark.unsafe.types.UTF8String
+    (0 until 3).foreach { b =>
+      val ids = Array.tabulate(4)(i => java.lang.Long.valueOf(b * 4L + i): Any)
+      val names = Array.tabulate(4)(i => UTF8String.fromString(s"row-${b * 4 + i}"): Any)
+      w.writeBlock(NativeBlock(Array(
+        NativeColumn("id", ChType.ChInt64, ids),
+        NativeColumn("name", ChType.ChString, names)), 4))
+    }
+    w.close()
+    val back = spark.read.format("clickhouse_native").load(f.toString)
+    assert(back.count() === 12)
+    val rows = back.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === (0 until 12).map(i => (i.toLong, s"row-$i")).toSet)
+    // count(*) with pruned columns across multiple blocks
+    assert(back.selectExpr("count(*)").head().getLong(0) === 12L)
+  }
+
+  test("DateTime64 precision > 6 block-level encode/decode roundtrip") {
+    val t = ChType.ChDateTime64(9, None)
+    val micros = Array[Any](java.lang.Long.valueOf(1700000000123456L), java.lang.Long.valueOf(0L))
+    val bos = new ByteArrayOutputStream()
+    val out = new NativeCodec.Output(bos)
+    ColumnCodec.encode(out, t, micros)
+    out.flush()
+    val in = new NativeCodec.Input(new ByteArrayInputStream(bos.toByteArray))
+    val decoded = ColumnCodec.decode(in, t, 2)
+    assert(decoded.toSeq === micros.toSeq)
+  }
+
+  test("writer abort removes the partial part file") {
+    val dir = Files.createTempDirectory("graft-native-abort")
+    val f = s"$dir/part.clickhouse"
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType)))
+    val writer = new NativeDataWriter(schema, f, conf)
+    writer.write(org.apache.spark.sql.catalyst.InternalRow(1L))
+    writer.abort()
+    assert(!new java.io.File(f).exists())
+  }
+}
