@@ -1,0 +1,445 @@
+package graft.operators
+
+import graft.operators.Q.t
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The relational capability surface (SURVEY §2.2–§2.8, §2.10): every
+ * operator a user of the reference stack reaches through its host
+ * engines (DuckDB around `clickhouse_native(...)` scans, ClickHouse
+ * through `clickhouse_scan` SQL passthrough — reference
+ * README.md:63-75, src/clickhouse_scan.rs:78), re-expressed as
+ * declarative Spark DataFrame plans so Catalyst supplies pushdown,
+ * join selection, partial aggregation and whole-stage codegen.
+ *
+ * Determinism contract (FIXTURES.md §3): every LIMIT is paired with a
+ * total ORDER BY; float aggregates are rounded in the final
+ * projection; every computed column is aliased identically in the
+ * Spark plan and the DuckDB oracle.
+ *
+ * Type parity notes (Spark ↔ DuckDB 1.0): integer SUMs are cast to
+ * BIGINT in the oracle (DuckDB widens to HUGEINT); year/length/
+ * datediff/floor/ceil/row_number are cast to Spark's result type.
+ */
+object RelationalQueries {
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ----- §2.2 projections / filters / scalar expressions ---------------
+
+    "q_projection_all" -> Q(
+      (s, dir) => t(s, dir, "region"),
+      Some("SELECT * FROM region")),
+
+    "q_projection_cols" -> Q(
+      (s, dir) => t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
+
+    "q_filter_neq" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_returnflag") =!= "N")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+              FROM lineitem WHERE l_returnflag != 'N'""")),
+
+    "q_filter_compound" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .filter((col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0)
+          || (col("o_orderpriority") === "1-URGENT" && !(col("o_totalprice") <= 50000.0)))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+              FROM orders
+              WHERE (o_orderstatus = 'F' AND o_totalprice > 150000.0)
+                 OR (o_orderpriority = '1-URGENT' AND NOT (o_totalprice <= 50000.0))""")),
+
+    "q_expr_scalar" -> Q(
+      (s, dir) => t(s, dir, "nation").select(
+        col("n_nationkey"),
+        (col("n_nationkey") * 2 + 1).as("k2"),
+        lit("x").as("tag"),
+        upper(col("n_name")).as("uname"),
+        length(col("n_name")).as("name_len")),
+      Some("""SELECT n_nationkey, n_nationkey * 2 + 1 AS k2, 'x' AS tag,
+                     upper(n_name) AS uname, CAST(length(n_name) AS INTEGER) AS name_len
+              FROM nation""")),
+
+    // ----- §2.3 joins ------------------------------------------------------
+
+    "q_join_inner" -> Q(
+      (s, dir) => t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"), "inner")
+        .select("n_nationkey", "n_name", "r_name"),
+      Some("""SELECT n_nationkey, n_name, r_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey""")),
+
+    "q_join_left" -> Q(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "c_name", "o_orderkey"),
+      Some("""SELECT c_custkey, c_name, o_orderkey
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey""")),
+
+    "q_join_full" -> Q(
+      (s, dir) => {
+        val a = t(s, dir, "nation").filter(col("n_regionkey").isin(0, 1))
+          .select(col("n_nationkey").as("ak"), col("n_name").as("a_name"))
+        val b = t(s, dir, "nation").filter(col("n_regionkey").isin(1, 2))
+          .select(col("n_nationkey").as("bk"), col("n_name").as("b_name"))
+        a.join(b, col("ak") === col("bk"), "full")
+          .select(coalesce(col("ak"), col("bk")).as("k"), col("a_name"), col("b_name"))
+      },
+      Some("""SELECT coalesce(ak, bk) AS k, a_name, b_name FROM
+                (SELECT n_nationkey AS ak, n_name AS a_name FROM nation WHERE n_regionkey IN (0, 1)) a
+                FULL JOIN
+                (SELECT n_nationkey AS bk, n_name AS b_name FROM nation WHERE n_regionkey IN (1, 2)) b
+                ON ak = bk""")),
+
+    "q_join_semi" -> Q(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    "q_join_anti" -> Q(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    "q_join_cross" -> Q(
+      (s, dir) => t(s, dir, "region").select(col("r_name"))
+        .crossJoin(t(s, dir, "nation").select(col("n_name"))),
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation")),
+
+    "q_join_theta" -> Q(
+      // Non-equi predicate → BroadcastNestedLoopJoin; both sides tiny.
+      (s, dir) => {
+        val a = t(s, dir, "region").select(col("r_regionkey").as("ra"), col("r_name").as("name_a"))
+        val b = t(s, dir, "region").select(col("r_regionkey").as("rb"), col("r_name").as("name_b"))
+        a.join(b, col("ra") < col("rb")).select("name_a", "name_b")
+      },
+      Some("""SELECT a.r_name AS name_a, b.r_name AS name_b
+              FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey""")),
+
+    "q_join_broadcast" -> Q(
+      // Explicit broadcast hint: dim side ships to every executor, no
+      // shuffle of the fact side — the 100-TB-correct join shape.
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name"),
+      Some("""SELECT c_custkey, n_name
+              FROM customer JOIN nation ON c_nationkey = n_nationkey""")),
+
+    "q_join_asof" -> Q(
+      // ASOF: for each purchase event, the latest signup by the same
+      // user at-or-before it. Spark has no native asof join; the
+      // scale-safe formulation is equi-join on the partition key
+      // (shuffle by user_id) + range predicate + partial max — never a
+      // crossJoin. DuckDB oracle uses its native ASOF JOIN.
+      (s, dir) => {
+        val e = Q.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        val signups = e.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+        purchases.join(signups, col("p_user") === col("s_user") && col("p_ts") >= col("s_ts"))
+          .groupBy("event_id")
+          .agg(max(col("s_ts")).as("last_signup_ts"))
+      },
+      Some(s"""SELECT p.event_id, s.ts AS last_signup_ts
+              FROM (SELECT * FROM ${Q.eventsOracle} WHERE event_type = 'purchase') p
+              ASOF JOIN (SELECT * FROM ${Q.eventsOracle} WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id AND p.ts >= s.ts""")),
+
+    // ----- §2.4 aggregations ----------------------------------------------
+
+    "q_count_star" -> Q(
+      // The reference's flagship query (README.md:63, its one CI test).
+      (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("cnt")),
+      Some("SELECT count(*) AS cnt FROM lineitem")),
+
+    "q_agg_max" -> Q(
+      (s, dir) => t(s, dir, "lineitem").agg(
+        max(col("l_quantity")).as("max_qty"),
+        max(col("l_extendedprice")).as("max_price"),
+        max(col("l_shipdate")).as("max_ship")),
+      Some("""SELECT max(l_quantity) AS max_qty, max(l_extendedprice) AS max_price,
+                     max(l_shipdate) AS max_ship FROM lineitem""")),
+
+    "q_agg_basic" -> Q(
+      // TPC-H Q1 shape: partial (map-side) agg + final agg, one shuffle
+      // on the grouping key.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_price,
+                     round(avg(l_quantity), 4) AS avg_qty,
+                     min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    "q_agg_distinct" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("d_parts"),
+          countDistinct(col("l_suppkey")).as("d_supps"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS d_parts,
+                     count(DISTINCT l_suppkey) AS d_supps, count(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    "q_agg_groupingsets" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+                     round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    "q_agg_having" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n_orders"))
+        .filter(col("total") > 500000.0),
+      Some("""SELECT o_custkey, round(sum(o_totalprice), 2) AS total,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_custkey
+              HAVING round(sum(o_totalprice), 2) > 500000.0""")),
+
+    // ----- §2.5 window functions ------------------------------------------
+
+    "q_window_rank" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer").select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+      },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+                     CAST(row_number() OVER w AS INTEGER) AS rn,
+                     CAST(rank() OVER w AS INTEGER) AS rk,
+                     CAST(dense_rank() OVER w AS INTEGER) AS drk
+              FROM customer
+              WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""")),
+
+    "q_window_analytic" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Q.events(s, dir).filter(col("user_id") < 50).select(
+          col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          first(col("value")).over(w).as("first_value"))
+      },
+      Some(s"""SELECT event_id, user_id, value,
+                     lag(value, 1) OVER w AS prev_value,
+                     lead(value, 1) OVER w AS next_value,
+                     first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value
+              FROM ${Q.eventsOracle} WHERE user_id < 50
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
+    "q_window_frame" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                     round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+              FROM orders""")),
+
+    // ----- §2.10 time windows (batch form) --------------------------------
+
+    "q_window_time_tumbling" -> Q(
+      (s, dir) => Q.events(s, dir)
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("cnt"), col("sum_value")),
+      Some(s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart, event_type,
+                     count(*) AS cnt, round(sum(value), 2) AS sum_value
+              FROM ${Q.eventsOracle} GROUP BY 1, 2""")),
+
+    // ----- §2.6 sorts / limits / top-k ------------------------------------
+
+    "q_limit" -> Q(
+      (s, dir) => t(s, dir, "orders").orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice").limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_orderkey LIMIT 10""")),
+
+    "q_sort" -> Q(
+      (s, dir) => t(s, dir, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal"),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+              ORDER BY c_acctbal DESC, c_custkey""")),
+
+    "q_topk" -> Q(
+      // orderBy + limit → TakeOrderedAndProject: per-partition top-k,
+      // only k rows per partition reach the driver-side merge.
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice").limit(15),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""")),
+
+    // ----- §2.7 set operations --------------------------------------------
+
+    "q_union_all" -> Q(
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"), lit("c").as("src"))
+        .unionAll(t(s, dir, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_name").as("name"), lit("s").as("src"))),
+      Some("""SELECT c_custkey AS id, c_name AS name, 'c' AS src FROM customer
+              UNION ALL
+              SELECT s_suppkey AS id, s_name AS name, 's' AS src FROM supplier""")),
+
+    "q_intersect" -> Q(
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk"))),
+      Some("""SELECT c_nationkey AS nk FROM customer
+              INTERSECT
+              SELECT s_nationkey AS nk FROM supplier""")),
+
+    "q_except" -> Q(
+      (s, dir) => t(s, dir, "customer").select(col("c_custkey").as("k"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("k"))),
+      Some("""SELECT c_custkey AS k FROM customer
+              EXCEPT
+              SELECT o_custkey AS k FROM orders""")),
+
+    // ----- §2.8 scalar function families ----------------------------------
+
+    "q_fn_string" -> Q(
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        concat(col("p_brand"), lit("_"), col("p_type")).as("brand_type"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        substring(col("p_name"), 1, 8).as("prefix"),
+        regexp_replace(col("p_name"), " ", "-").as("dashed"),
+        trim(col("p_name")).as("trimmed"),
+        col("p_name").like("%al%").as("has_al"),
+        col("p_name").rlike("^[a-m]").as("starts_low")),
+      Some("""SELECT p_partkey,
+                     p_brand || '_' || p_type AS brand_type,
+                     upper(p_name) AS uname, lower(p_brand) AS lbrand,
+                     substring(p_name, 1, 8) AS prefix,
+                     regexp_replace(p_name, ' ', '-', 'g') AS dashed,
+                     trim(p_name) AS trimmed,
+                     p_name LIKE '%al%' AS has_al,
+                     regexp_matches(p_name, '^[a-m]') AS starts_low
+              FROM part""")),
+
+    "q_fn_date" -> Q(
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        to_date(col("o_orderdate")).as("order_day"),
+        datediff(lit("1996-01-01").cast("date"), to_date(col("o_orderdate"))).as("days_to_1996")),
+      Some("""SELECT o_orderkey,
+                     CAST(year(o_orderdate) AS INTEGER) AS y,
+                     CAST(month(o_orderdate) AS INTEGER) AS m,
+                     CAST(day(o_orderdate) AS INTEGER) AS d,
+                     CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                     CAST(o_orderdate AS DATE) AS order_day,
+                     CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS INTEGER) AS days_to_1996
+              FROM orders""")),
+
+    "q_fn_math" -> Q(
+      (s, dir) => t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        // per-row double arithmetic is bit-identical across engines —
+        // no rounding (round() half-behaviour differs at exact .xx5)
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"),
+        floor(col("l_quantity")).as("qty_floor"),
+        ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_extendedprice * (1 - l_discount) AS net,
+                     CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+                     CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+                     abs(l_discount - 0.05) AS disc_dev,
+                     CAST(mod(l_orderkey, 7) AS BIGINT) AS key_mod
+              FROM lineitem""")),
+
+    "q_fn_array" -> Q(
+      (s, dir) => t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_elem"),
+        round(aggregate(transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 4).as("elem_sum"),
+        array_contains(array(lit(1), lit(2), lit(3)), col("label")).as("label_in_123")),
+      Some("""SELECT vec_id,
+                     CAST(len(embedding) AS INTEGER) AS dim,
+                     round(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
+                     round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS elem_sum,
+                     list_contains([1, 2, 3], label) AS label_in_123
+              FROM embeddings""")),
+
+    "q_fn_map" -> Q(
+      // Map construct + access exercised Spark-side; the oracle computes
+      // the expected values directly (DuckDB's map dialect differs).
+      (s, dir) => t(s, dir, "nation").select(
+        col("n_nationkey"),
+        element_at(
+          str_to_map(concat(lit("k:"), col("n_name"), lit(",v:"), col("n_nationkey")), lit(","), lit(":")),
+          "k").as("k_val"),
+        element_at(map(lit("a"), lit(1), lit("b"), lit(2)), "b").as("b_val"),
+        size(map(lit("a"), lit(1), lit("b"), lit(2))).as("n_keys")),
+      Some("""SELECT n_nationkey, n_name AS k_val, 2 AS b_val, 2 AS n_keys FROM nation""")),
+
+    "q_fn_json" -> Q(
+      (s, dir) => Q.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        get_json_object(col("props"), "$.missing").as("absent")),
+      Some("""SELECT event_id,
+                     json_extract_string(props, '$.k') AS k_str,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+                     json_extract_string(props, '$.missing') AS absent
+              FROM events""")),
+
+    "q_fn_conditional" -> Q(
+      (s, dir) => t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("tier"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+        when(col("c_acctbal") > 0, col("c_acctbal")).as("pos_bal")),
+      Some("""SELECT c_custkey,
+                     CASE WHEN c_acctbal < 0 THEN 'neg'
+                          WHEN c_acctbal < 5000 THEN 'mid'
+                          ELSE 'high' END AS tier,
+                     coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+                     CASE WHEN c_acctbal > 0 THEN c_acctbal END AS pos_bal
+              FROM customer"""))
+  )
+}
