@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.functions.{MinHashAggregator, TextHash}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed deduplication operators (SURVEY §2.12 north star).
+ *
+ * Scale design (the part that matters at 100 TB):
+ *  - signatures are computed per-row (a document is one cell), so the
+ *    signature stage is a map — NO shuffle;
+ *  - the mergeable [[MinHashAggregator]] formulation exists for inputs
+ *    where a document arrives as many rows (grouped/streaming) and
+ *    distributes as partial+final aggregation;
+ *  - candidate generation is an equi-join on (band, bandHash) — data
+ *    shuffles once on the band hash; there is NO crossJoin anywhere;
+ *  - a pair can collide in several bands → dropDuplicates before the
+ *    verify step, so verification cost is per unique candidate pair.
+ */
+object Dedup {
+
+  /** Per-row MinHash signature of a text column. */
+  def minhashSigUdf(k: Int, shingleN: Int) =
+    udf((text: String) =>
+      TextHash.minhashSignature(TextHash.shingleHashes(text, shingleN), k))
+
+  val shinglesUdf = udf((text: String, n: Int) => TextHash.shingleHashes(text, n))
+  val simhashUdf = udf((text: String) => TextHash.simhash64(text))
+  val fingerprintUdf = udf((text: String) => TextHash.rollingFingerprint(text))
+  val estJaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+    TextHash.estJaccard(a.toArray, b.toArray))
+  val hammingUdf = udf((a: Long, b: Long) => TextHash.hamming(a, b))
+
+  /**
+   * MinHash + LSH near-duplicate candidate pairs.
+   *
+   * @return (id_a, id_b, est_sim) with id_a < id_b, est_sim = fraction
+   *         of agreeing signature slots, filtered to >= threshold.
+   */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 128,
+      bands: Int = 32,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      useAggregator: Boolean = false): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rows = k / bands
+
+    // --- signature stage -------------------------------------------------
+    val sigs =
+      if (useAggregator) {
+        // grouped formulation: explode shingles, shuffle by id, merge
+        // partial elementwise-min sketches (MinHashAggregator)
+        val mh = udaf(new MinHashAggregator(k))
+        df.select(col(idCol).as("id"), explode(shinglesUdf(col(textCol), lit(shingleN))).as("sh"))
+          .groupBy("id").agg(mh(col("sh")).as("sig"))
+      } else {
+        // per-row formulation: pure map, no shuffle
+        df.select(col(idCol).as("id"), minhashSigUdf(k, shingleN)(col(textCol)).as("sig"))
+      }
+
+    // --- banding stage: (band index, hash of the band's slice) -----------
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(split_bands(col("sig"), bands, rows)).as(Seq("band", "band_hash")))
+
+    // --- candidate join: equi-join on (band, band_hash) ------------------
+    // distinct column names on each side → no self-join ambiguity
+    val left = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val right = banded.select(col("band").as("band_b"), col("band_hash").as("hash_b"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    left.join(right,
+        col("band") === col("band_b") && col("band_hash") === col("hash_b") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in many bands
+      .withColumn("est_sim", estJaccardUdf(col("sig_a"), col("sig_b")))
+      .filter(col("est_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_sim"))
+  }
+
+  /** Hash each band's slice of the signature → array<struct<band,hash>> input for posexplode. */
+  private def split_bands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      // xxhash64 over (band index, the band's slots): one long per band
+      xxhash64((slice(sig, b * rows + 1, lit(rows)) +: Seq(b)): _*))
+
+  /**
+   * Exact-Jaccard verification of candidate pairs (n-gram Jaccard
+   * dedup): joins the candidates back to their texts and computes the
+   * true word-shingle Jaccard. Join is by id — broadcast-able when the
+   * candidate set is small, shuffle-join otherwise.
+   */
+  val exactJaccardUdf = udf((a: String, b: String) => TextHash.exactJaccard(a, b, 3))
+
+  def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, minJaccard: Double): DataFrame = {
+    val texts = df.select(col(idCol), col(textCol))
+    candidates
+      .join(texts.withColumnRenamed(idCol, "id_a").withColumnRenamed(textCol, "text_a"), "id_a")
+      .join(texts.withColumnRenamed(idCol, "id_b").withColumnRenamed(textCol, "text_b"), "id_b")
+      .withColumn("jaccard", exactJaccardUdf(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "est_sim", "jaccard")
+  }
+
+  /**
+   * SimHash near-dup candidates: 64-bit fingerprints bucketed by 4
+   * 16-bit slices (any pair within hamming distance 3 shares at least
+   * one slice — pigeonhole), verified by full hamming distance.
+   * Same join shape as MinHash-LSH: shuffle on (slice index, slice).
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp"))
+    val slices = (0 until 4).map(i => struct(
+      lit(i).as("slice"),
+      shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL)).as("key")))
+    val sliced = fps.select(col("id"), col("fp"), explode(array(slices: _*)).as("s"))
+      .select(col("id"), col("fp"), col("s.slice").as("slice"), col("s.key").as("key"))
+    val l = sliced.select(col("slice"), col("key"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = sliced.select(col("slice").as("slice_b"), col("key").as("key_b"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, col("slice") === col("slice_b") && col("key") === col("key_b") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hammingUdf(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,10 +1,208 @@
 package graft.operators
 
+import graft.operators.Q.t
+
+import org.apache.spark.sql.functions._
+
 /**
  * §2.12 north-star LLM-data-pipeline operators over the `documents`
- * and `embeddings` tables. Populated operator-by-operator; see
- * graft.functions / graft.plans for the implementations.
+ * and `embeddings` tables. Oracle-backed where the semantics are
+ * ANSI-SQL-expressible; the sketch-based ops (minhash/simhash/LSH) are
+ * declared without oracle (driver records a rows-only check) and are
+ * property-tested against brute force in LlmOpsSpec.
+ *
+ * Regex note: patterns are restricted to syntax with identical
+ * semantics in Java regex (Spark) and RE2 (DuckDB): explicit classes,
+ * alternation, \b, \s.
  */
 object LlmQueries {
-  val all: Seq[(String, Q)] = Seq.empty
+
+  private val punctRe = "[.,;:!?]"
+  private val tokenRe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+  private val enRe = "\\b(the|and|of|to|a)\\b"
+  private val deRe = "\\b(der|und|die|das|ist)\\b"
+  private val esRe = "\\b(el|la|de|que|y)\\b"
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ----- deduplication --------------------------------------------------
+
+    "q_dedup_exact" -> Q(
+      // exact dedup = hash-aggregate on the content key; min(doc_id) is
+      // the deterministic representative (dropDuplicates picks an
+      // arbitrary row — useless under a hash-comparing oracle)
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+        .select("doc_id", "dup_cnt"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
+              FROM documents GROUP BY text""")),
+
+    "q_dedup_minhash" -> Q(
+      // mergeable MinHash sketch (partial+final agg) + LSH band join —
+      // shuffle on band hash, never an all-pairs crossJoin. Not
+      // SQL-expressible → no oracle; recall property-tested in
+      // LlmOpsSpec against brute-force Jaccard.
+      (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 128, bands = 32, shingleN = 3, threshold = 0.3, useAggregator = true)
+        .withColumn("est_sim", round(col("est_sim"), 4)),
+      None),
+
+    "q_dedup_simhash" -> Q(
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16),
+      None),
+
+    "q_dedup_ngram" -> Q(
+      // exact n-gram Jaccard verification of the LSH candidates
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cands = Dedup.minhashPairs(docs, "doc_id", "text",
+          k = 128, bands = 32, shingleN = 3, threshold = 0.2)
+        Dedup.verifiedPairs(docs, "doc_id", "text", cands, minJaccard = 0.2)
+          .withColumn("est_sim", round(col("est_sim"), 4))
+          .withColumn("jaccard", round(col("jaccard"), 4))
+      },
+      None),
+
+    // ----- similarity search ---------------------------------------------
+
+    "q_sim_cosine_topk" -> Q(
+      // exact baseline: 5 broadcast query vectors × all embeddings,
+      // double-precision cosine, per-query top-10
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd
+                     FROM embeddings WHERE vec_id < 5),
+                   c AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+                     FROM embeddings),
+                   s AS (SELECT q_id, vec_id,
+                     round(list_dot_product(ed, qd) /
+                       (sqrt(list_dot_product(ed, ed)) * sqrt(list_dot_product(qd, qd))), 4) AS sim
+                     FROM c, q WHERE c.vec_id != q.q_id)
+              SELECT q_id, vec_id, sim,
+                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
+              FROM s QUALIFY rn <= 10""")),
+
+    "q_sim_cosine_lsh" -> Q(
+      // the 100-TB path: sign-random-projection buckets + multi-probe;
+      // recall vs brute force property-tested in LlmOpsSpec
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      },
+      None),
+
+    // ----- text analysis --------------------------------------------------
+
+    "q_text_stats" -> Q(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_c"),
+        size(split(trim(col("text")), "\\s+")).as("n_words"),
+        (length(col("text")).cast("double") /
+          size(split(trim(col("text")), "\\s+"))).as("chars_per_word"),
+        regexp_count(col("text"), lit(punctRe)).as("n_punct"),
+        (regexp_count(col("text"), lit(punctRe)).cast("double") /
+          length(col("text"))).as("punct_ratio")),
+      Some(s"""SELECT doc_id,
+                     CAST(length(text) AS INTEGER) AS n_chars_c,
+                     CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_words,
+                     CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS chars_per_word,
+                     CAST(len(regexp_extract_all(text, '$punctRe')) AS INTEGER) AS n_punct,
+                     CAST(len(regexp_extract_all(text, '$punctRe')) AS DOUBLE) / length(text) AS punct_ratio
+              FROM documents""")),
+
+    "q_token_count" -> Q(
+      // whitespace tokens + a BPE-ish regex tokenizer (words or single
+      // non-space punctuation), both as codegen'd regexp_count
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        regexp_count(col("text"), lit(tokenRe)).as("bpe_ish_tokens")),
+      Some(s"""SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+                     CAST(len(regexp_extract_all(text, '$tokenRe')) AS INTEGER) AS bpe_ish_tokens
+              FROM documents""")),
+
+    "q_lang_id" -> Q(
+      // n-gram/stopword-count heuristic, arg-max over language scores —
+      // deliberately simple enough to express identically in the oracle
+      (s, dir) => t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          regexp_count(lower(col("text")), lit(enRe)).as("en_score"),
+          regexp_count(lower(col("text")), lit(deRe)).as("de_score"),
+          regexp_count(lower(col("text")), lit(esRe)).as("es_score"))
+        .withColumn("lang_pred",
+          when(col("en_score") >= col("de_score") && col("en_score") >= col("es_score"), "en")
+            .when(col("de_score") >= col("es_score"), "de")
+            .otherwise("es")),
+      Some(s"""SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text), '$enRe')) AS INTEGER) AS en_score,
+                     CAST(len(regexp_extract_all(lower(text), '$deRe')) AS INTEGER) AS de_score,
+                     CAST(len(regexp_extract_all(lower(text), '$esRe')) AS INTEGER) AS es_score,
+                     CASE WHEN len(regexp_extract_all(lower(text), '$enRe')) >= len(regexp_extract_all(lower(text), '$deRe'))
+                           AND len(regexp_extract_all(lower(text), '$enRe')) >= len(regexp_extract_all(lower(text), '$esRe')) THEN 'en'
+                          WHEN len(regexp_extract_all(lower(text), '$deRe')) >= len(regexp_extract_all(lower(text), '$esRe')) THEN 'de'
+                          ELSE 'es' END AS lang_pred
+              FROM documents""")),
+
+    "q_quality_score" -> Q(
+      // length / punctuation / stopword-ratio quality signals; raw
+      // double arithmetic (bit-identical across engines, no rounding)
+      (s, dir) => {
+        val words = size(split(trim(col("text")), "\\s+"))
+        val stops = regexp_count(lower(col("text")), lit(enRe))
+        val punct = regexp_count(col("text"), lit(punctRe))
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          words.as("n_words"),
+          (stops.cast("double") / words).as("stop_ratio"),
+          (punct.cast("double") / length(col("text"))).as("punct_ratio"),
+          (stops.cast("double") / words * 2.0 +
+            when(words >= 5 && words <= 10000, 1.0).otherwise(0.0) -
+            punct.cast("double") / length(col("text"))).as("quality"))
+      },
+      Some(s"""SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_words,
+                     CAST(len(regexp_extract_all(lower(text), '$enRe')) AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio,
+                     CAST(len(regexp_extract_all(text, '$punctRe')) AS DOUBLE) / length(text) AS punct_ratio,
+                     CAST(len(regexp_extract_all(lower(text), '$enRe')) AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\\s+')) * 2.0
+                       + (CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 5 AND 10000
+                           THEN 1.0 ELSE 0.0 END)
+                       - CAST(len(regexp_extract_all(text, '$punctRe')) AS DOUBLE) / length(text) AS quality
+              FROM documents""")),
+
+    "q_fingerprint" -> Q(
+      // content-hash fingerprint (oracle-checkable via md5); the
+      // edit-tolerant winnowing fingerprint rides along rows-only in
+      // q_dedup_simhash / TextHash.rollingFingerprint
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        substring(md5(col("text").cast("binary")), 1, 8).as("shard_key")),
+      Some("""SELECT doc_id, md5(text) AS content_md5,
+                     substring(md5(text), 1, 8) AS shard_key
+              FROM documents""")),
+
+    // ----- multimodal -----------------------------------------------------
+
+    "q_multimodal_schema" -> Q(
+      // binary payload + typed metadata struct → typed mapPartitions
+      // feature extraction (decode stubbed — see Multimodal scaladoc)
+      (s, dir) => Multimodal.pipeline(s, t(s, dir, "documents")),
+      Some("""SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                     CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+                     CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+                     octet_length(encode(text)) / 100.0 AS feat
+              FROM documents"""))
+  )
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbour / similarity search over an embedding
+ * column (SURVEY §2.12).
+ *
+ * Two tiers, per the brief:
+ *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query
+ *    set against every vector, codegen'd higher-order-function dot
+ *    products, per-query top-k via ranking window. Oracle-checkable.
+ *  - [[lshTopK]] — the 100-TB path: sign-random-projection buckets;
+ *    candidates shuffle once on bucket id and only bucket-local pairs
+ *    are scored. Multi-probe (hamming<=r neighbouring buckets) trades
+ *    compute for recall; recall is property-tested against brute force.
+ */
+object Similarity {
+
+  /** Elementwise dot product of two float-array columns, in double. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity dot/(|a|*|b|) — same formula the oracle uses. */
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  /**
+   * Exact top-k neighbours for each query vector.
+   * The query side MUST be small (it is broadcast to every executor);
+   * the candidate side streams — no shuffle of the big table at all,
+   * the ranking window shuffles only (q_id, candidate, sim) tuples.
+   */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = candidates.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(queries.select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    joined.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component (unit-free sign test). */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val h = graft.functions.TextHash.splitmix64(plane.toLong * 131071L + dim)
+    // map to (-1, 1) uniformly
+    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  /** Sign-random-projection bucket id (`planes`-bit code) for an embedding column. */
+  def srpBucket(emb: Column, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val planeArr = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+      when(dotD(emb, planeArr) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: candidates hash to one bucket;
+   * each query probes every bucket within hamming distance
+   * `probeRadius` of its own code. The (query × bucket-code) expansion
+   * is tiny (2^planes codes max) — the big table shuffles once.
+   */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 8, probeRadius: Int = 3, dim: Int = 64): DataFrame = {
+    val cand = candidates.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", srpBucket(col("embedding"), planes, dim))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_bucket", srpBucket(col("q_emb"), planes, dim))
+    // distinct occupied buckets = at most 2^planes rows of metadata
+    val buckets = cand.select(col("bucket")).distinct()
+    val probes = q.crossJoin(broadcast(buckets))
+      .filter(Dedup.hammingUdf(col("q_bucket"), col("bucket")) <= probeRadius)
+    val scored = cand.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+  }
+}

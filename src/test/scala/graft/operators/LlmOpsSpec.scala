@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.TextHash
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private def docs = spark.read.parquet(s"${SparkTestBase.sfDir}/documents.parquet")
+  private def emb = spark.read.parquet(s"${SparkTestBase.sfDir}/embeddings.parquet")
+
+  test("minhash estimate tracks exact jaccard (property, seeded)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("spark", "query", "table", "row", "scan", "join", "data",
+      "fast", "merge", "sort", "hash", "key", "part", "batch", "group")
+    (1 to 20).foreach { _ =>
+      val base = Array.fill(60)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      // mutate ~10% of words
+      val wordsArr = base.split(" ")
+      val mutated = wordsArr.map(w =>
+        if (rnd.nextDouble() < 0.1) vocab(rnd.nextInt(vocab.length)) else w).mkString(" ")
+      val exact = TextHash.exactJaccard(base, mutated, 3)
+      val est = TextHash.estJaccard(
+        TextHash.minhashSignature(TextHash.shingleHashes(base, 3), 128),
+        TextHash.minhashSignature(TextHash.shingleHashes(mutated, 3), 128))
+      assert(math.abs(est - exact) < 0.2, s"est=$est exact=$exact")
+    }
+  }
+
+  test("mergeable aggregator signature == per-row signature (distribution safety)") {
+    val perRow = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaAgg = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3,
+      useAggregator = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(perRow === viaAgg)
+    assert(perRow.nonEmpty) // sf0.001 documents contain seeded near-dups
+  }
+
+  test("minhash-LSH candidates achieve high recall vs brute-force jaccard >= 0.5") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val truth = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      j = TextHash.exactJaccard(ta, tb, 3) if j >= 0.5
+    } yield (ia, ib)).toSet
+    val found = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain true near-dups")
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall=$recall truth=${truth.size} found=${found.size}")
+  }
+
+  test("no crossJoin in the minhash plan (scale guard)") {
+    val plan = Dedup.minhashPairs(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan.take(2000))
+  }
+
+  test("simhash: near-identical texts land within small hamming distance") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy cat again and again today"
+    val c = "completely unrelated words about databases and distributed query engines"
+    assert(TextHash.hamming(TextHash.simhash64(a), TextHash.simhash64(b)) <= 12)
+    assert(TextHash.hamming(TextHash.simhash64(a), TextHash.simhash64(c)) >
+      TextHash.hamming(TextHash.simhash64(a), TextHash.simhash64(b)))
+  }
+
+  test("LSH cosine top-k recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(approx.contains).toDouble / brute.size
+    // multi-probe SRP at 8 planes, radius 2: moderate recall floor
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("multimodal typed pipeline: schema + deterministic stub features") {
+    val out = Multimodal.pipeline(spark, docs)
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("doc_id", "n_bytes", "width", "height", "feat"))
+    val row = out.filter(col("doc_id") === 0).head()
+    val nBytes = row.getAs[Int]("n_bytes")
+    assert(row.getAs[Int]("width") === nBytes % 640)
+    assert(row.getAs[Int]("height") === (nBytes * 7) % 480)
+    assert(out.count() === docs.count())
+  }
+
+  test("rolling fingerprint is edit-tolerant-ish and deterministic") {
+    val a = "a" * 50 + "the quick brown fox jumps over the lazy dog" + "b" * 50
+    assert(TextHash.rollingFingerprint(a) === TextHash.rollingFingerprint(a))
+    assert(TextHash.rollingFingerprint("short") === TextHash.rollingFingerprint("short"))
+  }
+}
