@@ -210,6 +210,13 @@ object ChType {
     if (pairs.isEmpty) None else Some(pairs)
   }
 
+  /** Whether values of this type can be null in the Spark schema. */
+  def isNullable(t: ChType): Boolean = t match {
+    case _: ChNullable => true
+    case ChLowCardinality(inner) => isNullable(inner)
+    case _ => false
+  }
+
   /** Spark type → ClickHouse type for the writer (fixtures, sinks). */
   def forSpark(dt: DataType, nullable: Boolean): ChType = {
     val base = dt match {

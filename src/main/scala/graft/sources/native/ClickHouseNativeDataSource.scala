@@ -63,7 +63,7 @@ class ClickHouseNativeDataSource extends TableProvider with DataSourceRegister {
           try NativeBlockReader.readHeader(s) finally s.close()
         }
         StructType(header.map { case (name, t) =>
-          StructField(name, t.sparkType, nullable = t.isInstanceOf[ChType.ChNullable])
+          StructField(name, t.sparkType, nullable = ChType.isNullable(t))
         })
     }
   }

@@ -136,10 +136,63 @@ object ColumnCodec {
         in.skipFully(width.toLong * rows)
         var i = 0
         while (i < rows) { out(i) = sentinel; i += 1 }
-      case ChLowCardinality(_) | _: ChUnsupported =>
+      case lc: ChLowCardinality =>
+        decodeLowCardinality(in, lc, rows, out)
+      case _: ChUnsupported =>
         throw new UnsupportedColumnException(t.name)
     }
     out
+  }
+
+  // LowCardinality serialization-type flags (ClickHouse wire format).
+  private val LcHasAdditionalKeys = 0x200L
+  private val LcIndexWidthMask = 0xffL
+
+  /**
+   * LowCardinality(T) dictionary wire layout:
+   *
+   *   UInt64 keys-serialization version (1 = shared-with-additional-keys)
+   *   UInt64 serialization type: low byte = index width class
+   *          (0→UInt8, 1→UInt16, 2→UInt32, 3→UInt64),
+   *          bit 0x200 = dictionary ("additional keys") follows inline
+   *   UInt64 dictionary size + dictionary values (plain inner type,
+   *          non-nullable — for Nullable(T), slot 0 is the null default)
+   *   UInt64 row count
+   *   indices[rows] of the declared width
+   *
+   * The reference never decodes this — any LowCardinality column makes
+   * it emit `<unsupported>` sentinels without consuming bytes,
+   * corrupting every later column (src/lib.rs:168-170). Here it decodes
+   * to the inner type's Catalyst values via dictionary lookup.
+   */
+  private def decodeLowCardinality(in: Input, lc: ChLowCardinality, rows: Int,
+      out: Array[Any]): Unit = {
+    val version = in.readLongLE()
+    if (version != 1L)
+      throw new UnsupportedColumnException(s"${lc.name} (keys version $version)")
+    val serType = in.readLongLE()
+    if ((serType & LcHasAdditionalKeys) == 0)
+      throw new UnsupportedColumnException(s"${lc.name} (global dictionary)")
+    val (inner, nullable) = lc.inner match {
+      case ChNullable(i) => (i, true)
+      case i => (i, false)
+    }
+    val dictSize = in.readLongLE().toInt
+    val dict = decode(in, inner, dictSize)
+    val n = in.readLongLE().toInt
+    require(n == rows, s"LowCardinality row count $n != block rows $rows")
+    val width = (serType & LcIndexWidthMask).toInt
+    var i = 0
+    while (i < rows) {
+      val idx = width match {
+        case 0 => in.readByte()
+        case 1 => in.readShortLE() & 0xffff
+        case 2 => in.readIntLE()
+        case _ => in.readLongLE().toInt
+      }
+      out(i) = if (nullable && idx == 0) null else dict(idx)
+      i += 1
+    }
   }
 
   /** Byte width for fixed-width types (None = variable). Used for skip-decode. */
@@ -173,6 +226,21 @@ object ColumnCodec {
       var i = 0
       while (i < rows) { last = in.readLongLE(); i += 1 }
       skip(in, inner, last.toInt)
+    case lc: ChLowCardinality =>
+      // must parse the dictionary structure to find the column's end
+      val version = in.readLongLE()
+      if (version != 1L) throw new UnsupportedColumnException(lc.name)
+      val serType = in.readLongLE()
+      if ((serType & LcHasAdditionalKeys) == 0)
+        throw new UnsupportedColumnException(lc.name)
+      val inner = lc.inner match { case ChNullable(i) => i; case i => i }
+      val dictSize = in.readLongLE().toInt
+      skip(in, inner, dictSize)
+      val n = in.readLongLE().toInt
+      val width = (serType & LcIndexWidthMask).toInt match {
+        case 0 => 1; case 1 => 2; case 2 => 4; case _ => 8
+      }
+      in.skipFully(width.toLong * n)
     case other => throw new UnsupportedColumnException(other.name)
   }
 

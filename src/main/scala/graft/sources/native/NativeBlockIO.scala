@@ -96,7 +96,19 @@ object NativeBlockReader {
           val name = in.readString()
           val t = ChType.parse(in.readString())
           out += (name -> t)
-          if (c < nCols - 1) ColumnCodec.skip(in, t, nRows)
+          if (c < nCols - 1) {
+            try ColumnCodec.skip(in, t, nRows)
+            catch {
+              case e: UnsupportedColumnException =>
+                // A non-final column of unknowable byte width makes the
+                // remaining headers unreachable — fail with the column
+                // named instead of a bare type error (the reference
+                // instead silently misparses, src/lib.rs:168-170).
+                throw new java.io.IOException(
+                  s"schema inference: cannot skip column '$name' of " +
+                    s"unsupported type ${e.typeName}; remaining columns unreadable", e)
+            }
+          }
           c += 1
         }
         out.result()
