@@ -18,6 +18,14 @@ object ScanQueries {
   private def fixtureDir(dir: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
+  object NativeFixtures {
+    /** The single .clickhouse part file inside a writer output dir. */
+    def singlePart(dir: String): String = {
+      val fs = new java.io.File(dir)
+      fs.listFiles().filter(_.getName.endsWith(".clickhouse")).map(_.getPath).sorted.head
+    }
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     "scan_parquet" -> Q(
@@ -34,6 +42,23 @@ object ScanQueries {
         s.read.format("clickhouse_native").load(fx)
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
+
+    "scan_remote_query" -> Q(
+      // the reference's clickhouse_scan() as a Spark source; the
+      // "server response" is a recorded Native byte stream produced by
+      // our writer (transport seam documented in docs/REMOTE_SCAN.md)
+      (s, dir) => {
+        val fx = fixtureDir(dir, "remote_response")
+        t(s, dir, "supplier").coalesce(1)
+          .write.format("clickhouse_native").mode("overwrite").save(fx)
+        val part = NativeFixtures.singlePart(fx)
+        s.read.format("clickhouse_remote")
+          .option("query", "SELECT * FROM supplier")
+          .option("transport", "file")
+          .option("responsePath", part)
+          .load()
+      },
+      Some("SELECT * FROM supplier")),
 
     "scan_native_roundtrip" -> Q(
       // Write + read back a wider table: NTZ timestamps, doubles,

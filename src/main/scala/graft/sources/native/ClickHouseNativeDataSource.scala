@@ -73,7 +73,7 @@ class ClickHouseNativeDataSource extends TableProvider with DataSourceRegister {
     new NativeTable(schema, NativeIO.paths(new CaseInsensitiveStringMap(properties)))
 }
 
-private[native] object NativeIO {
+private[sources] object NativeIO {
   /**
    * Session Hadoop configuration (S3/GCS credentials, fs.* settings) —
    * driver-side capture; ship to executors via [[SerializableHadoopConf]].
