@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{aggregate, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -128,9 +128,11 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String])
 }
 
 private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var limit: Int = -1
+  private var countStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Catalyst hands us exactly the referenced columns; decode only those.
@@ -139,8 +141,65 @@ private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[Strin
 
   override def pushLimit(l: Int): Boolean = { limit = l; false /* keep host-side limit too */ }
 
-  override def build(): Scan = new NativeScan(fullSchema, required, paths, limit,
-    new SerializableHadoopConf(NativeIO.sessionHadoopConf()))
+  /**
+   * `count(*)` pushdown: the row count is in every block header, so a
+   * count scan never decodes a single value — each partition skips
+   * through its file summing header counts and returns ONE row. Spark
+   * sums the per-partition partials (supportCompletePushDown stays
+   * false, so multi-file scans work unchanged). At 100 TB this turns
+   * the reference's flagship query (README.md:63) from a full
+   * row-emission pass into pure block-header walking.
+   */
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    val ok = limit < 0 && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[aggregate.CountStar]
+    if (ok) countStar = true
+    ok
+  }
+
+  override def build(): Scan = {
+    val conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf())
+    if (countStar) new NativeCountScan(paths, conf)
+    else new NativeScan(fullSchema, required, paths, limit, conf)
+  }
+}
+
+/** Scan produced when count(*) was pushed: one partial count per file. */
+private[native] class NativeCountScan(paths: Seq[String], conf: SerializableHadoopConf)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"clickhouse_native count(*) ${paths.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    NativeIO.resolveFiles(paths, conf.value).map(p => NativeInputPartition(p.toString): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NativeCountReaderFactory(conf)
+}
+
+private[native] class NativeCountReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val file = partition.asInstanceOf[NativeInputPartition].file
+      private var emitted = false
+      private var count = 0L
+      override def next(): Boolean = {
+        if (emitted) return false
+        val path = new Path(file)
+        val blocks = new NativeBlockReader(path.getFileSystem(conf.value).open(path),
+          Some(Set.empty))
+        try while (blocks.hasNext) count += blocks.next().numRows
+        finally blocks.close()
+        emitted = true
+        true
+      }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](count))
+      override def close(): Unit = ()
+    }
 }
 
 private[native] class NativeScan(fullSchema: StructType, required: StructType,
