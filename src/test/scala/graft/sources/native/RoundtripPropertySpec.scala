@@ -1,0 +1,107 @@
+package graft.sources.native
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import graft.sources.native.ChType._
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Property-style randomized write→read roundtrips (SURVEY §5.2 #3):
+ * random schemas over the supported type family × random row counts ×
+ * random multi-block splits — the reference's multi-block multi-column
+ * interleaving bug class (SURVEY §1.1) stays pinned under fuzz, not
+ * just the one hand-built fixture.
+ */
+class RoundtripPropertySpec extends AnyFunSuite {
+
+  private val scalarTypes: Seq[ChType] = Seq(
+    ChString, ChInt8, ChInt16, ChInt32, ChInt64, ChUInt8, ChUInt16,
+    ChFloat32, ChFloat64, ChBool, ChDate, ChDateTime64(6, None))
+
+  private def randomValue(t: ChType, rnd: scala.util.Random): Any = t match {
+    case ChString => UTF8String.fromString(rnd.alphanumeric.take(rnd.nextInt(12)).mkString)
+    case ChInt8 => Integer.valueOf(rnd.nextInt(256) - 128)
+    case ChInt16 => Integer.valueOf(rnd.nextInt(65536) - 32768)
+    case ChInt32 => Integer.valueOf(rnd.nextInt())
+    case ChInt64 => java.lang.Long.valueOf(rnd.nextLong())
+    case ChUInt8 => Integer.valueOf(rnd.nextInt(256))
+    case ChUInt16 => Integer.valueOf(rnd.nextInt(65536))
+    case ChFloat32 => java.lang.Float.valueOf(rnd.nextFloat())
+    case ChFloat64 => java.lang.Double.valueOf(rnd.nextDouble())
+    case ChBool => java.lang.Boolean.valueOf(rnd.nextBoolean())
+    case ChDate => Integer.valueOf(rnd.nextInt(20000))
+    case ChDateTime64(_, _) => java.lang.Long.valueOf(math.abs(rnd.nextLong()) % 4102444800000000L)
+    case ChNullable(inner) => if (rnd.nextInt(4) == 0) null else randomValue(inner, rnd)
+    case ChArray(inner) =>
+      new GenericArrayData(Array.fill(rnd.nextInt(4))(randomValue(inner, rnd).asInstanceOf[AnyRef]))
+    case other => fail(s"no generator for $other")
+  }
+
+  private def randomType(rnd: scala.util.Random): ChType = {
+    val base = scalarTypes(rnd.nextInt(scalarTypes.length))
+    rnd.nextInt(4) match {
+      case 0 => ChNullable(base)
+      case 1 => ChArray(base)
+      case _ => base
+    }
+  }
+
+  test("random schema × random block splits roundtrip exactly (300 cases, seeded)") {
+    val rnd = new scala.util.Random(20260812)
+    (1 to 300).foreach { case_i =>
+      val nCols = 1 + rnd.nextInt(5)
+      val types = Array.fill(nCols)(randomType(rnd))
+      val nRows = rnd.nextInt(40)
+      val data: Array[Array[Any]] =
+        types.map(t => Array.fill[Any](nRows)(randomValue(t, rnd)))
+
+      // random split into >= 1 blocks
+      val splits = scala.collection.mutable.ArrayBuffer(0)
+      var pos = 0
+      while (pos < nRows) {
+        pos += 1 + rnd.nextInt(math.max(1, nRows / 2))
+        splits += math.min(pos, nRows)
+      }
+
+      val bos = new ByteArrayOutputStream()
+      val w = new NativeBlockWriter(bos)
+      splits.toSeq.zip(splits.toSeq.tail).foreach { case (a, b) =>
+        if (b > a) {
+          val cols = types.zipWithIndex.map { case (t, ci) =>
+            NativeColumn(s"c$ci", t, data(ci).slice(a, b))
+          }
+          w.writeBlock(NativeBlock(cols, b - a))
+        }
+      }
+      w.close()
+
+      val reader = new NativeBlockReader(new ByteArrayInputStream(bos.toByteArray))
+      val got: Array[scala.collection.mutable.ArrayBuffer[Any]] =
+        Array.fill(nCols)(scala.collection.mutable.ArrayBuffer.empty[Any])
+      var totalRows = 0
+      while (reader.hasNext) {
+        val blk = reader.next()
+        totalRows += blk.numRows
+        blk.columns.zipWithIndex.foreach { case (c, ci) => got(ci) ++= c.values }
+      }
+      assert(totalRows === nRows, s"case $case_i rows (types=${types.map(_.name).mkString(",")})")
+      types.indices.foreach { ci =>
+        val exp = data(ci).map(render).toSeq
+        val act = got(ci).map(render).toSeq
+        assert(act === exp, s"case $case_i col $ci type=${types(ci).name}")
+      }
+    }
+  }
+
+  /** Stable comparison rendering (ArrayData has identity equality). */
+  private def render(v: Any): String = v match {
+    case null => "∅"
+    case a: GenericArrayData => a.array.map(render).mkString("[", ",", "]")
+    case f: java.lang.Float => java.lang.Float.floatToIntBits(f).toString
+    case d: java.lang.Double => java.lang.Double.doubleToLongBits(d).toString
+    case other => String.valueOf(other)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import graft.streaming.EventStreams.{Event, UserRunning}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(m: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $m:00")
+
+  test("tumbling windows aggregate incrementally across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_t").outputMode("update").start()
+    try {
+      input.addData(
+        Event(1, ts("00:01"), 10, "click", 1.0),
+        Event(2, ts("00:02"), 10, "click", 2.0),
+        Event(3, ts("00:06"), 11, "view", 3.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts("00:03"), 12, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_t")
+        .groupBy("wstart", "event_type")
+        .agg(max("cnt").as("cnt")) // update mode re-emits; take latest
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        (ts("00:00"), "click", 3L),
+        (ts("00:05"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than 10 minutes in append mode") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("wm_t").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts("00:01"), 10, "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark
+      input.addData(Event(2, ts("01:00"), 10, "click", 1.0))
+      q.processAllAvailable()
+      // this event is > 10 min behind the watermark → must be dropped
+      input.addData(Event(3, ts("00:02"), 10, "click", 99.0))
+      q.processAllAvailable()
+      // close remaining windows
+      input.addData(Event(4, ts("02:00"), 10, "click", 1.0))
+      q.processAllAvailable()
+      val first = spark.table("wm_t")
+        .filter(col("wstart") === ts("00:00")).collect()
+      assert(first.length === 1)
+      assert(first(0).getAs[Long]("cnt") === 1L) // late event NOT counted
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    implicit val ctx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("state_t").outputMode("update").start()
+    try {
+      input.addData(Event(1, ts("00:01"), 7, "click", 1.5))
+      q.processAllAvailable()
+      input.addData(Event(2, ts("00:02"), 7, "click", 2.5),
+        Event(3, ts("00:03"), 8, "view", 10.0))
+      q.processAllAvailable()
+      val latest = spark.table("state_t").as[UserRunning].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+      assert(latest(7L).n_events === 2 && math.abs(latest(7L).total_value - 4.0) < 1e-9)
+      assert(latest(8L).n_events === 1)
+    } finally q.stop()
+  }
+
+  test("session windows merge activity within the gap") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sess_t").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("00:01"), 5, "click", 1.0),
+        Event(2, ts("00:10"), 5, "click", 1.0),  // within 15m gap → same session
+        Event(3, ts("01:00"), 5, "click", 1.0))  // new session
+      q.processAllAvailable()
+      // advance the watermark far enough to close both sessions
+      input.addData(Event(4, ts("03:00"), 6, "click", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_t").filter(col("user_id") === 5)
+        .select("session_start", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      assert(sessions.exists { case (st, n) => st == ts("00:01") && n == 2 })
+      assert(sessions.exists { case (st, n) => st == ts("01:00") && n == 1 })
+    } finally q.stop()
+  }
+
+  test("file-based event stream matches the batch tumbling aggregation") {
+    val dir = SparkTestBase.sfDir
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = stream
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("wstart"), col("cnt"))
+      .writeStream.format("memory").queryName("file_t").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_t").collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.Q.events(spark, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w")).agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").cast("timestamp").as("wstart"), col("cnt"))
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
