@@ -104,11 +104,16 @@ object RelationalQueries {
               WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
 
     "q_join_anti" -> Q(
+      // customers with no high-value order (the restriction keeps the
+      // result non-trivial: every customer has SOME order in this data)
       (s, dir) => t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name"),
       Some("""SELECT c_custkey, c_name FROM customer
-              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_totalprice > 400000.0)""")),
 
     "q_join_cross" -> Q(
       (s, dir) => t(s, dir, "region").select(col("r_name"))
@@ -208,6 +213,32 @@ object RelationalQueries {
       Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
                      round(sum(l_quantity), 2) AS sum_qty
               FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    "q_agg_stats" -> Q(
+      // statistical aggregates (CH quantile()/stddevSamp() equivalents)
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(expr("median(l_quantity)"), 2).as("med_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty")),
+      Some("""SELECT l_returnflag,
+                     round(stddev_samp(l_quantity), 6) AS sd_qty,
+                     round(var_samp(l_quantity), 6) AS var_qty,
+                     round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
+                     round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    "q_agg_approx_distinct" -> Q(
+      // HyperLogLog++-class sketch — the CH uniq() equivalent; mergeable
+      // partial+final, the exact-distinct replacement at 100 TB. Sketch
+      // estimates differ per engine → no SQL oracle; accuracy bound is
+      // asserted in RelationalOpsSpec (±5% of exact).
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
+      None),
 
     "q_agg_having" -> Q(
       (s, dir) => t(s, dir, "orders")
@@ -322,11 +353,29 @@ object RelationalQueries {
               SELECT s_nationkey AS nk FROM supplier""")),
 
     "q_except" -> Q(
+      // customers minus urgent-order customers (unrestricted orders
+      // cover every customer → empty result proves nothing)
       (s, dir) => t(s, dir, "customer").select(col("c_custkey").as("k"))
-        .except(t(s, dir, "orders").select(col("o_custkey").as("k"))),
+        .except(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("k"))),
       Some("""SELECT c_custkey AS k FROM customer
               EXCEPT
-              SELECT o_custkey AS k FROM orders""")),
+              SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'""")),
+
+    "q_intersect_all" -> Q(
+      // duplicate-preserving set ops (multiset semantics)
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersectAll(t(s, dir, "supplier").select(col("s_nationkey").as("nk"))),
+      Some("""SELECT c_nationkey AS nk FROM customer
+              INTERSECT ALL
+              SELECT s_nationkey AS nk FROM supplier""")),
+
+    "q_except_all" -> Q(
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").as("nk"))),
+      Some("""SELECT c_nationkey AS nk FROM customer
+              EXCEPT ALL
+              SELECT s_nationkey AS nk FROM supplier""")),
 
     // ----- §2.8 scalar function families ----------------------------------
 

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sfDir
+
+  test("approx_count_distinct within 5% of exact (HLL accuracy bound)") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = QueryRegistry.queries("q_agg_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+
+  test("every declared oracle key produces a non-empty, re-runnable result") {
+    // cheap structural guard at sf0.001: all keys run and yield rows
+    QueryRegistry.all.foreach { case (name, q) =>
+      val n = q.fn(spark, dir).count()
+      assert(n > 0, s"$name returned 0 rows at sf0.001")
+    }
+  }
+
+  test("broadcast hint survives into the physical plan") {
+    val plan = QueryRegistry.queries("q_join_broadcast")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("topk compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = QueryRegistry.queries("q_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("parquet scans prune columns and push filters") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 49.0).select("l_orderkey")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49.0)]"),
+      scan.take(2000))
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      scan.take(2000))
+  }
+}
