@@ -223,6 +223,110 @@ private[native] class NativeReaderFactory(required: StructType, limit: Int,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new NativePartitionReader(partition.asInstanceOf[NativeInputPartition].file, required, limit, conf.value)
+
+  /**
+   * Columnar emit for flat schemas: the wire format is already
+   * column-major per block, so handing Spark a ColumnarBatch avoids
+   * the per-row boxed GenericInternalRow path and lets whole-stage
+   * codegen read vectors directly. Nested arrays and limit pushdown
+   * stay on the row path (arrays need child-vector assembly; limits
+   * are small by definition).
+   */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    limit < 0 && required.nonEmpty && required.fields.forall(f => f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    })
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new NativeColumnarPartitionReader(
+      partition.asInstanceOf[NativeInputPartition].file, required, conf.value)
+}
+
+/** Executor-side columnar reader: one Native block → one ColumnarBatch. */
+private[native] class NativeColumnarPartitionReader(file: String, required: StructType,
+    conf: Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val path = new Path(file)
+  private val stream = path.getFileSystem(conf).open(path)
+  private val blocks = new NativeBlockReader(stream, Some(required.fieldNames.toSet))
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    if (!blocks.hasNext) return false
+    val block = blocks.next()
+    val n = block.numRows
+    val byName = block.columns.map(c => c.name -> c).toMap
+    val vectors = required.fields.map { f =>
+      val v = new OnHeapColumnVector(n, f.dataType)
+      byName.get(f.name) match {
+        case None => v.putNulls(0, n)
+        case Some(col) => fill(v, f.dataType, col.values, n)
+      }
+      v: org.apache.spark.sql.vectorized.ColumnVector
+    }
+    batch = new ColumnarBatch(vectors, n)
+    true
+  }
+
+  private def fill(v: OnHeapColumnVector, dt: DataType, values: Array[Any], n: Int): Unit = {
+    var i = 0
+    dt match {
+      case IntegerType | DateType =>
+        while (i < n) {
+          val x = values(i)
+          if (x == null) v.putNull(i) else v.putInt(i, x.asInstanceOf[java.lang.Integer].intValue())
+          i += 1
+        }
+      case LongType | TimestampType | TimestampNTZType =>
+        while (i < n) {
+          val x = values(i)
+          if (x == null) v.putNull(i) else v.putLong(i, x.asInstanceOf[java.lang.Long].longValue())
+          i += 1
+        }
+      case DoubleType =>
+        while (i < n) {
+          val x = values(i)
+          if (x == null) v.putNull(i) else v.putDouble(i, x.asInstanceOf[java.lang.Double].doubleValue())
+          i += 1
+        }
+      case FloatType =>
+        while (i < n) {
+          val x = values(i)
+          if (x == null) v.putNull(i) else v.putFloat(i, x.asInstanceOf[java.lang.Float].floatValue())
+          i += 1
+        }
+      case BooleanType =>
+        while (i < n) {
+          val x = values(i)
+          if (x == null) v.putNull(i) else v.putBoolean(i, x.asInstanceOf[java.lang.Boolean].booleanValue())
+          i += 1
+        }
+      case StringType =>
+        while (i < n) {
+          val x = values(i)
+          if (x == null) v.putNull(i)
+          else {
+            val b = x.asInstanceOf[UTF8String].getBytes
+            v.putByteArray(i, b, 0, b.length)
+          }
+          i += 1
+        }
+      case other =>
+        throw new IllegalStateException(s"columnar fill: unexpected type $other")
+    }
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = {
+    if (batch != null) batch.close()
+    blocks.close()
+  }
 }
 
 /**

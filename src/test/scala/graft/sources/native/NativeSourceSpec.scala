@@ -107,6 +107,26 @@ class NativeSourceSpec extends AnyFunSuite {
     assert(decoded.toSeq === micros.toSeq)
   }
 
+  test("flat-schema native scans execute columnar (ColumnarToRow in final plan)") {
+    val src = spark.read.parquet(s"${SparkTestBase.sfDir}/orders.parquet")
+    val dir = tmpDir("colplan")
+    src.write.format("clickhouse_native").mode("overwrite").save(dir)
+    val agg = spark.read.format("clickhouse_native").load(dir)
+      .groupBy("o_orderstatus").agg(org.apache.spark.sql.functions.sum("o_totalprice"))
+    agg.collect() // AQE: final plan only materializes after execution
+    assert(agg.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+  }
+
+  test("array-schema native scans stay on the row path and remain correct") {
+    val src = spark.read.parquet(s"${SparkTestBase.sfDir}/embeddings.parquet")
+    val dir = tmpDir("rowplan")
+    src.write.format("clickhouse_native").mode("overwrite").save(dir)
+    val back = spark.read.format("clickhouse_native").load(dir)
+    back.collect()
+    assert(!back.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(back.count() === src.count())
+  }
+
   test("writer abort removes the partial part file") {
     val dir = Files.createTempDirectory("graft-native-abort")
     val f = s"$dir/part.clickhouse"
