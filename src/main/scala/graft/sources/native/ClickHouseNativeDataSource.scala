@@ -51,21 +51,20 @@ class ClickHouseNativeDataSource extends TableProvider with DataSourceRegister {
     val conf = NativeIO.sessionHadoopConf()
     val paths = NativeIO.paths(options)
     val files = NativeIO.resolveFiles(paths, conf)
-    files.headOption match {
-      case None =>
-        // A typo'd path must fail loudly, not scan as 0 rows.
-        throw new IllegalArgumentException(
-          s"clickhouse_native: no files found for path(s): ${paths.mkString(", ")}")
-      case Some(p) =>
-        val fs = p.getFileSystem(conf)
-        val header = {
-          val s = fs.open(p)
-          try NativeBlockReader.readHeader(s) finally s.close()
-        }
-        StructType(header.map { case (name, t) =>
-          StructField(name, t.sparkType, nullable = ChType.isNullable(t))
-        })
-    }
+    if (files.isEmpty)
+      // A typo'd path must fail loudly, not scan as 0 rows.
+      throw new IllegalArgumentException(
+        s"clickhouse_native: no files found for path(s): ${paths.mkString(", ")}")
+    // First file with a readable header wins (tolerates empty files
+    // from other writers; our own writer no longer produces them).
+    val header = files.iterator.map { p =>
+      val fs = p.getFileSystem(conf)
+      val s = fs.open(p)
+      try NativeBlockReader.readHeader(s) finally s.close()
+    }.find(_.nonEmpty).getOrElse(Seq.empty)
+    StructType(header.map { case (name, t) =>
+      StructField(name, t.sparkType, nullable = ChType.isNullable(t))
+    })
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -124,7 +123,9 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String])
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new NativeWriteBuilder(info.schema(), paths.headOption.getOrElse(
-      throw new IllegalArgumentException("clickhouse_native write requires a path")))
+        throw new IllegalArgumentException("clickhouse_native write requires a path")),
+      Option(info.options.get("maxRowsPerFile")).map(_.toInt)
+        .getOrElse(8 * 1024 * 1024))
 }
 
 private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[String])
@@ -378,7 +379,7 @@ private[native] class NativePartitionReader(file: String, required: StructType, 
 // Write path
 // ---------------------------------------------------------------------------
 
-private[native] class NativeWriteBuilder(schema: StructType, path: String)
+private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRowsPerFile: Int)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -389,13 +390,14 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String)
     // type is one clean error, not a stage failure inside a task.
     schema.fields.foreach(f => ChType.forSpark(f.dataType, f.nullable))
     new Write {
-      override def toBatch: BatchWrite = new NativeBatchWrite(schema, path, truncateFirst)
+      override def toBatch: BatchWrite =
+        new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile)
     }
   }
 }
 
-private[native] class NativeBatchWrite(schema: StructType, path: String, truncateFirst: Boolean)
-    extends BatchWrite {
+private[native] class NativeBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
+    maxRowsPerFile: Int) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // Driver-side, before any task launches: clear the target on overwrite.
     val conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf())
@@ -403,7 +405,7 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
     val fs = dir.getFileSystem(conf.value)
     if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new NativeWriterFactory(schema, path, conf)
+    new NativeWriterFactory(schema, path, maxRowsPerFile, conf)
   }
   // Spark's default useCommitCoordinator() (true) guarantees at most one
   // committed attempt per partition; aborted attempts delete their file
@@ -414,9 +416,9 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
 }
 
 private[native] class NativeWriterFactory(schema: StructType, path: String,
-    conf: SerializableHadoopConf) extends DataWriterFactory {
+    maxRowsPerFile: Int, conf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new NativeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.clickhouse", conf.value)
+    new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value)
 }
 
 /**
@@ -424,15 +426,34 @@ private[native] class NativeWriterFactory(schema: StructType, path: String,
  * (The reference has no write path at all; fixtures required a real
  * ClickHouse — README.md:43-47.)
  */
-private[native] class NativeDataWriter(schema: StructType, file: String, conf: Configuration)
+private[native] class NativeDataWriter(schema: StructType, dir: String,
+    partitionId: Int, taskId: Long, rowsPerFile: Int, conf: Configuration)
     extends DataWriter[InternalRow] {
 
   private val rowsPerBlock = 65536
+  // The format has no intra-file split points, so one giant part file
+  // would serialize any later scan. Rotating parts (rowsPerFile =
+  // write option maxRowsPerFile) keeps the writer's own output
+  // parallelizable (scan side = one partition per file).
   private val chTypes = schema.fields.map(f => ChType.forSpark(f.dataType, f.nullable))
-  private val path = new Path(file)
-  private val writer = new NativeBlockWriter(path.getFileSystem(conf).create(path, true))
+  private val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+  private var fileSeq = -1
+  private var rowsInFile = 0
+  // Lazily opened on the first flush: an empty input partition must
+  // commit NO file (a zero-byte part would poison schema inference for
+  // the whole directory).
+  private var writer: NativeBlockWriter = _
   private val buffer = Array.fill(schema.length)(new scala.collection.mutable.ArrayBuffer[Any](rowsPerBlock))
   private var buffered = 0
+
+  private def rotate(): Unit = {
+    if (writer != null) writer.close()
+    fileSeq += 1
+    rowsInFile = 0
+    val p = new Path(f"$dir/part-$partitionId%05d-$taskId-$fileSeq%03d.clickhouse")
+    written += p
+    writer = new NativeBlockWriter(p.getFileSystem(conf).create(p, true))
+  }
 
   override def write(record: InternalRow): Unit = {
     var i = 0
@@ -451,15 +472,21 @@ private[native] class NativeDataWriter(schema: StructType, file: String, conf: C
       i += 1
     }
     buffered += 1
-    if (buffered >= rowsPerBlock) flush()
+    // blocks never straddle the file cap: flush at least every
+    // min(block, file) rows so rotation boundaries stay exact
+    if (buffered >= math.min(rowsPerBlock, rowsPerFile)) flush()
   }
 
   private def flush(): Unit = {
     if (buffered > 0) {
+      // lazy open + lazy rotation (before the next block, not after
+      // the last one): no empty part on commit, ever
+      if (writer == null || rowsInFile >= rowsPerFile) rotate()
       val cols = schema.fields.indices.map { i =>
         NativeColumn(schema.fields(i).name, chTypes(i), buffer(i).toArray)
       }.toArray
       writer.writeBlock(NativeBlock(cols, buffered))
+      rowsInFile += buffered
       buffer.foreach(_.clear())
       buffered = 0
     }
@@ -467,19 +494,21 @@ private[native] class NativeDataWriter(schema: StructType, file: String, conf: C
 
   override def commit(): WriterCommitMessage = {
     flush()
-    writer.close()
-    NativeCommitMessage(file)
+    if (writer != null) writer.close()
+    NativeCommitMessage(written.map(_.toString).toSeq)
   }
 
   override def abort(): Unit = {
-    // Failed/speculative attempt: remove the partial part file so a
-    // retry (different taskId → different name) can't leave truncated
-    // or duplicate data behind.
-    writer.close()
-    val fs = path.getFileSystem(conf)
-    if (fs.exists(path)) fs.delete(path, false)
+    // Failed/speculative attempt: remove ALL part files this attempt
+    // produced so a retry (different taskId → different names) can't
+    // leave truncated or duplicate data behind.
+    if (writer != null) writer.close()
+    written.foreach { p =>
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
   }
   override def close(): Unit = ()
 }
 
-private[native] case class NativeCommitMessage(file: String) extends WriterCommitMessage
+private[native] case class NativeCommitMessage(files: Seq[String]) extends WriterCommitMessage

@@ -127,15 +127,27 @@ class NativeSourceSpec extends AnyFunSuite {
     assert(back.count() === src.count())
   }
 
-  test("writer abort removes the partial part file") {
-    val dir = Files.createTempDirectory("graft-native-abort")
-    val f = s"$dir/part.clickhouse"
+  test("writer abort removes all partial part files") {
+    val dir = Files.createTempDirectory("graft-native-abort").toString
     val conf = new org.apache.hadoop.conf.Configuration()
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType)))
-    val writer = new NativeDataWriter(schema, f, conf)
+    val writer = new NativeDataWriter(schema, dir, 0, 1L, 4, conf)
     writer.write(org.apache.spark.sql.catalyst.InternalRow(1L))
     writer.abort()
-    assert(!new java.io.File(f).exists())
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".clickhouse")) === 0)
+  }
+
+  test("writer rotates part files at maxRowsPerFile and reads back whole") {
+    val src = spark.read.parquet(s"${SparkTestBase.sfDir}/nation.parquet").coalesce(1)
+    val dir = tmpDir("rotate")
+    src.write.format("clickhouse_native")
+      .option("maxRowsPerFile", "10").mode("overwrite").save(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".clickhouse"))
+    assert(parts.length === 3) // 25 rows / 10 per file
+    val back = spark.read.format("clickhouse_native").load(dir)
+    assert(back.collect().toSet === src.collect().toSet)
   }
 }
