@@ -39,10 +39,20 @@ object LlmQueries {
               FROM documents GROUP BY text""")),
 
     "q_dedup_minhash" -> Q(
-      // mergeable MinHash sketch (partial+final agg) + LSH band join —
-      // shuffle on band hash, never an all-pairs crossJoin. Not
-      // SQL-expressible → no oracle; recall property-tested in
-      // LlmOpsSpec against brute-force Jaccard.
+      // per-row MinHash signatures (pure map, NO shuffle) + LSH band
+      // equi-join — never an all-pairs crossJoin. Not SQL-expressible
+      // → no oracle; recall property-tested in LlmOpsSpec against
+      // brute-force Jaccard.
+      (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 128, bands = 32, shingleN = 3, threshold = 0.3)
+        .withColumn("est_sim", round(col("est_sim"), 4)),
+      None),
+
+    "q_dedup_minhash_grouped" -> Q(
+      // same pipeline through the mergeable MinHashAggregator
+      // (partial+final sketch merge) — the formulation for inputs
+      // where a document arrives as many rows or as a stream; proven
+      // pair-identical to the per-row form in LlmOpsSpec
       (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           k = 128, bands = 32, shingleN = 3, threshold = 0.3, useAggregator = true)
         .withColumn("est_sim", round(col("est_sim"), 4)),

@@ -1,6 +1,7 @@
 package graft.sources.native
 
 import java.util
+import java.util.OptionalLong
 
 import scala.jdk.CollectionConverters._
 
@@ -204,9 +205,28 @@ private[native] class NativeCountReaderFactory(conf: SerializableHadoopConf)
 }
 
 private[native] class NativeScan(fullSchema: StructType, required: StructType,
-    paths: Seq[String], limit: Int, conf: SerializableHadoopConf) extends Scan with Batch {
+    paths: Seq[String], limit: Int, conf: SerializableHadoopConf)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /**
+   * Size statistics from file lengths (cheap driver-side metadata
+   * call) so Catalyst's JoinSelection can broadcast a small native
+   * table instead of shuffling both sides — without this every native
+   * scan defaults to "unknown size" and joins pessimistically.
+   */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val totalBytes: OptionalLong =
+      try {
+        val files = NativeIO.resolveFiles(paths, conf.value)
+        OptionalLong.of(files.map { p =>
+          p.getFileSystem(conf.value).getFileStatus(p).getLen
+        }.sum)
+      } catch { case _: Exception => OptionalLong.empty() }
+    override def sizeInBytes(): OptionalLong = totalBytes
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
   override def description(): String =
     s"clickhouse_native ${paths.mkString(",")} cols=[${required.fieldNames.mkString(",")}]" +
       (if (limit >= 0) s" limit=$limit" else "")
