@@ -310,6 +310,45 @@ object RelationalQueries {
                      count(*) AS cnt, round(sum(value), 2) AS sum_value
               FROM ${Q.eventsOracle} GROUP BY 1, 2""")),
 
+    "q_window_time_sliding" -> Q(
+      // sliding windows (10 min length, 5 min slide): every event lands
+      // in exactly two windows; oracle expands via a 2-element unnest
+      (s, dir) => Q.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("cnt")),
+      Some(s"""SELECT time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS wstart,
+                     event_type, count(*) AS cnt
+              FROM ${Q.eventsOracle} e
+              CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+              GROUP BY 1, 2""")),
+
+    "q_window_time_session" -> Q(
+      // session windows, batch form (15-minute inactivity gap); oracle
+      // is the classic gaps-and-islands rewrite. Spark merges events
+      // strictly less than `gap` apart, so a new island starts at
+      // diff >= gap.
+      (s, dir) => Q.events(s, dir)
+        .groupBy(session_window(col("ts"), "15 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+          col("user_id"), col("n_events")),
+      Some(s"""WITH o AS (
+                 SELECT user_id, ts,
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                 FROM ${Q.eventsOracle}),
+               g AS (
+                 SELECT user_id, ts,
+                        sum(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '15 minutes'
+                                 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess
+                 FROM o)
+              SELECT min(ts) AS session_start,
+                     max(ts) + INTERVAL '15 minutes' AS session_end,
+                     user_id, count(*) AS n_events
+              FROM g GROUP BY user_id, sess""")),
+
     // ----- §2.6 sorts / limits / top-k ------------------------------------
 
     "q_limit" -> Q(

@@ -91,6 +91,30 @@ class LowCardinalitySpec extends AnyFunSuite {
     assert(df.count() === 4)
   }
 
+  test("Enum8 decodes declared labels and Unknown(N) fallback (reference src/lib.rs:157-166)") {
+    val bos = new ByteArrayOutputStream()
+    val out = new NativeCodec.Output(bos)
+    out.writeVarUInt(1); out.writeVarUInt(4)
+    out.writeString("status")
+    out.writeString("Enum8('ok' = 1, 'err' = 2)")
+    Seq(1, 2, 1, 9).foreach(out.writeByte) // 9 is undeclared
+    out.flush()
+    val b = new NativeBlockReader(new ByteArrayInputStream(bos.toByteArray)).next()
+    assert(b.columns(0).values.map(String.valueOf(_)).toSeq ===
+      Seq("ok", "err", "ok", "Unknown(9)"))
+  }
+
+  test("DateTime (32-bit epoch seconds) decodes to Catalyst micros") {
+    val bos = new ByteArrayOutputStream()
+    val out = new NativeCodec.Output(bos)
+    out.writeVarUInt(1); out.writeVarUInt(2)
+    out.writeString("t"); out.writeString("DateTime('UTC')")
+    out.writeIntLE(1700000000); out.writeIntLE(0)
+    out.flush()
+    val b = new NativeBlockReader(new ByteArrayInputStream(bos.toByteArray)).next()
+    assert(b.columns(0).values.toSeq === Seq(1700000000000000L, 0L))
+  }
+
   test("readHeader names the column when an unknown type blocks inference") {
     val bos = new ByteArrayOutputStream()
     val out = new NativeCodec.Output(bos)
