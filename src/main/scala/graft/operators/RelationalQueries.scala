@@ -325,9 +325,9 @@ object RelationalQueries {
 
     "q_window_time_session" -> Q(
       // session windows, batch form (15-minute inactivity gap); oracle
-      // is the classic gaps-and-islands rewrite. Spark merges events
-      // strictly less than `gap` apart, so a new island starts at
-      // diff >= gap.
+      // is the classic gaps-and-islands rewrite. Probed empirically:
+      // Spark session_window MERGES events exactly `gap` apart, so a
+      // new island starts only at diff strictly > gap.
       (s, dir) => Q.events(s, dir)
         .groupBy(session_window(col("ts"), "15 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
@@ -339,7 +339,7 @@ object RelationalQueries {
                  FROM ${Q.eventsOracle}),
                g AS (
                  SELECT user_id, ts,
-                        sum(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '15 minutes'
+                        sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '15 minutes'
                                  THEN 1 ELSE 0 END)
                           OVER (PARTITION BY user_id ORDER BY ts
                                 ROWS UNBOUNDED PRECEDING) AS sess
