@@ -39,7 +39,7 @@ object ColumnCodec {
     t match {
       case ChString =>
         var i = 0
-        while (i < rows) { out(i) = UTF8String.fromString(in.readString()); i += 1 }
+        while (i < rows) { out(i) = in.readUtf8(); i += 1 }
       case ChFixedString(n) =>
         // FixedString(n): n raw bytes per value, NUL-padded; sanitize
         // strips the padding (reference strips NUL everywhere, src/lib.rs:73-74).
@@ -248,7 +248,16 @@ object ColumnCodec {
   def encode(out: Output, t: ChType, values: Array[Any]): Unit = t match {
     case ChString =>
       var i = 0
-      while (i < values.length) { out.writeString(String.valueOf(values(i))); i += 1 }
+      while (i < values.length) {
+        values(i) match {
+          case u: UTF8String => // UTF-8 bytes pass through, no String round trip
+            val b = u.getBytes
+            out.writeVarUInt(b.length.toLong)
+            out.writeBytes(b)
+          case other => out.writeString(String.valueOf(other))
+        }
+        i += 1
+      }
     case ChUInt8 | ChInt8 =>
       var i = 0
       while (i < values.length) { out.writeByte(values(i).asInstanceOf[Number].intValue() & 0xff); i += 1 }

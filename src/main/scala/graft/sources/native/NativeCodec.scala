@@ -103,6 +103,31 @@ object NativeCodec {
       readBytes(len.toInt)
     }
 
+    /**
+     * Length-prefixed string straight to Catalyst's UTF8String.
+     * Fast path: pure-ASCII bytes with no NUL need neither the UTF-8
+     * decode/re-encode round trip nor sanitize — that's the common
+     * case by far, and it's what the hot column-decode loop hits.
+     * Anything with high bytes falls back to the sanitizing decode
+     * (invalid sequences become U+FFFD there and are stripped, parity
+     * with the reference's lossy decode, src/lib.rs:68-76).
+     */
+    def readUtf8(): org.apache.spark.unsafe.types.UTF8String = {
+      val len = readVarUInt()
+      if (len == 0) return org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+      if (len > Int.MaxValue) throw new java.io.IOException(s"string length $len too large")
+      val bytes = readBytes(len.toInt)
+      var i = 0
+      var ascii = true
+      while (ascii && i < bytes.length) {
+        if (bytes(i) <= 0) ascii = false // high bit set, or NUL
+        i += 1
+      }
+      if (ascii) org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes)
+      else org.apache.spark.unsafe.types.UTF8String.fromString(
+        sanitize(new String(bytes, StandardCharsets.UTF_8)))
+    }
+
     def readShortLE(): Short = {
       readFully(buf, 0, 2)
       ((buf(0) & 0xff) | ((buf(1) & 0xff) << 8)).toShort
