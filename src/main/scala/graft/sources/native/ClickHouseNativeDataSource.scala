@@ -117,6 +117,7 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String])
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -165,6 +166,43 @@ private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[Strin
     if (countStar) new NativeCountScan(paths, conf)
     else new NativeScan(fullSchema, required, paths, limit, conf)
   }
+}
+
+/**
+ * Micro-batch streaming over a directory of Native part files — the
+ * FileStreamSource pattern for our own format: each trigger picks up
+ * part files that appeared since the last committed offset (files are
+ * immutable once visible, the contract our rotating writer satisfies).
+ * The offset is simply the count of files in sorted-name order, so
+ * restart-from-checkpoint replays exactly the unprocessed suffix.
+ */
+private[native] case class NativeFilesOffset(fileCount: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = fileCount.toString
+}
+
+private[native] class NativeMicroBatchStream(required: StructType, paths: Seq[String],
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def currentFiles: Seq[Path] = NativeIO.resolveFiles(paths, conf.value)
+
+  override def initialOffset(): Offset = NativeFilesOffset(0L)
+  override def latestOffset(): Offset = NativeFilesOffset(currentFiles.length.toLong)
+  override def deserializeOffset(json: String): Offset = NativeFilesOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[NativeFilesOffset].fileCount.toInt
+    val e = end.asInstanceOf[NativeFilesOffset].fileCount.toInt
+    currentFiles.slice(s, e).map(p => NativeInputPartition(p.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NativeReaderFactory(required, -1, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Scan produced when count(*) was pushed: one partial count per file. */
@@ -236,6 +274,10 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NativeReaderFactory(required, limit, conf)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new NativeMicroBatchStream(required, paths, conf)
 }
 
 private[native] case class NativeInputPartition(file: String) extends InputPartition
