@@ -58,6 +58,18 @@ object LlmQueries {
         .withColumn("est_sim", round(col("est_sim"), 4)),
       None),
 
+    "q_dedup_clusters" -> Q(
+      // pairs → connected components → keep/drop list (min-id survives);
+      // the actionable end of the dedup pipeline. Deterministic, not
+      // SQL-expressible (iterative) → verified against a driver-side
+      // union-find in LlmOpsSpec.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+        DedupClusters.keepList(docs, "doc_id", pairs)
+      },
+      None),
+
     "q_dedup_simhash" -> Q(
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 16),

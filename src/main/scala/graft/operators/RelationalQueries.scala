@@ -142,18 +142,21 @@ object RelationalQueries {
     "q_join_asof" -> Q(
       // ASOF: for each purchase event, the latest signup by the same
       // user at-or-before it. Spark has no native asof join; the
-      // scale-safe formulation is equi-join on the partition key
-      // (shuffle by user_id) + range predicate + partial max — never a
-      // crossJoin. DuckDB oracle uses its native ASOF JOIN.
+      // scale-correct formulation is union + running `last(_, ignoreNulls)`
+      // over one window — ONE shuffle on user_id and zero pair
+      // explosion (a join+max re-pairs every purchase with every
+      // earlier signup of the user before aggregating). Signups sort
+      // before purchases at equal timestamps so ties stay inclusive
+      // (p_ts >= s_ts). DuckDB oracle uses its native ASOF JOIN.
       (s, dir) => {
-        val e = Q.events(s, dir)
-        val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-        val signups = e.filter(col("event_type") === "signup")
-          .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
-        purchases.join(signups, col("p_user") === col("s_user") && col("p_ts") >= col("s_ts"))
-          .groupBy("event_id")
-          .agg(max(col("s_ts")).as("last_signup_ts"))
+        val e = Q.events(s, dir).filter(col("event_type").isin("purchase", "signup"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), when(col("event_type") === "signup", 0).otherwise(1))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("last_signup_ts",
+            last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase" && col("last_signup_ts").isNotNull)
+          .select(col("event_id"), col("last_signup_ts"))
       },
       Some(s"""SELECT p.event_id, s.ts AS last_signup_ts
               FROM (SELECT * FROM ${Q.eventsOracle} WHERE event_type = 'purchase') p

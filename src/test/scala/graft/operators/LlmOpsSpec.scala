@@ -79,6 +79,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("cluster assignment matches driver-side union-find") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+    val pairList = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairList.nonEmpty)
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairList.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => id -> find(id)).toMap
+    val got = DedupClusters.assign(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // keep list: exactly one keeper per cluster, non-pair docs keep themselves
+    val keep = DedupClusters.keepList(docs, "doc_id", pairs)
+    assert(keep.count() === docs.count())
+    val keepers = keep.filter(col("keep")).count()
+    val clusters = keep.select("cluster").distinct().count()
+    assert(keepers === clusters)
+  }
+
   test("multimodal typed pipeline: schema + deterministic stub features") {
     val out = Multimodal.pipeline(spark, docs)
     assert(out.schema.fieldNames.toSeq ===
