@@ -110,6 +110,14 @@ object LlmQueries {
                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
               FROM s QUALIFY rn <= 10""")),
 
+    "q_sim_cosine_ivf" -> Q(
+      // IVF-Flat: KMeans coarse quantizer, nprobe-cell probing
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      },
+      None),
+
     "q_sim_cosine_lsh" -> Q(
       // the 100-TB path: sign-random-projection buckets + multi-probe;
       // recall vs brute force property-tested in LlmOpsSpec

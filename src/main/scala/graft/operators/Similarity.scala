@@ -63,6 +63,51 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+   * (trained once, deterministic seed) assigns every candidate to its
+   * nearest centroid; a query scores only the candidates in its
+   * `nprobe` closest cells. The big table shuffles once on the cell
+   * id; the centroid table (nlist rows) broadcasts. This is the
+   * classic IVF-Flat layout — at 100 TB the cells become partition
+   * keys and each query touches nprobe/nlist of the data.
+   */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val withVec = candidates.select(col("vec_id"), col("embedding"))
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(withVec.select("features"))
+    val cand = model.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+
+    // nprobe nearest cells per query, via the broadcast centroid table
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    val centroidDf = queries.sparkSession.createDataFrame(centroids.toSeq)
+      .toDF("cell", "centroid")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = q.crossJoin(broadcast(centroidDf))
+      .withColumn("dist", -cosine(col("q_emb"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+      .filter(col("cell_rank") <= nprobe)
+      .select("q_id", "q_emb", "cell")
+
+    val scored = cand.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+  }
+
+  /**
    * LSH-bucketed approximate top-k: candidates hash to one bucket;
    * each query probes every bucket within hamming distance
    * `probeRadius` of its own code. The (query × bucket-code) expansion

@@ -413,7 +413,7 @@ private[native] class NativePartitionReader(file: String, required: StructType, 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     while (rowIdx >= rowsInBlock) {
-      if (!blocks.hasNext) return false
+      if (!hasNextBlock) return false
       val block = blocks.next()
       val byName = block.columns.map(c => c.name -> c).toMap
       colValues = required.fields.map { f =>
@@ -432,6 +432,15 @@ private[native] class NativePartitionReader(file: String, required: StructType, 
     emitted += 1
     true
   }
+
+  /** Wrap mid-file decode failures with the file path — a truncated or
+    * corrupt part should name itself, not surface as a bare EOF. */
+  private def hasNextBlock: Boolean =
+    try blocks.hasNext
+    catch {
+      case e: java.io.IOException =>
+        throw new java.io.IOException(s"clickhouse_native: corrupt or truncated file $file: ${e.getMessage}", e)
+    }
 
   override def get(): InternalRow = row
   override def close(): Unit = blocks.close()

@@ -106,6 +106,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(keepers === clusters)
   }
 
+  test("IVF cosine top-k recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 10, nlist = 16, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("salted equi-join equals plain join on a skewed key") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val left = spark.range(2000).select(
+      when(col("id") % 10 < 9, 1L).otherwise(col("id")).as("k"), col("id").as("v"))
+    val right = Seq((1L, "hot"), (42L, "cold"), (77L, "cold2")).toDF("k", "name")
+    val plain = left.join(right, "k").select("v", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = Skew.saltedEquiJoin(left, right, "k", salts = 8)
+      .select("v", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+  }
+
   test("multimodal typed pipeline: schema + deterministic stub features") {
     val out = Multimodal.pipeline(spark, docs)
     assert(out.schema.fieldNames.toSeq ===
