@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.{Fnv1a64, SimHash64}
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/**
+ * Session extension point — the Spark analogue of the reference's
+ * extension entrypoint (`src/lib.rs:368-373` registers its table
+ * functions into the host connection). Enable with:
+ *
+ *   spark.sql.extensions=graft.GraftExtensions
+ *
+ * Registers the codegen'd hash expressions as SQL functions:
+ *   SELECT fnv1a64(text), simhash64(text) FROM docs
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("fnv1a64"),
+      new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "fnv1a64 takes exactly one argument")
+        Fnv1a64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "simhash64 takes exactly one argument")
+        SimHash64(children.head)
+      }))
+  }
+}

@@ -210,6 +210,15 @@ object LlmQueries {
                        - CAST(len(regexp_extract_all(text, '$punctRe')) AS DOUBLE) / length(text) AS quality
               FROM documents""")),
 
+    "q_fn_hash_expr" -> Q(
+      // the codegen'd native Expressions registered via GraftExtensions
+      // (Verify/Bench sessions set spark.sql.extensions). Deterministic
+      // but not SQL-expressible in DuckDB → rows-only; equivalence with
+      // the Scala implementations is asserted in HashExpressionSpec.
+      (s, dir) => t(s, dir, "documents")
+        .selectExpr("doc_id", "fnv1a64(text) AS content_hash", "simhash64(text) AS sim_fp"),
+      None),
+
     "q_fingerprint" -> Q(
       // content-hash fingerprint (oracle-checkable via md5); the
       // edit-tolerant winnowing fingerprint rides along rows-only in
