@@ -65,9 +65,13 @@ object Dedup {
       }
 
     // --- banding stage: (band index, hash of the band's slice) -----------
+    // persisted: both sides of the candidate self-join read this, and
+    // the signature computation above is the pipeline's dominant cost —
+    // without persistence Spark plans it twice
     val banded = sigs.select(
       col("id"), col("sig"),
       posexplode(split_bands(col("sig"), bands, rows)).as(Seq("band", "band_hash")))
+      .persist()
 
     // --- candidate join: equi-join on (band, band_hash) ------------------
     // distinct column names on each side → no self-join ambiguity
@@ -111,17 +115,31 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup candidates: 64-bit fingerprints bucketed by 4
-   * 16-bit slices (any pair within hamming distance 3 shares at least
-   * one slice — pigeonhole), verified by full hamming distance.
-   * Same join shape as MinHash-LSH: shuffle on (slice index, slice).
+   * SimHash near-dup candidates: 64-bit fingerprints bucketed by
+   * `maxHamming + 1` disjoint bit slices — the pigeonhole guarantee
+   * that any pair within the requested hamming distance shares at
+   * least one identical slice requires one MORE slice than the
+   * distance, so the slice count adapts to `maxHamming`. Verified by
+   * full hamming distance after the bucket join. Same join shape as
+   * MinHash-LSH: shuffle on (slice index, slice key). Higher
+   * maxHamming → narrower slices → coarser buckets → more candidates
+   * to verify; capped at 15 (4-bit slices) before buckets degenerate.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming=$maxHamming outside [0, 15]: the slice guarantee needs " +
+        "maxHamming+1 slices of >= 4 bits each")
+    val nSlices = maxHamming + 1
+    val width = 64 / nSlices // last slice absorbs the remainder bits
     val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp"))
-    val slices = (0 until 4).map(i => struct(
-      lit(i).as("slice"),
-      shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL)).as("key")))
+      .persist()
+    val slices = (0 until nSlices).map { i =>
+      val bits = if (i == nSlices - 1) 64 - i * width else width
+      val mask = if (bits >= 64) -1L else (1L << bits) - 1L
+      struct(lit(i).as("slice"),
+        shiftrightunsigned(col("fp"), i * width).bitwiseAND(lit(mask)).as("key"))
+    }
     val sliced = fps.select(col("id"), col("fp"), explode(array(slices: _*)).as("s"))
       .select(col("id"), col("fp"), col("s.slice").as("slice"), col("s.key").as("key"))
     val l = sliced.select(col("slice"), col("key"), col("id").as("id_a"), col("fp").as("fp_a"))

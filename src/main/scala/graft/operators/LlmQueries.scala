@@ -71,8 +71,10 @@ object LlmQueries {
       None),
 
     "q_dedup_simhash" -> Q(
+      // hamming <= 3 is the meaningful near-dup band for 64-bit simhash;
+      // the slice-count guarantee (maxHamming+1 slices) holds exactly
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 16),
+        maxHamming = 3),
       None),
 
     "q_dedup_ngram" -> Q(

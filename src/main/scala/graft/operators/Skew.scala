@@ -24,6 +24,12 @@ object Skew {
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // right/full outer would emit every unmatched right row once PER
+    // REPLICA (salts× duplicates) — only shapes where the replicated
+    // side never produces unmatched output rows are allowed
+    require(Set("inner", "left", "leftouter", "cross")(joinType.toLowerCase.replace("_", "")),
+      s"saltedEquiJoin supports inner/left joins only (got '$joinType'): " +
+        "right/full outer would duplicate unmatched right rows per salt replica")
     val saltedLeft = left.withColumn("__salt",
       (pmod(xxhash64(monotonically_increasing_id()), lit(salts))).cast("int"))
     val saltedRight = right.crossJoin(

@@ -62,7 +62,11 @@ class ClickHouseNativeDataSource extends TableProvider with DataSourceRegister {
       val fs = p.getFileSystem(conf)
       val s = fs.open(p)
       try NativeBlockReader.readHeader(s) finally s.close()
-    }.find(_.nonEmpty).getOrElse(Seq.empty)
+    }.find(_.nonEmpty).getOrElse(
+      // all files headerless → fail loudly, same policy as no-files
+      throw new IllegalArgumentException(
+        s"clickhouse_native: ${files.length} file(s) matched but none has a " +
+          s"readable block header (all empty/truncated?): ${paths.mkString(", ")}"))
     StructType(header.map { case (name, t) =>
       StructField(name, t.sparkType, nullable = ChType.isNullable(t))
     })
@@ -173,8 +177,13 @@ private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[Strin
  * FileStreamSource pattern for our own format: each trigger picks up
  * part files that appeared since the last committed offset (files are
  * immutable once visible, the contract our rotating writer satisfies).
- * The offset is simply the count of files in sorted-name order, so
- * restart-from-checkpoint replays exactly the unprocessed suffix.
+ *
+ * The offset is an index into a DISCOVERY-ORDER file log persisted
+ * under the checkpoint location. Slicing a name-sorted listing by
+ * count would be wrong: a later batch's files can sort BEFORE earlier
+ * ones (task ids interleave across partitions), which would re-read
+ * old files and skip new ones. The log pins each file to a stable
+ * index at discovery time and survives checkpoint restart.
  */
 private[native] case class NativeFilesOffset(fileCount: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -182,20 +191,56 @@ private[native] case class NativeFilesOffset(fileCount: Long)
 }
 
 private[native] class NativeMicroBatchStream(required: StructType, paths: Seq[String],
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf, checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def currentFiles: Seq[Path] = NativeIO.resolveFiles(paths, conf.value)
+  private val logPath = new Path(checkpointLocation, "graft-file-log")
+  // discovery-order log: index -> file; loaded once, appended as files appear
+  private val discovered = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val known = scala.collection.mutable.HashSet.empty[String]
+  loadLog()
+
+  private def loadLog(): Unit = {
+    val fs = logPath.getFileSystem(conf.value)
+    if (fs.exists(logPath)) {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(logPath), java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          if (line.nonEmpty && known.add(line)) discovered += line
+          line = in.readLine()
+        }
+      } finally in.close()
+    }
+  }
+
+  private def refresh(): Unit = {
+    val listed = NativeIO.resolveFiles(paths, conf.value).map(_.toString)
+    val fresh = listed.filterNot(known.contains)
+    if (fresh.nonEmpty) {
+      fresh.foreach { f => known += f; discovered += f }
+      // rewrite the full log atomically-enough for a single driver
+      val fs = logPath.getFileSystem(conf.value)
+      val tmp = new Path(logPath.getParent, "graft-file-log.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((discovered.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(logPath)) fs.delete(logPath, false)
+      fs.rename(tmp, logPath)
+    }
+  }
 
   override def initialOffset(): Offset = NativeFilesOffset(0L)
-  override def latestOffset(): Offset = NativeFilesOffset(currentFiles.length.toLong)
+  override def latestOffset(): Offset = { refresh(); NativeFilesOffset(discovered.length.toLong) }
   override def deserializeOffset(json: String): Offset = NativeFilesOffset(json.trim.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[NativeFilesOffset].fileCount.toInt
     val e = end.asInstanceOf[NativeFilesOffset].fileCount.toInt
-    currentFiles.slice(s, e).map(p => NativeInputPartition(p.toString): InputPartition).toArray
+    discovered.slice(s, e).map(f => NativeInputPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -277,7 +322,7 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new NativeMicroBatchStream(required, paths, conf)
+    new NativeMicroBatchStream(required, paths, conf, checkpointLocation)
 }
 
 private[native] case class NativeInputPartition(file: String) extends InputPartition
@@ -551,8 +596,11 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
   private def flush(): Unit = {
     if (buffered > 0) {
       // lazy open + lazy rotation (before the next block, not after
-      // the last one): no empty part on commit, ever
-      if (writer == null || rowsInFile >= rowsPerFile) rotate()
+      // the last one): no empty part on commit, ever. Rotate when this
+      // block would push the file PAST the cap — checking only
+      // rowsInFile >= cap lets files overshoot by up to a block when
+      // the cap isn't a multiple of the block size.
+      if (writer == null || (rowsInFile > 0 && rowsInFile + buffered > rowsPerFile)) rotate()
       val cols = schema.fields.indices.map { i =>
         NativeColumn(schema.fields(i).name, chTypes(i), buffer(i).toArray)
       }.toArray

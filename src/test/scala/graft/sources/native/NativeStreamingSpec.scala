@@ -47,10 +47,47 @@ class NativeStreamingSpec extends AnyFunSuite {
   }
 
   test("offset serialization round-trips (checkpoint restart contract)") {
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val s = new NativeMicroBatchStream(
       org.apache.spark.sql.types.StructType(Seq.empty), Seq("/tmp/none"),
-      new SerializableHadoopConf(new org.apache.hadoop.conf.Configuration()))
+      new SerializableHadoopConf(new org.apache.hadoop.conf.Configuration()), ckpt)
     val off = NativeFilesOffset(42L)
     assert(s.deserializeOffset(off.json()) === off)
+  }
+
+  test("discovery log keeps indices stable when later files sort earlier") {
+    // simulate the interleaving-listing bug: file named to sort FIRST
+    // arrives SECOND; slicing a sorted listing would re-read/skip
+    val dir = Files.createTempDirectory("graft-order").toString
+    val ckpt = Files.createTempDirectory("graft-order-ckpt").toString
+    def writeOne(name: String): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new NativeCodec.Output(bos)
+      out.writeVarUInt(1); out.writeVarUInt(1)
+      out.writeString("id"); out.writeString("Int64"); out.writeLongLE(1L)
+      out.flush()
+      Files.write(java.nio.file.Paths.get(dir, name), bos.toByteArray)
+    }
+    val conf = new SerializableHadoopConf(new org.apache.hadoop.conf.Configuration())
+    val s = new NativeMicroBatchStream(
+      org.apache.spark.sql.types.StructType(Seq.empty), Seq(dir), conf, ckpt)
+    writeOne("zz-late-name.clickhouse") // sorts LAST but arrives FIRST
+    val o1 = s.latestOffset()
+    val batch1 = s.planInputPartitions(s.initialOffset(), o1)
+      .map(_.asInstanceOf[NativeInputPartition].file)
+    writeOne("aa-early-name.clickhouse") // sorts FIRST but arrives SECOND
+    val o2 = s.latestOffset()
+    val batch2 = s.planInputPartitions(o1, o2)
+      .map(_.asInstanceOf[NativeInputPartition].file)
+    assert(batch1.map(f => f.substring(f.lastIndexOf('/') + 1)).toSeq ===
+      Seq("zz-late-name.clickhouse"))
+    assert(batch2.map(f => f.substring(f.lastIndexOf('/') + 1)).toSeq ===
+      Seq("aa-early-name.clickhouse"))
+    // restart: a fresh stream over the same checkpoint reloads the log order
+    val s2 = new NativeMicroBatchStream(
+      org.apache.spark.sql.types.StructType(Seq.empty), Seq(dir), conf, ckpt)
+    val replay = s2.planInputPartitions(s2.initialOffset(), s2.latestOffset())
+      .map(p => p.asInstanceOf[NativeInputPartition].file.split('/').last).toSeq
+    assert(replay === Seq("zz-late-name.clickhouse", "aa-early-name.clickhouse"))
   }
 }
