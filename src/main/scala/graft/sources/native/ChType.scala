@@ -43,6 +43,19 @@ object ChType {
   case object ChBool   extends ChType { val sparkType = BooleanType; val name = "Bool" }
   /** UInt16 days since unix epoch. */
   case object ChDate extends ChType { val sparkType = DateType; val name = "Date" }
+  /** Int32 days since unix epoch (signed — pre-1970 dates). */
+  case object ChDate32 extends ChType { val sparkType = DateType; val name = "Date32" }
+  /**
+   * Decimal(P,S) with P <= 18: stored as a little-endian scaled
+   * integer of 4 (P<=9) or 8 bytes. Decoded to a real DecimalType —
+   * the reference degrades every decimal to an `<unsupported>` string.
+   * P > 18 (16/32-byte storage) stays on the opaque-sentinel path.
+   */
+  final case class ChDecimal(precision: Int, scale: Int) extends ChType {
+    val sparkType = DecimalType(precision, scale)
+    def name = s"Decimal($precision, $scale)"
+    def byteWidth: Int = if (precision <= 9) 4 else 8
+  }
   /** UInt32 seconds since unix epoch (optional tz parameter ignored for storage). */
   final case class ChDateTime(tz: Option[String]) extends ChType {
     val sparkType = TimestampType
@@ -129,6 +142,7 @@ object ChType {
       case "Float64"  => ChFloat64
       case "Bool"     => ChBool
       case "Date"     => ChDate
+      case "Date32"   => ChDate32
       case "DateTime" =>
         ChDateTime(if (params.isEmpty) None else Some(stripQuotes(params)))
       case "DateTime64" =>
@@ -147,18 +161,22 @@ object ChType {
       case "IPv6"               => ChOpaqueFixed(t, 16)
       case "Int128" | "UInt128" => ChOpaqueFixed(t, 16)
       case "Int256" | "UInt256" => ChOpaqueFixed(t, 32)
-      case "Decimal32"          => ChOpaqueFixed(t, 4)
-      case "Decimal64"          => ChOpaqueFixed(t, 8)
+      case "Decimal32" =>
+        // Decimal32(S) = Decimal(9, S)
+        params.trim.toIntOption.map(s => ChDecimal(9, s)).getOrElse(ChUnsupported(t))
+      case "Decimal64" =>
+        params.trim.toIntOption.map(s => ChDecimal(18, s)).getOrElse(ChUnsupported(t))
       case "Decimal128"         => ChOpaqueFixed(t, 16)
       case "Decimal256"         => ChOpaqueFixed(t, 32)
       case "Decimal" =>
-        // width by precision: P<=9 → 4B, <=18 → 8B, <=38 → 16B, else 32B
-        splitTopLevel(params).headOption.flatMap(_.trim.toIntOption) match {
-          case Some(p) if p <= 9  => ChOpaqueFixed(t, 4)
-          case Some(p) if p <= 18 => ChOpaqueFixed(t, 8)
-          case Some(p) if p <= 38 => ChOpaqueFixed(t, 16)
-          case Some(_)            => ChOpaqueFixed(t, 32)
-          case None               => ChUnsupported(t)
+        // P<=18 decodes natively; wider storage degrades to the sentinel
+        val parts = splitTopLevel(params)
+        (parts.headOption.flatMap(_.trim.toIntOption),
+          parts.drop(1).headOption.flatMap(_.trim.toIntOption)) match {
+          case (Some(p), Some(s)) if p <= 18 => ChDecimal(p, s)
+          case (Some(p), _) if p <= 38       => ChOpaqueFixed(t, 16)
+          case (Some(_), _)                  => ChOpaqueFixed(t, 32)
+          case _                             => ChUnsupported(t)
         }
       case _ => ChUnsupported(t)
     }
@@ -228,9 +246,10 @@ object ChType {
       case LongType      => ChInt64
       case FloatType     => ChFloat32
       case DoubleType    => ChFloat64
-      case DateType      => ChDate
+      case DateType      => ChDate32 // signed days roundtrip pre-1970 dates
       case TimestampType    => ChDateTime64(6, Some("UTC")) // instant semantics
       case TimestampNTZType => ChDateTime64(6, None)        // wall-clock
+      case d: DecimalType if d.precision <= 18 => ChDecimal(d.precision, d.scale)
       case ArrayType(et, cn) => ChArray(forSpark(et, cn))
       case other =>
         throw new IllegalArgumentException(

@@ -342,7 +342,7 @@ private[native] class NativeReaderFactory(required: StructType, limit: Int,
    */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     limit < 0 && required.nonEmpty && required.fields.forall(f => f.dataType match {
-      case _: ArrayType | _: MapType | _: StructType => false
+      case _: ArrayType | _: MapType | _: StructType | _: DecimalType => false
       case _ => true
     })
 

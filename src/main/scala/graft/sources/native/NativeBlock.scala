@@ -83,6 +83,28 @@ object ColumnCodec {
         // UInt16 days since epoch == Spark DateType's internal Int days.
         var i = 0
         while (i < rows) { out(i) = Integer.valueOf(in.readShortLE() & 0xffff); i += 1 }
+      case ChDate32 =>
+        // Int32 signed days (pre-1970 roundtrips).
+        var i = 0
+        while (i < rows) { out(i) = Integer.valueOf(in.readIntLE()); i += 1 }
+      case d: ChDecimal =>
+        // little-endian scaled integer → Catalyst Decimal
+        var i = 0
+        if (d.byteWidth == 4) {
+          while (i < rows) {
+            out(i) = org.apache.spark.sql.types.Decimal(
+              BigDecimal(java.math.BigDecimal.valueOf(in.readIntLE().toLong, d.scale)),
+              d.precision, d.scale)
+            i += 1
+          }
+        } else {
+          while (i < rows) {
+            out(i) = org.apache.spark.sql.types.Decimal(
+              BigDecimal(java.math.BigDecimal.valueOf(in.readLongLE(), d.scale)),
+              d.precision, d.scale)
+            i += 1
+          }
+        }
       case ChDateTime(_) =>
         // UInt32 epoch seconds → Catalyst micros.
         var i = 0
@@ -199,8 +221,9 @@ object ColumnCodec {
   def fixedWidth(t: ChType): Option[Int] = t match {
     case ChUInt8 | ChInt8 | ChBool | _: ChEnum8 => Some(1)
     case ChUInt16 | ChInt16 | ChDate => Some(2)
-    case ChUInt32 | ChInt32 | ChFloat32 | _: ChDateTime => Some(4)
+    case ChUInt32 | ChInt32 | ChFloat32 | ChDate32 | _: ChDateTime => Some(4)
     case ChUInt64 | ChInt64 | ChFloat64 | _: ChDateTime64 => Some(8)
+    case d: ChDecimal => Some(d.byteWidth)
     case ChFixedString(n) => Some(n)
     case ChOpaqueFixed(_, w) => Some(w)
     case _ => None
@@ -267,9 +290,16 @@ object ColumnCodec {
     case ChUInt16 | ChInt16 | ChDate =>
       var i = 0
       while (i < values.length) { out.writeShortLE(values(i).asInstanceOf[Number].shortValue()); i += 1 }
-    case ChUInt32 | ChInt32 =>
+    case ChUInt32 | ChInt32 | ChDate32 =>
       var i = 0
       while (i < values.length) { out.writeIntLE(values(i).asInstanceOf[Number].intValue()); i += 1 }
+    case d: ChDecimal =>
+      var i = 0
+      while (i < values.length) {
+        val unscaled = values(i).asInstanceOf[org.apache.spark.sql.types.Decimal].toUnscaledLong
+        if (d.byteWidth == 4) out.writeIntLE(unscaled.toInt) else out.writeLongLE(unscaled)
+        i += 1
+      }
     case ChUInt64 | ChInt64 =>
       var i = 0
       while (i < values.length) { out.writeLongLE(values(i).asInstanceOf[Number].longValue()); i += 1 }
@@ -315,9 +345,10 @@ object ColumnCodec {
   private def defaultValue(t: ChType): Any = t match {
     case ChString | _: ChFixedString | _: ChEnum8 => UTF8String.fromString("")
     case ChBool => java.lang.Boolean.FALSE
-    case ChUInt8 | ChInt8 | ChUInt16 | ChInt16 | ChInt32 | ChDate => Integer.valueOf(0)
+    case ChUInt8 | ChInt8 | ChUInt16 | ChInt16 | ChInt32 | ChDate | ChDate32 => Integer.valueOf(0)
     case ChFloat32 => java.lang.Float.valueOf(0f)
     case ChFloat64 => java.lang.Double.valueOf(0d)
+    case d: ChDecimal => org.apache.spark.sql.types.Decimal(0L, d.precision, d.scale)
     case _ => java.lang.Long.valueOf(0L)
   }
 }

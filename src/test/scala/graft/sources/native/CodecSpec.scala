@@ -84,7 +84,15 @@ class CodecSpec extends AnyFunSuite {
   test("type parser: opaque fixed-width degrade") {
     import ChType._
     assert(ChType.parse("UUID") === ChOpaqueFixed("UUID", 16))
-    assert(ChType.parse("Decimal(10, 2)") === ChOpaqueFixed("Decimal(10, 2)", 8))
+    assert(ChType.parse("Decimal(22, 2)") === ChOpaqueFixed("Decimal(22, 2)", 16))
     assert(ChType.parse("Map(String, String)").isInstanceOf[ChUnsupported])
+  }
+
+  test("type parser: decimals P<=18 and Date32 decode natively") {
+    import ChType._
+    assert(ChType.parse("Decimal(10, 2)") === ChDecimal(10, 2))
+    assert(ChType.parse("Decimal32(4)") === ChDecimal(9, 4))
+    assert(ChType.parse("Decimal64(6)") === ChDecimal(18, 6))
+    assert(ChType.parse("Date32") === ChDate32)
   }
 }

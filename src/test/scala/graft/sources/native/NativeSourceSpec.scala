@@ -62,6 +62,22 @@ class NativeSourceSpec extends AnyFunSuite {
     assert(a.forall { case (k, v) => b(k) == v })
   }
 
+  test("DSv2 roundtrip: decimals and pre-1970 dates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = Seq(
+      (1L, BigDecimal("12345.67"), java.sql.Date.valueOf("1969-07-20")),
+      (2L, BigDecimal("-0.01"), java.sql.Date.valueOf("2024-02-29")),
+      (3L, BigDecimal("999999999.99"), java.sql.Date.valueOf("1900-01-01")))
+      .toDF("id", "amount", "d")
+      .withColumn("amount", col("amount").cast("decimal(12,2)"))
+    val dir = tmpDir("decimal")
+    src.write.format("clickhouse_native").mode("overwrite").save(dir)
+    val back = spark.read.format("clickhouse_native").load(dir)
+    assert(back.schema("amount").dataType.simpleString === "decimal(12,2)")
+    assert(back.collect().toSet === src.collect().toSet)
+  }
+
   test("DSv2 roundtrip: nulls survive (Nullable wire layout)") {
     import spark.implicits._
     val src = Seq((1L, Some("x"), Some(1.5)), (2L, None, None), (3L, Some(""), Some(-0.0)))
