@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Fnv1a64, SimHash64}
+import graft.functions.{Fnv1a64, MinHashSketchAgg, SimHash64}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -31,6 +31,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "simhash64 takes exactly one argument")
         SimHash64(children.head)
+      }))
+    // minhash_agg(shingle_hash, k) — mergeable MinHash sketch aggregate;
+    // k must be a literal (it sizes the aggregation buffer at plan time)
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashSketchAgg].getName, "minhash_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "minhash_agg takes (shingle_hash, k)")
+        val k = children(1) match {
+          case lit if lit.foldable && (lit.dataType == org.apache.spark.sql.types.IntegerType ||
+              lit.dataType == org.apache.spark.sql.types.LongType) =>
+            lit.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_agg k must be an integer literal, got $other")
+        }
+        MinHashSketchAgg(children.head, k)
       }))
   }
 }

@@ -51,12 +51,21 @@ object TextHash {
     }
   }
 
+  /** Widest supported MinHash signature (permutation constant cache size). */
+  val MaxK = 1024
+
+  // Permutation constants precomputed once per JVM: permute() sits in the
+  // innermost dedup loop (shingles × k calls per document), and deriving
+  // a/b per call costs two extra splitmix rounds each time — 3× the work
+  // for values that never change. Same values as the original derivation.
+  private val permA: Array[Long] =
+    Array.tabulate(MaxK)(i => splitmix64((2 * i + 1).toLong) | 1L) // odd
+  private val permB: Array[Long] =
+    Array.tabulate(MaxK)(i => splitmix64(-(i + 1).toLong))
+
   /** The i-th MinHash permutation: odd multiplier + offset, then mix. */
-  @inline def permute(h: Long, i: Int): Long = {
-    val a = splitmix64(2 * i + 1) | 1L // odd
-    val b = splitmix64(-(i + 1))
-    splitmix64(a * h + b)
-  }
+  @inline def permute(h: Long, i: Int): Long =
+    splitmix64(permA(i) * h + permB(i))
 
   /** k-wide MinHash signature of a shingle-hash set. */
   def minhashSignature(shingles: Array[Long], k: Int): Array[Long] = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{MinHashAggregator, TextHash}
+import graft.functions.TextHash
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -11,13 +11,20 @@ import org.apache.spark.sql.functions._
  * Scale design (the part that matters at 100 TB):
  *  - signatures are computed per-row (a document is one cell), so the
  *    signature stage is a map — NO shuffle;
- *  - the mergeable [[MinHashAggregator]] formulation exists for inputs
- *    where a document arrives as many rows (grouped/streaming) and
- *    distributes as partial+final aggregation;
+ *  - the mergeable [[graft.functions.MinHashSketchAgg]] formulation
+ *    exists for inputs where a document arrives as many rows
+ *    (grouped/streaming) and distributes as partial+final aggregation;
  *  - candidate generation is an equi-join on (band, bandHash) — data
  *    shuffles once on the band hash; there is NO crossJoin anywhere;
  *  - a pair can collide in several bands → dropDuplicates before the
- *    verify step, so verification cost is per unique candidate pair.
+ *    verify step, so verification cost is per unique candidate pair;
+ *  - nothing is persist()ed: the signature stage is recomputed once
+ *    per join side (a cheap map with precomputed permutation
+ *    constants) instead of pinning executor storage that a library
+ *    callee has no safe point to release — in a long-lived session
+ *    running many dedup queries, leaked cached partitions evict
+ *    everything else (measured: tripled the runtime of unrelated
+ *    queries later in the same Bench session).
  */
 object Dedup {
 
@@ -55,23 +62,20 @@ object Dedup {
     val sigs =
       if (useAggregator) {
         // grouped formulation: explode shingles, shuffle by id, merge
-        // partial elementwise-min sketches (MinHashAggregator)
-        val mh = udaf(new MinHashAggregator(k))
+        // partial elementwise-min sketches (MinHashSketchAgg, registered
+        // as minhash_agg by GraftExtensions — ObjectHashAggregate keeps
+        // the k-wide buffer a raw array between updates)
         df.select(col(idCol).as("id"), explode(shinglesUdf(col(textCol), lit(shingleN))).as("sh"))
-          .groupBy("id").agg(mh(col("sh")).as("sig"))
+          .groupBy("id").agg(expr(s"minhash_agg(sh, $k)").as("sig"))
       } else {
         // per-row formulation: pure map, no shuffle
         df.select(col(idCol).as("id"), minhashSigUdf(k, shingleN)(col(textCol)).as("sig"))
       }
 
     // --- banding stage: (band index, hash of the band's slice) -----------
-    // persisted: both sides of the candidate self-join read this, and
-    // the signature computation above is the pipeline's dominant cost —
-    // without persistence Spark plans it twice
     val banded = sigs.select(
       col("id"), col("sig"),
       posexplode(split_bands(col("sig"), bands, rows)).as(Seq("band", "band_hash")))
-      .persist()
 
     // --- candidate join: equi-join on (band, band_hash) ------------------
     // distinct column names on each side → no self-join ambiguity
@@ -97,21 +101,74 @@ object Dedup {
 
   /**
    * Exact-Jaccard verification of candidate pairs (n-gram Jaccard
-   * dedup): joins the candidates back to their texts and computes the
-   * true word-shingle Jaccard. Join is by id — broadcast-able when the
-   * candidate set is small, shuffle-join otherwise.
+   * dedup): joins the candidates back to per-document DISTINCT
+   * shingle-hash arrays (computed once per document, not re-tokenized
+   * per pair) and evaluates |A∩B| / |A∪B| with codegen'd
+   * array_intersect/size — the per-pair work is set intersection on
+   * longs, no string processing. Joins are by id — broadcast-able when
+   * the candidate set is small, shuffle-join otherwise. Semantics match
+   * [[TextHash.exactJaccard]] including the both-empty → 1.0 case.
    */
-  val exactJaccardUdf = udf((a: String, b: String) => TextHash.exactJaccard(a, b, 3))
-
   def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
-      candidates: DataFrame, minJaccard: Double): DataFrame = {
-    val texts = df.select(col(idCol), col(textCol))
+      candidates: DataFrame, minJaccard: Double, shingleN: Int = 3): DataFrame = {
+    val shingled = df.select(col(idCol), shinglesUdf(col(textCol), lit(shingleN)).as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     candidates
-      .join(texts.withColumnRenamed(idCol, "id_a").withColumnRenamed(textCol, "text_a"), "id_a")
-      .join(texts.withColumnRenamed(idCol, "id_b").withColumnRenamed(textCol, "text_b"), "id_b")
-      .withColumn("jaccard", exactJaccardUdf(col("text_a"), col("text_b")))
+      .join(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", when(union === 0.0, 1.0).otherwise(inter / union))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "est_sim", "jaccard")
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs, the 100-TB path: multi-table
+   * sign-random-projection LSH generates candidates (equi-join on
+   * (table, bucket) — the corpus shuffles once per table, never an
+   * all-pairs join), then every candidate pair is verified with the
+   * exact double-precision cosine. `tables` independent plane families
+   * drive recall: a pair at cosine c agrees with one `planes`-bit code
+   * with probability (1 - acos(c)/π)^planes, and is a candidate if ANY
+   * of the `tables` codes match — identical vectors always collide, so
+   * exact duplicates have recall 1.0 by construction.
+   *
+   * @return (id_a, id_b, cos) with id_a < id_b and cos >= minCosine
+   */
+  def embeddingPairs(df: DataFrame, idCol: String, embCol: String,
+      minCosine: Double, planes: Int = 8, tables: Int = 4, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else Similarity.deriveDim(df, embCol)
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val codes = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"), Similarity.srpBucket(col("emb"), planes, d, table = t).as("bkt")))
+    val bucketed = base.select(col("id"), col("emb"), explode(array(codes: _*)).as("c"))
+      .select(col("id"), col("emb"), col("c.tbl").as("tbl"), col("c.bkt").as("bkt"))
+    val left = bucketed.select(col("tbl"), col("bkt"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val right = bucketed.select(col("tbl").as("tbl_b"), col("bkt").as("bkt_b"),
+      col("id").as("id_b"), col("emb").as("emb_b"))
+    left.join(right,
+        col("tbl") === col("tbl_b") && col("bkt") === col("bkt_b") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
+      .withColumn("cos", round(Similarity.cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= minCosine)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /**
+   * Exact (all-pairs) embedding-cosine near-dup baseline — quadratic by
+   * definition; exists to verify [[embeddingPairs]] and as the oracle
+   * anchor, NOT for large corpora (use the LSH form at scale).
+   */
+  def embeddingPairsExact(df: DataFrame, idCol: String, embCol: String,
+      minCosine: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = df.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= minCosine)
+      .select("id_a", "id_b", "cos")
   }
 
   /**
@@ -133,7 +190,6 @@ object Dedup {
     val nSlices = maxHamming + 1
     val width = 64 / nSlices // last slice absorbs the remainder bits
     val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp"))
-      .persist()
     val slices = (0 until nSlices).map { i =>
       val bits = if (i == nSlices - 1) 64 - i * width else width
       val mask = if (bits >= 64) -1L else (1L << bits) - 1L

@@ -89,6 +89,63 @@ object LlmQueries {
       },
       None),
 
+    "q_dedup_embedding" -> Q(
+      // embedding-cosine near-dup via multi-table SRP-LSH + exact cosine
+      // verify (Dedup.embeddingPairs — the scale path, no all-pairs
+      // join). The harness embeddings have no natural near-dups (max
+      // background cosine ≈ 0.51), so the corpus is the table plus an
+      // id-shifted copy of every 10th vector: the known duplicates the
+      // operator must find. Identical vectors collide in every LSH
+      // table, so recall at this threshold is 1.0 by construction and
+      // the exact-SQL oracle is valid for the LSH plan.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.select(col("vec_id"), col("embedding"))
+          .unionByName(emb.filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+        Dedup.embeddingPairs(corpus, "vec_id", "embedding", minCosine = 0.95)
+      },
+      Some("""WITH corpus AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+                WHERE vec_id % 10 = 0),
+              d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+                    FROM corpus)
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.ed, b.ed) /
+                       (sqrt(list_dot_product(a.ed, a.ed)) * sqrt(list_dot_product(b.ed, b.ed))), 4) AS cos
+              FROM d a JOIN d b ON a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.ed, b.ed) /
+                      (sqrt(list_dot_product(a.ed, a.ed)) * sqrt(list_dot_product(b.ed, b.ed))), 4) >= 0.95""")),
+
+    "q_dedup_embedding_exact" -> Q(
+      // all-pairs exact baseline for the key above — quadratic, so the
+      // corpus is bounded in-query (vec_id < 1000 covers the whole
+      // table at the correctness sf); at scale use q_dedup_embedding
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        val corpus = emb.select(col("vec_id"), col("embedding"))
+          .unionByName(emb.filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+        Dedup.embeddingPairsExact(corpus, "vec_id", "embedding", minCosine = 0.95)
+      },
+      Some("""WITH corpus AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+                WHERE vec_id % 10 = 0 AND vec_id < 1000),
+              d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+                    FROM corpus)
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.ed, b.ed) /
+                       (sqrt(list_dot_product(a.ed, a.ed)) * sqrt(list_dot_product(b.ed, b.ed))), 4) AS cos
+              FROM d a JOIN d b ON a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.ed, b.ed) /
+                      (sqrt(list_dot_product(a.ed, a.ed)) * sqrt(list_dot_product(b.ed, b.ed))), 4) >= 0.95""")),
+
     // ----- similarity search ---------------------------------------------
 
     "q_sim_cosine_topk" -> Q(

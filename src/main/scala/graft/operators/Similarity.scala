@@ -53,14 +53,27 @@ object Similarity {
     (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
-  /** Sign-random-projection bucket id (`planes`-bit code) for an embedding column. */
-  def srpBucket(emb: Column, planes: Int, dim: Int): Column = {
+  /**
+   * Sign-random-projection bucket id (`planes`-bit code) for an
+   * embedding column. `table` selects an independent plane family
+   * (multi-table LSH); rows whose embedding length differs from `dim`
+   * raise instead of silently hashing to a junk bucket (zip_with would
+   * null-pad and every plane test would go null).
+   */
+  def srpBucket(emb: Column, planes: Int, dim: Int, table: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      val planeArr = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+      val planeArr = array((0 until dim).map(d => lit(planeComponent(table * planes + p, d))): _*)
       when(dotD(emb, planeArr) >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(size(emb) === dim, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"srpBucket: embedding dimension != $dim for this LSH family: found "),
+        size(emb).cast("string"))).cast("long"))
   }
+
+  /** Embedding width taken from the data (first row) when the caller doesn't pass one. */
+  private[operators] def deriveDim(df: DataFrame, embCol: String): Int =
+    df.select(size(col(embCol))).head().getInt(0)
 
   /**
    * IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
@@ -79,7 +92,11 @@ object Similarity {
 
     val withVec = candidates.select(col("vec_id"), col("embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+    // Random init, few iterations: the coarse quantizer only partitions
+    // space into nlist cells — k-means|| init costs ~5 extra full passes
+    // and buys nothing measurable for ANN recall at this granularity.
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
       .fit(withVec.select("features"))
     val cand = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
@@ -114,11 +131,14 @@ object Similarity {
    * is tiny (2^planes codes max) — the big table shuffles once.
    */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 8, probeRadius: Int = 3, dim: Int = 64): DataFrame = {
+      planes: Int = 8, probeRadius: Int = 3, dim: Int = -1): DataFrame = {
+    // dim <= 0 → read the width off the data (one-row driver probe);
+    // a mismatched row then fails fast inside srpBucket
+    val d = if (dim > 0) dim else deriveDim(candidates, "embedding")
     val cand = candidates.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", srpBucket(col("embedding"), planes, dim))
+      .withColumn("bucket", srpBucket(col("embedding"), planes, d))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("q_bucket", srpBucket(col("q_emb"), planes, dim))
+      .withColumn("q_bucket", srpBucket(col("q_emb"), planes, d))
     // distinct occupied buckets = at most 2^planes rows of metadata
     val buckets = cand.select(col("bucket")).distinct()
     val probes = q.crossJoin(broadcast(buckets))

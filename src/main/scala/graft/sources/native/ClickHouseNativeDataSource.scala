@@ -127,11 +127,22 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NativeScanBuilder(tableSchema, paths)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // Validate at write-build time: 0/negative would rotate on every
+    // row (one part file per input row at scale), and a non-numeric
+    // value should name the option, not surface a bare
+    // NumberFormatException from inside a task.
+    val maxRows = Option(info.options.get("maxRowsPerFile")).map { v =>
+      val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"clickhouse_native write option maxRowsPerFile must be a positive integer, got '$v'"))
+      if (n <= 0) throw new IllegalArgumentException(
+        s"clickhouse_native write option maxRowsPerFile must be > 0, got $n")
+      n
+    }.getOrElse(8 * 1024 * 1024)
     new NativeWriteBuilder(info.schema(), paths.headOption.getOrElse(
         throw new IllegalArgumentException("clickhouse_native write requires a path")),
-      Option(info.options.get("maxRowsPerFile")).map(_.toInt)
-        .getOrElse(8 * 1024 * 1024))
+      maxRows)
+  }
 }
 
 private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[String])
@@ -184,6 +195,15 @@ private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[Strin
  * ones (task ids interleave across partitions), which would re-read
  * old files and skip new ones. The log pins each file to a stable
  * index at discovery time and survives checkpoint restart.
+ *
+ * The log is APPEND-ONLY: a directory of immutable segment files, one
+ * per discovery batch, each named by the index of its first file
+ * (HDFSMetadataLog-style). Nothing existing is ever rewritten or
+ * deleted, so a driver crash at any point leaves every previously
+ * committed index mapping intact — the exactly-once guarantee rests on
+ * that. If the checkpoint says files were discovered but the log can't
+ * produce them, planning FAILS instead of silently re-listing (a fresh
+ * listing can order files differently and misalign every offset).
  */
 private[native] case class NativeFilesOffset(fileCount: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -195,24 +215,36 @@ private[native] class NativeMicroBatchStream(required: StructType, paths: Seq[St
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private val logPath = new Path(checkpointLocation, "graft-file-log")
+  private val logDir = new Path(checkpointLocation, "graft-file-log")
   // discovery-order log: index -> file; loaded once, appended as files appear
   private val discovered = scala.collection.mutable.ArrayBuffer.empty[String]
   private val known = scala.collection.mutable.HashSet.empty[String]
   loadLog()
 
+  /** Load every committed segment, in start-index order. */
   private def loadLog(): Unit = {
-    val fs = logPath.getFileSystem(conf.value)
-    if (fs.exists(logPath)) {
-      val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fs.open(logPath), java.nio.charset.StandardCharsets.UTF_8))
-      try {
-        var line = in.readLine()
-        while (line != null) {
-          if (line.nonEmpty && known.add(line)) discovered += line
-          line = in.readLine()
-        }
-      } finally in.close()
+    val fs = logDir.getFileSystem(conf.value)
+    if (fs.exists(logDir)) {
+      val segments = fs.listStatus(logDir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.forall(_.isDigit))
+        .sortBy(_.getPath.getName.toLong)
+      segments.foreach { st =>
+        val start = st.getPath.getName.toLong
+        if (start != discovered.length)
+          throw new IllegalStateException(
+            s"clickhouse_native streaming: discovery log corrupt at $logDir — " +
+              s"segment ${st.getPath.getName} should start at index ${discovered.length}. " +
+              "Offsets cannot be trusted; restore the checkpoint or start a new one.")
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(st.getPath), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            if (line.nonEmpty) { known += line; discovered += line }
+            line = in.readLine()
+          }
+        } finally in.close()
+      }
     }
   }
 
@@ -220,16 +252,26 @@ private[native] class NativeMicroBatchStream(required: StructType, paths: Seq[St
     val listed = NativeIO.resolveFiles(paths, conf.value).map(_.toString)
     val fresh = listed.filterNot(known.contains)
     if (fresh.nonEmpty) {
-      fresh.foreach { f => known += f; discovered += f }
-      // rewrite the full log atomically-enough for a single driver
-      val fs = logPath.getFileSystem(conf.value)
-      val tmp = new Path(logPath.getParent, "graft-file-log.tmp")
+      // one new immutable segment per discovery batch, named by the
+      // index of its first file; write to a dotted temp (invisible to
+      // loadLog) and rename into place, CHECKING the result — a failed
+      // rename must fail the batch, not silently drop the mapping
+      val fs = logDir.getFileSystem(conf.value)
+      fs.mkdirs(logDir)
+      val seg = new Path(logDir, discovered.length.toString)
+      if (fs.exists(seg))
+        throw new IllegalStateException(
+          s"clickhouse_native streaming: segment $seg already exists — " +
+            "two drivers appear to share this checkpoint")
+      val tmp = new Path(logDir, s".${discovered.length}.tmp")
       val out = fs.create(tmp, true)
-      try out.write((discovered.mkString("\n") + "\n")
+      try out.write((fresh.mkString("\n") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (fs.exists(logPath)) fs.delete(logPath, false)
-      fs.rename(tmp, logPath)
+      if (!fs.rename(tmp, seg))
+        throw new java.io.IOException(
+          s"clickhouse_native streaming: failed to commit discovery segment $seg")
+      fresh.foreach { f => known += f; discovered += f }
     }
   }
 
@@ -240,6 +282,14 @@ private[native] class NativeMicroBatchStream(required: StructType, paths: Seq[St
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[NativeFilesOffset].fileCount.toInt
     val e = end.asInstanceOf[NativeFilesOffset].fileCount.toInt
+    if (e > discovered.length)
+      // the checkpoint advanced past what the log can reproduce → the
+      // log was lost; re-listing could assign different indices, which
+      // silently skips or re-reads files. Refuse.
+      throw new IllegalStateException(
+        s"clickhouse_native streaming: offset $e exceeds the ${discovered.length} " +
+          s"file(s) in the discovery log at $logDir — log lost or truncated; " +
+          "cannot replay without risking duplicate or skipped files")
     discovered.slice(s, e).map(f => NativeInputPartition(f): InputPartition).toArray
   }
 

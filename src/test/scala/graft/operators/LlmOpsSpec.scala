@@ -106,6 +106,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(keepers === clusters)
   }
 
+  test("embedding near-dup: LSH pairs == exact all-pairs baseline (seeded copies)") {
+    import org.apache.spark.sql.functions.col
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val exact = Dedup.embeddingPairsExact(corpus, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingPairs(corpus, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "seeded identical copies must appear as pairs")
+    assert(lsh === exact) // identical vectors collide in every table → recall 1.0
+    // and no all-pairs join in the LSH plan
+    val plan = Dedup.embeddingPairs(corpus, "vec_id", "embedding", 0.95)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan.take(2000))
+  }
+
+  test("verifiedPairs jaccard matches driver-side exactJaccard") {
+    val cands = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.2)
+    val verified = Dedup.verifiedPairs(docs, "doc_id", "text", cands, minJaccard = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(verified.nonEmpty)
+    val texts = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    verified.foreach { case ((a, b), j) =>
+      val expected = TextHash.exactJaccard(texts(a), texts(b), 3)
+      assert(math.abs(j - expected) < 1e-9, s"pair ($a,$b): got $j want $expected")
+    }
+  }
+
   test("IVF cosine top-k recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(emb, queries, 10)

@@ -89,5 +89,50 @@ class NativeStreamingSpec extends AnyFunSuite {
     val replay = s2.planInputPartitions(s2.initialOffset(), s2.latestOffset())
       .map(p => p.asInstanceOf[NativeInputPartition].file.split('/').last).toSeq
     assert(replay === Seq("zz-late-name.clickhouse", "aa-early-name.clickhouse"))
+
+    // the log is append-only: two discovery batches → two immutable
+    // segments (0 and 1), nothing rewritten
+    val segs = new java.io.File(ckpt, "graft-file-log").listFiles()
+      .filter(_.getName.forall(_.isDigit)).map(_.getName).sorted.toSeq
+    assert(segs === Seq("0", "1"))
+  }
+
+  test("lost discovery log with a positive start offset fails loudly, never re-lists") {
+    val dir = Files.createTempDirectory("graft-lost").toString
+    val ckpt = Files.createTempDirectory("graft-lost-ckpt").toString
+    val conf = new SerializableHadoopConf(new org.apache.hadoop.conf.Configuration())
+    spark.read.parquet(s"${SparkTestBase.sfDir}/nation.parquet").coalesce(1)
+      .write.format("clickhouse_native").mode("append").save(dir)
+    val s = new NativeMicroBatchStream(
+      org.apache.spark.sql.types.StructType(Seq.empty), Seq(dir), conf, ckpt)
+    val o1 = s.latestOffset()
+    assert(o1.asInstanceOf[NativeFilesOffset].fileCount > 0)
+    // simulate checkpoint-without-log (the crash the old rewrite+rename
+    // log could produce): wipe the log, restart, replay the old offset
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    rmrf(new java.io.File(ckpt, "graft-file-log"))
+    val s2 = new NativeMicroBatchStream(
+      org.apache.spark.sql.types.StructType(Seq.empty), Seq(dir), conf, ckpt)
+    val e = intercept[IllegalStateException] {
+      s2.planInputPartitions(s2.initialOffset(), o1)
+    }
+    assert(e.getMessage.contains("discovery log"))
+  }
+
+  test("write option maxRowsPerFile is validated at build time") {
+    val nation = spark.read.parquet(s"${SparkTestBase.sfDir}/nation.parquet")
+    val dir = Files.createTempDirectory("graft-opt").toString + "/out"
+    Seq("0", "-5", "abc").foreach { bad =>
+      val e = intercept[Exception] {
+        nation.write.format("clickhouse_native")
+          .option("maxRowsPerFile", bad).mode("overwrite").save(dir)
+      }
+      // Spark may wrap the planning error; the root message must name the option
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("maxRowsPerFile")), s"for value '$bad': $e")
+    }
   }
 }

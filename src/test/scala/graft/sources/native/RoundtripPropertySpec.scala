@@ -19,7 +19,8 @@ class RoundtripPropertySpec extends AnyFunSuite {
 
   private val scalarTypes: Seq[ChType] = Seq(
     ChString, ChInt8, ChInt16, ChInt32, ChInt64, ChUInt8, ChUInt16,
-    ChFloat32, ChFloat64, ChBool, ChDate, ChDateTime64(6, None))
+    ChFloat32, ChFloat64, ChBool, ChDate, ChDateTime64(6, None),
+    ChDate32, ChDecimal(9, 2), ChDecimal(18, 4))
 
   private def randomValue(t: ChType, rnd: scala.util.Random): Any = t match {
     case ChString => UTF8String.fromString(rnd.alphanumeric.take(rnd.nextInt(12)).mkString)
@@ -33,6 +34,15 @@ class RoundtripPropertySpec extends AnyFunSuite {
     case ChFloat64 => java.lang.Double.valueOf(rnd.nextDouble())
     case ChBool => java.lang.Boolean.valueOf(rnd.nextBoolean())
     case ChDate => Integer.valueOf(rnd.nextInt(20000))
+    // signed days: pre-1970 dates must survive (sign-extension bug class)
+    case ChDate32 => Integer.valueOf(rnd.nextInt(40000) - 20000)
+    case d: ChDecimal =>
+      // negative unscaled values included; bound by the precision so the
+      // value is representable in the declared (P, S)
+      val bound = math.pow(10, d.precision).toLong
+      val unscaled = (math.abs(rnd.nextLong()) % bound) * (if (rnd.nextBoolean()) 1 else -1)
+      org.apache.spark.sql.types.Decimal(
+        BigDecimal(java.math.BigDecimal.valueOf(unscaled, d.scale)), d.precision, d.scale)
     case ChDateTime64(_, _) => java.lang.Long.valueOf(math.abs(rnd.nextLong()) % 4102444800000000L)
     case ChNullable(inner) => if (rnd.nextInt(4) == 0) null else randomValue(inner, rnd)
     case ChArray(inner) =>
