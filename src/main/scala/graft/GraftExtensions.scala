@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Fnv1a64, MinHashSketchAgg, SimHash64}
+import graft.functions.{Fnv1a64, MinHashSketchAgg, SimHash64, VecDot}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -31,6 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "simhash64 takes exactly one argument")
         SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "vec_dot takes exactly two array arguments")
+        VecDot(children.head, children(1))
       }))
     // minhash_agg(shingle_hash, k) — mergeable MinHash sketch aggregate;
     // k must be a literal (it sizes the aggregation buffer at plan time)

@@ -292,6 +292,17 @@ object LlmQueries {
 
     // ----- multimodal -----------------------------------------------------
 
+    "q_multimodal_frames" -> Q(
+      // frame-sampling stage: every 5th 100-byte frame of the payload;
+      // the oracle regenerates the same index arithmetic with range()
+      (s, dir) => Multimodal.frameSample(t(s, dir, "documents"), frameBytes = 100, step = 5),
+      Some("""SELECT doc_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
+                     CAST(f.frame_idx * 100 AS INTEGER) AS frame_offset,
+                     CAST(least(100, octet_length(encode(text)) - f.frame_idx * 100) AS INTEGER) AS frame_len
+              FROM documents,
+                   LATERAL (SELECT unnest(range(0, CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT), 5)) AS frame_idx) f
+              WHERE octet_length(encode(text)) > 0""")),
+
     "q_multimodal_schema" -> Q(
       // binary payload + typed metadata struct → typed mapPartitions
       // feature extraction (decode stubbed — see Multimodal scaladoc)

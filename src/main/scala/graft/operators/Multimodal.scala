@@ -58,4 +58,29 @@ object Multimodal {
     implicit val sp: SparkSession = s
     extractFeatures(toMediaRecords(docs)).toDF()
   }
+
+  /**
+   * Frame sampling over a media payload: treat the binary as a stream
+   * of fixed-size frames and emit every `step`-th frame's (index,
+   * offset, length). The frame *list* is generated declaratively
+   * (`sequence` + `explode` — codegen'd, no UDF); a real decoder would
+   * slice `payload` bytes at `frame_offset` in the same plan position
+   * (e.g. in a batched mapPartitions like [[extractFeatures]]) — the
+   * byte decode is the stubbed seam, the distributed shape is real:
+   * explode multiplies rows partition-locally, no shuffle until the
+   * caller aggregates.
+   */
+  def frameSample(docs: DataFrame, frameBytes: Int, step: Int): DataFrame = {
+    require(frameBytes > 0 && step > 0, s"frameBytes=$frameBytes step=$step must be > 0")
+    val nBytes = octet_length(col("text")) // payload = encode(text) (see pipeline)
+    val nFrames = ceil(nBytes.cast("double") / frameBytes).cast("int")
+    docs.select(col("doc_id"), nBytes.as("n_bytes"), nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("frame_offset"),
+        least(lit(frameBytes), col("n_bytes") - col("frame_idx") * frameBytes).as("frame_len"))
+  }
 }

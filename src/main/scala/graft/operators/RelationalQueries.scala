@@ -243,6 +243,18 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
       None),
 
+    "q_agg_approx_quantile" -> Q(
+      // t-digest-class approximate percentile (CH quantile() default is
+      // approximate too) — mergeable sketch, the 100-TB replacement for
+      // exact sort-based quantiles. Estimates are engine-specific → no
+      // SQL oracle; accuracy vs exact is asserted in RelationalOpsSpec.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("approx_p95")),
+      None),
+
     "q_agg_having" -> Q(
       (s, dir) => t(s, dir, "orders")
         .groupBy("o_custkey")
@@ -493,6 +505,16 @@ object RelationalQueries {
                      list_contains([1, 2, 3], label) AS label_in_123
               FROM embeddings""")),
 
+    "q_fn_explode" -> Q(
+      // generator/table-function surface (§2.11): one row per word —
+      // Spark's explode ⇄ DuckDB's unnest. The multiset compare is
+      // order-insensitive, so no ORDER BY needed.
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        explode(split(col("p_name"), " ")).as("word")),
+      Some("""SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+              FROM part""")),
+
     "q_fn_map" -> Q(
       // Map construct + access exercised Spark-side; the oracle computes
       // the expected values directly (DuckDB's map dialect differs).
@@ -506,11 +528,19 @@ object RelationalQueries {
       Some("""SELECT n_nationkey, n_name AS k_val, 2 AS b_val, 2 AS n_keys FROM nation""")),
 
     "q_fn_json" -> Q(
-      (s, dir) => Q.events(s, dir).select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
-        get_json_object(col("props"), "$.missing").as("absent")),
+      // one from_json parse per row feeding all three projections —
+      // three get_json_object calls would re-parse the document thrice
+      (s, dir) => {
+        val parsed = from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("missing", org.apache.spark.sql.types.StringType))))
+        Q.events(s, dir).withColumn("j", parsed).select(
+          col("event_id"),
+          col("j.k").as("k_str"),
+          col("j.k").cast("int").as("k_int"),
+          col("j.missing").as("absent"))
+      },
       Some("""SELECT event_id,
                      json_extract_string(props, '$.k') AS k_str,
                      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,

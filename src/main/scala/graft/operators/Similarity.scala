@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Elementwise dot product of two float-array columns, in double. */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /**
+   * Elementwise dot product of two numeric-array columns, in double:
+   * the codegen'd [[graft.functions.VecDot]] expression (registered as
+   * `vec_dot` by [[graft.GraftExtensions]] — sessions must enable it
+   * via spark.sql.extensions). Bit-identical to the higher-order
+   * `aggregate(zip_with(...))` form it replaces (same element order,
+   * same double arithmetic) but with no per-row intermediate array;
+   * mismatched lengths throw instead of null-padding.
+   */
+  def dotD(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** Cosine similarity dot/(|a|*|b|) — same formula the oracle uses. */
   def cosine(a: Column, b: Column): Column =

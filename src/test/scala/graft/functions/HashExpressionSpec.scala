@@ -40,6 +40,26 @@ class HashExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_dot equals the higher-order-function formulation bit-for-bit") {
+    val emb = spark.read.parquet(s"${SparkTestBase.sfDir}/embeddings.parquet").limit(50)
+      .select(col("embedding").as("a"), reverse(col("embedding")).as("b"))
+    val hof = emb.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)).collect().map(_.getDouble(0)).toSeq
+    val native = emb.selectExpr("vec_dot(a, b)").collect().map(_.getDouble(0)).toSeq
+    assert(native.map(java.lang.Double.doubleToLongBits) ===
+      hof.map(java.lang.Double.doubleToLongBits))
+  }
+
+  test("vec_dot rejects mismatched lengths instead of null-padding") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e = intercept[Exception] { df.selectExpr("vec_dot(a, b)").collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("lengths differ")))
+  }
+
   test("expression stays inside whole-stage codegen (plan check)") {
     val df = spark.read.parquet(s"${SparkTestBase.sfDir}/documents.parquet")
       .selectExpr("fnv1a64(text)")

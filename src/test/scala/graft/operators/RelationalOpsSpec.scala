@@ -23,6 +23,20 @@ class RelationalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantile within 2% of exact (sketch accuracy bound)") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = QueryRegistry.queries("q_agg_approx_quantile")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e) / e < 0.02, s"$k: approx=$a exact=$e")
+    }
+  }
+
   test("every declared oracle key produces a non-empty, re-runnable result") {
     // cheap structural guard at sf0.001: all keys run and yield rows
     QueryRegistry.all.foreach { case (name, q) =>
