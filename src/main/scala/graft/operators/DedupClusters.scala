@@ -41,6 +41,21 @@ object DedupClusters {
 
     var converged = false
     var i = 0
+    // Convergence signal: labels are node ids and every step is
+    // non-increasing per node (min with neighbours includes self;
+    // pointer jump maps cluster(id) → cluster(cluster(id)) ≤
+    // cluster(id)), so sum(cluster) is strictly decreasing until the
+    // fixpoint and stable exactly at it — one aggregate per round
+    // instead of a separate join-with-old-labels job. The same action
+    // materializes the (lazy) localCheckpoint, so each round runs ONE
+    // job; lineage truncation stays load-bearing (see scaladoc).
+    // decimal sum: id sums can exceed Long range on 64-bit id spaces,
+    // and a wrapped sum could (astronomically rarely) alias two states
+    def labelSumOf(df: DataFrame): BigDecimal = {
+      val v = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().get(0)
+      if (v == null) BigDecimal(0) else BigDecimal(v.asInstanceOf[java.math.BigDecimal])
+    }
+    var labelSum = labelSumOf(labels)
     while (!converged && i < maxIterations) {
       // (1) each node adopts min(own label, neighbours' labels)
       val neighbourMin = edges
@@ -54,11 +69,11 @@ object DedupClusters {
       val lookup = stepped.select(col("id").as("l_id"), col("cluster").as("l_cluster"))
       val next = stepped.join(lookup, col("cluster") === col("l_id"), "left")
         .select(col("id"), coalesce(col("l_cluster"), col("cluster")).as("cluster"))
-        .localCheckpoint() // truncate lineage: plan must not grow per round
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).limit(1).count()
+        .localCheckpoint(eager = false) // truncated on first action below
+      val nextSum = labelSumOf(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == labelSum
+      labelSum = nextSum
       i += 1
     }
     if (!converged)

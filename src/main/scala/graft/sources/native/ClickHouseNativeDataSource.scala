@@ -121,7 +121,7 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String])
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -558,8 +558,50 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
     new Write {
       override def toBatch: BatchWrite =
         new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile)
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new NativeStreamingWrite(schema, path, maxRowsPerFile)
     }
   }
+}
+
+/**
+ * Streaming sink: `df.writeStream.format("clickhouse_native")`. Every
+ * micro-batch appends immutable part files named by (epoch, partition,
+ * task attempt) — the same at-most-one-committed-attempt contract as
+ * the batch writer (commit coordinator + abort cleanup), so a retried
+ * epoch/task can't leave duplicate or truncated parts. Readers (and
+ * our own micro-batch source) see only whole files, which is what the
+ * streaming read's exactly-once file log relies on.
+ */
+private[native] class NativeStreamingWrite(schema: StructType, path: String,
+    maxRowsPerFile: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf())
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    fs.mkdirs(dir)
+    NativeStreamingWriterFactory(schema, path, maxRowsPerFile, conf)
+  }
+
+  // Epoch commit is recorded by the streaming engine's own offset/commit
+  // log; file visibility is atomic per part (create+close), so there is
+  // nothing extra to do here. Abort of individual failed tasks already
+  // deleted their parts.
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Ships to executors — a named case class so only serializable fields travel. */
+private[native] case class NativeStreamingWriterFactory(schema: StructType, path: String,
+    maxRowsPerFile: Int, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
+      filePrefix = f"epoch-$epochId%08d-")
 }
 
 private[native] class NativeBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
@@ -593,7 +635,8 @@ private[native] class NativeWriterFactory(schema: StructType, path: String,
  * ClickHouse — README.md:43-47.)
  */
 private[native] class NativeDataWriter(schema: StructType, dir: String,
-    partitionId: Int, taskId: Long, rowsPerFile: Int, conf: Configuration)
+    partitionId: Int, taskId: Long, rowsPerFile: Int, conf: Configuration,
+    filePrefix: String = "")
     extends DataWriter[InternalRow] {
 
   private val rowsPerBlock = 65536
@@ -616,7 +659,7 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
     if (writer != null) writer.close()
     fileSeq += 1
     rowsInFile = 0
-    val p = new Path(f"$dir/part-$partitionId%05d-$taskId-$fileSeq%03d.clickhouse")
+    val p = new Path(f"$dir/${filePrefix}part-$partitionId%05d-$taskId-$fileSeq%03d.clickhouse")
     written += p
     writer = new NativeBlockWriter(p.getFileSystem(conf).create(p, true))
   }

@@ -121,6 +121,37 @@ class NativeStreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("discovery log"))
   }
 
+  test("writeStream sink: native-in → native-out, counts survive the round trip") {
+    val in = Files.createTempDirectory("graft-swrite-in").toString + "/in"
+    val out = Files.createTempDirectory("graft-swrite-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-swrite-ckpt").toString
+    val nation = spark.read.parquet(s"${SparkTestBase.sfDir}/nation.parquet")
+    nation.filter(col("n_regionkey") < 2).coalesce(1)
+      .write.format("clickhouse_native").mode("append").save(in)
+
+    val q = spark.readStream.format("clickhouse_native").load(in)
+      .writeStream.format("clickhouse_native")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second wave of input part files → second epoch of output parts
+      nation.filter(col("n_regionkey") >= 2).coalesce(1)
+        .write.format("clickhouse_native").mode("append").save(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.format("clickhouse_native").load(out)
+      .groupBy("n_regionkey").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = nation.groupBy("n_regionkey").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === want) // nothing dropped or doubled across epochs
+    // parts are epoch-scoped and immutable
+    val parts = new java.io.File(out).listFiles().map(_.getName).filter(_.endsWith(".clickhouse"))
+    assert(parts.nonEmpty && parts.forall(_.startsWith("epoch-")), parts.mkString(","))
+  }
+
   test("write option maxRowsPerFile is validated at build time") {
     val nation = spark.read.parquet(s"${SparkTestBase.sfDir}/nation.parquet")
     val dir = Files.createTempDirectory("graft-opt").toString + "/out"
