@@ -139,9 +139,15 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String])
         s"clickhouse_native write option maxRowsPerFile must be > 0, got $n")
       n
     }.getOrElse(8 * 1024 * 1024)
+    val dictEncode = Option(info.options.get("dictionaryEncode")).getOrElse("auto") match {
+      case "auto" => true
+      case "off" => false
+      case other => throw new IllegalArgumentException(
+        s"clickhouse_native write option dictionaryEncode must be 'auto' or 'off', got '$other'")
+    }
     new NativeWriteBuilder(info.schema(), paths.headOption.getOrElse(
         throw new IllegalArgumentException("clickhouse_native write requires a path")),
-      maxRows)
+      maxRows, dictEncode)
   }
 }
 
@@ -424,12 +430,43 @@ private[native] class NativeColumnarPartitionReader(file: String, required: Stru
       val v = new OnHeapColumnVector(n, f.dataType)
       byName.get(f.name) match {
         case None => v.putNulls(0, n)
+        case Some(col) if col.dict != null && f.dataType == StringType =>
+          fillDictionary(v, col, n)
         case Some(col) => fill(v, f.dataType, col.values, n)
       }
       v: org.apache.spark.sql.vectorized.ColumnVector
     }
     batch = new ColumnarBatch(vectors, n)
     true
+  }
+
+  /**
+   * LowCardinality string column → dictionary-backed vector: one
+   * byte-array per DISTINCT value plus a bulk int-id write, instead of
+   * copying every row's bytes (the same layout the vectorized parquet
+   * reader uses for dictionary-encoded pages). Nulls (id 0 of a
+   * Nullable inner) are marked in the null mask; their id still points
+   * at the dictionary's default slot, which is never read.
+   */
+  private def fillDictionary(v: OnHeapColumnVector, col: NativeColumn, n: Int): Unit = {
+    val dictBytes = col.dict.map {
+      case u: UTF8String => u.getBytes
+      case other => String.valueOf(other).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    v.setDictionary(new org.apache.spark.sql.execution.vectorized.Dictionary {
+      override def decodeToBinary(id: Int): Array[Byte] = dictBytes(id)
+      override def decodeToInt(id: Int): Int = throw new UnsupportedOperationException
+      override def decodeToLong(id: Int): Long = throw new UnsupportedOperationException
+      override def decodeToFloat(id: Int): Float = throw new UnsupportedOperationException
+      override def decodeToDouble(id: Int): Double = throw new UnsupportedOperationException
+    })
+    val ids = v.reserveDictionaryIds(n)
+    ids.putInts(0, n, col.dictIds, 0)
+    var i = 0
+    while (i < n) {
+      if (col.values(i) == null) v.putNull(i)
+      i += 1
+    }
   }
 
   private def fill(v: OnHeapColumnVector, dt: DataType, values: Array[Any], n: Int): Unit = {
@@ -545,7 +582,8 @@ private[native] class NativePartitionReader(file: String, required: StructType, 
 // Write path
 // ---------------------------------------------------------------------------
 
-private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRowsPerFile: Int)
+private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRowsPerFile: Int,
+    dictEncode: Boolean)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -557,9 +595,9 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
     schema.fields.foreach(f => ChType.forSpark(f.dataType, f.nullable))
     new Write {
       override def toBatch: BatchWrite =
-        new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile)
+        new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new NativeStreamingWrite(schema, path, maxRowsPerFile)
+        new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode)
     }
   }
 }
@@ -574,7 +612,7 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
  * streaming read's exactly-once file log relies on.
  */
 private[native] class NativeStreamingWrite(schema: StructType, path: String,
-    maxRowsPerFile: Int)
+    maxRowsPerFile: Int, dictEncode: Boolean)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -584,7 +622,7 @@ private[native] class NativeStreamingWrite(schema: StructType, path: String,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
-    NativeStreamingWriterFactory(schema, path, maxRowsPerFile, conf)
+    NativeStreamingWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf)
   }
 
   // Epoch commit is recorded by the streaming engine's own offset/commit
@@ -597,15 +635,15 @@ private[native] class NativeStreamingWrite(schema: StructType, path: String,
 
 /** Ships to executors — a named case class so only serializable fields travel. */
 private[native] case class NativeStreamingWriterFactory(schema: StructType, path: String,
-    maxRowsPerFile: Int, conf: SerializableHadoopConf)
+    maxRowsPerFile: Int, dictEncode: Boolean, conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
-      filePrefix = f"epoch-$epochId%08d-")
+      filePrefix = f"epoch-$epochId%08d-", dictEncode = dictEncode)
 }
 
 private[native] class NativeBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
-    maxRowsPerFile: Int) extends BatchWrite {
+    maxRowsPerFile: Int, dictEncode: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // Driver-side, before any task launches: clear the target on overwrite.
     val conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf())
@@ -613,7 +651,7 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
     val fs = dir.getFileSystem(conf.value)
     if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new NativeWriterFactory(schema, path, maxRowsPerFile, conf)
+    new NativeWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf)
   }
   // Spark's default useCommitCoordinator() (true) guarantees at most one
   // committed attempt per partition; aborted attempts delete their file
@@ -624,9 +662,11 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
 }
 
 private[native] class NativeWriterFactory(schema: StructType, path: String,
-    maxRowsPerFile: Int, conf: SerializableHadoopConf) extends DataWriterFactory {
+    maxRowsPerFile: Int, dictEncode: Boolean, conf: SerializableHadoopConf)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value)
+    new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
+      dictEncode = dictEncode)
 }
 
 /**
@@ -636,7 +676,7 @@ private[native] class NativeWriterFactory(schema: StructType, path: String,
  */
 private[native] class NativeDataWriter(schema: StructType, dir: String,
     partitionId: Int, taskId: Long, rowsPerFile: Int, conf: Configuration,
-    filePrefix: String = "")
+    filePrefix: String = "", dictEncode: Boolean = true)
     extends DataWriter[InternalRow] {
 
   private val rowsPerBlock = 65536
@@ -644,7 +684,41 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
   // would serialize any later scan. Rotating parts (rowsPerFile =
   // write option maxRowsPerFile) keeps the writer's own output
   // parallelizable (scan side = one partition per file).
-  private val chTypes = schema.fields.map(f => ChType.forSpark(f.dataType, f.nullable))
+  private val chTypes: Array[ChType] =
+    schema.fields.map(f => ChType.forSpark(f.dataType, f.nullable))
+  // Adaptive dictionary encoding: decided ONCE per writer from the
+  // first buffered block, so every block this task writes declares the
+  // same column types (a reader infers schema from one header). A
+  // string column whose first 64+ rows repeat values at >= 2x becomes
+  // LowCardinality(T) — dictionary + narrow indices on the wire, which
+  // is both smaller and lets the scan reuse one UTF8String per
+  // distinct value (the parquet-dictionary advantage BENCH_NOTES
+  // measured this format lacking).
+  private var effectiveTypes: Array[ChType] = chTypes
+  private var typesDecided = !dictEncode
+
+  private def decideDictTypes(): Unit = {
+    effectiveTypes = chTypes.zipWithIndex.map { case (t, i) =>
+      val lcEligible = t match {
+        case ChType.ChString | ChType.ChNullable(ChType.ChString) => true
+        case _ => false
+      }
+      if (!lcEligible || buffered < 64) t
+      else {
+        val limit = math.min(65536, buffered / 2)
+        val seen = new java.util.HashSet[Any]()
+        var j = 0
+        var distinct = 0
+        while (j < buffered && distinct <= limit) {
+          val v = buffer(i)(j)
+          if (v != null && seen.add(v)) distinct += 1
+          j += 1
+        }
+        if (distinct <= limit) ChType.ChLowCardinality(t) else t
+      }
+    }
+    typesDecided = true
+  }
   private val written = scala.collection.mutable.ArrayBuffer.empty[Path]
   private var fileSeq = -1
   private var rowsInFile = 0
@@ -688,6 +762,7 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
 
   private def flush(): Unit = {
     if (buffered > 0) {
+      if (!typesDecided) decideDictTypes()
       // lazy open + lazy rotation (before the next block, not after
       // the last one): no empty part on commit, ever. Rotate when this
       // block would push the file PAST the cap — checking only
@@ -695,7 +770,7 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
       // the cap isn't a multiple of the block size.
       if (writer == null || (rowsInFile > 0 && rowsInFile + buffered > rowsPerFile)) rotate()
       val cols = schema.fields.indices.map { i =>
-        NativeColumn(schema.fields(i).name, chTypes(i), buffer(i).toArray)
+        NativeColumn(schema.fields(i).name, effectiveTypes(i), buffer(i).toArray)
       }.toArray
       writer.writeBlock(NativeBlock(cols, buffered))
       rowsInFile += buffered

@@ -10,8 +10,15 @@ import org.apache.spark.unsafe.types.UTF8String
  * One decoded column of a Native block. `values` holds Catalyst-ready
  * values: UTF8String, java.lang.Integer/Long/Boolean/Float/Double,
  * ArrayData, or null.
+ *
+ * For LowCardinality string columns the decoder also retains the wire
+ * dictionary and per-row indices (`dictIds`): the columnar reader then
+ * fills a dictionary-backed vector (one byte-copy per DISTINCT value +
+ * bulk int ids) instead of copying every row's bytes — the same layout
+ * Spark's vectorized parquet reader uses for dictionary pages.
  */
-final case class NativeColumn(name: String, chType: ChType, values: Array[Any])
+final case class NativeColumn(name: String, chType: ChType, values: Array[Any],
+    dict: Array[Any] = null, dictIds: Array[Int] = null)
 
 /**
  * A decoded Native block: self-describing columnar batch (SURVEY §1.1).
@@ -32,6 +39,19 @@ final case class NativeBlock(columns: Array[NativeColumn], numRows: Int)
  * row-at-a-time boxed-enum cells (src/lib.rs:28-35).
  */
 object ColumnCodec {
+
+  /**
+   * Decode a full column, preserving dictionary structure for
+   * LowCardinality string columns (see [[NativeColumn]]).
+   */
+  def decodeColumn(in: Input, name: String, t: ChType, rows: Int): NativeColumn = t match {
+    case lc @ ChLowCardinality(ChString) =>
+      val out = new Array[Any](rows)
+      val (dict, ids) = decodeLowCardinality(in, lc, rows, out)
+      NativeColumn(name, t, out, dict, ids)
+    case _ =>
+      NativeColumn(name, t, decode(in, t, rows))
+  }
 
   /** Decode `rows` values of `t` from `in` into a Catalyst-value array. */
   def decode(in: Input, t: ChType, rows: Int): Array[Any] = {
@@ -186,9 +206,13 @@ object ColumnCodec {
    * it emit `<unsupported>` sentinels without consuming bytes,
    * corrupting every later column (src/lib.rs:168-170). Here it decodes
    * to the inner type's Catalyst values via dictionary lookup.
+   *
+   * @return the dictionary and per-row indices (for the columnar
+   *         reader's dictionary-backed fill); `out` is filled with the
+   *         materialized per-row values either way.
    */
   private def decodeLowCardinality(in: Input, lc: ChLowCardinality, rows: Int,
-      out: Array[Any]): Unit = {
+      out: Array[Any]): (Array[Any], Array[Int]) = {
     val version = in.readLongLE()
     if (version != 1L)
       throw new UnsupportedColumnException(s"${lc.name} (keys version $version)")
@@ -204,6 +228,7 @@ object ColumnCodec {
     val n = in.readLongLE().toInt
     require(n == rows, s"LowCardinality row count $n != block rows $rows")
     val width = (serType & LcIndexWidthMask).toInt
+    val ids = new Array[Int](rows)
     var i = 0
     while (i < rows) {
       val idx = width match {
@@ -212,9 +237,11 @@ object ColumnCodec {
         case 2 => in.readIntLE()
         case _ => in.readLongLE().toInt
       }
+      ids(i) = idx
       out(i) = if (nullable && idx == 0) null else dict(idx)
       i += 1
     }
+    (dict, ids)
   }
 
   /** Byte width for fixed-width types (None = variable). Used for skip-decode. */
@@ -338,8 +365,59 @@ object ColumnCodec {
       }
       val flat = values.flatMap(v => v.asInstanceOf[ArrayData].toObjectArray(inner.sparkType))
       encode(out, inner, flat.asInstanceOf[Array[Any]])
+    case lc: ChLowCardinality =>
+      encodeLowCardinality(out, lc, values)
     case other =>
       throw new UnsupportedColumnException(other.name)
+  }
+
+  /**
+   * Inverse of [[decodeLowCardinality]]: per-block dictionary + indices
+   * (keys version 1, shared-with-additional-keys). For
+   * `LowCardinality(Nullable(T))`, dictionary slot 0 holds the inner
+   * type's default and index 0 means null — the layout ClickHouse
+   * itself writes and our reader expects. Index width is the smallest
+   * class that addresses the dictionary.
+   */
+  private def encodeLowCardinality(out: Output, lc: ChLowCardinality, values: Array[Any]): Unit = {
+    val (inner, nullable) = lc.inner match {
+      case ChNullable(i) => (i, true)
+      case i => (i, false)
+    }
+    val dict = new scala.collection.mutable.ArrayBuffer[Any]()
+    val slot = new java.util.HashMap[Any, Integer]()
+    if (nullable) dict += defaultValue(inner) // slot 0 = null stand-in
+    val indices = new Array[Int](values.length)
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      indices(i) =
+        if (nullable && v == null) 0
+        else {
+          var s = slot.get(v)
+          if (s == null) { s = Integer.valueOf(dict.length); slot.put(v, s); dict += v }
+          s.intValue()
+        }
+      i += 1
+    }
+    val widthClass =
+      if (dict.length <= 0xff) 0
+      else if (dict.length <= 0xffff) 1
+      else 2 // a 64 KiB-row block cannot exceed UInt32 dictionary slots
+    out.writeLongLE(1L) // keys serialization version
+    out.writeLongLE(LcHasAdditionalKeys | widthClass.toLong)
+    out.writeLongLE(dict.length.toLong)
+    encode(out, inner, dict.toArray)
+    out.writeLongLE(values.length.toLong)
+    i = 0
+    while (i < values.length) {
+      widthClass match {
+        case 0 => out.writeByte(indices(i))
+        case 1 => out.writeShortLE(indices(i).toShort)
+        case _ => out.writeIntLE(indices(i))
+      }
+      i += 1
+    }
   }
 
   private def defaultValue(t: ChType): Any = t match {

@@ -65,7 +65,7 @@ final class NativeBlockReader(stream: InputStream, projection: Option[Set[String
       val name = in.readString()
       val chType = ChType.parse(in.readString())
       if (projection.forall(_.contains(name))) {
-        cols += NativeColumn(name, chType, ColumnCodec.decode(in, chType, nRows))
+        cols += ColumnCodec.decodeColumn(in, name, chType, nRows)
       } else {
         ColumnCodec.skip(in, chType, nRows)
       }

@@ -143,6 +143,38 @@ class NativeSourceSpec extends AnyFunSuite {
     assert(back.count() === src.count())
   }
 
+  test("adaptive dictionary encoding: low-cardinality strings write as LowCardinality") {
+    // lineitem's flag/status columns repeat heavily; keys are unique
+    val src = spark.read.parquet(s"${SparkTestBase.sfDir}/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        concat(lit("row-"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("uniq_tag"))
+      .coalesce(1)
+    val dir = tmpDir("dict")
+    src.write.format("clickhouse_native").mode("overwrite").save(dir)
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".clickhouse")).head
+    val header = {
+      val in = new java.io.FileInputStream(part)
+      try NativeBlockReader.readHeader(in) finally in.close()
+    }
+    val byName = header.toMap.map { case (k, v) => k -> v.name }
+    assert(byName("l_returnflag").startsWith("LowCardinality("), byName.toString)
+    assert(byName("l_linestatus").startsWith("LowCardinality("), byName.toString)
+    assert(!byName("uniq_tag").startsWith("LowCardinality("), byName.toString) // near-unique text
+    // content identical through the dictionary path
+    val back = spark.read.format("clickhouse_native").load(dir)
+    assert(back.collect().toSet === src.collect().toSet)
+    // and the option disables it
+    val dir2 = tmpDir("dict-off")
+    src.write.format("clickhouse_native").option("dictionaryEncode", "off")
+      .mode("overwrite").save(dir2)
+    val part2 = new java.io.File(dir2).listFiles().filter(_.getName.endsWith(".clickhouse")).head
+    val header2 = {
+      val in = new java.io.FileInputStream(part2)
+      try NativeBlockReader.readHeader(in) finally in.close()
+    }
+    assert(header2.toMap.map { case (k, v) => k -> v.name }.values.forall(!_.startsWith("LowCardinality")))
+  }
+
   test("writer abort removes all partial part files") {
     val dir = Files.createTempDirectory("graft-native-abort").toString
     val conf = new org.apache.hadoop.conf.Configuration()

@@ -45,6 +45,10 @@ class RoundtripPropertySpec extends AnyFunSuite {
         BigDecimal(java.math.BigDecimal.valueOf(unscaled, d.scale)), d.precision, d.scale)
     case ChDateTime64(_, _) => java.lang.Long.valueOf(math.abs(rnd.nextLong()) % 4102444800000000L)
     case ChNullable(inner) => if (rnd.nextInt(4) == 0) null else randomValue(inner, rnd)
+    case ChLowCardinality(inner) =>
+      // small vocabulary → real dictionary repetition on the wire
+      if (rnd.nextInt(4) == 0 && inner.isInstanceOf[ChNullable]) null
+      else UTF8String.fromString("v" + rnd.nextInt(5))
     case ChArray(inner) =>
       new GenericArrayData(Array.fill(rnd.nextInt(4))(randomValue(inner, rnd).asInstanceOf[AnyRef]))
     case other => fail(s"no generator for $other")
@@ -52,9 +56,11 @@ class RoundtripPropertySpec extends AnyFunSuite {
 
   private def randomType(rnd: scala.util.Random): ChType = {
     val base = scalarTypes(rnd.nextInt(scalarTypes.length))
-    rnd.nextInt(4) match {
+    rnd.nextInt(6) match {
       case 0 => ChNullable(base)
       case 1 => ChArray(base)
+      case 2 => ChLowCardinality(ChString)
+      case 3 => ChLowCardinality(ChNullable(ChString))
       case _ => base
     }
   }
