@@ -265,6 +265,43 @@ object RelationalQueries {
               FROM orders GROUP BY o_custkey
               HAVING round(sum(o_totalprice), 2) > 500000.0""")),
 
+    "q_agg_collect" -> Q(
+      // list aggregation (CH groupArray equivalent); sorted for a
+      // deterministic multiset compare of the array cells
+      (s, dir) => t(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(sort_array(collect_list(col("n_name"))).as("names"),
+          count(lit(1)).as("n")),
+      Some("""SELECT n_regionkey, list_sort(list(n_name)) AS names, count(*) AS n
+              FROM nation GROUP BY n_regionkey""")),
+
+    "q_pivot" -> Q(
+      // pivot: one column per l_returnflag value; oracle spells it as
+      // conditional aggregation (the relational core of PIVOT)
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r")),
+      Some("""SELECT l_linestatus,
+                     round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+                     round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+                     round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+              FROM lineitem GROUP BY l_linestatus""")),
+
+    "q_sample_stratified" -> Q(
+      // stratified sampling (per-class fractions, seeded Bernoulli) —
+      // the training-data rebalancing primitive. Sample membership is
+      // engine-specific → no SQL oracle; per-stratum proportions are
+      // bounded in RelationalOpsSpec.
+      (s, dir) => t(s, dir, "orders")
+        .stat.sampleBy("o_orderpriority",
+          Map("1-URGENT" -> 0.5, "2-HIGH" -> 0.25, "3-MEDIUM" -> 0.1,
+            "4-NOT SPECIFIED" -> 0.1, "5-LOW" -> 0.1),
+          seed = 42L)
+        .select("o_orderkey", "o_orderpriority"),
+      None),
+
     // ----- §2.5 window functions ------------------------------------------
 
     "q_window_rank" -> Q(
