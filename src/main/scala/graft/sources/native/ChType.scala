@@ -92,6 +92,30 @@ object ChType {
     def name = s"LowCardinality(${inner.name})"
   }
   /**
+   * Map(K, V) — wire layout is Array(Tuple(K, V)): cumulative UInt64
+   * end-offsets, then ALL keys flat, then ALL values flat. Decoded to a
+   * real `MapType` (the reference degrades it to the sentinel string).
+   */
+  final case class ChMap(key: ChType, value: ChType) extends ChType {
+    def sparkType = MapType(key.sparkType, value.sparkType,
+      valueContainsNull = isNullable(value))
+    def name = s"Map(${key.name}, ${value.name})"
+  }
+  /**
+   * Tuple(T1, T2, …) / Tuple(a T1, b T2) — elements serialized
+   * column-by-column (element 1 for all rows, then element 2, …).
+   * Decoded to a `StructType`; unnamed elements get `_1`, `_2`, …
+   */
+  final case class ChTuple(fields: Seq[(Option[String], ChType)]) extends ChType {
+    def sparkType = StructType(fields.zipWithIndex.map { case ((n, t), i) =>
+      StructField(n.getOrElse(s"_${i + 1}"), t.sparkType, nullable = isNullable(t))
+    })
+    def name = fields.map {
+      case (Some(n), t) => s"$n ${t.name}"
+      case (None, t) => t.name
+    }.mkString("Tuple(", ", ", ")")
+  }
+  /**
    * Recognized-but-not-decoded type with a KNOWN fixed byte width
    * (UUID, IPv4/6, Int128/256, Decimal*): the reader consumes the
    * bytes and emits the literal string `<unsupported:T>` per cell —
@@ -156,6 +180,15 @@ object ChType {
       case "Nullable" => ChNullable(parse(params))
       case "Array"    => ChArray(parse(params))
       case "LowCardinality" => ChLowCardinality(parse(params))
+      case "Map" =>
+        splitTopLevel(params) match {
+          case Seq(k, v) => ChMap(parse(k), parse(v))
+          case _ => ChUnsupported(t)
+        }
+      case "Tuple" =>
+        val parts = splitTopLevel(params)
+        if (parts.isEmpty) ChUnsupported(t)
+        else ChTuple(parts.map(parseTupleElement))
       case "UUID"               => ChOpaqueFixed(t, 16)
       case "IPv4"               => ChOpaqueFixed(t, 4)
       case "IPv6"               => ChOpaqueFixed(t, 16)
@@ -180,6 +213,20 @@ object ChType {
         }
       case _ => ChUnsupported(t)
     }
+  }
+
+  /** "a String" → (Some(a), String); "Nullable(Int64)" → (None, …). */
+  private def parseTupleElement(p: String): (Option[String], ChType) = {
+    val t = p.trim
+    val sp = t.indexOf(' ')
+    if (sp > 0) {
+      val prefix = t.substring(0, sp)
+      // a bare identifier before the first space is an element name;
+      // "Decimal(18, 4)" has '(' before any top-level space candidate
+      if (prefix.forall(c => c.isLetterOrDigit || c == '_') && prefix.headOption.exists(c => c.isLetter || c == '_'))
+        (Some(prefix), parse(t.substring(sp + 1)))
+      else (None, parse(t))
+    } else (None, parse(t))
   }
 
   private def stripQuotes(s: String): String = {
@@ -251,12 +298,16 @@ object ChType {
       case TimestampNTZType => ChDateTime64(6, None)        // wall-clock
       case d: DecimalType if d.precision <= 18 => ChDecimal(d.precision, d.scale)
       case ArrayType(et, cn) => ChArray(forSpark(et, cn))
+      case MapType(kt, vt, vcn) => ChMap(forSpark(kt, nullable = false), forSpark(vt, vcn))
+      case st: StructType =>
+        ChTuple(st.fields.toSeq.map(f => (Some(f.name), forSpark(f.dataType, f.nullable))))
       case other =>
         throw new IllegalArgumentException(
           s"clickhouse_native writer: unsupported Spark type $other")
     }
-    // Native format has no Nullable(Array(...)) — arrays themselves are
-    // non-nullable in ClickHouse; only wrap scalars.
-    if (nullable && !base.isInstanceOf[ChArray]) ChNullable(base) else base
+    // ClickHouse has no Nullable(Array/Map/Tuple) — containers are
+    // non-nullable there; only wrap scalars.
+    val container = base.isInstanceOf[ChArray] || base.isInstanceOf[ChMap] || base.isInstanceOf[ChTuple]
+    if (nullable && !container) ChNullable(base) else base
   }
 }

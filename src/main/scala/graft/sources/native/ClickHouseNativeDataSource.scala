@@ -741,14 +741,16 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
   override def write(record: InternalRow): Unit = {
     var i = 0
     while (i < schema.length) {
-      // Spark reuses the InternalRow (and the UTF8String/ArrayData
-      // backing buffers) across rows — buffering a reference without
-      // copying aliases later rows' bytes and corrupts the file.
+      // Spark reuses the InternalRow (and the UTF8String/ArrayData/
+      // MapData backing buffers) across rows — buffering a reference
+      // without copying aliases later rows' bytes and corrupts the file.
       val v =
         if (record.isNullAt(i)) null
         else record.get(i, schema.fields(i).dataType) match {
           case s: UTF8String => s.clone()
           case a: ArrayData  => a.copy()
+          case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+          case r: InternalRow => r.copy()
           case other         => other
         }
       buffer(i) += v

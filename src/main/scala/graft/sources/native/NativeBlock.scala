@@ -171,6 +171,35 @@ object ColumnCodec {
           start = end
           i += 1
         }
+      case ChMap(kt, vt) =>
+        // Array(Tuple(K,V)) layout: offsets, all keys flat, all values flat
+        val offsets = new Array[Long](rows)
+        var i = 0
+        while (i < rows) { offsets(i) = in.readLongLE(); i += 1 }
+        val total = if (rows == 0) 0 else offsets(rows - 1).toInt
+        val keys = decode(in, kt, total)
+        val vals = decode(in, vt, total)
+        var start = 0
+        i = 0
+        while (i < rows) {
+          val end = offsets(i).toInt
+          out(i) = new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new GenericArrayData(java.util.Arrays.copyOfRange(keys.asInstanceOf[Array[AnyRef]], start, end)),
+            new GenericArrayData(java.util.Arrays.copyOfRange(vals.asInstanceOf[Array[AnyRef]], start, end)))
+          start = end
+          i += 1
+        }
+      case ChTuple(fields) =>
+        // element columns are contiguous: all of element 1, then element 2, …
+        val cols = fields.map { case (_, ft) => decode(in, ft, rows) }
+        var i = 0
+        while (i < rows) {
+          val row = new Array[Any](fields.length)
+          var f = 0
+          while (f < fields.length) { row(f) = cols(f)(i); f += 1 }
+          out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
+          i += 1
+        }
       case ChOpaqueFixed(raw, width) =>
         // Consume the bytes, emit the reference's degradation sentinel
         // (src/lib.rs:137) — later columns stay correctly aligned.
@@ -276,6 +305,14 @@ object ColumnCodec {
       var i = 0
       while (i < rows) { last = in.readLongLE(); i += 1 }
       skip(in, inner, last.toInt)
+    case ChMap(kt, vt) =>
+      var last = 0L
+      var i = 0
+      while (i < rows) { last = in.readLongLE(); i += 1 }
+      skip(in, kt, last.toInt)
+      skip(in, vt, last.toInt)
+    case ChTuple(fields) =>
+      fields.foreach { case (_, ft) => skip(in, ft, rows) }
     case lc: ChLowCardinality =>
       // must parse the dictionary structure to find the column's end
       val version = in.readLongLE()
@@ -367,6 +404,34 @@ object ColumnCodec {
       encode(out, inner, flat.asInstanceOf[Array[Any]])
     case lc: ChLowCardinality =>
       encodeLowCardinality(out, lc, values)
+    case ChMap(kt, vt) =>
+      var cum = 0L
+      var i = 0
+      while (i < values.length) {
+        cum += values(i).asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].numElements()
+        out.writeLongLE(cum)
+        i += 1
+      }
+      val flatK = values.flatMap(v =>
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].keyArray().toObjectArray(kt.sparkType))
+      val flatV = values.flatMap(v =>
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].valueArray().toObjectArray(vt.sparkType))
+      encode(out, kt, flatK.asInstanceOf[Array[Any]])
+      encode(out, vt, flatV.asInstanceOf[Array[Any]])
+    case ChTuple(fields) =>
+      var f = 0
+      while (f < fields.length) {
+        val ft = fields(f)._2
+        val col = new Array[Any](values.length)
+        var i = 0
+        while (i < values.length) {
+          val r = values(i).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+          col(i) = if (r.isNullAt(f)) null else r.get(f, ft.sparkType)
+          i += 1
+        }
+        encode(out, ft, col)
+        f += 1
+      }
     case other =>
       throw new UnsupportedColumnException(other.name)
   }
@@ -427,6 +492,11 @@ object ColumnCodec {
     case ChFloat32 => java.lang.Float.valueOf(0f)
     case ChFloat64 => java.lang.Double.valueOf(0d)
     case d: ChDecimal => org.apache.spark.sql.types.Decimal(0L, d.precision, d.scale)
+    case _: ChArray => new GenericArrayData(Array.empty[Any])
+    case _: ChMap => new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(Array.empty[Any]), new GenericArrayData(Array.empty[Any]))
+    case ChTuple(fields) => new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      fields.map(f => defaultValue(f._2)).toArray)
     case _ => java.lang.Long.valueOf(0L)
   }
 }

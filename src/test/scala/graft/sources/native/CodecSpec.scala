@@ -85,7 +85,22 @@ class CodecSpec extends AnyFunSuite {
     import ChType._
     assert(ChType.parse("UUID") === ChOpaqueFixed("UUID", 16))
     assert(ChType.parse("Decimal(22, 2)") === ChOpaqueFixed("Decimal(22, 2)", 16))
-    assert(ChType.parse("Map(String, String)").isInstanceOf[ChUnsupported])
+    assert(ChType.parse("AggregateFunction(sum, UInt64)").isInstanceOf[ChUnsupported])
+  }
+
+  test("type parser: Map and Tuple decode natively (incl. named elements)") {
+    import ChType._
+    assert(ChType.parse("Map(String, Int64)") === ChMap(ChString, ChInt64))
+    assert(ChType.parse("Map(String, Nullable(String))") ===
+      ChMap(ChString, ChNullable(ChString)))
+    assert(ChType.parse("Tuple(String, Int64)") ===
+      ChTuple(Seq(None -> ChString, None -> ChInt64)))
+    assert(ChType.parse("Tuple(a String, b Decimal(18, 4))") ===
+      ChTuple(Seq(Some("a") -> ChString, Some("b") -> ChDecimal(18, 4))))
+    // sparkType mapping: unnamed elements become _1, _2
+    val st = ChType.parse("Tuple(String, Int64)").sparkType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSeq === Seq("_1", "_2"))
   }
 
   test("type parser: decimals P<=18 and Date32 decode natively") {

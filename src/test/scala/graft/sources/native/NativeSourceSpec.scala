@@ -143,6 +143,35 @@ class NativeSourceSpec extends AnyFunSuite {
     assert(back.count() === src.count())
   }
 
+  test("DSv2 roundtrip: map and struct columns (Map/Tuple wire types)") {
+    val src = spark.read.parquet(s"${SparkTestBase.sfDir}/nation.parquet").select(
+      col("n_nationkey"),
+      map(lit("name"), col("n_name"), lit("rk"), col("n_regionkey").cast("string")).as("props"),
+      struct(col("n_name").as("name"), col("n_regionkey").as("rk")).as("meta"))
+    val dir = tmpDir("mapstruct")
+    src.write.format("clickhouse_native").mode("overwrite").save(dir)
+    val back = spark.read.format("clickhouse_native").load(dir)
+    assert(back.schema("props").dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    assert(back.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    // compare via stable projections (Row equality over maps is fragile)
+    def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("n_nationkey"),
+      element_at(col("props"), "name").as("p_name"),
+      element_at(col("props"), "rk").as("p_rk"),
+      col("meta.name").as("m_name"), col("meta.rk").as("m_rk"))
+      .collect().map(_.toSeq).toSet
+    assert(proj(back) === proj(src))
+    // header declares real Map/Tuple types, not sentinels
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".clickhouse")).head
+    val header = {
+      val in = new java.io.FileInputStream(part)
+      try NativeBlockReader.readHeader(in) finally in.close()
+    }
+    val byName = header.toMap.map { case (k, v) => k -> v.name }
+    assert(byName("props").startsWith("Map("), byName.toString)
+    assert(byName("meta").startsWith("Tuple("), byName.toString)
+  }
+
   test("adaptive dictionary encoding: low-cardinality strings write as LowCardinality") {
     // lineitem's flag/status columns repeat heavily; keys are unique
     val src = spark.read.parquet(s"${SparkTestBase.sfDir}/lineitem.parquet")

@@ -49,6 +49,15 @@ class RoundtripPropertySpec extends AnyFunSuite {
       // small vocabulary → real dictionary repetition on the wire
       if (rnd.nextInt(4) == 0 && inner.isInstanceOf[ChNullable]) null
       else UTF8String.fromString("v" + rnd.nextInt(5))
+    case ChMap(_, vt) =>
+      val n = rnd.nextInt(4)
+      // map keys are distinct by construction (k0, k1, …)
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(Array.tabulate[Any](n)(i => UTF8String.fromString(s"k$i")).asInstanceOf[Array[Any]]),
+        new GenericArrayData(Array.fill[Any](n)(randomValue(vt, rnd))))
+    case ChTuple(fields) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        fields.map(f => randomValue(f._2, rnd)).toArray)
     case ChArray(inner) =>
       new GenericArrayData(Array.fill(rnd.nextInt(4))(randomValue(inner, rnd).asInstanceOf[AnyRef]))
     case other => fail(s"no generator for $other")
@@ -56,11 +65,13 @@ class RoundtripPropertySpec extends AnyFunSuite {
 
   private def randomType(rnd: scala.util.Random): ChType = {
     val base = scalarTypes(rnd.nextInt(scalarTypes.length))
-    rnd.nextInt(6) match {
+    rnd.nextInt(8) match {
       case 0 => ChNullable(base)
       case 1 => ChArray(base)
       case 2 => ChLowCardinality(ChString)
       case 3 => ChLowCardinality(ChNullable(ChString))
+      case 4 => ChMap(ChString, base)
+      case 5 => ChTuple(Seq(Some("a") -> base, None -> ChNullable(ChString)))
       case _ => base
     }
   }
@@ -116,6 +127,12 @@ class RoundtripPropertySpec extends AnyFunSuite {
   private def render(v: Any): String = v match {
     case null => "∅"
     case a: GenericArrayData => a.array.map(render).mkString("[", ",", "]")
+    case m: org.apache.spark.sql.catalyst.util.ArrayBasedMapData =>
+      m.keyArray.asInstanceOf[GenericArrayData].array.map(render)
+        .zip(m.valueArray.asInstanceOf[GenericArrayData].array.map(render))
+        .map { case (k, w) => s"$k→$w" }.mkString("{", ",", "}")
+    case r: org.apache.spark.sql.catalyst.expressions.GenericInternalRow =>
+      r.values.map(render).mkString("(", ",", ")")
     case f: java.lang.Float => java.lang.Float.floatToIntBits(f).toString
     case d: java.lang.Double => java.lang.Double.doubleToLongBits(d).toString
     case other => String.valueOf(other)
