@@ -243,6 +243,20 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
       None),
 
+    "q_agg_corr" -> Q(
+      // bivariate statistics (CH corr()/covarPop() equivalents)
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covp_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covs_qp")),
+      Some("""SELECT l_returnflag,
+                     round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+                     round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp,
+                     round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp
+              FROM lineitem GROUP BY l_returnflag""")),
+
     "q_agg_approx_quantile" -> Q(
       // t-digest-class approximate percentile (CH quantile() default is
       // approximate too) — mergeable sketch, the 100-TB replacement for
@@ -336,6 +350,23 @@ object RelationalQueries {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value
               FROM ${Q.eventsOracle} WHERE user_id < 50
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
+    "q_window_ntile" -> Q(
+      // distribution ranking: ntile buckets + relative ranks
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer").select(
+          col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+                     CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                     round(percent_rank() OVER w, 6) AS pct_rank,
+                     round(cume_dist() OVER w, 6) AS cdist
+              FROM customer
+              WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""")),
 
     "q_window_frame" -> Q(
       (s, dir) => {
