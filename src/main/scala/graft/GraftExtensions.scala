@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Fnv1a64, MinHashSketchAgg, SimHash64, VecDot}
+import graft.functions.{Fnv1a64, MinHashSketchAgg, ShingleHashes, SimHash64, VecDot}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -38,6 +38,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "vec_dot takes exactly two array arguments")
         VecDot(children.head, children(1))
+      }))
+    // shingle_hashes(text, n) — generator: one row per word-n-gram hash
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "shingle_hashes takes (text, n)")
+        val n = children(1) match {
+          case lit if lit.foldable && lit.dataType == org.apache.spark.sql.types.IntegerType =>
+            lit.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes n must be an integer literal, got $other")
+        }
+        ShingleHashes(children.head, n)
       }))
     // minhash_agg(shingle_hash, k) — mergeable MinHash sketch aggregate;
     // k must be a literal (it sizes the aggregation buffer at plan time)

@@ -58,6 +58,47 @@ object HashExpressions {
 }
 
 /**
+ * `shingle_hashes(text, n) -> rows of bigint` — a Catalyst
+ * [[org.apache.spark.sql.catalyst.expressions.Generator]]: emits one
+ * row per distinct word-n-gram shingle hash, straight into the
+ * `Generate` operator with no intermediate array column (the
+ * `explode(udf(...))` form materializes every document's full shingle
+ * array before exploding it). Completes the extension ladder —
+ * scalar expression (`fnv1a64`), aggregate (`minhash_agg`), generator
+ * (this) — mirroring the reference's table-function surface
+ * (src/lib.rs:368-373 registers table functions into the host).
+ */
+case class ShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes requires a string argument, got ${child.dataType.simpleString}")
+    else if (n <= 0)
+      TypeCheckResult.TypeCheckFailure(s"shingle_hashes n=$n must be > 0")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sh", LongType, nullable = false)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else TextHash.shingleHashes(t.asInstanceOf[UTF8String].toString, n)
+      .map(h => org.apache.spark.sql.catalyst.InternalRow(h))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/**
  * `vec_dot(array<float|double>, array<float|double>) -> double` —
  * codegen'd dot product for embedding similarity (the hot inner loop
  * of cosine top-k, IVF/LSH bucketing, and embedding near-dup verify).

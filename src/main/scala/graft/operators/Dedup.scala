@@ -61,11 +61,14 @@ object Dedup {
     // --- signature stage -------------------------------------------------
     val sigs =
       if (useAggregator) {
-        // grouped formulation: explode shingles, shuffle by id, merge
-        // partial elementwise-min sketches (MinHashSketchAgg, registered
-        // as minhash_agg by GraftExtensions — ObjectHashAggregate keeps
-        // the k-wide buffer a raw array between updates)
-        df.select(col(idCol).as("id"), explode(shinglesUdf(col(textCol), lit(shingleN))).as("sh"))
+        // grouped formulation: generate shingle rows (ShingleHashes
+        // Generator — no intermediate array column), shuffle by id,
+        // merge partial elementwise-min sketches (MinHashSketchAgg,
+        // registered as minhash_agg by GraftExtensions —
+        // ObjectHashAggregate keeps the k-wide buffer a raw array
+        // between updates)
+        df.select(col(idCol).as("id"),
+            call_function("shingle_hashes", col(textCol), lit(shingleN)).as("sh"))
           .groupBy("id").agg(expr(s"minhash_agg(sh, $k)").as("sig"))
       } else {
         // per-row formulation: pure map, no shuffle

@@ -278,6 +278,30 @@ object LlmQueries {
         .selectExpr("doc_id", "fnv1a64(text) AS content_hash", "simhash64(text) AS sim_fp"),
       None),
 
+    "q_pii_redact" -> Q(
+      // PII scrubbing: email/phone redaction plus a per-document count —
+      // a standard pre-training cleanup pass. Patterns restricted to
+      // Java-regex/RE2-identical syntax (classes, bounded quantifiers,
+      // \b, \d); Spark regexp_replace is global by default, DuckDB
+      // needs the 'g' flag.
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("clean_text"),
+          (regexp_count(col("text"), lit(emailRe)) +
+            regexp_count(col("text"), lit(phoneRe))).as("n_pii"))
+      },
+      Some("""SELECT doc_id,
+                     regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS clean_text,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        + len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INTEGER) AS n_pii
+              FROM documents""")),
+
     "q_fingerprint" -> Q(
       // content-hash fingerprint (oracle-checkable via md5); the
       // edit-tolerant winnowing fingerprint rides along rows-only in

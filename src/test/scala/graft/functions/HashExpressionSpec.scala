@@ -40,6 +40,17 @@ class HashExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle_hashes generator emits exactly TextHash.shingleHashes rows") {
+    val docs = spark.read.parquet(s"${SparkTestBase.sfDir}/documents.parquet").limit(20)
+    val viaGen = docs.selectExpr("doc_id", "shingle_hashes(text, 3) AS sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = docs.select("doc_id", "text").collect().map { r =>
+      r.getLong(0) -> TextHash.shingleHashes(r.getString(1), 3).toSet
+    }.toMap
+    assert(viaGen === expected)
+  }
+
   test("vec_dot equals the higher-order-function formulation bit-for-bit") {
     val emb = spark.read.parquet(s"${SparkTestBase.sfDir}/embeddings.parquet").limit(50)
       .select(col("embedding").as("a"), reverse(col("embedding")).as("b"))
