@@ -106,6 +106,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash: sketches over a document stream equal batch signatures") {
+    // THE reason the mergeable aggregate exists: a document arriving in
+    // pieces across micro-batches accumulates the same sketch as a
+    // single-pass batch computation (elementwise-min is order-free).
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "completely different words about distributed query engines and shuffles")
+    val input = MemoryStream[(Long, String)]
+    val sigs = input.toDF().toDF("doc_id", "chunk")
+      .select(col("doc_id"), call_function("shingle_hashes", col("chunk"), lit(3)).as("sh"))
+      .groupBy("doc_id").agg(expr("minhash_agg(sh, 128)").as("sig"))
+    val q = sigs.writeStream.format("memory").queryName("mh_t").outputMode("update").start()
+    try {
+      // doc 1 arrives split across two micro-batches (each chunk is a
+      // full shingle window; batch reference uses chunk-wise union)
+      val (h1, h2) = texts(1L).split(" ").splitAt(6) match {
+        case (a, b) => (a.mkString(" "), b.mkString(" "))
+      }
+      input.addData((1L, h1), (2L, texts(2L)))
+      q.processAllAvailable()
+      input.addData((1L, h2))
+      q.processAllAvailable()
+      // update mode re-emits a group per batch; sketch updates only
+      // lower slots, so the elementwise min across emissions IS the
+      // final signature (no reliance on sink row order)
+      val streamed = spark.table("mh_t").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1))
+        .groupBy(_._1).view.mapValues(_.map(_._2)
+          .reduce((a, b) => a.zip(b).map(p => math.min(p._1, p._2)))).toMap
+      val expect1 = graft.functions.TextHash.minhashSignature(
+        graft.functions.TextHash.shingleHashes(h1, 3) ++
+          graft.functions.TextHash.shingleHashes(h2, 3), 128).toSeq
+      val expect2 = graft.functions.TextHash.minhashSignature(
+        graft.functions.TextHash.shingleHashes(texts(2L), 3), 128).toSeq
+      assert(streamed(1L) === expect1)
+      assert(streamed(2L) === expect2)
+    } finally q.stop()
+  }
+
   test("file-based event stream matches the batch tumbling aggregation") {
     val dir = SparkTestBase.sfDir
     val stream = EventStreams.readEventStream(spark, dir)
