@@ -34,9 +34,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *    src/lib.rs:251, :271-274);
  *  - data streams block-by-block in executors — nothing is ever
  *    materialized on the driver;
- *  - one input partition per file: a directory/glob of native files
- *    scans in parallel across executors (the format itself has no
- *    intra-file split points — "full-scans at this time", README.md:51);
+ *  - a directory/glob of native files scans in parallel across
+ *    executors; files carrying a [[NativeIndex]] sidecar (everything
+ *    our writer produces) additionally split INTRA-file into
+ *    maxPartitionBytes block ranges — foreign files without one fall
+ *    back to a single partition (the raw format has no discoverable
+ *    split points — "full-scans at this time", README.md:51);
  *  - column pruning is pushed into the block decoder
  *    (SupportsPushDownRequiredColumns → skip-decode), limit pushdown
  *    stops block iteration early (SupportsPushDownLimit);
@@ -99,7 +102,11 @@ private[sources] object NativeIO {
   }
 
   /** Expand dirs and globs into concrete .clickhouse/.native data files. */
-  def resolveFiles(paths: Seq[String], conf: Configuration): Seq[Path] = {
+  def resolveFiles(paths: Seq[String], conf: Configuration): Seq[Path] =
+    resolveFileStatuses(paths, conf).map(_.getPath)
+
+  /** Same, keeping the FileStatus (length) from the single listing RPC. */
+  def resolveFileStatuses(paths: Seq[String], conf: Configuration): Seq[org.apache.hadoop.fs.FileStatus] = {
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -108,10 +115,9 @@ private[sources] object NativeIO {
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq
             .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-            .map(_.getPath)
-        else Seq(st.getPath)
+        else Seq(st)
       }
-    }.sortBy(_.toString)
+    }.sortBy(_.getPath.toString)
   }
 }
 
@@ -331,10 +337,16 @@ private[native] class NativeCountReaderFactory(conf: SerializableHadoopConf)
       override def next(): Boolean = {
         if (emitted) return false
         val path = new Path(file)
-        val blocks = new NativeBlockReader(path.getFileSystem(conf.value).open(path),
-          Some(Set.empty))
-        try while (blocks.hasNext) count += blocks.next().numRows
-        finally blocks.close()
+        val fs = path.getFileSystem(conf.value)
+        // Indexed file: the row count is in the sidecar — a count(*)
+        // over an indexed directory never opens a data file at all.
+        NativeIndex.read(fs, path, fs.getFileStatus(path).getLen) match {
+          case Some(entries) => count = entries.map(_.rows).sum
+          case None =>
+            val blocks = new NativeBlockReader(fs.open(path), Some(Set.empty))
+            try while (blocks.hasNext) count += blocks.next().numRows
+            finally blocks.close()
+        }
         emitted = true
         true
       }
@@ -356,22 +368,57 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
    * scan defaults to "unknown size" and joins pessimistically.
    */
   override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val resolved =
+      try NativeIO.resolveFileStatuses(paths, conf.value)
+      catch { case _: Exception => Seq.empty }
     private lazy val totalBytes: OptionalLong =
+      if (resolved.isEmpty) OptionalLong.empty()
+      else OptionalLong.of(resolved.map(_.getLen).sum)
+    // Exact row count from the index sidecars — but only when EVERY
+    // file has one (a partial sum would mislead the CBO low).
+    private lazy val totalRows: OptionalLong =
       try {
-        val files = NativeIO.resolveFiles(paths, conf.value)
-        OptionalLong.of(files.map { p =>
-          p.getFileSystem(conf.value).getFileStatus(p).getLen
-        }.sum)
+        val counts = resolved.map { st =>
+          NativeIndex.read(st.getPath.getFileSystem(conf.value), st.getPath, st.getLen)
+            .map(_.map(_.rows).sum)
+        }
+        if (counts.nonEmpty && counts.forall(_.isDefined))
+          OptionalLong.of(counts.flatten.sum)
+        else OptionalLong.empty()
       } catch { case _: Exception => OptionalLong.empty() }
     override def sizeInBytes(): OptionalLong = totalBytes
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    override def numRows(): OptionalLong = totalRows
   }
   override def description(): String =
     s"clickhouse_native ${paths.mkString(",")} cols=[${required.fieldNames.mkString(",")}]" +
       (if (limit >= 0) s" limit=$limit" else "")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    NativeIO.resolveFiles(paths, conf.value).map(p => NativeInputPartition(p.toString): InputPartition).toArray
+  /**
+   * One partition per file — EXCEPT files our writer indexed
+   * ([[NativeIndex]] sidecar), which split into
+   * `spark.sql.files.maxPartitionBytes`-sized block ranges, the same
+   * way Spark's parquet scan splits on row groups. A 100 GB native
+   * file with a sidecar fans out across the cluster instead of
+   * serializing on one core; foreign files degrade to whole-file
+   * partitions as before.
+   */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val target = SparkSession.getActiveSession
+      .map(_.sessionState.conf.filesMaxPartitionBytes)
+      .getOrElse(128L * 1024 * 1024)
+    NativeIO.resolveFileStatuses(paths, conf.value).flatMap { st =>
+      val p = st.getPath
+      val whole = Seq(NativeInputPartition(p.toString))
+      if (st.getLen <= target) whole // small file: skip the sidecar RPC
+      else NativeIndex.read(p.getFileSystem(conf.value), p, st.getLen) match {
+        case Some(entries) =>
+          NativeIndex.splitRanges(entries, st.getLen, target).map {
+            case (offset, nBlocks, _) => NativeInputPartition(p.toString, offset, nBlocks)
+          }
+        case None => whole
+      }
+    }.map(x => x: InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NativeReaderFactory(required, limit, conf)
@@ -381,12 +428,18 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
     new NativeMicroBatchStream(required, paths, conf, checkpointLocation)
 }
 
-private[native] case class NativeInputPartition(file: String) extends InputPartition
+/**
+ * One unit of scan work: a whole file (blockCount = -1), or — when the
+ * file has a valid [[NativeIndex]] sidecar — a contiguous block range
+ * starting at byte `start`, `blockCount` blocks long.
+ */
+private[native] case class NativeInputPartition(file: String, start: Long = 0L,
+    blockCount: Int = -1) extends InputPartition
 
 private[native] class NativeReaderFactory(required: StructType, limit: Int,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NativePartitionReader(partition.asInstanceOf[NativeInputPartition].file, required, limit, conf.value)
+    new NativePartitionReader(partition.asInstanceOf[NativeInputPartition], required, limit, conf.value)
 
   /**
    * Columnar emit for flat schemas: the wire format is already
@@ -404,20 +457,22 @@ private[native] class NativeReaderFactory(required: StructType, limit: Int,
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new NativeColumnarPartitionReader(
-      partition.asInstanceOf[NativeInputPartition].file, required, conf.value)
+      partition.asInstanceOf[NativeInputPartition], required, conf.value)
 }
 
 /** Executor-side columnar reader: one Native block → one ColumnarBatch. */
-private[native] class NativeColumnarPartitionReader(file: String, required: StructType,
-    conf: Configuration)
+private[native] class NativeColumnarPartitionReader(part: NativeInputPartition,
+    required: StructType, conf: Configuration)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
-  private val path = new Path(file)
+  private val path = new Path(part.file)
   private val stream = path.getFileSystem(conf).open(path)
-  private val blocks = new NativeBlockReader(stream, Some(required.fieldNames.toSet))
+  if (part.start > 0) stream.seek(part.start)
+  private val blocks = new NativeBlockReader(stream, Some(required.fieldNames.toSet),
+    part.blockCount)
   private var batch: ColumnarBatch = _
 
   override def next(): Boolean = {
@@ -529,12 +584,14 @@ private[native] class NativeColumnarPartitionReader(file: String, required: Stru
  * block at a time (never the whole file — contrast reference
  * src/lib.rs:271-279 which materializes everything, twice).
  */
-private[native] class NativePartitionReader(file: String, required: StructType, limit: Int,
-    conf: Configuration) extends PartitionReader[InternalRow] {
+private[native] class NativePartitionReader(part: NativeInputPartition, required: StructType,
+    limit: Int, conf: Configuration) extends PartitionReader[InternalRow] {
 
-  private val path = new Path(file)
+  private val path = new Path(part.file)
   private val stream = path.getFileSystem(conf).open(path)
-  private val blocks = new NativeBlockReader(stream, Some(required.fieldNames.toSet))
+  if (part.start > 0) stream.seek(part.start)
+  private val blocks = new NativeBlockReader(stream, Some(required.fieldNames.toSet),
+    part.blockCount)
 
   private var colValues: Array[Array[Any]] = _ // per required-field value arrays
   private var rowsInBlock = 0
@@ -571,7 +628,7 @@ private[native] class NativePartitionReader(file: String, required: StructType, 
     try blocks.hasNext
     catch {
       case e: java.io.IOException =>
-        throw new java.io.IOException(s"clickhouse_native: corrupt or truncated file $file: ${e.getMessage}", e)
+        throw new java.io.IOException(s"clickhouse_native: corrupt or truncated file ${part.file}: ${e.getMessage}", e)
     }
 
   override def get(): InternalRow = row
@@ -726,15 +783,31 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
   // commit NO file (a zero-byte part would poison schema inference for
   // the whole directory).
   private var writer: NativeBlockWriter = _
+  private var currentFile: Path = _
+  // block offsets of the current file, for the NativeIndex sidecar
+  // that makes our own output intra-file splittable on read
+  private val blockIndex = scala.collection.mutable.ArrayBuffer.empty[NativeIndex.BlockEntry]
   private val buffer = Array.fill(schema.length)(new scala.collection.mutable.ArrayBuffer[Any](rowsPerBlock))
   private var buffered = 0
 
+  /** Close the open part and commit its sidecar (offsets + final length). */
+  private def closeCurrentFile(): Unit = {
+    if (writer != null) {
+      val len = writer.position // flushes; equals final file length
+      writer.close()
+      writer = null
+      NativeIndex.write(currentFile.getFileSystem(conf), currentFile, blockIndex.toSeq, len)
+    }
+    blockIndex.clear()
+  }
+
   private def rotate(): Unit = {
-    if (writer != null) writer.close()
+    closeCurrentFile()
     fileSeq += 1
     rowsInFile = 0
     val p = new Path(f"$dir/${filePrefix}part-$partitionId%05d-$taskId-$fileSeq%03d.clickhouse")
     written += p
+    currentFile = p
     writer = new NativeBlockWriter(p.getFileSystem(conf).create(p, true))
   }
 
@@ -774,6 +847,7 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
       val cols = schema.fields.indices.map { i =>
         NativeColumn(schema.fields(i).name, effectiveTypes(i), buffer(i).toArray)
       }.toArray
+      blockIndex += NativeIndex.BlockEntry(writer.position, buffered.toLong)
       writer.writeBlock(NativeBlock(cols, buffered))
       rowsInFile += buffered
       buffer.foreach(_.clear())
@@ -783,18 +857,20 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
 
   override def commit(): WriterCommitMessage = {
     flush()
-    if (writer != null) writer.close()
+    closeCurrentFile()
     NativeCommitMessage(written.map(_.toString).toSeq)
   }
 
   override def abort(): Unit = {
     // Failed/speculative attempt: remove ALL part files this attempt
-    // produced so a retry (different taskId → different names) can't
-    // leave truncated or duplicate data behind.
+    // produced (and their index sidecars) so a retry (different taskId
+    // → different names) can't leave truncated or duplicate data behind.
     if (writer != null) writer.close()
     written.foreach { p =>
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) fs.delete(p, false)
+      val idx = NativeIndex.sidecarPath(p)
+      if (fs.exists(idx)) fs.delete(idx, false)
     }
   }
   override def close(): Unit = ()

@@ -27,18 +27,24 @@ import graft.sources.native.NativeCodec.{Input, Output}
  *                   columns are skip-decoded (ColumnCodec.skip) — the
  *                   format is column-contiguous within a block, so
  *                   fixed-width columns cost a single seek.
+ * @param blockLimit stop after this many blocks (-1 = until EOF) —
+ *                   how an intra-file split partition ([[NativeIndex]])
+ *                   reads exactly its block range after seeking.
  */
-final class NativeBlockReader(stream: InputStream, projection: Option[Set[String]] = None)
+final class NativeBlockReader(stream: InputStream, projection: Option[Set[String]] = None,
+    blockLimit: Int = -1)
     extends Iterator[NativeBlock] with AutoCloseable {
 
   private val in = new Input(if (stream.isInstanceOf[BufferedInputStream]) stream
     else new BufferedInputStream(stream, 64 * 1024))
   private var nextBlock: NativeBlock = _
+  private var blocksRead = 0
   private var finished = false
 
   override def hasNext: Boolean = {
     if (finished) return false
     if (nextBlock != null) return true
+    if (blockLimit >= 0 && blocksRead >= blockLimit) { finished = true; close(); return false }
     readBlock() match {
       case Some(b) => nextBlock = b; true
       case None => finished = true; close(); false
@@ -71,6 +77,7 @@ final class NativeBlockReader(stream: InputStream, projection: Option[Set[String
       }
       c += 1
     }
+    blocksRead += 1
     Some(NativeBlock(cols.result(), nRows))
   }
 
@@ -118,8 +125,15 @@ object NativeBlockReader {
 
 /** Streaming block writer — the inverse, for fixtures and the sink path. */
 final class NativeBlockWriter(stream: OutputStream) extends AutoCloseable {
-  private val out = new Output(if (stream.isInstanceOf[BufferedOutputStream]) stream
-    else new BufferedOutputStream(stream, 64 * 1024))
+  private val counting = new CountingOutputStream(stream)
+  private val out = new Output(new BufferedOutputStream(counting, 64 * 1024))
+
+  /**
+   * Byte offset the NEXT write lands at (flushes the buffer — call
+   * once per block, not per value). Lets the data writer record block
+   * offsets for the [[NativeIndex]] sidecar.
+   */
+  def position: Long = { out.flush(); counting.count }
 
   def writeBlock(block: NativeBlock): Unit = {
     out.writeVarUInt(block.columns.length.toLong)
