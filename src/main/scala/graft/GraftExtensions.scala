@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Fnv1a64, MinHashSketchAgg, ShingleHashes, SimHash64, VecDot}
+import graft.functions.{Fnv1a64, MinHashSketchAgg, ShingleHashes, SimHash64, TopKAgg, VecDot}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -68,6 +68,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_agg k must be an integer literal, got $other")
         }
         MinHashSketchAgg(children.head, k)
+      }))
+    // topk_agg(col, k) — mergeable Misra–Gries heavy hitters (CH topK)
+    ext.injectFunction((
+      new FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "topk_agg takes (col, k)")
+        val k = children(1) match {
+          case lit if lit.foldable && (lit.dataType == org.apache.spark.sql.types.IntegerType ||
+              lit.dataType == org.apache.spark.sql.types.LongType) =>
+            lit.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"topk_agg k must be an integer literal, got $other")
+        }
+        TopKAgg(children.head, k)
       }))
   }
 }

@@ -257,6 +257,35 @@ object RelationalQueries {
                      round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp
               FROM lineitem GROUP BY l_returnflag""")),
 
+    "q_agg_topk" -> Q(
+      // CH topK(k) heavy hitters — mergeable Misra–Gries sketch
+      // (functions/TopKAggregator.scala); partials summarize per
+      // partition, only capacity-bounded maps cross the shuffle.
+      // Estimates are sketch-dependent → no SQL oracle; the frequency
+      // guarantee is asserted in TopKAggSpec.
+      (s, dir) => t(s, dir, "lineitem")
+        .agg(call_function("topk_agg", col("l_suppkey"), lit(10)).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("pos"), col("col.value").as("suppkey"),
+          col("col.count_est").as("count_est")),
+      None),
+
+    "q_agg_argminmax" -> Q(
+      // CH argMax(x, y)/argMin(x, y) — the value of x at the extreme of
+      // y. Deterministic because o_orderkey (the ordering value) is
+      // unique; max_by on a tied value would be engine-dependent.
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_custkey"), col("o_orderkey")).as("last_cust"),
+          min_by(col("o_custkey"), col("o_orderkey")).as("first_cust"),
+          max(col("o_orderkey")).as("max_key")),
+      Some("""SELECT o_orderpriority,
+                     arg_max(o_custkey, o_orderkey) AS last_cust,
+                     arg_min(o_custkey, o_orderkey) AS first_cust,
+                     max(o_orderkey) AS max_key
+              FROM orders GROUP BY o_orderpriority""")),
+
     "q_agg_approx_quantile" -> Q(
       // t-digest-class approximate percentile (CH quantile() default is
       // approximate too) — mergeable sketch, the 100-TB replacement for
@@ -629,6 +658,26 @@ object RelationalQueries {
                           ELSE 'high' END AS tier,
                      coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
                      CASE WHEN c_acctbal > 0 THEN c_acctbal END AS pos_bal
-              FROM customer"""))
+              FROM customer""")),
+
+    "q_fn_bitwise" -> Q(
+      // CH bitAnd/bitOr/bitXor/bitNot/bitShiftLeft family. DuckDB's `^`
+      // is exponentiation, so the oracle spells XOR as xor(); Spark's
+      // shiftleft preserves the input width, so both sides stay BIGINT.
+      (s, dir) => t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_orderkey").bitwiseAND(255)).as("and255"),
+        (col("l_orderkey").bitwiseOR(col("l_linenumber"))).as("or_ln"),
+        (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("xor_pk"),
+        shiftleft(col("l_linenumber"), 4).as("shl4"),
+        shiftright(col("l_orderkey"), 3).as("shr3")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_orderkey & 255 AS and255,
+                     l_orderkey | l_linenumber AS or_ln,
+                     xor(l_orderkey, l_partkey) AS xor_pk,
+                     l_linenumber << 4 AS shl4,
+                     l_orderkey >> 3 AS shr3
+              FROM lineitem"""))
   )
 }
