@@ -74,6 +74,31 @@ object EventStreams {
       }
   }
 
+  /**
+   * Stream-stream interval join: each click pairs with the same user's
+   * views from the preceding 5 minutes. BOTH sides carry watermarks
+   * and the join condition bounds event-time distance, so Spark can
+   * evict join state as the watermark advances — the only shape whose
+   * state stays finite on unbounded inputs. State is keyed by user_id,
+   * so it shuffles and scales horizontally like any keyed aggregation.
+   */
+  def clicksWithRecentViews(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 5 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   /** File-based streaming read of the harness events table (handles
     * both micros-timestamp and nanos-as-long parquet, like Q.events). */
   def readEventStream(s: SparkSession, dir: String): DataFrame = {

@@ -167,4 +167,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-stream interval join equals the batch join and bounds state") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val joined = EventStreams.clicksWithRecentViews(input.toDF())
+    val q = joined.writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append").start()
+    val events = Seq(
+      Event(1, ts("00:01"), 10, "view", 0.0),
+      Event(2, ts("00:03"), 10, "click", 0.0),  // joins view 1 (2m before)
+      Event(3, ts("00:02"), 11, "view", 0.0),
+      Event(4, ts("00:09"), 11, "click", 0.0),  // 7m after view 3 → outside 5m
+      Event(5, ts("00:04"), 10, "view", 0.0),
+      Event(6, ts("00:06"), 10, "click", 0.0),  // joins views 1 AND 5
+      Event(7, ts("00:05"), 12, "click", 0.0))  // no view for user 12
+    try {
+      // two micro-batches, split mid-stream: results must not depend on
+      // batch boundaries
+      input.addData(events.take(4): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(4): _*)
+      q.processAllAvailable()
+      // close join state by advancing watermark far ahead
+      input.addData(Event(99, ts("02:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_t")
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch reference: same join logic on a static frame
+      val batch = EventStreams.clicksWithRecentViews(events.toDF())
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === Set((2L, 1L), (6L, 1L), (6L, 5L)))
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
