@@ -159,10 +159,11 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String])
 
 private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownFilters {
   private var required: StructType = fullSchema
   private var limit: Int = -1
   private var countStar = false
+  private var prunableFilters: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Catalyst hands us exactly the referenced columns; decode only those.
@@ -170,6 +171,19 @@ private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[Strin
   }
 
   override def pushLimit(l: Int): Boolean = { limit = l; false /* keep host-side limit too */ }
+
+  /**
+   * Filters are used for ZONE-MAP pruning only (skip blocks/files whose
+   * sidecar min/max can't satisfy them) — every filter is returned as
+   * residual, so Spark still evaluates them row-by-row and semantics
+   * never depend on sidecar correctness. `pushedFilters` reports just
+   * the ones pruning can actually use, which is what EXPLAIN shows.
+   */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    prunableFilters = filters.filter(NativeIndex.prunable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = prunableFilters
 
   /**
    * `count(*)` pushdown: the row count is in every block header, so a
@@ -191,7 +205,7 @@ private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[Strin
   override def build(): Scan = {
     val conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf())
     if (countStar) new NativeCountScan(paths, conf)
-    else new NativeScan(fullSchema, required, paths, limit, conf)
+    else new NativeScan(fullSchema, required, paths, limit, conf, prunableFilters)
   }
 }
 
@@ -356,7 +370,8 @@ private[native] class NativeCountReaderFactory(conf: SerializableHadoopConf)
 }
 
 private[native] class NativeScan(fullSchema: StructType, required: StructType,
-    paths: Seq[String], limit: Int, conf: SerializableHadoopConf)
+    paths: Seq[String], limit: Int, conf: SerializableHadoopConf,
+    zoneFilters: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -391,7 +406,8 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
   }
   override def description(): String =
     s"clickhouse_native ${paths.mkString(",")} cols=[${required.fieldNames.mkString(",")}]" +
-      (if (limit >= 0) s" limit=$limit" else "")
+      (if (limit >= 0) s" limit=$limit" else "") +
+      (if (zoneFilters.nonEmpty) s" zonemap=[${zoneFilters.mkString(", ")}]" else "")
 
   /**
    * One partition per file — EXCEPT files our writer indexed
@@ -401,6 +417,12 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
    * file with a sidecar fans out across the cluster instead of
    * serializing on one core; foreign files degrade to whole-file
    * partitions as before.
+   *
+   * When filters were pushed, each block's sidecar zone maps are
+   * tested first and blocks (or entire files) that cannot match plan
+   * NO work — on data sorted by the filter column a point/range query
+   * reads O(matching blocks). Pruning is advisory: every filter is
+   * also a residual Spark re-evaluates per row.
    */
   override def planInputPartitions(): Array[InputPartition] = {
     val target = SparkSession.getActiveSession
@@ -409,10 +431,12 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
     NativeIO.resolveFileStatuses(paths, conf.value).flatMap { st =>
       val p = st.getPath
       val whole = Seq(NativeInputPartition(p.toString))
-      if (st.getLen <= target) whole // small file: skip the sidecar RPC
+      // small files skip the sidecar RPC unless filters could prune them
+      if (st.getLen <= target && zoneFilters.isEmpty) whole
       else NativeIndex.read(p.getFileSystem(conf.value), p, st.getLen) match {
         case Some(entries) =>
-          NativeIndex.splitRanges(entries, st.getLen, target).map {
+          NativeIndex.splitRangesKeeping(entries, st.getLen, target,
+            i => NativeIndex.blockMayMatch(entries(i).stats, zoneFilters.toSeq)).map {
             case (offset, nBlocks, _) => NativeInputPartition(p.toString, offset, nBlocks)
           }
         case None => whole
@@ -790,6 +814,64 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
   private val buffer = Array.fill(schema.length)(new scala.collection.mutable.ArrayBuffer[Any](rowsPerBlock))
   private var buffered = 0
 
+  /**
+   * Zone maps for the block about to flush: min/max per numeric/date/
+   * timestamp column (nulls ignored; a NaN or infinite double voids
+   * that column's stat — BigDecimal pruning can't represent them).
+   * One compare per value, noise next to varint encoding.
+   */
+  private def blockStats(): Map[String, NativeIndex.ColStat] = {
+    val out = Map.newBuilder[String, NativeIndex.ColStat]
+    var i = 0
+    while (i < schema.length) {
+      val vals = buffer(i)
+      def longStats(get: Any => Long): Unit = {
+        var mn = Long.MaxValue; var mx = Long.MinValue; var seen = false
+        var j = 0
+        while (j < vals.length) {
+          val v = vals(j)
+          if (v != null) {
+            val x = get(v)
+            if (x < mn) mn = x
+            if (x > mx) mx = x
+            seen = true
+          }
+          j += 1
+        }
+        if (seen) out += schema.fields(i).name -> NativeIndex.ColStat('l', mn.toString, mx.toString)
+      }
+      schema.fields(i).dataType match {
+        case IntegerType | DateType => longStats(_.asInstanceOf[Int].toLong)
+        case LongType | TimestampType | TimestampNTZType => longStats(_.asInstanceOf[Long])
+        case DoubleType | FloatType =>
+          var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+          var seen = false; var clean = true
+          var j = 0
+          while (clean && j < vals.length) {
+            val v = vals(j)
+            if (v != null) {
+              val x = v match {
+                case d: java.lang.Double => d.doubleValue()
+                case f: java.lang.Float => f.doubleValue()
+              }
+              if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) clean = false
+              else {
+                if (x < mn) mn = x
+                if (x > mx) mx = x
+                seen = true
+              }
+            }
+            j += 1
+          }
+          if (seen && clean)
+            out += schema.fields(i).name -> NativeIndex.ColStat('d', mn.toString, mx.toString)
+        case _ => ()
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Close the open part and commit its sidecar (offsets + final length). */
   private def closeCurrentFile(): Unit = {
     if (writer != null) {
@@ -847,7 +929,7 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
       val cols = schema.fields.indices.map { i =>
         NativeColumn(schema.fields(i).name, effectiveTypes(i), buffer(i).toArray)
       }.toArray
-      blockIndex += NativeIndex.BlockEntry(writer.position, buffered.toLong)
+      blockIndex += NativeIndex.BlockEntry(writer.position, buffered.toLong, blockStats())
       writer.writeBlock(NativeBlock(cols, buffered))
       rowsInFile += buffered
       buffer.foreach(_.clear())

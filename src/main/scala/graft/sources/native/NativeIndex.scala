@@ -34,21 +34,53 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * pushdown and size statistics also read it: a `count(*)` over an
  * indexed directory touches only the tiny sidecars, never the data.
  *
+ * Sidecars also carry per-block MIN/MAX for numeric/date/timestamp
+ * columns — zone maps, the parquet row-group-statistics trick — which
+ * the scan planner uses to skip whole blocks (and whole files) whose
+ * range cannot satisfy a pushed filter. On data sorted or clustered by
+ * the filter column, a point query reads O(matching blocks) instead of
+ * the whole table.
+ *
  * Format (line-oriented, UTF-8):
- *   CHIDX1 <dataFileByteLength> <blockCount>
- *   <blockByteOffset> <blockRowCount>       // one line per block
+ *   CHIDX2 <dataFileByteLength> <blockCount>
+ *   #cols <urlEncodedName>,<urlEncodedName>,...            // stats key
+ *   <offset> <rows>[ <colIdx>:<l|d>:<min>:<max>]...        // per block
+ * (CHIDX1, without the #cols line or stats, is still accepted.)
  */
 private[native] object NativeIndex {
 
-  final case class BlockEntry(offset: Long, rows: Long)
+  /** Per-column zone map: tag 'l' = long-valued (int/long/date/ts), 'd' = double. */
+  final case class ColStat(tag: Char, min: String, max: String) {
+    def minDec: java.math.BigDecimal = new java.math.BigDecimal(min)
+    def maxDec: java.math.BigDecimal = new java.math.BigDecimal(max)
+  }
+
+  final case class BlockEntry(offset: Long, rows: Long,
+      stats: Map[String, ColStat] = Map.empty)
 
   def sidecarPath(dataFile: Path): Path =
     new Path(dataFile.getParent, s".${dataFile.getName}.chidx")
 
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
   /** Write the sidecar for a just-closed data file of `dataLen` bytes. */
   def write(fs: FileSystem, dataFile: Path, entries: Seq[BlockEntry], dataLen: Long): Unit = {
-    val sb = new StringBuilder(s"CHIDX1 $dataLen ${entries.length}\n")
-    entries.foreach(e => sb.append(e.offset).append(' ').append(e.rows).append('\n'))
+    // stats column universe, in first-seen order, indexed by the #cols line
+    val cols = entries.flatMap(_.stats.keys).distinct
+    val colIdx = cols.zipWithIndex.toMap
+    val sb = new StringBuilder(s"CHIDX2 $dataLen ${entries.length}\n")
+    sb.append("#cols ").append(cols.map(enc).mkString(",")).append('\n')
+    entries.foreach { e =>
+      sb.append(e.offset).append(' ').append(e.rows)
+      e.stats.foreach { case (name, st) =>
+        sb.append(' ').append(colIdx(name)).append(':').append(st.tag)
+          .append(':').append(st.min).append(':').append(st.max)
+      }
+      sb.append('\n')
+    }
     val out: OutputStream = fs.create(sidecarPath(dataFile), true)
     try out.write(sb.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
@@ -76,20 +108,37 @@ private[native] object NativeIndex {
     val lines = text.split('\n').filter(_.nonEmpty)
     if (lines.isEmpty) return None
     val header = lines(0).split(' ')
-    if (header.length != 3 || header(0) != "CHIDX1") return None
+    if (header.length != 3 || (header(0) != "CHIDX1" && header(0) != "CHIDX2")) return None
+    val v2 = header(0) == "CHIDX2"
     val (len, count) =
       try (header(1).toLong, header(2).toInt)
       catch { case _: NumberFormatException => return None }
-    if (len != dataLen || count != lines.length - 1 || count == 0) return None
+    val firstBlockLine = if (v2) 2 else 1
+    if (v2 && (lines.length < 2 || !lines(1).startsWith("#cols "))) return None
+    val cols: Array[String] =
+      if (!v2) Array.empty
+      else {
+        val names = lines(1).stripPrefix("#cols ").trim
+        if (names.isEmpty) Array.empty else names.split(',').map(dec)
+      }
+    if (len != dataLen || count != lines.length - firstBlockLine || count == 0) return None
     val entries = new Array[BlockEntry](count)
     var i = 0
     var prev = -1L
     while (i < count) {
-      val parts = lines(i + 1).split(' ')
-      if (parts.length != 2) return None
+      val parts = lines(i + firstBlockLine).split(' ')
+      if (parts.length < 2) return None
       val e =
-        try BlockEntry(parts(0).toLong, parts(1).toLong)
-        catch { case _: NumberFormatException => return None }
+        try {
+          val stats = parts.drop(2).map { tok =>
+            val f = tok.split(':')
+            if (f.length != 4 || f(1).length != 1) return None
+            val idx = f(0).toInt
+            if (idx < 0 || idx >= cols.length) return None
+            cols(idx) -> ColStat(f(1).charAt(0), f(2), f(3))
+          }.toMap
+          BlockEntry(parts(0).toLong, parts(1).toLong, stats)
+        } catch { case _: NumberFormatException => return None }
       if (e.offset <= prev || e.offset >= len || (i == 0 && e.offset != 0L)) return None
       prev = e.offset
       entries(i) = e
@@ -104,27 +153,115 @@ private[native] object NativeIndex {
    * (startOffset, blockCount, rowCount) triples in file order.
    */
   def splitRanges(entries: Array[BlockEntry], dataLen: Long, targetBytes: Long)
-      : Seq[(Long, Int, Long)] = {
+      : Seq[(Long, Int, Long)] =
+    splitRangesKeeping(entries, dataLen, targetBytes, _ => true)
+
+  /**
+   * Same, but only over blocks `keep` selects (zone-map pruning):
+   * skipped blocks break ranges, so every emitted range is a
+   * contiguous run of kept blocks a reader can stream without
+   * re-seeking. May return Nil — a fully pruned file plans NO work.
+   */
+  def splitRangesKeeping(entries: Array[BlockEntry], dataLen: Long, targetBytes: Long,
+      keep: Int => Boolean): Seq[(Long, Int, Long)] = {
     val out = Seq.newBuilder[(Long, Int, Long)]
-    var startIdx = 0
+    var startIdx = -1 // current run start, -1 = no open run
     var bytes = 0L
     var rows = 0L
     var i = 0
+    def closeRun(endExclusive: Int): Unit = {
+      if (startIdx >= 0) out += ((entries(startIdx).offset, endExclusive - startIdx, rows))
+      startIdx = -1; bytes = 0L; rows = 0L
+    }
     while (i < entries.length) {
-      val end = if (i + 1 < entries.length) entries(i + 1).offset else dataLen
-      val blockBytes = end - entries(i).offset
-      if (bytes > 0 && bytes + blockBytes > targetBytes) {
-        out += ((entries(startIdx).offset, i - startIdx, rows))
-        startIdx = i
-        bytes = 0L
-        rows = 0L
+      if (!keep(i)) closeRun(i)
+      else {
+        val end = if (i + 1 < entries.length) entries(i + 1).offset else dataLen
+        val blockBytes = end - entries(i).offset
+        if (startIdx >= 0 && bytes + blockBytes > targetBytes) closeRun(i)
+        if (startIdx < 0) startIdx = i
+        bytes += blockBytes
+        rows += entries(i).rows
       }
-      bytes += blockBytes
-      rows += entries(i).rows
       i += 1
     }
-    out += ((entries(startIdx).offset, entries.length - startIdx, rows))
+    closeRun(entries.length)
     out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // Zone-map filter evaluation (conservative: "might this block hold a
+  // matching row?"). All comparisons run in BigDecimal — exact for
+  // 64-bit longs, so float rounding can never prune a matching block.
+  // ------------------------------------------------------------------
+
+  import org.apache.spark.sql.{sources => f}
+
+  /** Can this filter ever contribute to block pruning? (for explain) */
+  def prunable(filter: f.Filter): Boolean = filter match {
+    case f.EqualTo(_, v) => toDecimal(v).isDefined
+    case f.GreaterThan(_, v) => toDecimal(v).isDefined
+    case f.GreaterThanOrEqual(_, v) => toDecimal(v).isDefined
+    case f.LessThan(_, v) => toDecimal(v).isDefined
+    case f.LessThanOrEqual(_, v) => toDecimal(v).isDefined
+    case f.In(_, vs) => vs.nonEmpty && vs.forall(toDecimal(_).isDefined)
+    case f.And(l, r) => prunable(l) || prunable(r)
+    case f.Or(l, r) => prunable(l) && prunable(r)
+    case _ => false
+  }
+
+  /** True if a block with these zone maps could satisfy EVERY filter. */
+  def blockMayMatch(stats: Map[String, ColStat], filters: Seq[f.Filter]): Boolean =
+    filters.forall(mayMatch(stats, _))
+
+  private def mayMatch(stats: Map[String, ColStat], filter: f.Filter): Boolean = filter match {
+    case f.EqualTo(c, v) => rangeCheck(stats, c, v)((mn, mx, d) =>
+      mn.compareTo(d) <= 0 && mx.compareTo(d) >= 0)
+    case f.GreaterThan(c, v) => rangeCheck(stats, c, v)((_, mx, d) => mx.compareTo(d) > 0)
+    case f.GreaterThanOrEqual(c, v) => rangeCheck(stats, c, v)((_, mx, d) => mx.compareTo(d) >= 0)
+    case f.LessThan(c, v) => rangeCheck(stats, c, v)((mn, _, d) => mn.compareTo(d) < 0)
+    case f.LessThanOrEqual(c, v) => rangeCheck(stats, c, v)((mn, _, d) => mn.compareTo(d) <= 0)
+    case f.In(c, vs) => vs.isEmpty || vs.exists(v => rangeCheck(stats, c, v)((mn, mx, d) =>
+      mn.compareTo(d) <= 0 && mx.compareTo(d) >= 0))
+    case f.And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
+    case f.Or(l, r) => mayMatch(stats, l) || mayMatch(stats, r)
+    case _ => true // unknown predicate shapes never prune
+  }
+
+  private def rangeCheck(stats: Map[String, ColStat], col: String, value: Any)(
+      pred: (java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal) => Boolean)
+      : Boolean =
+    (stats.get(col), toDecimal(value)) match {
+      case (Some(st), Some(d)) =>
+        try pred(st.minDec, st.maxDec, d)
+        catch { case _: NumberFormatException => true } // corrupt stat → keep
+      case _ => true // no stats for this column, or non-numeric literal
+    }
+
+  /** Filter literal → BigDecimal in the column's stored representation
+    * (dates as epoch days, timestamps as epoch micros). None = can't prune. */
+  private[native] def toDecimal(value: Any): Option[java.math.BigDecimal] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    try value match {
+      case null => None
+      case i: java.lang.Integer => Some(java.math.BigDecimal.valueOf(i.longValue()))
+      case l: java.lang.Long => Some(java.math.BigDecimal.valueOf(l))
+      case s: java.lang.Short => Some(java.math.BigDecimal.valueOf(s.longValue()))
+      case b: java.lang.Byte => Some(java.math.BigDecimal.valueOf(b.longValue()))
+      case d: java.lang.Double =>
+        if (d.isNaN || d.isInfinite) None else Some(java.math.BigDecimal.valueOf(d))
+      case fl: java.lang.Float =>
+        if (fl.isNaN || fl.isInfinite) None
+        else Some(java.math.BigDecimal.valueOf(fl.doubleValue()))
+      case bd: java.math.BigDecimal => Some(bd)
+      case bd: scala.math.BigDecimal => Some(bd.bigDecimal)
+      case dt: java.sql.Date => Some(java.math.BigDecimal.valueOf(DateTimeUtils.fromJavaDate(dt).toLong))
+      case ld: java.time.LocalDate => Some(java.math.BigDecimal.valueOf(ld.toEpochDay))
+      case ts: java.sql.Timestamp => Some(java.math.BigDecimal.valueOf(DateTimeUtils.fromJavaTimestamp(ts)))
+      case in: java.time.Instant => Some(java.math.BigDecimal.valueOf(DateTimeUtils.instantToMicros(in)))
+      case ldt: java.time.LocalDateTime => Some(java.math.BigDecimal.valueOf(DateTimeUtils.localDateTimeToMicros(ldt)))
+      case _ => None
+    } catch { case _: Exception => None }
   }
 }
 

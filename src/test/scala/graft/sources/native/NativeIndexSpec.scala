@@ -105,6 +105,81 @@ class NativeIndexSpec extends AnyFunSuite {
     assert(spark.read.format("clickhouse_native").load(dir).count() === 100000L)
   }
 
+  test("sidecar carries per-block zone maps; strings excluded") {
+    val (_, part) = writeMultiBlock("stats", 200000)
+    val fs = part.getFileSystem(hadoopConf)
+    val entries = NativeIndex.read(fs, part, fs.getFileStatus(part).getLen).get
+    // data was written in id order: block b covers ids (b*65536, ...]
+    assert(entries(0).stats("id") === NativeIndex.ColStat('l', "1", "65536"))
+    assert(entries(1).stats("id").min === "65537")
+    assert(entries(0).stats("v").tag === 'd')
+    assert(entries(0).stats("v").min === "0.5")
+    assert(!entries(0).stats.contains("name")) // strings carry no zone maps
+  }
+
+  test("filter on a sorted column plans only the matching blocks; disjoint range plans none") {
+    val (dir, part) = writeMultiBlock("prune", 200000)
+    val fs = part.getFileSystem(hadoopConf)
+    val len = fs.getFileStatus(part).getLen
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (len / 5).toString)
+    try {
+      import org.apache.spark.sql.functions.col
+      val df = spark.read.format("clickhouse_native").load(dir)
+      val unfiltered = df.rdd.getNumPartitions
+      assert(unfiltered >= 4)
+      val point = df.filter(col("id") === 70000L)
+      assert(point.rdd.getNumPartitions === 1, "point lookup should plan one block")
+      assert(point.count() === 1L)
+      val range = df.filter(col("id") > 150000L && col("id") <= 150010L)
+      assert(range.rdd.getNumPartitions === 1)
+      assert(range.count() === 10L)
+      val none = df.filter(col("id") < 0L)
+      assert(none.rdd.getNumPartitions === 0, "fully pruned file should plan no work")
+      assert(none.count() === 0L)
+      // residual evaluation still applies: un-prunable filter stays correct
+      assert(df.filter(col("name") === "name_123").count() === 1L)
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("pruning is conservative: overlapping ranges keep blocks, results stay exact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = tmpDir("overlap")
+    // shuffled ids → every block's [min,max] overlaps every filter
+    val r = new scala.util.Random(7)
+    r.shuffle((1 to 150000).toList).map(i => (i.toLong, i % 97))
+      .toDF("id", "m").coalesce(1)
+      .write.format("clickhouse_native").mode("overwrite").save(dir)
+    val df = spark.read.format("clickhouse_native").load(dir)
+    assert(df.filter(col("id") <= 1000L).count() === 1000L)
+    assert(df.filter(col("id") === 42L).count() === 1L)
+  }
+
+  test("zone-map evaluation: operators, conjunction, disjunction, unknowns") {
+    import org.apache.spark.sql.sources._
+    val stats = Map(
+      "a" -> NativeIndex.ColStat('l', "10", "20"),
+      "v" -> NativeIndex.ColStat('d', "0.5", "1.5"))
+    def m(f: Filter) = NativeIndex.blockMayMatch(stats, Seq(f))
+    assert(m(EqualTo("a", 15L)) && !m(EqualTo("a", 21L)) && !m(EqualTo("a", 9L)))
+    assert(m(GreaterThan("a", 19L)) && !m(GreaterThan("a", 20L)))
+    assert(m(GreaterThanOrEqual("a", 20L)) && !m(GreaterThanOrEqual("a", 21L)))
+    assert(m(LessThan("a", 11L)) && !m(LessThan("a", 10L)))
+    assert(m(LessThanOrEqual("a", 10L)) && !m(LessThanOrEqual("a", 9L)))
+    assert(m(In("a", Array(1L, 2L, 12L))) && !m(In("a", Array(1L, 2L))))
+    assert(m(EqualTo("v", 1.0)) && !m(EqualTo("v", 2.0)))
+    assert(!m(And(EqualTo("a", 15L), EqualTo("v", 2.0))))
+    assert(m(Or(EqualTo("a", 99L), EqualTo("v", 1.0))))
+    assert(!m(Or(EqualTo("a", 99L), EqualTo("v", 9.0))))
+    assert(m(EqualTo("missing", 5L)))            // no stats → keep
+    assert(m(EqualTo("a", "not-a-number")))      // non-numeric literal → keep
+    assert(m(IsNull("a")))                       // unknown shape → keep
+    // date/timestamp literals translate to stored representations
+    assert(NativeIndex.toDecimal(java.sql.Date.valueOf("1970-01-11")).get.longValueExact === 10L)
+    assert(NativeIndex.toDecimal(java.time.LocalDate.ofEpochDay(25)).get.longValueExact === 25L)
+    assert(NativeIndex.toDecimal(java.time.Instant.ofEpochSecond(3)).get.longValueExact === 3000000L)
+  }
+
   test("splitRanges packs contiguous blocks to the byte target") {
     val entries = Array(
       NativeIndex.BlockEntry(0, 10), NativeIndex.BlockEntry(100, 10),
