@@ -89,7 +89,23 @@ object Bench {
         .agg(count(lit(1)).as("cnt")).collect()
     }).min
 
-    val all = results :+ ("native_count_1m" -> t1m)
+    // Zone-map pruning anchor: point lookup over a SORTED 1M-row native
+    // table (range() keeps ids contiguous per partition, so every
+    // block's [min,max] is disjoint). The sidecar prunes all but one
+    // block at plan time — the measured cost is one block's decode, not
+    // the table's.
+    val fxs = s"${sys.props("java.io.tmpdir")}/graft_bench/native_1m_sorted"
+    if (!new java.io.File(fxs).exists()) {
+      spark.range(1000000L).select(col("id").as("number"))
+        .write.format("clickhouse_native").mode("overwrite").save(fxs)
+    }
+    val tpt = (1 to 2).map(_ => time {
+      spark.read.format("clickhouse_native").load(fxs)
+        .filter(col("number") === 777777L)
+        .agg(count(lit(1)).as("cnt")).collect()
+    }).min
+
+    val all = results :+ ("native_count_1m" -> t1m) :+ ("native_point_lookup_1m" -> tpt)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -660,6 +660,22 @@ object RelationalQueries {
                      CASE WHEN c_acctbal > 0 THEN c_acctbal END AS pos_bal
               FROM customer""")),
 
+    "q_fn_struct" -> Q(
+      // CH Tuple construction + element access (tuple(x,y).1 / named
+      // tuples). Final projection flattens to scalars so both engines
+      // hash comparable columns.
+      (s, dir) => {
+        val tup = struct(col("n_name").as("nm"), col("n_regionkey").as("rk"))
+        t(s, dir, "nation").select(
+          col("n_nationkey"),
+          tup.getField("nm").as("nm"),
+          (tup.getField("rk") + 1).as("rk1"))
+      },
+      Some("""SELECT n_nationkey,
+                     (struct_pack(nm := n_name, rk := n_regionkey)).nm AS nm,
+                     (struct_pack(nm := n_name, rk := n_regionkey)).rk + 1 AS rk1
+              FROM nation""")),
+
     "q_fn_bitwise" -> Q(
       // CH bitAnd/bitOr/bitXor/bitNot/bitShiftLeft family. DuckDB's `^`
       // is exponentiation, so the oracle spells XOR as xor(); Spark's
