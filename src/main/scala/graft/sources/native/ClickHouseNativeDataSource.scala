@@ -125,10 +125,16 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String])
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"clickhouse_native(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
+  // NOT ACCEPT_ANY_SCHEMA: with it, Spark skips resolving an INSERT's
+  // input columns against the table schema, so `INSERT INTO t VALUES`
+  // wrote files whose columns were named col1/col2/... — which the
+  // by-name reader then resolved to all-null. Without it, Spark
+  // reorders/renames/casts the input to this schema before the writer
+  // ever sees a row.
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NativeScanBuilder(tableSchema, paths)

@@ -227,4 +227,23 @@ class NativeSourceSpec extends AnyFunSuite {
     val back = spark.read.format("clickhouse_native").load(dir)
     assert(back.collect().toSet === src.collect().toSet)
   }
+
+  test("SQL surface: CREATE TABLE USING clickhouse_native, INSERT INTO, SELECT") {
+    val dir = tmpDir("sql")
+    spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+    spark.sql(
+      s"""CREATE TABLE graft_sql_t (id BIGINT, name STRING, score DOUBLE)
+          USING clickhouse_native OPTIONS (path '$dir')""")
+    try {
+      spark.sql("INSERT INTO graft_sql_t VALUES (1, 'a', 0.5), (2, 'b', 1.5), (3, 'c', 2.5)")
+      val rows = spark.sql(
+        "SELECT id, name, score FROM graft_sql_t WHERE id >= 2 ORDER BY id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+        Seq((2L, "b", 1.5), (3L, "c", 2.5)))
+      spark.sql("INSERT INTO graft_sql_t VALUES (4, 'd', 3.5)") // append
+      assert(spark.sql("SELECT count(*) AS c FROM graft_sql_t").head().getLong(0) === 4L)
+      // the same files read back through the path-based API
+      assert(spark.read.format("clickhouse_native").load(dir).count() === 4L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+  }
 }
