@@ -180,6 +180,42 @@ class NativeIndexSpec extends AnyFunSuite {
     assert(NativeIndex.toDecimal(java.time.Instant.ofEpochSecond(3)).get.longValueExact === 3000000L)
   }
 
+  test("pruning soundness fuzz: random filters over random layouts match the in-memory truth") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812)
+    (0 until 4).foreach { round =>
+      val n = 50000 + rnd.nextInt(100000)
+      val sorted = rnd.nextBoolean()
+      val base = (0 until n).map { i =>
+        val id = if (sorted) i.toLong else rnd.nextLong() % 1000000L
+        (id, rnd.nextInt(1000), rnd.nextDouble() * 100.0 - 50.0)
+      }
+      val dir = tmpDir(s"fuzz$round")
+      base.toDF("id", "grp", "v").coalesce(1 + rnd.nextInt(3))
+        .write.format("clickhouse_native")
+        .option("maxRowsPerFile", (16384 + rnd.nextInt(32768)).toString)
+        .mode("overwrite").save(dir)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "131072") // force splits
+      try {
+        val df = spark.read.format("clickhouse_native").load(dir)
+        (0 until 5).foreach { _ =>
+          val lo = rnd.nextLong() % 200000L
+          val hi = lo + rnd.nextInt(300000)
+          val gEq = rnd.nextInt(1200) // sometimes out of range
+          val expected = base.count { case (id, g, _) =>
+            id >= lo && id <= hi && g != gEq
+          }
+          val got = df.filter(col("id") >= lo && col("id") <= hi && col("grp") =!= gEq).count()
+          assert(got === expected, s"round=$round lo=$lo hi=$hi gEq=$gEq sorted=$sorted")
+        }
+        // double-typed range too
+        val dExpected = base.count(_._3 > 25.0)
+        assert(df.filter(col("v") > 25.0).count() === dExpected)
+      } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
   test("splitRanges packs contiguous blocks to the byte target") {
     val entries = Array(
       NativeIndex.BlockEntry(0, 10), NativeIndex.BlockEntry(100, 10),
