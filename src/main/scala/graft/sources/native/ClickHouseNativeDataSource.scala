@@ -871,6 +871,37 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
           }
           if (seen && clean)
             out += schema.fields(i).name -> NativeIndex.ColStat('d', mn.toString, mx.toString)
+        case StringType =>
+          // byte-wise UTF-8 min/max (UTF8String.compareTo — the order
+          // Spark compares strings in). A value containing NUL or
+          // U+FFFD is sanitize-stripped at decode time, which can
+          // reorder it → that block gets no string stat. min stores a
+          // <=48-byte prefix (a prefix is a valid lower bound in
+          // byte-lex order); an over-long max becomes the Open
+          // sentinel (prefixes are NOT valid upper bounds).
+          var mn: UTF8String = null
+          var mx: UTF8String = null
+          var clean = true
+          var j = 0
+          while (clean && j < vals.length) {
+            val v = vals(j)
+            if (v != null) {
+              val u = v.asInstanceOf[UTF8String]
+              val s = u.toString
+              if (s.indexOf('\u0000') >= 0 || s.indexOf('\uFFFD') >= 0) clean = false
+              else {
+                if (mn == null || u.compareTo(mn) < 0) mn = u
+                if (mx == null || u.compareTo(mx) > 0) mx = u
+              }
+            }
+            j += 1
+          }
+          if (clean && mn != null) {
+            val minEnc = NativeIndex.enc(NativeIndex.utf8Prefix(mn.toString, 48))
+            val maxEnc =
+              if (mx.numBytes <= 48) NativeIndex.enc(mx.toString) else NativeIndex.Open
+            out += schema.fields(i).name -> NativeIndex.ColStat('s', minEnc, maxEnc)
+          }
         case _ => ()
       }
       i += 1

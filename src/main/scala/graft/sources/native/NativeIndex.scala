@@ -49,11 +49,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  */
 private[native] object NativeIndex {
 
-  /** Per-column zone map: tag 'l' = long-valued (int/long/date/ts), 'd' = double. */
+  /**
+   * Per-column zone map: tag 'l' = long-valued (int/long/date/ts),
+   * 'd' = double, 's' = string (min/max URL-encoded; [[Open]] as the
+   * max means "unbounded above" — the true max was longer than the
+   * stored prefix cap, so only the lower bound is usable).
+   */
   final case class ColStat(tag: Char, min: String, max: String) {
     def minDec: java.math.BigDecimal = new java.math.BigDecimal(min)
     def maxDec: java.math.BigDecimal = new java.math.BigDecimal(max)
   }
+
+  /** Sentinel for an absent string bound; URLEncoder output can never be a bare "%". */
+  val Open = "%"
 
   final case class BlockEntry(offset: Long, rows: Long,
       stats: Map[String, ColStat] = Map.empty)
@@ -61,10 +69,25 @@ private[native] object NativeIndex {
   def sidecarPath(dataFile: Path): Path =
     new Path(dataFile.getParent, s".${dataFile.getName}.chidx")
 
-  private def enc(s: String): String =
+  private[native] def enc(s: String): String =
     java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
-  private def dec(s: String): String =
+  private[native] def dec(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  /** Longest prefix of `s` whose UTF-8 encoding fits `maxBytes` (never
+    * splits a code point — a byte-level cut could be invalid UTF-8). */
+  private[native] def utf8Prefix(s: String, maxBytes: Int): String = {
+    var bytes = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+      if (bytes + w > maxBytes) return s.substring(0, i)
+      bytes += w
+      i += Character.charCount(cp)
+    }
+    s
+  }
 
   /** Write the sidecar for a just-closed data file of `dataLen` bytes. */
   def write(fs: FileSystem, dataFile: Path, entries: Seq[BlockEntry], dataLen: Long): Unit = {
@@ -197,14 +220,18 @@ private[native] object NativeIndex {
 
   import org.apache.spark.sql.{sources => f}
 
+  private def comparableLiteral(v: Any): Boolean =
+    toDecimal(v).isDefined || v.isInstanceOf[String] ||
+      v.isInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+
   /** Can this filter ever contribute to block pruning? (for explain) */
   def prunable(filter: f.Filter): Boolean = filter match {
-    case f.EqualTo(_, v) => toDecimal(v).isDefined
-    case f.GreaterThan(_, v) => toDecimal(v).isDefined
-    case f.GreaterThanOrEqual(_, v) => toDecimal(v).isDefined
-    case f.LessThan(_, v) => toDecimal(v).isDefined
-    case f.LessThanOrEqual(_, v) => toDecimal(v).isDefined
-    case f.In(_, vs) => vs.nonEmpty && vs.forall(toDecimal(_).isDefined)
+    case f.EqualTo(_, v) => comparableLiteral(v)
+    case f.GreaterThan(_, v) => comparableLiteral(v)
+    case f.GreaterThanOrEqual(_, v) => comparableLiteral(v)
+    case f.LessThan(_, v) => comparableLiteral(v)
+    case f.LessThanOrEqual(_, v) => comparableLiteral(v)
+    case f.In(_, vs) => vs.nonEmpty && vs.forall(comparableLiteral)
     case f.And(l, r) => prunable(l) || prunable(r)
     case f.Or(l, r) => prunable(l) && prunable(r)
     case _ => false
@@ -215,28 +242,46 @@ private[native] object NativeIndex {
     filters.forall(mayMatch(stats, _))
 
   private def mayMatch(stats: Map[String, ColStat], filter: f.Filter): Boolean = filter match {
-    case f.EqualTo(c, v) => rangeCheck(stats, c, v)((mn, mx, d) =>
-      mn.compareTo(d) <= 0 && mx.compareTo(d) >= 0)
-    case f.GreaterThan(c, v) => rangeCheck(stats, c, v)((_, mx, d) => mx.compareTo(d) > 0)
-    case f.GreaterThanOrEqual(c, v) => rangeCheck(stats, c, v)((_, mx, d) => mx.compareTo(d) >= 0)
-    case f.LessThan(c, v) => rangeCheck(stats, c, v)((mn, _, d) => mn.compareTo(d) < 0)
-    case f.LessThanOrEqual(c, v) => rangeCheck(stats, c, v)((mn, _, d) => mn.compareTo(d) <= 0)
-    case f.In(c, vs) => vs.isEmpty || vs.exists(v => rangeCheck(stats, c, v)((mn, mx, d) =>
-      mn.compareTo(d) <= 0 && mx.compareTo(d) >= 0))
+    // pred args: (cmp(literal, blockMin), cmp(literal, blockMax))
+    case f.EqualTo(c, v) => rangeCheck(stats, c, v)((lo, hi) => lo >= 0 && hi <= 0)
+    case f.GreaterThan(c, v) => rangeCheck(stats, c, v)((_, hi) => hi < 0)
+    case f.GreaterThanOrEqual(c, v) => rangeCheck(stats, c, v)((_, hi) => hi <= 0)
+    case f.LessThan(c, v) => rangeCheck(stats, c, v)((lo, _) => lo > 0)
+    case f.LessThanOrEqual(c, v) => rangeCheck(stats, c, v)((lo, _) => lo >= 0)
+    case f.In(c, vs) => vs.isEmpty || vs.exists(v =>
+      rangeCheck(stats, c, v)((lo, hi) => lo >= 0 && hi <= 0))
     case f.And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
     case f.Or(l, r) => mayMatch(stats, l) || mayMatch(stats, r)
     case _ => true // unknown predicate shapes never prune
   }
 
   private def rangeCheck(stats: Map[String, ColStat], col: String, value: Any)(
-      pred: (java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal) => Boolean)
-      : Boolean =
-    (stats.get(col), toDecimal(value)) match {
-      case (Some(st), Some(d)) =>
-        try pred(st.minDec, st.maxDec, d)
-        catch { case _: NumberFormatException => true } // corrupt stat → keep
-      case _ => true // no stats for this column, or non-numeric literal
-    }
+      pred: (Int, Int) => Boolean): Boolean =
+    stats.get(col)
+      .flatMap(st => try cmpBounds(st, value) catch { case _: Exception => None })
+      .forall { case (lo, hi) => pred(lo, hi) }
+
+  /**
+   * Compare a filter literal against a block's bounds in the column's
+   * own ordering: BigDecimal for numeric tags, byte-wise UTF-8 (the
+   * order Spark compares strings in) for tag 's'. An [[Open]] string
+   * max compares as "literal < max" always. None = incomparable (type
+   * mismatch or corrupt stat) → block is kept.
+   */
+  private def cmpBounds(st: ColStat, value: Any): Option[(Int, Int)] = st.tag match {
+    case 's' =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val lit = value match {
+        case s: String => UTF8String.fromString(s)
+        case u: UTF8String => u
+        case _ => return None
+      }
+      val lo = lit.compareTo(UTF8String.fromString(dec(st.min)))
+      val hi = if (st.max == Open) -1 else lit.compareTo(UTF8String.fromString(dec(st.max)))
+      Some((lo, hi))
+    case _ =>
+      toDecimal(value).map(d => (d.compareTo(st.minDec), d.compareTo(st.maxDec)))
+  }
 
   /** Filter literal → BigDecimal in the column's stored representation
     * (dates as epoch days, timestamps as epoch micros). None = can't prune. */

@@ -105,7 +105,7 @@ class NativeIndexSpec extends AnyFunSuite {
     assert(spark.read.format("clickhouse_native").load(dir).count() === 100000L)
   }
 
-  test("sidecar carries per-block zone maps; strings excluded") {
+  test("sidecar carries per-block zone maps for numeric and string columns") {
     val (_, part) = writeMultiBlock("stats", 200000)
     val fs = part.getFileSystem(hadoopConf)
     val entries = NativeIndex.read(fs, part, fs.getFileStatus(part).getLen).get
@@ -114,7 +114,7 @@ class NativeIndexSpec extends AnyFunSuite {
     assert(entries(1).stats("id").min === "65537")
     assert(entries(0).stats("v").tag === 'd')
     assert(entries(0).stats("v").min === "0.5")
-    assert(!entries(0).stats.contains("name")) // strings carry no zone maps
+    assert(entries(0).stats("name").tag === 's') // strings zone-map too
   }
 
   test("filter on a sorted column plans only the matching blocks; disjoint range plans none") {
@@ -214,6 +214,66 @@ class NativeIndexSpec extends AnyFunSuite {
         assert(df.filter(col("v") > 25.0).count() === dExpected)
       } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
     }
+  }
+
+  test("string zone maps prune equality and IN filters on clustered data") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = tmpDir("strprune")
+    // sorted by lang → each block covers a narrow string range
+    val langs = Seq("ar", "de", "en", "es", "fr", "it", "ja", "pt")
+    (0 until 260000).map(i => (i.toLong, langs(i / 32500))).sortBy(_._2)
+      .toDF("id", "lang").coalesce(1)
+      .write.format("clickhouse_native").mode("overwrite").save(dir)
+    val fs = new Path(dir).getFileSystem(hadoopConf)
+    val part = fs.listStatus(new Path(dir)).map(_.getPath)
+      .find(_.getName.endsWith(".clickhouse")).get
+    val entries = NativeIndex.read(fs, part, fs.getFileStatus(part).getLen).get
+    assert(entries.length === 4)
+    assert(entries.forall(_.stats.contains("lang")))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try {
+      val df = spark.read.format("clickhouse_native").load(dir)
+      assert(df.rdd.getNumPartitions >= 4)
+      val en = df.filter(col("lang") === "ar") // first block only
+      assert(en.rdd.getNumPartitions === 1)
+      assert(en.count() === 32500L)
+      assert(df.filter(col("lang") === "zz").rdd.getNumPartitions === 0)
+      assert(df.filter(col("lang") === "zz").count() === 0L)
+      val in = df.filter(col("lang").isin("xx", "yy"))
+      assert(in.rdd.getNumPartitions === 0)
+      assert(df.filter(col("lang").isin("ja", "pt")).count() === 65000L)
+      assert(df.filter(col("lang") > "pa").count() === 32500L) // range on strings
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("string stats: prefix truncation keeps bounds conservative; NUL voids the stat") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = tmpDir("strtrunc")
+    val long = "x" * 100 // > 48-byte cap → Open max
+    Seq((1L, "aaa"), (2L, long), (3L, "mmm")).toDF("id", "s").coalesce(1)
+      .write.format("clickhouse_native").mode("overwrite").save(dir)
+    val fs = new Path(dir).getFileSystem(hadoopConf)
+    val part = fs.listStatus(new Path(dir)).map(_.getPath)
+      .find(_.getName.endsWith(".clickhouse")).get
+    val st = NativeIndex.read(fs, part, fs.getFileStatus(part).getLen).get.head.stats("s")
+    assert(st.tag === 's' && st.max === NativeIndex.Open)
+    // open max: equality above the min cannot be pruned
+    import org.apache.spark.sql.sources.EqualTo
+    assert(NativeIndex.blockMayMatch(Map("s" -> st), Seq(EqualTo("s", "zzz"))))
+    assert(!NativeIndex.blockMayMatch(Map("s" -> st), Seq(EqualTo("s", "a")))) // below min
+    assert(spark.read.format("clickhouse_native").load(dir)
+      .filter(col("s") === long).count() === 1L)
+    // a NUL-containing value voids the block's string stat entirely
+    val dir2 = tmpDir("strnul")
+    Seq((1L, "a\u0000b"), (2L, "c")).toDF("id", "s").coalesce(1)
+      .write.format("clickhouse_native").mode("overwrite").save(dir2)
+    val part2 = fs.listStatus(new Path(dir2)).map(_.getPath)
+      .find(_.getName.endsWith(".clickhouse")).get
+    val e2 = NativeIndex.read(fs, part2, fs.getFileStatus(part2).getLen).get.head
+    assert(!e2.stats.contains("s"))
+    assert(e2.stats.contains("id"))
   }
 
   test("splitRanges packs contiguous blocks to the byte target") {
