@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Fnv1a64, MinHashSketchAgg, ShingleHashes, SimHash64, TopKAgg, VecDot}
+import graft.functions.{Fnv1a64, FunnelAgg, MinHashSketchAgg, ShingleHashes, SimHash64, TopKAgg, VecDot}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -83,6 +83,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"topk_agg k must be an integer literal, got $other")
         }
         TopKAgg(children.head, k)
+      }))
+    // funnel_agg(ts, level, window, steps) — CH windowFunnel semantics
+    ext.injectFunction((
+      new FunctionIdentifier("funnel_agg"),
+      new ExpressionInfo(classOf[FunnelAgg].getName, "funnel_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 4, "funnel_agg takes (ts, level, window, steps)")
+        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Long =
+          e match {
+            case l if l.foldable && (l.dataType == org.apache.spark.sql.types.IntegerType ||
+                l.dataType == org.apache.spark.sql.types.LongType) =>
+              l.eval().asInstanceOf[Number].longValue()
+            case other => throw new IllegalArgumentException(
+              s"funnel_agg $what must be an integer literal, got $other")
+          }
+        FunnelAgg(children.head, children(1),
+          lit(children(2), "window"), lit(children(3), "steps").toInt)
       }))
   }
 }

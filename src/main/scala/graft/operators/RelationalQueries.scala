@@ -270,6 +270,49 @@ object RelationalQueries {
           col("col.count_est").as("count_est")),
       None),
 
+    "q_funnel" -> Q(
+      // CH windowFunnel: per-user view→click→purchase conversion depth
+      // within a 1-hour window, aggregated into a step distribution.
+      // Sequence semantics aren't ANSI-SQL-expressible → no oracle;
+      // FunnelAggSpec checks against a driver-side reference
+      // implementation and partitioning invariance.
+      (s, dir) => {
+        val lvl = when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .when(col("event_type") === "purchase", 2)
+          .otherwise(-1)
+        Q.events(s, dir)
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("tus"), lvl.as("lvl"))
+          .where(col("lvl") >= 0)
+          .groupBy("user_id")
+          .agg(call_function("funnel_agg",
+            col("tus"), col("lvl"), lit(3600L * 1000000L), lit(3)).as("funnel_step"))
+          .groupBy("funnel_step")
+          .agg(count(lit(1)).as("users"))
+          .orderBy("funnel_step")
+      },
+      None),
+
+    "q_agg_conditional" -> Q(
+      // CH countIf/sumIf/avgIf — conditional aggregation without a
+      // pre-filter (each aggregate sees a different predicate). Spark
+      // spells it count/sum/avg over when() (nulls are skipped by all
+      // aggregates); the oracle uses SQL FILTER clauses.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_quantity") > 25, 1)).as("big_cnt"),
+          sum(when(col("l_linestatus") === "F", col("l_quantity")))
+            .cast("double").as("f_qty"),
+          round(avg(when(col("l_discount") > 0.05, col("l_extendedprice"))), 4)
+            .as("hi_disc_avg")),
+      Some("""SELECT l_returnflag,
+                     count(*) FILTER (WHERE l_quantity > 25) AS big_cnt,
+                     CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS f_qty,
+                     round(avg(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4) AS hi_disc_avg
+              FROM lineitem GROUP BY l_returnflag""")),
+
     "q_agg_argminmax" -> Q(
       // CH argMax(x, y)/argMin(x, y) — the value of x at the extreme of
       // y. Deterministic because o_orderkey (the ordering value) is
