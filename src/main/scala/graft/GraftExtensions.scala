@@ -18,6 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // ClickHouse-dialect function names (toYYYYMM, multiIf, arrayJoin, …)
+    // — pure aliases onto Spark's own expressions (functions/ChDialect.scala)
+    graft.functions.ChDialect.register(ext)
     ext.injectFunction((
       new FunctionIdentifier("fnv1a64"),
       new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),

@@ -1,0 +1,207 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/**
+ * ClickHouse SQL dialect compatibility layer.
+ *
+ * A user of the reference stack writes ClickHouse-flavoured SQL — either
+ * around `clickhouse_native(...)` scans or shipped verbatim through
+ * `clickhouse_scan` (reference `src/clickhouse_scan.rs:78` sends the query
+ * string unmodified, so the reachable function surface IS ClickHouse's).
+ * This object registers the commonly-used ClickHouse function names as
+ * Spark SQL functions so that such queries run unchanged on this engine.
+ *
+ * Every entry builds a tree of SPARK'S OWN Catalyst expressions — no UDFs,
+ * no eval overrides — so the aliases cost nothing: they inline into
+ * whole-stage codegen, constant-fold, and push down exactly like the
+ * native spellings. Registration is name-level sugar, not an engine.
+ *
+ * Documented divergences (Spark has no unsigned / UInt8-boolean types):
+ *  - predicates return BOOLEAN, not UInt8 0/1 (`empty`, `has`, `JSONHas`);
+ *  - `toUInt8/16/32` widen into the next signed type; `toUInt64` is not
+ *    offered (2^63..2^64-1 cannot round-trip — SURVEY §1.3);
+ *  - parameterized-aggregate syntax `quantile(0.9)(x)` is spelled
+ *    `quantile(x, 0.9)`;
+ *  - `splitByChar` requires a literal separator (it compiles to a regex
+ *    split with the separator quoted).
+ */
+object ChDialect {
+
+  private type B = Seq[Expression] => Expression
+
+  private def one(name: String)(f: Expression => Expression): (String, B) =
+    name -> { args: Seq[Expression] =>
+      require(args.length == 1, s"$name takes exactly 1 argument")
+      f(args.head)
+    }
+
+  private def two(name: String)(f: (Expression, Expression) => Expression): (String, B) =
+    name -> { args: Seq[Expression] =>
+      require(args.length == 2, s"$name takes exactly 2 arguments")
+      f(args(0), args(1))
+    }
+
+  private def date(e: Expression): Expression = Cast(e, DateType)
+  private def ts(e: Expression): Expression = Cast(e, TimestampType)
+
+  /** `cond ? value : NULL` without naming the value's type (CaseWhen's
+   *  type coercion supplies it) — the core of the *If combinators. */
+  private def whenOrNull(cond: Expression, value: Expression): Expression =
+    CaseWhen(Seq((cond, value)), None)
+
+  val builders: Seq[(String, B)] = Seq(
+    // ----- type conversions ---------------------------------------------
+    one("toInt8")(Cast(_, ByteType)),
+    one("toInt16")(Cast(_, ShortType)),
+    one("toInt32")(Cast(_, IntegerType)),
+    one("toInt64")(Cast(_, LongType)),
+    one("toUInt8")(Cast(_, ShortType)),
+    one("toUInt16")(Cast(_, IntegerType)),
+    one("toUInt32")(Cast(_, LongType)),
+    one("toFloat32")(Cast(_, FloatType)),
+    one("toFloat64")(Cast(_, DoubleType)),
+    one("toString")(Cast(_, StringType)),
+    one("toDate")(date),
+    one("toDateTime")(ts),
+
+    // ----- date / time ---------------------------------------------------
+    one("toYear")(Year(_)),
+    one("toMonth")(Month(_)),
+    one("toDayOfMonth")(DayOfMonth(_)),
+    // CH: Monday = 1 … Sunday = 7; Spark WeekDay: Monday = 0 … Sunday = 6
+    one("toDayOfWeek")(e => Add(WeekDay(e), Literal(1))),
+    one("toHour")(Hour(_)),
+    one("toMinute")(Minute(_)),
+    one("toSecond")(Second(_)),
+    one("toStartOfYear")(e => TruncDate(date(e), Literal("year"))),
+    one("toStartOfMonth")(e => TruncDate(date(e), Literal("month"))),
+    one("toStartOfDay")(e => TruncTimestamp(Literal("day"), ts(e))),
+    one("toStartOfHour")(e => TruncTimestamp(Literal("hour"), ts(e))),
+    one("toYYYYMM")(e => Add(Multiply(Year(e), Literal(100)), Month(e))),
+    one("toYYYYMMDD")(e => Add(
+      Multiply(Year(e), Literal(10000)),
+      Add(Multiply(Month(e), Literal(100)), DayOfMonth(e)))),
+    one("toUnixTimestamp")(e => UnixTimestamp(ts(e), Literal("yyyy-MM-dd HH:mm:ss"))),
+    two("addDays")((d, n) => DateAdd(date(d), n)),
+    two("subtractDays")((d, n) => DateSub(date(d), n)),
+    two("addMonths")((d, n) => AddMonths(date(d), n)),
+
+    // ----- strings -------------------------------------------------------
+    one("lowerUTF8")(Lower(_)),
+    one("upperUTF8")(Upper(_)),
+    one("lengthUTF8")(Length(_)),
+    one("empty")(e => EqualTo(Length(e), Literal(0))),
+    one("notEmpty")(e => GreaterThan(Length(e), Literal(0))),
+    // CH arg order: splitByChar(separator, s); separator must be literal
+    two("splitByChar")((sep, s) => sep match {
+      case l: Literal if l.dataType == StringType && l.value != null =>
+        StringSplit(s, Literal(java.util.regex.Pattern.quote(l.value.toString)), Literal(-1))
+      case other =>
+        throw new IllegalArgumentException(
+          s"splitByChar separator must be a string literal, got $other")
+    }),
+    "replaceAll" -> { args: Seq[Expression] =>
+      require(args.length == 3, "replaceAll takes (s, pattern, replacement)")
+      StringReplace(args(0), args(1), args(2))
+    },
+    "replaceRegexpAll" -> { args: Seq[Expression] =>
+      require(args.length == 3, "replaceRegexpAll takes (s, regexp, replacement)")
+      new RegExpReplace(args(0), args(1), args(2))
+    },
+    "leftPad" -> { args: Seq[Expression] =>
+      require(args.length == 3, "leftPad takes (s, length, pad)")
+      StringLPad(args(0), args(1), args(2))
+    },
+    "rightPad" -> { args: Seq[Expression] =>
+      require(args.length == 3, "rightPad takes (s, length, pad)")
+      StringRPad(args(0), args(1), args(2))
+    },
+
+    // ----- conditionals --------------------------------------------------
+    "multiIf" -> { args: Seq[Expression] =>
+      require(args.length >= 3 && args.length % 2 == 1,
+        "multiIf takes (cond1, val1, …, condN, valN, else)")
+      val branches = args.dropRight(1).grouped(2).map(p => (p(0), p(1))).toSeq
+      CaseWhen(branches, Some(args.last))
+    },
+
+    // ----- arrays --------------------------------------------------------
+    two("has")((arr, x) => ArrayContains(arr, x)),
+    two("hasAny")((a, b) => ArraysOverlap(a, b)),
+    two("indexOf")((arr, x) => ArrayPosition(arr, x)),
+    one("arrayDistinct")(ArrayDistinct(_)),
+    one("arrayUniq")(e => Size(ArrayDistinct(e))),
+    one("arraySort")(e => SortArray(e, Literal(true))),
+    one("arrayReverseSort")(e => SortArray(e, Literal(false))),
+    one("arrayReverse")(Reverse(_)),
+    "arrayConcat" -> { args: Seq[Expression] => Concat(args) },
+    "arraySlice" -> { args: Seq[Expression] =>
+      require(args.length == 3, "arraySlice takes (arr, offset, length)")
+      Slice(args(0), args(1), args(2))
+    },
+    two("arrayStringConcat")((arr, sep) => ArrayJoin(arr, sep, None)),
+    // CH arg order: arrayMap(x -> f(x), arr) — lambda first
+    two("arrayMap")((fn, arr) => ArrayTransform(arr, fn)),
+    two("arrayFilter")((fn, arr) => ArrayFilter(arr, fn)),
+    // arrayJoin(arr): ClickHouse's row-expanding function ⇄ a Generator
+    one("arrayJoin")(Explode(_)),
+
+    // ----- math / bit ----------------------------------------------------
+    two("intDiv")((a, b) => new IntegralDivide(a, b)),
+    two("modulo")((a, b) => new Remainder(a, b)),
+    two("plus")((a, b) => new Add(a, b)),
+    two("minus")((a, b) => new Subtract(a, b)),
+    two("multiply")((a, b) => new Multiply(a, b)),
+    two("divide")((a, b) => new Divide(a, b)),
+    two("bitAnd")(BitwiseAnd(_, _)),
+    two("bitOr")(BitwiseOr(_, _)),
+    two("bitXor")(BitwiseXor(_, _)),
+    one("bitNot")(BitwiseNot(_)),
+    two("bitShiftLeft")(ShiftLeft(_, _)),
+    two("bitShiftRight")(ShiftRight(_, _)),
+
+    // ----- JSON (top-level keys) ----------------------------------------
+    two("JSONExtractString")((j, k) => GetJsonObject(j, jsonPath(k))),
+    two("JSONExtractInt")((j, k) => Cast(GetJsonObject(j, jsonPath(k)), LongType)),
+    // false for both absent keys and JSON nulls (GetJsonObject conflates them)
+    two("JSONHas")((j, k) => IsNotNull(GetJsonObject(j, jsonPath(k)))),
+
+    // ----- URLs ----------------------------------------------------------
+    one("domain")(u => new ParseUrl(Seq(u, Literal("HOST")))),
+    one("path")(u => new ParseUrl(Seq(u, Literal("PATH")))),
+    one("protocol")(u => new ParseUrl(Seq(u, Literal("PROTOCOL")))),
+    one("queryString")(u => new ParseUrl(Seq(u, Literal("QUERY")))),
+    two("extractURLParameter")((u, p) => new ParseUrl(Seq(u, Literal("QUERY"), p))),
+
+    // ----- aggregates ----------------------------------------------------
+    one("uniq")(HyperLogLogPlusPlus(_)),
+    one("groupArray")(CollectList(_)),
+    one("groupUniqArray")(CollectSet(_)),
+    two("argMax")((v, o) => MaxBy(v, o)),
+    two("argMin")((v, o) => MinBy(v, o)),
+    one("countIf")(c => Count(whenOrNull(c, Literal(1)))),
+    two("sumIf")((x, c) => Sum(whenOrNull(c, x))),
+    two("avgIf")((x, c) => Average(whenOrNull(c, x))),
+    two("maxIf")((x, c) => Max(whenOrNull(c, x))),
+    two("minIf")((x, c) => Min(whenOrNull(c, x))),
+    two("quantile")((x, p) => new ApproximatePercentile(x, p)),
+    two("quantileExact")((x, p) => new Percentile(x, p))
+  )
+
+  private def jsonPath(key: Expression): Expression =
+    Concat(Seq(Literal("$."), key))
+
+  /** Register every dialect name into the session's function registry. */
+  def register(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(ChDialect.getClass.getName, name),
+        builder))
+    }
+}

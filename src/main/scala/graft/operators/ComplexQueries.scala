@@ -1,0 +1,245 @@
+package graft.operators
+
+import graft.operators.Q.t
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+/**
+ * Composite multi-operator queries: the TPC-H-shaped workloads a user of
+ * the reference stack runs by composing its scans with host-engine SQL
+ * (reference README.md:63-75 demos exactly this shape — aggregation +
+ * filter over a scan), plus the ClickHouse-dialect SQL surface
+ * (functions/ChDialect.scala) exercised end-to-end over the test tables.
+ *
+ * Filter constants are adapted to the synthetic data's 1995–2001 date
+ * range (TESTDATA.md); the plan shapes are the canonical ones: Q1 is a
+ * single-shuffle partial/final aggregate, Q3/Q5 are selective-filter →
+ * broadcast-dim joins → aggregate, Q6 is a scan-with-pushed-filters →
+ * scalar aggregate. At 100 TB every dimension side here (region, nation,
+ * supplier, filtered customer) broadcasts, so only the fact table's
+ * grouped partials cross a shuffle.
+ */
+object ComplexQueries {
+
+  private def tsLit(d: String) = lit(d).cast(TimestampNTZType)
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "q_tpch_q1" -> Q(
+      // TPC-H Q1 pricing summary: one shuffle (partial→final agg on the
+      // 6-value grouping key); every arithmetic stays in codegen.
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= tsLit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_base_price,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                     round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                     round(avg(l_quantity), 4) AS avg_qty,
+                     round(avg(l_extendedprice), 4) AS avg_price,
+                     round(avg(l_discount), 6) AS avg_disc,
+                     count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus""")),
+
+    "q_tpch_q3" -> Q(
+      // TPC-H Q3 shape (shipping-priority column isn't in the synthetic
+      // schema): segment-filtered customers broadcast into orders, the
+      // joined keys shuffle once for the per-order revenue aggregate,
+      // TakeOrderedAndProject caps the result at 10.
+      (s, dir) => t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < tsLit("1998-03-15")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_shipdate") > tsLit("1998-03-15")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .limit(10),
+      Some("""SELECT o_orderkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                     o_orderdate
+              FROM customer, orders, lineitem
+              WHERE c_mktsegment = 'BUILDING'
+                AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+                AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+              GROUP BY o_orderkey, o_orderdate
+              ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    "q_tpch_q5" -> Q(
+      // TPC-H Q5 local-supplier volume: every dimension (region → nation
+      // → supplier, and customer) broadcasts; lineitem — the only table
+      // that matters at 100 TB — is filtered through the join chain and
+      // shuffles once on the final n_name aggregate.
+      (s, dir) => {
+        val asiaNations = t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val orders = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= tsLit("1996-01-01")
+            && col("o_orderdate") < tsLit("1997-01-01"))
+        t(s, dir, "lineitem")
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey")
+              && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+      },
+      Some("""SELECT n_name,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM customer, orders, lineitem, supplier, nation, region
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY n_name""")),
+
+    "q_tpch_q6" -> Q(
+      // TPC-H Q6 forecasting revenue change: pure scan-side filters
+      // (zone-map/parquet-stat prunable) into a scalar aggregate — the
+      // cheapest possible plan shape at any scale.
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= tsLit("1996-01-01")
+          && col("l_shipdate") < tsLit("1997-01-01")
+          && col("l_discount").between(0.04, 0.06)
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                AND l_discount BETWEEN 0.04 AND 0.06
+                AND l_quantity < 24""")),
+
+    "q_tpch_q10" -> Q(
+      // TPC-H Q10 returned-item reporting (minus the address/phone
+      // columns the synthetic schema lacks): quarter-filtered orders
+      // join returned lineitems, customer + nation broadcast, top 20
+      // debtors via TakeOrderedAndProject.
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= tsLit("1996-10-01")
+            && col("o_orderdate") < tsLit("1997-01-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .limit(20),
+      Some("""SELECT c_custkey, c_name,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                     c_acctbal, n_name
+              FROM customer, orders, lineitem, nation
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+              GROUP BY c_custkey, c_name, c_acctbal, n_name
+              ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    "q_tpch_q14" -> Q(
+      // TPC-H Q14 promotion effect: month-sliced lineitem joins the part
+      // dimension (broadcast), conditional revenue ratio in one pass.
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= tsLit("1996-09-01")
+          && col("l_shipdate") < tsLit("1996-10-01"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
+            / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("promo_revenue")),
+      Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+              FROM lineitem, part
+              WHERE l_partkey = p_partkey
+                AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""")),
+
+    "q_ch_dialect" -> Q(
+      // The ClickHouse-dialect SQL surface end-to-end: a query written
+      // entirely with CH function spellings (type conversion, date
+      // bucketing, multiIf, split/sort/join array pipeline) runs through
+      // spark.sql against the session catalog — the migration path for a
+      // reference user's existing CH-flavoured SQL. All names compile to
+      // Spark's own expressions (ChDialectSpec pins each one).
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_chd")
+        s.sql("""SELECT o_orderkey,
+                        toYYYYMM(o_orderdate) AS yyyymm,
+                        toStartOfMonth(o_orderdate) AS month_start,
+                        toDayOfWeek(o_orderdate) AS dow,
+                        toInt64(o_totalprice) AS price_int,
+                        multiIf(o_totalprice > 300000.0, 'high',
+                                o_totalprice > 100000.0, 'mid', 'low') AS tier,
+                        arrayStringConcat(
+                          arraySort(splitByChar('-', lowerUTF8(o_orderpriority))),
+                          '_') AS prio_norm
+                 FROM orders_chd""")
+      },
+      Some("""SELECT o_orderkey,
+                     CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS yyyymm,
+                     CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                     CAST(isodow(o_orderdate) AS INTEGER) AS dow,
+                     CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+                     CASE WHEN o_totalprice > 300000.0 THEN 'high'
+                          WHEN o_totalprice > 100000.0 THEN 'mid'
+                          ELSE 'low' END AS tier,
+                     array_to_string(list_sort(string_split(lower(o_orderpriority), '-')), '_') AS prio_norm
+              FROM orders""")),
+
+    "q_agg_retention" -> Q(
+      // CH retention(c1, c2, c3): per-user condition flags where flag i
+      // is (c1 AND ci), then summed into cohort counts. Two cheap
+      // aggregates: per-user flags (shuffle on user_id), then a scalar
+      // roll-up — both map-side combinable.
+      (s, dir) => Q.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("c1"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("c2"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("c3"))
+        .agg(
+          sum(col("c1")).cast("bigint").as("r_view"),
+          sum(col("c1") * col("c2")).cast("bigint").as("r_view_click"),
+          sum(col("c1") * col("c3")).cast("bigint").as("r_view_purchase")),
+      Some(s"""SELECT CAST(sum(c1) AS BIGINT) AS r_view,
+                      CAST(sum(c1 * c2) AS BIGINT) AS r_view_click,
+                      CAST(sum(c1 * c3) AS BIGINT) AS r_view_purchase
+               FROM (SELECT user_id,
+                            max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+                            max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
+                            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+                     FROM ${Q.eventsOracle} GROUP BY user_id)"""))
+  )
+}

@@ -1,0 +1,150 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The ClickHouse dialect layer (functions/ChDialect.scala): every family
+ * is exercised through `spark.sql` with its CH spelling and checked
+ * against hand-computed values, so a registration or arg-order slip
+ * (several CH functions flip Spark's argument order) fails loudly here
+ * rather than in a user's migrated query.
+ */
+class ChDialectSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def q1(sql: String): Any = spark.sql(s"SELECT $sql AS v").collect()(0).get(0)
+
+  test("type conversions") {
+    assert(q1("toInt32('42')") == 42)
+    assert(q1("toInt64(7.9)") == 7L)
+    assert(q1("toUInt8(200)") == 200.toShort) // widened: no unsigned in Spark
+    assert(q1("toFloat64('2.5')") == 2.5)
+    assert(q1("toString(123)") == "123")
+    assert(q1("toDate('2024-03-15')") == java.sql.Date.valueOf("2024-03-15"))
+  }
+
+  test("date/time functions") {
+    assert(q1("toYear(DATE '2024-03-15')") == 2024)
+    assert(q1("toMonth(DATE '2024-03-15')") == 3)
+    assert(q1("toDayOfMonth(DATE '2024-03-15')") == 15)
+    // 2024-03-15 is a Friday → CH numbering Monday=1 … Friday=5
+    assert(q1("toDayOfWeek(DATE '2024-03-15')") == 5)
+    assert(q1("toStartOfMonth(DATE '2024-03-15')") == java.sql.Date.valueOf("2024-03-01"))
+    assert(q1("toStartOfYear(DATE '2024-03-15')") == java.sql.Date.valueOf("2024-01-01"))
+    assert(q1("toYYYYMM(DATE '2024-03-15')") == 202403)
+    assert(q1("toYYYYMMDD(DATE '2024-03-15')") == 20240315)
+    assert(q1("toHour(TIMESTAMP '2024-03-15 13:45:56')") == 13)
+    assert(q1("toStartOfHour(TIMESTAMP '2024-03-15 13:45:56')") ==
+      java.sql.Timestamp.valueOf("2024-03-15 13:00:00"))
+    // session timezone is UTC, so the epoch seconds are unambiguous
+    assert(q1("toUnixTimestamp(TIMESTAMP '1970-01-01 00:01:40')") == 100L)
+    assert(q1("addDays(DATE '2024-03-15', 20)") == java.sql.Date.valueOf("2024-04-04"))
+    assert(q1("subtractDays(DATE '2024-03-15', 15)") == java.sql.Date.valueOf("2024-02-29"))
+    assert(q1("addMonths(DATE '2024-03-15', 2)") == java.sql.Date.valueOf("2024-05-15"))
+  }
+
+  test("string functions") {
+    assert(q1("lowerUTF8('AbC')") == "abc")
+    assert(q1("upperUTF8('AbC')") == "ABC")
+    assert(q1("lengthUTF8('abcd')") == 4)
+    assert(q1("empty('')") == true)
+    assert(q1("notEmpty('x')") == true)
+    // CH arg order (separator first); empties preserved like CH
+    assert(q1("splitByChar(',', 'a,b,,c')").asInstanceOf[collection.Seq[_]] ==
+      Seq("a", "b", "", "c"))
+    // the separator is regex-quoted: '.' splits on the literal dot
+    assert(q1("splitByChar('.', 'a.b.c')").asInstanceOf[collection.Seq[_]] ==
+      Seq("a", "b", "c"))
+    assert(q1("replaceAll('a.b.c', '.', '-')") == "a-b-c") // literal, not regex
+    assert(q1("replaceRegexpAll('a1b22c', '[0-9]+', '#')") == "a#b#c")
+    assert(q1("leftPad('7', 3, '0')") == "007")
+    assert(q1("rightPad('7', 3, '*')") == "7**")
+  }
+
+  test("multiIf") {
+    assert(q1("multiIf(1 > 2, 'a', 3 > 2, 'b', 'c')") == "b")
+    assert(q1("multiIf(1 > 2, 'a', 2 > 3, 'b', 'c')") == "c")
+    intercept[Exception](spark.sql("SELECT multiIf(true, 1)").collect())
+  }
+
+  test("array functions") {
+    assert(q1("has(array(1, 2, 3), 2)") == true)
+    assert(q1("hasAny(array(1, 2), array(2, 9))") == true)
+    assert(q1("indexOf(array(10, 20, 30), 30)") == 3L)
+    assert(q1("arraySort(array(3, 1, 2))").asInstanceOf[collection.Seq[_]] == Seq(1, 2, 3))
+    assert(q1("arrayReverseSort(array(3, 1, 2))").asInstanceOf[collection.Seq[_]] == Seq(3, 2, 1))
+    assert(q1("arrayDistinct(array(1, 2, 1))").asInstanceOf[collection.Seq[_]] == Seq(1, 2))
+    assert(q1("arrayUniq(array(1, 2, 1, 2))") == 2)
+    assert(q1("arrayReverse(array(1, 2, 3))").asInstanceOf[collection.Seq[_]] == Seq(3, 2, 1))
+    assert(q1("arrayConcat(array(1), array(2, 3))").asInstanceOf[collection.Seq[_]] == Seq(1, 2, 3))
+    assert(q1("arraySlice(array(1, 2, 3, 4), 2, 2)").asInstanceOf[collection.Seq[_]] == Seq(2, 3))
+    assert(q1("arrayStringConcat(array('a', 'b'), '-')") == "a-b")
+    // CH lambda-first argument order
+    assert(q1("arrayMap(x -> x * 2, array(1, 2, 3))").asInstanceOf[collection.Seq[_]] ==
+      Seq(2, 4, 6))
+    assert(q1("arrayFilter(x -> x > 1, array(1, 2, 3))").asInstanceOf[collection.Seq[_]] ==
+      Seq(2, 3))
+  }
+
+  test("arrayJoin expands rows like a generator") {
+    val rows = spark.sql("SELECT arrayJoin(array(1, 2, 3)) AS x").collect().map(_.getInt(0))
+    assert(rows.sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("math and bit functions") {
+    assert(q1("intDiv(7, 2)") == 3L)
+    assert(q1("modulo(7, 3)") == 1)
+    assert(q1("plus(2, 3)") == 5)
+    assert(q1("minus(2, 3)") == -1)
+    assert(q1("multiply(4, 3)") == 12)
+    assert(q1("divide(7, 2)") == 3.5)
+    assert(q1("bitAnd(12, 10)") == 8)
+    assert(q1("bitOr(12, 10)") == 14)
+    assert(q1("bitXor(12, 10)") == 6)
+    assert(q1("bitNot(0)") == -1)
+    assert(q1("bitShiftLeft(1, 4)") == 16)
+    assert(q1("bitShiftRight(16, 2)") == 4)
+  }
+
+  test("JSON functions") {
+    val j = """'{"k": "42", "s": "hi"}'"""
+    assert(q1(s"JSONExtractString($j, 's')") == "hi")
+    assert(q1(s"JSONExtractInt($j, 'k')") == 42L)
+    assert(q1(s"JSONHas($j, 'k')") == true)
+    assert(q1(s"JSONHas($j, 'zz')") == false)
+  }
+
+  test("URL functions") {
+    val u = "'https://spark.apache.org/docs/latest/api.html?lang=scala&v=4'"
+    assert(q1(s"domain($u)") == "spark.apache.org")
+    assert(q1(s"path($u)") == "/docs/latest/api.html")
+    assert(q1(s"protocol($u)") == "https")
+    assert(q1(s"queryString($u)") == "lang=scala&v=4")
+    assert(q1(s"extractURLParameter($u, 'lang')") == "scala")
+  }
+
+  test("aggregate combinators over grouped data") {
+    spark.sql(
+      """SELECT * FROM VALUES ('a', 1, 10.0D), ('a', 5, 20.0D), ('a', 3, 30.0D),
+        |('b', 7, 5.0D), ('b', 2, 15.0D) AS t(g, k, x)""".stripMargin)
+      .createOrReplaceTempView("chd_agg")
+    val rows = spark.sql(
+      """SELECT g, countIf(k > 2) AS c, sumIf(x, k > 2) AS s,
+        |       avgIf(x, k >= 5) AS a, maxIf(k, x < 25.0) AS mx, minIf(k, x > 5.0) AS mn,
+        |       argMax(k, x) AS am, argMin(k, x) AS an,
+        |       arraySort(groupArray(k)) AS ga
+        |FROM chd_agg GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows(0) == Row("a", 2L, 50.0, 20.0, 5, 1, 3, 1, Seq(1, 3, 5)))
+    assert(rows(1) == Row("b", 1L, 5.0, 5.0, 7, 2, 2, 7, Seq(2, 7)))
+    // uniq is approximate in CH too — bound the HLL estimate, don't pin it
+    val u = q1("(SELECT uniq(c) FROM (SELECT explode(sequence(1, 50)) AS c))")
+      .asInstanceOf[Long]
+    assert(u >= 45L && u <= 55L, s"uniq estimate $u outside ±10% of 50")
+    // quantileExact interpolates like DuckDB quantile_cont
+    assert(q1("(SELECT quantileExact(c, 0.5) FROM (SELECT explode(array(1, 2, 3, 4)) AS c))") == 2.5)
+    assert(q1("(SELECT quantile(c, 0.5) FROM (SELECT explode(sequence(1, 101)) AS c))") == 51)
+  }
+}
