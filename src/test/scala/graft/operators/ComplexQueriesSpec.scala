@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape audit for the composite TPC-H-style keys: correctness is
+ * the oracle's job; these tests pin the 100-TB-relevant physical
+ * choices — dimension sides broadcast, fact aggregates run partial →
+ * final, top-k never global-sorts, and no join degenerates into a
+ * cartesian product.
+ */
+class ComplexQueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sfDir
+
+  private def plan(key: String): String = {
+    val df = QueryRegistry.queries(key)(spark, dir)
+    df.collect() // under AQE the final plan materializes only after an action
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q5: all five dimension joins broadcast; no cartesian product") {
+    val p = plan("q_tpch_q5")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // lineitem joins orders/supplier/customer/nation(+region): every
+    // non-fact side is broadcast — the only shuffle is the final groupBy
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q1: aggregate is partial then final (map-side combine crosses the shuffle)") {
+    val p = plan("q_tpch_q1")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs\n${p.take(2000)}")
+  }
+
+  test("q3 and q10: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_tpch_q3").contains("TakeOrderedAndProject"))
+    assert(plan("q_tpch_q10").contains("TakeOrderedAndProject"))
+  }
+
+  test("q6: both filters reach the parquet scan") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate") &&
+      p.contains("GreaterThanOrEqual"), p.take(2500))
+  }
+
+  test("retention cohort counts are internally consistent") {
+    val r = QueryRegistry.queries("q_agg_retention")(spark, dir).collect()(0)
+    val (v, vc, vp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= vc && v >= vp, s"view cohort must dominate: $v, $vc, $vp")
+    assert(v > 0)
+  }
+
+  test("ch-dialect query equals its ANSI spelling on the same session") {
+    val chd = QueryRegistry.queries("q_ch_dialect")(spark, dir)
+    val ansi = Q.t(spark, dir, "orders").selectExpr(
+      "o_orderkey",
+      "year(o_orderdate) * 100 + month(o_orderdate) AS yyyymm",
+      "trunc(o_orderdate, 'month') AS month_start",
+      "weekday(o_orderdate) + 1 AS dow",
+      "CAST(o_totalprice AS BIGINT) AS price_int",
+      "CASE WHEN o_totalprice > 300000.0 THEN 'high' WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'low' END AS tier",
+      "array_join(sort_array(split(lower(o_orderpriority), '-')), '_') AS prio_norm")
+    assert(chd.exceptAll(ansi).isEmpty && ansi.exceptAll(chd).isEmpty)
+  }
+}
