@@ -68,6 +68,19 @@ object ScanQueries {
         t(s, dir, "orders").write.format("clickhouse_native").mode("overwrite").save(fx)
         s.read.format("clickhouse_native").load(fx)
       },
+      Some("SELECT * FROM orders")),
+
+    "scan_native_compressed" -> Q(
+      // The compressed-frame path end-to-end: LZ4 ClickHouse frames on
+      // disk (CityHash128-checksummed, sniffed on read), same rows out.
+      // The reference reads raw Native only ("Compression support" is
+      // its unchecked box, README.md:133).
+      (s, dir) => {
+        val fx = fixtureDir(dir, "orders_native_lz4")
+        t(s, dir, "orders").write.format("clickhouse_native")
+          .option("compression", "lz4").mode("overwrite").save(fx)
+        s.read.format("clickhouse_native").load(fx)
+      },
       Some("SELECT * FROM orders"))
   )
 }

@@ -63,7 +63,7 @@ class ClickHouseNativeDataSource extends TableProvider with DataSourceRegister {
     // from other writers; our own writer no longer produces them).
     val header = files.iterator.map { p =>
       val fs = p.getFileSystem(conf)
-      val s = fs.open(p)
+      val s = NativeCompression.maybeWrapRead(fs.open(p), conf)
       try NativeBlockReader.readHeader(s) finally s.close()
     }.find(_.nonEmpty).getOrElse(
       // all files headerless → fail loudly, same policy as no-files
@@ -157,9 +157,11 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String])
       case other => throw new IllegalArgumentException(
         s"clickhouse_native write option dictionaryEncode must be 'auto' or 'off', got '$other'")
     }
+    val compression = Option(info.options.get("compression")).getOrElse("none")
+    NativeCompression.methodFor(compression) // validate at plan time
     new NativeWriteBuilder(info.schema(), paths.headOption.getOrElse(
         throw new IllegalArgumentException("clickhouse_native write requires a path")),
-      maxRows, dictEncode)
+      maxRows, dictEncode, compression)
   }
 }
 
@@ -363,7 +365,8 @@ private[native] class NativeCountReaderFactory(conf: SerializableHadoopConf)
         NativeIndex.read(fs, path, fs.getFileStatus(path).getLen) match {
           case Some(entries) => count = entries.map(_.rows).sum
           case None =>
-            val blocks = new NativeBlockReader(fs.open(path), Some(Set.empty))
+            val blocks = new NativeBlockReader(
+              NativeCompression.maybeWrapRead(fs.open(path), conf.value), Some(Set.empty))
             try while (blocks.hasNext) count += blocks.next().numRows
             finally blocks.close()
         }
@@ -500,8 +503,9 @@ private[native] class NativeColumnarPartitionReader(part: NativeInputPartition,
 
   private val path = new Path(part.file)
   private val stream = path.getFileSystem(conf).open(path)
-  if (part.start > 0) stream.seek(part.start)
-  private val blocks = new NativeBlockReader(stream, Some(required.fieldNames.toSet),
+  if (part.start > 0) stream.seek(part.start) // sidecar offsets are frame boundaries
+  private val blocks = new NativeBlockReader(
+    NativeCompression.maybeWrapRead(stream, conf), Some(required.fieldNames.toSet),
     part.blockCount)
   private var batch: ColumnarBatch = _
 
@@ -619,8 +623,9 @@ private[native] class NativePartitionReader(part: NativeInputPartition, required
 
   private val path = new Path(part.file)
   private val stream = path.getFileSystem(conf).open(path)
-  if (part.start > 0) stream.seek(part.start)
-  private val blocks = new NativeBlockReader(stream, Some(required.fieldNames.toSet),
+  if (part.start > 0) stream.seek(part.start) // sidecar offsets are frame boundaries
+  private val blocks = new NativeBlockReader(
+    NativeCompression.maybeWrapRead(stream, conf), Some(required.fieldNames.toSet),
     part.blockCount)
 
   private var colValues: Array[Array[Any]] = _ // per required-field value arrays
@@ -670,7 +675,7 @@ private[native] class NativePartitionReader(part: NativeInputPartition, required
 // ---------------------------------------------------------------------------
 
 private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRowsPerFile: Int,
-    dictEncode: Boolean)
+    dictEncode: Boolean, compression: String = "none")
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -682,9 +687,9 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
     schema.fields.foreach(f => ChType.forSpark(f.dataType, f.nullable))
     new Write {
       override def toBatch: BatchWrite =
-        new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode)
+        new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode, compression)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode)
+        new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression)
     }
   }
 }
@@ -699,7 +704,7 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
  * streaming read's exactly-once file log relies on.
  */
 private[native] class NativeStreamingWrite(schema: StructType, path: String,
-    maxRowsPerFile: Int, dictEncode: Boolean)
+    maxRowsPerFile: Int, dictEncode: Boolean, compression: String = "none")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -709,7 +714,7 @@ private[native] class NativeStreamingWrite(schema: StructType, path: String,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
-    NativeStreamingWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf)
+    NativeStreamingWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf, compression)
   }
 
   // Epoch commit is recorded by the streaming engine's own offset/commit
@@ -722,15 +727,16 @@ private[native] class NativeStreamingWrite(schema: StructType, path: String,
 
 /** Ships to executors — a named case class so only serializable fields travel. */
 private[native] case class NativeStreamingWriterFactory(schema: StructType, path: String,
-    maxRowsPerFile: Int, dictEncode: Boolean, conf: SerializableHadoopConf)
+    maxRowsPerFile: Int, dictEncode: Boolean, conf: SerializableHadoopConf,
+    compression: String = "none")
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
-      filePrefix = f"epoch-$epochId%08d-", dictEncode = dictEncode)
+      filePrefix = f"epoch-$epochId%08d-", dictEncode = dictEncode, compression = compression)
 }
 
 private[native] class NativeBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
-    maxRowsPerFile: Int, dictEncode: Boolean) extends BatchWrite {
+    maxRowsPerFile: Int, dictEncode: Boolean, compression: String = "none") extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // Driver-side, before any task launches: clear the target on overwrite.
     val conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf())
@@ -738,7 +744,7 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
     val fs = dir.getFileSystem(conf.value)
     if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new NativeWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf)
+    new NativeWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf, compression)
   }
   // Spark's default useCommitCoordinator() (true) guarantees at most one
   // committed attempt per partition; aborted attempts delete their file
@@ -749,11 +755,12 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
 }
 
 private[native] class NativeWriterFactory(schema: StructType, path: String,
-    maxRowsPerFile: Int, dictEncode: Boolean, conf: SerializableHadoopConf)
+    maxRowsPerFile: Int, dictEncode: Boolean, conf: SerializableHadoopConf,
+    compression: String = "none")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
-      dictEncode = dictEncode)
+      dictEncode = dictEncode, compression = compression)
 }
 
 /**
@@ -763,7 +770,7 @@ private[native] class NativeWriterFactory(schema: StructType, path: String,
  */
 private[native] class NativeDataWriter(schema: StructType, dir: String,
     partitionId: Int, taskId: Long, rowsPerFile: Int, conf: Configuration,
-    filePrefix: String = "", dictEncode: Boolean = true)
+    filePrefix: String = "", dictEncode: Boolean = true, compression: String = "none")
     extends DataWriter[InternalRow] {
 
   private val rowsPerBlock = 65536
@@ -927,7 +934,7 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
     val p = new Path(f"$dir/${filePrefix}part-$partitionId%05d-$taskId-$fileSeq%03d.clickhouse")
     written += p
     currentFile = p
-    writer = new NativeBlockWriter(p.getFileSystem(conf).create(p, true))
+    writer = new NativeBlockWriter(p.getFileSystem(conf).create(p, true), compression)
   }
 
   override def write(record: InternalRow): Unit = {

@@ -123,17 +123,35 @@ object NativeBlockReader {
   }
 }
 
-/** Streaming block writer — the inverse, for fixtures and the sink path. */
-final class NativeBlockWriter(stream: OutputStream) extends AutoCloseable {
+/**
+ * Streaming block writer — the inverse, for fixtures and the sink path.
+ *
+ * With `compression` = lz4|zstd the native byte stream is wrapped in
+ * ClickHouse compressed frames ([[NativeCompression]]); [[position]]
+ * additionally ends the current frame, so every offset handed to the
+ * [[NativeIndex]] sidecar is a frame boundary — a valid seek target on
+ * the compressed file.
+ */
+final class NativeBlockWriter(stream: OutputStream, compression: String = "none")
+    extends AutoCloseable {
   private val counting = new CountingOutputStream(stream)
-  private val out = new Output(new BufferedOutputStream(counting, 64 * 1024))
+  private val frames: FrameOutputStream = compression.toLowerCase match {
+    case "none" | "" => null
+    case c => new FrameOutputStream(counting, NativeCompression.methodFor(c))
+  }
+  private val out = new Output(new BufferedOutputStream(
+    if (frames == null) counting else frames, 64 * 1024))
 
   /**
    * Byte offset the NEXT write lands at (flushes the buffer — call
    * once per block, not per value). Lets the data writer record block
    * offsets for the [[NativeIndex]] sidecar.
    */
-  def position: Long = { out.flush(); counting.count }
+  def position: Long = {
+    out.flush()
+    if (frames != null) frames.endFrame()
+    counting.count
+  }
 
   def writeBlock(block: NativeBlock): Unit = {
     out.writeVarUInt(block.columns.length.toLong)
@@ -145,5 +163,9 @@ final class NativeBlockWriter(stream: OutputStream) extends AutoCloseable {
     }
   }
 
-  override def close(): Unit = { out.flush(); stream.close() }
+  override def close(): Unit = {
+    out.flush()
+    if (frames != null) frames.endFrame()
+    stream.close()
+  }
 }

@@ -57,7 +57,9 @@ class ClickHouseRemoteDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spec = TransportSpec.fromOptions(options)
-    val stream = spec.open()
+    // recorded server responses may be compressed-frame wrapped (the
+    // live protocol compresses by default) — sniff and decompress
+    val stream = graft.sources.native.NativeCompression.maybeWrapRead(spec.open(), null)
     try {
       StructType(NativeBlockReader.readHeader(stream).map { case (name, t) =>
         StructField(name, t.sparkType, nullable = ChType.isNullable(t))
@@ -152,7 +154,9 @@ private[remote] case class RemotePartition(spec: TransportSpec) extends InputPar
 private[remote] class RemotePartitionReader(spec: TransportSpec, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val blocks = new NativeBlockReader(spec.open(), Some(required.fieldNames.toSet))
+  private val blocks = new NativeBlockReader(
+    graft.sources.native.NativeCompression.maybeWrapRead(spec.open(), null),
+    Some(required.fieldNames.toSet))
   private var colValues: Array[Array[Any]] = _
   private var rowsInBlock = 0
   private var rowIdx = 0

@@ -93,8 +93,14 @@ class RoundtripPropertySpec extends AnyFunSuite {
         splits += math.min(pos, nRows)
       }
 
+      // every 4th case wraps the stream in compressed frames (lz4/zstd
+      // alternating) — the sniffing read path must be byte-equivalent
+      val codec = case_i % 8 match {
+        case 0 | 4 => if (case_i % 8 == 0) "lz4" else "zstd"
+        case _ => "none"
+      }
       val bos = new ByteArrayOutputStream()
-      val w = new NativeBlockWriter(bos)
+      val w = new NativeBlockWriter(bos, codec)
       splits.toSeq.zip(splits.toSeq.tail).foreach { case (a, b) =>
         if (b > a) {
           val cols = types.zipWithIndex.map { case (t, ci) =>
@@ -105,7 +111,8 @@ class RoundtripPropertySpec extends AnyFunSuite {
       }
       w.close()
 
-      val reader = new NativeBlockReader(new ByteArrayInputStream(bos.toByteArray))
+      val reader = new NativeBlockReader(NativeCompression.maybeWrapRead(
+        new ByteArrayInputStream(bos.toByteArray), null))
       val got: Array[scala.collection.mutable.ArrayBuffer[Any]] =
         Array.fill(nCols)(scala.collection.mutable.ArrayBuffer.empty[Any])
       var totalRows = 0
