@@ -87,6 +87,9 @@ object ChDialect {
       Multiply(Year(e), Literal(10000)),
       Add(Multiply(Month(e), Literal(100)), DayOfMonth(e)))),
     one("toUnixTimestamp")(e => UnixTimestamp(ts(e), Literal("yyyy-MM-dd HH:mm:ss"))),
+    one("toQuarter")(Quarter(_)),
+    one("toISOWeek")(WeekOfYear(_)),
+    one("toDayOfYear")(DayOfYear(_)),
     two("addDays")((d, n) => DateAdd(date(d), n)),
     two("subtractDays")((d, n) => DateSub(date(d), n)),
     two("addMonths")((d, n) => AddMonths(date(d), n)),
@@ -122,6 +125,17 @@ object ChDialect {
       StringRPad(args(0), args(1), args(2))
     },
 
+    one("trimLeft")(e => StringTrimLeft(e)),
+    one("trimRight")(e => StringTrimRight(e)),
+    // formatDateTime with CH %-specifiers, translated to a Java pattern
+    // at plan time (format must be a literal, as in CH almost always)
+    two("formatDateTime")((t, f) => f match {
+      case l: Literal if l.dataType == StringType && l.value != null =>
+        DateFormatClass(ts(t), Literal(translateChFormat(l.value.toString)))
+      case other => throw new IllegalArgumentException(
+        s"formatDateTime format must be a string literal, got $other")
+    }),
+
     // ----- conditionals --------------------------------------------------
     "multiIf" -> { args: Seq[Expression] =>
       require(args.length >= 3 && args.length % 2 == 1,
@@ -148,6 +162,11 @@ object ChDialect {
     // CH arg order: arrayMap(x -> f(x), arr) — lambda first
     two("arrayMap")((fn, arr) => ArrayTransform(arr, fn)),
     two("arrayFilter")((fn, arr) => ArrayFilter(arr, fn)),
+    // (no arrayCount: the analyzer requires a lambda's parent expression
+    // to itself be the higher-order function — spell it
+    // size(arrayFilter(fn, arr)))
+    two("arrayExists")((fn, arr) => ArrayExists(arr, fn)),
+    two("arrayAll")((fn, arr) => ArrayForAll(arr, fn)),
     // arrayJoin(arr): ClickHouse's row-expanding function ⇄ a Generator
     one("arrayJoin")(Explode(_)),
 
@@ -164,6 +183,7 @@ object ChDialect {
     one("bitNot")(BitwiseNot(_)),
     two("bitShiftLeft")(ShiftLeft(_, _)),
     two("bitShiftRight")(ShiftRight(_, _)),
+    one("bitCount")(BitwiseCount(_)),
 
     // ----- JSON (top-level keys) ----------------------------------------
     two("JSONExtractString")((j, k) => GetJsonObject(j, jsonPath(k))),
@@ -190,8 +210,52 @@ object ChDialect {
     two("maxIf")((x, c) => Max(whenOrNull(c, x))),
     two("minIf")((x, c) => Min(whenOrNull(c, x))),
     two("quantile")((x, p) => new ApproximatePercentile(x, p)),
-    two("quantileExact")((x, p) => new Percentile(x, p))
+    two("quantileExact")((x, p) => new Percentile(x, p)),
+    one("uniqCombined")(HyperLogLogPlusPlus(_)),
+    one("stddevSamp")(StddevSamp(_)),
+    one("stddevPop")(StddevPop(_)),
+    one("varSamp")(VarianceSamp(_)),
+    one("varPop")(VariancePop(_)),
+    two("covarSamp")(CovSample(_, _)),
+    two("covarPop")(CovPopulation(_, _))
   )
+
+  /** CH formatDateTime %-specifiers → Java SimpleDateFormat pattern. */
+  private def translateChFormat(f: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var literalRun = new StringBuilder
+    def flushLiteral(): Unit = if (literalRun.nonEmpty) {
+      sb.append("'").append(literalRun.toString.replace("'", "''")).append("'")
+      literalRun = new StringBuilder
+    }
+    while (i < f.length) {
+      if (f.charAt(i) == '%' && i + 1 < f.length) {
+        flushLiteral()
+        f.charAt(i + 1) match {
+          case 'Y' => sb.append("yyyy")
+          case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM")
+          case 'd' => sb.append("dd")
+          case 'H' => sb.append("HH")
+          case 'M' => sb.append("mm")
+          case 'S' => sb.append("ss")
+          case 'e' => sb.append("d")
+          case 'F' => sb.append("yyyy-MM-dd")
+          case 'T' => sb.append("HH:mm:ss")
+          case '%' => literalRun.append('%')
+          case c => throw new IllegalArgumentException(
+            s"formatDateTime: unsupported specifier %$c")
+        }
+        i += 2
+      } else {
+        literalRun.append(f.charAt(i))
+        i += 1
+      }
+    }
+    flushLiteral()
+    sb.toString
+  }
 
   private def jsonPath(key: Expression): Expression =
     Concat(Seq(Literal("$."), key))

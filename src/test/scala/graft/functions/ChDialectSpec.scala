@@ -64,6 +64,24 @@ class ChDialectSpec extends AnyFunSuite {
     assert(q1("rightPad('7', 3, '*')") == "7**")
   }
 
+  test("second-tranche functions") {
+    assert(q1("toQuarter(DATE '2024-08-15')") == 3)
+    assert(q1("toDayOfYear(DATE '2024-02-01')") == 32)
+    assert(q1("trimLeft('  x ')") == "x ")
+    assert(q1("trimRight('  x ')") == "  x")
+    assert(q1("formatDateTime(TIMESTAMP '2024-03-05 07:08:09', '%Y-%m-%d %H:%M:%S')") ==
+      "2024-03-05 07:08:09")
+    assert(q1("formatDateTime(TIMESTAMP '2024-03-05 07:08:09', '%d/%m/%y at %H')") ==
+      "05/03/24 at 07")
+    assert(q1("bitCount(255)") == 8)
+    assert(q1("arrayExists(x -> x > 2, array(1, 2, 3))") == true)
+    assert(q1("arrayAll(x -> x > 0, array(1, 2, 3))") == true)
+    assert(q1("size(arrayFilter(x -> x % 2 = 0, array(1, 2, 3, 4)))") == 2)
+    assert(q1("(SELECT round(stddevSamp(c), 6) FROM (SELECT explode(array(1.0D, 2.0D, 3.0D)) AS c))") == 1.0)
+    assert(q1("(SELECT varPop(c) FROM (SELECT explode(array(2.0D, 4.0D)) AS c))") == 1.0)
+    assert(q1("(SELECT covarPop(a, b) FROM VALUES (1.0D, 2.0D), (2.0D, 4.0D) AS t(a, b))") == 0.5)
+  }
+
   test("multiIf") {
     assert(q1("multiIf(1 > 2, 'a', 3 > 2, 'b', 'c')") == "b")
     assert(q1("multiIf(1 > 2, 'a', 2 > 3, 'b', 'c')") == "c")
