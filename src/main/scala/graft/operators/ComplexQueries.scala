@@ -186,6 +186,62 @@ object ComplexQueries {
                 AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
                 AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""")),
 
+    "q_tpch_q18" -> Q(
+      // TPC-H Q18 large-volume customers: the HAVING subquery becomes a
+      // pre-aggregated join side (sum partials map-side combine before
+      // its shuffle); customer broadcasts; top 100 via
+      // TakeOrderedAndProject.
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+          .filter(col("total_qty") > 150.0)
+        t(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+              FROM orders
+              JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                    FROM lineitem GROUP BY l_orderkey
+                    HAVING round(sum(l_quantity), 2) > 150.0) b
+                ON o_orderkey = b.l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    "q_tpch_q19" -> Q(
+      // TPC-H Q19 discounted revenue: disjunctive predicate blocks over
+      // the joined (lineitem × part) row — the shape that exercises
+      // predicate normalization; the join itself stays a single
+      // broadcast hash join keyed on p_partkey.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val p = broadcast(t(s, dir, "part"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+              && col("l_quantity").between(1, 21))
+            || (col("p_brand") === "Brand#2" && col("p_size").between(1, 30)
+              && col("l_quantity").between(10, 30))
+            || (col("p_brand") === "Brand#9" && col("p_size").between(1, 50)
+              && col("l_quantity").between(20, 50)))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem, part
+              WHERE l_partkey = p_partkey
+                AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                      AND l_quantity BETWEEN 1 AND 21)
+                  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+                      AND l_quantity BETWEEN 10 AND 30)
+                  OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 50
+                      AND l_quantity BETWEEN 20 AND 50))""")),
+
     "q_ch_dialect" -> Q(
       // The ClickHouse-dialect SQL surface end-to-end: a query written
       // entirely with CH function spellings (type conversion, date
