@@ -274,6 +274,45 @@ object ComplexQueries {
                      array_to_string(list_sort(string_split(lower(o_orderpriority), '-')), '_') AS prio_norm
               FROM orders""")),
 
+    "q_fn_url" -> Q(
+      // The URL function family (CH domain/path/extractURLParameter ⇄
+      // Spark parse_url) end-to-end: URLs synthesized from documents
+      // columns, parsed back apart. The oracle reconstructs each piece
+      // from the same inputs with plain string ops — no URL parser
+      // needed on the DuckDB side.
+      (s, dir) => {
+        t(s, dir, "documents").createOrReplaceTempView("docs_url")
+        s.sql("""SELECT doc_id,
+                        domain(u) AS host,
+                        path(u) AS upath,
+                        protocol(u) AS proto,
+                        extractURLParameter(u, 'lang') AS lang_param
+                 FROM (SELECT doc_id,
+                              concat('https://', source, '.example.com/d/',
+                                     doc_id, '?lang=', lang, '&v=1') AS u
+                       FROM docs_url)""")
+      },
+      Some("""SELECT doc_id,
+                     source || '.example.com' AS host,
+                     '/d/' || doc_id AS upath,
+                     'https' AS proto,
+                     lang AS lang_param
+              FROM documents""")),
+
+    "q_agg_quantiles" -> Q(
+      // Multi-quantile in one pass (CH quantiles(0.25,0.5,0.75)(x)):
+      // Spark's exact percentile over an array of levels ≡ DuckDB
+      // quantile_cont list form — both linear-interpolated, so the
+      // arrays compare exactly after rounding.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D)), x -> round(x, 2))")
+          .as("qs")),
+      Some("""SELECT l_returnflag,
+                     list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                                    x -> round(x, 2)) AS qs
+              FROM lineitem GROUP BY l_returnflag""")),
+
     "q_agg_retention" -> Q(
       // CH retention(c1, c2, c3): per-user condition flags where flag i
       // is (c1 AND ci), then summed into cohort counts. Two cheap
