@@ -381,9 +381,39 @@ private[native] class NativeCountReaderFactory(conf: SerializableHadoopConf)
 private[native] class NativeScan(fullSchema: StructType, required: StructType,
     paths: Seq[String], limit: Int, conf: SerializableHadoopConf,
     zoneFilters: Array[Filter] = Array.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /**
+   * Runtime (dynamic-partition-pruning-style) filtering: after the
+   * broadcast side of a join materializes, Spark hands this scan the
+   * join-key values as an `In` filter and re-plans input partitions.
+   * The values feed the SAME zone-map machinery as static pushdown, so
+   * a fact-table scan joined to a filtered dimension reads only the
+   * blocks whose sidecar [min,max] can hold a surviving key — on data
+   * laid out by the join key, O(matching blocks) instead of a full
+   * scan. Purely advisory: the join re-verifies every row, so a stale
+   * sidecar can cost time, never correctness.
+   */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  // Only columns present in the PRUNED output: Spark resolves these
+  // against the scan's readSchema, so a full-schema column that column
+  // pruning removed would fail analysis ("Unable to resolve ...").
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] || f.dataType == StringType ||
+        f.dataType == DateType || f.dataType == TimestampType ||
+        f.dataType == TimestampNTZType || f.dataType == BooleanType =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters.filter(NativeIndex.prunable)
+  }
+
+  private def effectiveFilters: Array[Filter] = zoneFilters ++ runtimeFilters
 
   /**
    * Size statistics from file lengths (cheap driver-side metadata
@@ -437,15 +467,16 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
     val target = SparkSession.getActiveSession
       .map(_.sessionState.conf.filesMaxPartitionBytes)
       .getOrElse(128L * 1024 * 1024)
+    val pruning = effectiveFilters
     NativeIO.resolveFileStatuses(paths, conf.value).flatMap { st =>
       val p = st.getPath
       val whole = Seq(NativeInputPartition(p.toString))
       // small files skip the sidecar RPC unless filters could prune them
-      if (st.getLen <= target && zoneFilters.isEmpty) whole
+      if (st.getLen <= target && pruning.isEmpty) whole
       else NativeIndex.read(p.getFileSystem(conf.value), p, st.getLen) match {
         case Some(entries) =>
           NativeIndex.splitRangesKeeping(entries, st.getLen, target,
-            i => NativeIndex.blockMayMatch(entries(i).stats, zoneFilters.toSeq)).map {
+            i => NativeIndex.blockMayMatch(entries(i).stats, pruning.toSeq)).map {
             case (offset, nBlocks, _) => NativeInputPartition(p.toString, offset, nBlocks)
           }
         case None => whole
