@@ -121,10 +121,19 @@ private[sources] object NativeIO {
   }
 }
 
-private[native] class NativeTable(tableSchema: StructType, paths: Seq[String])
+private[native] class NativeTable(tableSchema: StructType, paths: Seq[String],
+    bucket: Option[(String, Int)] = None, tableProps: Map[String, String] = Map.empty,
+    displayName: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"clickhouse_native(${paths.mkString(",")})"
+  override def name(): String =
+    displayName.getOrElse(s"clickhouse_native(${paths.mkString(",")})")
   override def schema(): StructType = tableSchema
+
+  /** Catalog tables may be hash-bucketed: layout metadata for Catalyst. */
+  override def partitioning(): Array[Transform] =
+    bucket.map { case (col, n) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)
+    }.toArray
   // NOT ACCEPT_ANY_SCHEMA: with it, Spark skips resolving an INSERT's
   // input columns against the table schema, so `INSERT INTO t VALUES`
   // wrote files whose columns were named col1/col2/... — which the
@@ -137,35 +146,40 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String])
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NativeScanBuilder(tableSchema, paths)
+    new NativeScanBuilder(tableSchema, paths, bucket)
+
+  /** Write option with table-property fallback (catalog tables persist defaults). */
+  private def opt(info: LogicalWriteInfo, key: String): Option[String] =
+    Option(info.options.get(key)).orElse(tableProps.get(key))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // Validate at write-build time: 0/negative would rotate on every
     // row (one part file per input row at scale), and a non-numeric
     // value should name the option, not surface a bare
     // NumberFormatException from inside a task.
-    val maxRows = Option(info.options.get("maxRowsPerFile")).map { v =>
+    val maxRows = opt(info, "maxRowsPerFile").map { v =>
       val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"clickhouse_native write option maxRowsPerFile must be a positive integer, got '$v'"))
       if (n <= 0) throw new IllegalArgumentException(
         s"clickhouse_native write option maxRowsPerFile must be > 0, got $n")
       n
     }.getOrElse(8 * 1024 * 1024)
-    val dictEncode = Option(info.options.get("dictionaryEncode")).getOrElse("auto") match {
+    val dictEncode = opt(info, "dictionaryEncode").getOrElse("auto") match {
       case "auto" => true
       case "off" => false
       case other => throw new IllegalArgumentException(
         s"clickhouse_native write option dictionaryEncode must be 'auto' or 'off', got '$other'")
     }
-    val compression = Option(info.options.get("compression")).getOrElse("none")
+    val compression = opt(info, "compression").getOrElse("none")
     NativeCompression.methodFor(compression) // validate at plan time
     new NativeWriteBuilder(info.schema(), paths.headOption.getOrElse(
         throw new IllegalArgumentException("clickhouse_native write requires a path")),
-      maxRows, dictEncode, compression)
+      maxRows, dictEncode, compression, bucket)
   }
 }
 
-private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[String])
+private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[String],
+    bucket: Option[(String, Int)] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates with SupportsPushDownFilters {
   private var required: StructType = fullSchema
@@ -213,7 +227,7 @@ private[native] class NativeScanBuilder(fullSchema: StructType, paths: Seq[Strin
   override def build(): Scan = {
     val conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf())
     if (countStar) new NativeCountScan(paths, conf)
-    else new NativeScan(fullSchema, required, paths, limit, conf, prunableFilters)
+    else new NativeScan(fullSchema, required, paths, limit, conf, prunableFilters, bucket)
   }
 }
 
@@ -380,10 +394,43 @@ private[native] class NativeCountReaderFactory(conf: SerializableHadoopConf)
 
 private[native] class NativeScan(fullSchema: StructType, required: StructType,
     paths: Seq[String], limit: Int, conf: SerializableHadoopConf,
-    zoneFilters: Array[Filter] = Array.empty)
-    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+    zoneFilters: Array[Filter] = Array.empty,
+    bucket: Option[(String, Int)] = None)
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /**
+   * Bucketed catalog tables report KeyGroupedPartitioning over
+   * `bucket(n, col)` — the hook storage-partitioned joins hang off:
+   * two native tables bucketed the same way on their join key plan
+   * with ZERO Exchange (enable spark.sql.sources.v2.bucketing.enabled).
+   * Guarded on every data file carrying a writer bucket tag, so a
+   * table polluted with foreign files degrades to unknown layout, not
+   * wrong co-location. At 100 TB this is THE fact-fact join strategy:
+   * the shuffle happens once at ingest, never again per query.
+   */
+  private lazy val bucketLayout: Option[(String, Int, Map[String, Int])] =
+    bucket.flatMap { case (col, n) =>
+      val sts = try NativeIO.resolveFileStatuses(paths, conf.value)
+        catch { case _: Exception => Seq.empty }
+      val tags = sts.map(st =>
+        st.getPath.toString -> NativeBucket.bucketOfFile(st.getPath.getName))
+      if (tags.forall(_._2.isDefined))
+        Some((col, n, tags.map { case (p, t) => p -> t.get }.toMap))
+      else None
+    }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketLayout match {
+      case Some((col, n, fileBuckets)) if required.fieldNames.contains(col) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)),
+          fileBuckets.values.toSet.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /**
    * Runtime (dynamic-partition-pruning-style) filtering: after the
@@ -468,16 +515,20 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
       .map(_.sessionState.conf.filesMaxPartitionBytes)
       .getOrElse(128L * 1024 * 1024)
     val pruning = effectiveFilters
+    val buckets: Map[String, Int] =
+      bucketLayout.map { case (_, _, m) => m }.getOrElse(Map.empty)
     NativeIO.resolveFileStatuses(paths, conf.value).flatMap { st =>
       val p = st.getPath
-      val whole = Seq(NativeInputPartition(p.toString))
+      val bucketId = buckets.getOrElse(p.toString, -1)
+      val whole = Seq(NativeInputPartition(p.toString, bucketId = bucketId))
       // small files skip the sidecar RPC unless filters could prune them
       if (st.getLen <= target && pruning.isEmpty) whole
       else NativeIndex.read(p.getFileSystem(conf.value), p, st.getLen) match {
         case Some(entries) =>
           NativeIndex.splitRangesKeeping(entries, st.getLen, target,
             i => NativeIndex.blockMayMatch(entries(i).stats, pruning.toSeq)).map {
-            case (offset, nBlocks, _) => NativeInputPartition(p.toString, offset, nBlocks)
+            case (offset, nBlocks, _) =>
+              NativeInputPartition(p.toString, offset, nBlocks, bucketId)
           }
         case None => whole
       }
@@ -495,10 +546,17 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
 /**
  * One unit of scan work: a whole file (blockCount = -1), or — when the
  * file has a valid [[NativeIndex]] sidecar — a contiguous block range
- * starting at byte `start`, `blockCount` blocks long.
+ * starting at byte `start`, `blockCount` blocks long. `bucketId` >= 0
+ * tags partitions of a bucketed table ([[HasPartitionKey]]) so Spark
+ * can key-group them for storage-partitioned joins; -1 = unbucketed
+ * (the key is only consulted when the scan reports key-grouped layout).
  */
 private[native] case class NativeInputPartition(file: String, start: Long = 0L,
-    blockCount: Int = -1) extends InputPartition
+    blockCount: Int = -1, bucketId: Int = -1)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
 
 private[native] class NativeReaderFactory(required: StructType, limit: Int,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
@@ -706,7 +764,8 @@ private[native] class NativePartitionReader(part: NativeInputPartition, required
 // ---------------------------------------------------------------------------
 
 private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRowsPerFile: Int,
-    dictEncode: Boolean, compression: String = "none")
+    dictEncode: Boolean, compression: String = "none",
+    bucket: Option[(String, Int)] = None)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -716,11 +775,20 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
     // Validate the schema driver-side at planning, so an unsupported
     // type is one clean error, not a stage failure inside a task.
     schema.fields.foreach(f => ChType.forSpark(f.dataType, f.nullable))
+    bucket.foreach { case (col, _) =>
+      val f = schema.fields.find(_.name == col).getOrElse(
+        throw new IllegalArgumentException(
+          s"clickhouse_native bucketed write: bucket column '$col' not in input schema"))
+      if (!NativeBucket.supported(f.dataType))
+        throw new IllegalArgumentException(
+          s"clickhouse_native bucketed write: bucket column type ${f.dataType} unsupported")
+    }
     new Write {
       override def toBatch: BatchWrite =
-        new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode, compression)
+        new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
+          compression, bucket)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression)
+        new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
     }
   }
 }
@@ -735,7 +803,8 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
  * streaming read's exactly-once file log relies on.
  */
 private[native] class NativeStreamingWrite(schema: StructType, path: String,
-    maxRowsPerFile: Int, dictEncode: Boolean, compression: String = "none")
+    maxRowsPerFile: Int, dictEncode: Boolean, compression: String = "none",
+    bucket: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -745,7 +814,7 @@ private[native] class NativeStreamingWrite(schema: StructType, path: String,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
-    NativeStreamingWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf, compression)
+    NativeStreamingWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf, compression, bucket)
   }
 
   // Epoch commit is recorded by the streaming engine's own offset/commit
@@ -759,23 +828,39 @@ private[native] class NativeStreamingWrite(schema: StructType, path: String,
 /** Ships to executors — a named case class so only serializable fields travel. */
 private[native] case class NativeStreamingWriterFactory(schema: StructType, path: String,
     maxRowsPerFile: Int, dictEncode: Boolean, conf: SerializableHadoopConf,
-    compression: String = "none")
+    compression: String = "none", bucket: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
-      filePrefix = f"epoch-$epochId%08d-", dictEncode = dictEncode, compression = compression)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val prefix = f"epoch-$epochId%08d-"
+    bucket match {
+      case Some((col, n)) =>
+        new BucketedNativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile,
+          conf.value, col, n, prefix, dictEncode, compression)
+      case None =>
+        new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
+          filePrefix = prefix, dictEncode = dictEncode, compression = compression)
+    }
+  }
 }
 
 private[native] class NativeBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
-    maxRowsPerFile: Int, dictEncode: Boolean, compression: String = "none") extends BatchWrite {
+    maxRowsPerFile: Int, dictEncode: Boolean, compression: String = "none",
+    bucket: Option[(String, Int)] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // Driver-side, before any task launches: clear the target on overwrite.
+    // Driver-side, before any task launches: clear the target on
+    // overwrite. Only DATA entries are removed — "_"/"." names (the
+    // catalog's _graft_table.meta, checkpoint dirs) survive a TRUNCATE.
     val conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf())
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
-    if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
+    if (truncateFirst && fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) fs.delete(st.getPath, true)
+      }
+    }
     fs.mkdirs(dir)
-    new NativeWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf, compression)
+    new NativeWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf, compression, bucket)
   }
   // Spark's default useCommitCoordinator() (true) guarantees at most one
   // committed attempt per partition; aborted attempts delete their file
@@ -787,11 +872,58 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
 
 private[native] class NativeWriterFactory(schema: StructType, path: String,
     maxRowsPerFile: Int, dictEncode: Boolean, conf: SerializableHadoopConf,
-    compression: String = "none")
+    compression: String = "none", bucket: Option[(String, Int)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
-      dictEncode = dictEncode, compression = compression)
+    bucket match {
+      case Some((col, n)) =>
+        new BucketedNativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile,
+          conf.value, col, n, "", dictEncode, compression)
+      case None =>
+        new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
+          dictEncode = dictEncode, compression = compression)
+    }
+}
+
+/**
+ * Bucketed task writer: routes every row to a per-bucket [[NativeDataWriter]]
+ * by the shared [[NativeBucket]] hash, so each part file holds exactly one
+ * bucket (the name carries the id — `b00003-part-...`). Input rows may
+ * arrive in any distribution; a task simply keeps one open writer per
+ * bucket it actually sees. Commit/abort fan out to every child so the
+ * at-most-one-committed-attempt contract is unchanged.
+ */
+private[native] class BucketedNativeDataWriter(schema: StructType, dir: String,
+    partitionId: Int, taskId: Long, rowsPerFile: Int, conf: Configuration,
+    bucketCol: String, numBuckets: Int, filePrefix: String,
+    dictEncode: Boolean, compression: String)
+    extends DataWriter[InternalRow] {
+  private val keyIdx = schema.fieldIndex(bucketCol)
+  private val keyType = schema.fields(keyIdx).dataType
+  private val writers = new Array[NativeDataWriter](numBuckets)
+
+  private def writerFor(b: Int): NativeDataWriter = {
+    var w = writers(b)
+    if (w == null) {
+      w = new NativeDataWriter(schema, dir, partitionId, taskId, rowsPerFile, conf,
+        filePrefix + NativeBucket.filePrefix(b), dictEncode, compression)
+      writers(b) = w
+    }
+    w
+  }
+
+  override def write(record: InternalRow): Unit =
+    writerFor(NativeBucket.of(record, keyIdx, keyType, numBuckets)).write(record)
+
+  override def commit(): WriterCommitMessage = {
+    val files = writers.iterator.filter(_ != null).flatMap { w =>
+      w.commit().asInstanceOf[NativeCommitMessage].files
+    }.toSeq
+    NativeCommitMessage(files)
+  }
+
+  override def abort(): Unit = writers.iterator.filter(_ != null).foreach(_.abort())
+  override def close(): Unit = writers.iterator.filter(_ != null).foreach(_.close())
 }
 
 /**

@@ -1,0 +1,302 @@
+package graft.sources.native
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.functions.TextHash
+
+/**
+ * Consistent hash-bucket assignment shared by the bucketed WRITER (routes
+ * each row to a per-bucket part file) and the V2 `bucket` function the
+ * catalog exposes (lets Catalyst reason about two tables' layouts being
+ * compatible). The hash must be identical everywhere or storage-partitioned
+ * joins would co-locate rows that do NOT share a key: integral keys go
+ * through splitmix64, strings through fnv1a64 then splitmix64, and the
+ * bucket id is the non-negative remainder mod bucket count.
+ *
+ * The reference stack has no layout-aware planning at all (every join
+ * re-hashes both sides in the host engine); this is the Spark-first
+ * answer to 100 TB fact-fact joins: both tables pre-bucketed on the join
+ * key never shuffle again (SURVEY §2.3, BENCH_NOTES zero-Exchange demo).
+ */
+private[graft] object NativeBucket {
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType | StringType => true
+    case _ => false
+  }
+
+  def ofLong(v: Long, n: Int): Int = (((TextHash.splitmix64(v) % n) + n) % n).toInt
+
+  /** Bucket of the key at `idx` in a row; nulls deterministically to 0. */
+  def of(row: InternalRow, idx: Int, dt: DataType, n: Int): Int =
+    if (row.isNullAt(idx)) 0
+    else dt match {
+      case LongType => ofLong(row.getLong(idx), n)
+      case IntegerType | DateType => ofLong(row.getInt(idx).toLong, n)
+      case ShortType => ofLong(row.getShort(idx).toLong, n)
+      case ByteType => ofLong(row.getByte(idx).toLong, n)
+      case StringType => ofLong(TextHash.fnv1a64(row.getUTF8String(idx).toString), n)
+      case other => throw new IllegalArgumentException(
+        s"clickhouse_native bucket column type not supported: $other")
+    }
+
+  /** File-name tag a bucketed writer inserts before "part-". */
+  def filePrefix(b: Int): String = f"b$b%05d-"
+
+  private val FileTag = """(?:^|.*-)b(\d{5})-part-.*""".r
+
+  /** Parse the bucket id back out of a part file name, if present. */
+  def bucketOfFile(name: String): Option[Int] = name match {
+    case FileTag(d) => Some(d.toInt)
+    case _ => None
+  }
+}
+
+/** `bucket(n, key)` as a V2 catalog function (unbound form). */
+private[native] object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): graft consistent hash bucket id in [0, n)"
+  override def bind(inputType: StructType): BoundFunction = {
+    if (inputType.length != 2)
+      throw new UnsupportedOperationException(
+        s"bucket expects (numBuckets, key), got ${inputType.length} arguments")
+    val nbType = inputType.fields(0).dataType
+    val nbIntegral = nbType == ByteType || nbType == ShortType ||
+      nbType == IntegerType || nbType == LongType
+    if (!nbIntegral)
+      throw new UnsupportedOperationException(
+        s"bucket numBuckets must be integral, got $nbType")
+    val keyType = inputType.fields(1).dataType
+    if (!NativeBucket.supported(keyType))
+      throw new UnsupportedOperationException(
+        s"bucket key type not supported: $keyType")
+    new GraftBucketBound(keyType)
+  }
+}
+
+/**
+ * Bound `bucket` function. `canonicalName` is the SAME for every key
+ * type: the hash promotes all integral keys to long, so bucket(8, int 5)
+ * == bucket(8, long 5) and cross-width joins co-locate correctly.
+ */
+private[native] final class GraftBucketBound(keyType: DataType)
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer =
+    NativeBucket.of(input, 1, keyType, input.getInt(0))
+}
+
+/**
+ * `graft` catalog: ClickHouse-Native-format tables under a warehouse
+ * directory, with optional `bucket(n, col)` partitioning.
+ *
+ *   spark.sql.catalog.graft           = graft.sources.native.NativeCatalog
+ *   spark.sql.catalog.graft.warehouse = /data/graft
+ *
+ *   CREATE TABLE graft.db.orders (o_orderkey BIGINT, ...)
+ *     USING clickhouse_native PARTITIONED BY (bucket(32, o_orderkey))
+ *
+ * Table layout on disk: `<warehouse>/<ns...>/<table>/` holding the
+ * Native part files (bucket-tagged when partitioned), their `.chidx`
+ * sidecars, and a `_graft_table.meta` Properties file (schema JSON +
+ * bucket spec + table properties; the "_" prefix keeps it invisible to
+ * every data-file listing). As a FunctionCatalog it serves the `bucket`
+ * function, which is what lets Spark resolve two bucketed tables'
+ * KeyGroupedPartitioning and plan storage-partitioned joins with ZERO
+ * Exchange (enable spark.sql.sources.v2.bucketing.enabled).
+ *
+ * The reference has no catalog surface at all — tables are path literals
+ * in a table-function call (reference src/lib.rs:363-365); the host
+ * engine owns naming. Here naming, schema, AND layout live with the
+ * format, which is the piece layout-aware planning needs.
+ */
+class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+  private var catalogName: String = _
+  private var warehouse: Path = _
+  private var hconf: Configuration = _
+  private def fs: FileSystem = warehouse.getFileSystem(hconf)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+      s"catalog '$name' requires spark.sql.catalog.$name.warehouse=<directory>"))
+    hconf = NativeIO.sessionHadoopConf()
+    warehouse = new Path(wh)
+  }
+  override def name(): String = catalogName
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, s) => new Path(p, s))
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name)
+  private def metaFile(dir: Path): Path = new Path(dir, NativeCatalog.MetaName)
+
+  // ---------------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(warehouse)) Array.empty
+    else fs.listStatus(warehouse).filter(_.isDirectory).map(st => Array(st.getPath.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    fs.listStatus(p).filter(st => st.isDirectory && !fs.exists(metaFile(st.getPath)))
+      .map(st => namespace :+ st.getPath.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (namespace.nonEmpty && !fs.exists(nsPath(namespace)))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog: ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) false
+    else {
+      if (!cascade && fs.listStatus(p).nonEmpty)
+        throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(p, true)
+    }
+  }
+
+  // ---------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    fs.listStatus(p).filter(st => st.isDirectory && fs.exists(metaFile(st.getPath)))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(metaFile(tableDir(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    val meta = metaFile(dir)
+    if (!fs.exists(meta)) throw new NoSuchTableException((ident.namespace.toSeq :+ ident.name))
+    val props = new util.Properties()
+    val in = fs.open(meta)
+    try props.load(in) finally in.close()
+    val schema = DataType.fromJson(props.getProperty("schema")).asInstanceOf[StructType]
+    val bucket = Option(props.getProperty("bucketCol")).map { col =>
+      (col, props.getProperty("numBuckets").toInt)
+    }
+    val tableProps = props.stringPropertyNames().asScala
+      .filter(_.startsWith("prop.")).map(k => k.stripPrefix("prop.") -> props.getProperty(k))
+      .toMap
+    new NativeTable(schema, Seq(dir.toString), bucket, tableProps,
+      Some(s"$catalogName.${(ident.namespace :+ ident.name).mkString(".")}"))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val bucket = partitions match {
+      case Array() => None
+      case Array(t) => parseBucket(t, schema)
+      case _ => throw new UnsupportedOperationException(
+        "graft catalog: only a single bucket(n, col) partition transform is supported")
+    }
+    val dir = tableDir(ident)
+    val meta = metaFile(dir)
+    if (fs.exists(meta)) throw new TableAlreadyExistsException((ident.namespace.toSeq :+ ident.name))
+    schema.fields.foreach(f => ChType.forSpark(f.dataType, f.nullable)) // fail fast
+    fs.mkdirs(dir)
+    val props = new util.Properties()
+    props.setProperty("schema", schema.json)
+    bucket.foreach { case (col, n) =>
+      props.setProperty("bucketCol", col)
+      props.setProperty("numBuckets", n.toString)
+    }
+    properties.asScala
+      .filterNot { case (k, _) => NativeCatalog.ReservedProps(k) }
+      .foreach { case (k, v) => props.setProperty(s"prop.$k", v) }
+    // create (no overwrite): two racing CREATEs → second one fails
+    val out = fs.create(meta, false)
+    try props.store(out, null) finally out.close()
+    new NativeTable(schema, Seq(dir.toString), bucket,
+      properties.asScala.toMap, Some(s"$catalogName.${(ident.namespace :+ ident.name).mkString(".")}"))
+  }
+
+  private def parseBucket(t: Transform, schema: StructType): Option[(String, Int)] = {
+    if (t.name != "bucket")
+      throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform '${t.name}' — only bucket(n, col)")
+    val (lits, refs) = t.arguments.partition(_.isInstanceOf[Literal[_]])
+    (lits, refs) match {
+      case (Array(lit: Literal[_]), Array(r: NamedReference))
+          if lit.dataType == IntegerType && r.fieldNames.length == 1 =>
+        val n = lit.value.asInstanceOf[Int]
+        val col = r.fieldNames()(0)
+        val field = schema.fields.find(_.name == col).getOrElse(
+          throw new IllegalArgumentException(s"bucket column '$col' not in table schema"))
+        if (!NativeBucket.supported(field.dataType))
+          throw new IllegalArgumentException(
+            s"bucket column '$col' has unsupported type ${field.dataType}")
+        if (n <= 0) throw new IllegalArgumentException(s"bucket count must be > 0, got $n")
+        Some((col, n))
+      case _ => throw new UnsupportedOperationException(
+        s"graft catalog: cannot parse bucket transform $t — expected bucket(n, col)")
+    }
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog: ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!fs.exists(metaFile(dir))) false else fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!fs.exists(metaFile(from))) throw new NoSuchTableException((oldIdent.namespace.toSeq :+ oldIdent.name))
+    val to = tableDir(newIdent)
+    if (fs.exists(to)) throw new TableAlreadyExistsException((newIdent.namespace.toSeq :+ newIdent.name))
+    fs.mkdirs(to.getParent)
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+
+  // ---------------------------------------------------------------- functions
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+private[native] object NativeCatalog {
+  val MetaName = "_graft_table.meta"
+  /** Engine-managed table properties Spark passes through CREATE TABLE. */
+  val ReservedProps: Set[String] = Set("provider", "location", "owner",
+    "external", "comment")
+}

@@ -11,6 +11,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sources.native.NativeCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
