@@ -26,6 +26,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sources.native.NativeCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        s"${sys.props("java.io.tmpdir")}/graft_bench/warehouse")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -105,7 +109,37 @@ object Bench {
         .agg(count(lit(1)).as("cnt")).collect()
     }).min
 
-    val all = results :+ ("native_count_1m" -> t1m) :+ ("native_point_lookup_1m" -> tpt)
+    // Storage-partitioned-join anchor: two co-bucketed 1M-row catalog
+    // tables join with ZERO Exchange; the identical data read path-based
+    // (no layout claims) pays a full shuffle of both sides. The delta is
+    // the per-query cost the bucketed layout paid once at ingest — the
+    // number that grows with scale while the SPJ side stays flat.
+    val wh = s"${sys.props("java.io.tmpdir")}/graft_bench/warehouse"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bench")
+    if (!new java.io.File(s"$wh/bench/spj_a").exists()) {
+      spark.sql("""CREATE TABLE graft.bench.spj_a (k BIGINT, v DOUBLE)
+                   USING clickhouse_native PARTITIONED BY (bucket(8, k))""")
+      spark.sql("""CREATE TABLE graft.bench.spj_b (k BIGINT, w DOUBLE)
+                   USING clickhouse_native PARTITIONED BY (bucket(8, k))""")
+      spark.range(1000000L).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+        .writeTo("graft.bench.spj_a").append()
+      spark.range(1000000L).select(col("id").as("k"), (col("id") * 3.0).as("w"))
+        .writeTo("graft.bench.spj_b").append()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val tspj = (1 to 2).map(_ => time {
+      force(spark.table("graft.bench.spj_a").join(spark.table("graft.bench.spj_b"), "k")
+        .select(col("k"), (col("v") + col("w")).as("x")))
+    }).min
+    val tshuf = (1 to 2).map(_ => time {
+      val pa = spark.read.format("clickhouse_native").load(s"$wh/bench/spj_a")
+      val pb = spark.read.format("clickhouse_native").load(s"$wh/bench/spj_b")
+      force(pa.join(pb, "k").select(col("k"), (col("v") + col("w")).as("x")))
+    }).min
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    val all = results :+ ("native_count_1m" -> t1m) :+ ("native_point_lookup_1m" -> tpt) :+
+      ("native_spj_join_1m" -> tspj) :+ ("native_shuffle_join_1m" -> tshuf)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
