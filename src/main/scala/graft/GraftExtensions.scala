@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ClickHouse-dialect function names (toYYYYMM, multiIf, arrayJoin, …)
     // — pure aliases onto Spark's own expressions (functions/ChDialect.scala)
     graft.functions.ChDialect.register(ext)
+    // ASOF join: custom logical node (graft.plans.AsofJoin) → merge exec
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("fnv1a64"),
       new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),

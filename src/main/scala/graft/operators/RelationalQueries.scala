@@ -163,6 +163,28 @@ object RelationalQueries {
               ASOF JOIN (SELECT * FROM ${Q.eventsOracle} WHERE event_type = 'signup') s
               ON p.user_id = s.user_id AND p.ts >= s.ts""")),
 
+    "q_join_asof_exec" -> Q(
+      // The same ASOF semantics through the CUSTOM OPERATOR
+      // (graft.plans.AsofJoin: logical node -> strategy -> sorted merge
+      // exec — the top tier of the extension ladder). Each side shuffles
+      // once on user_id, sorts (user_id, ts) within partitions, then a
+      // single forward pass joins with O(1) state. Same DuckDB ASOF
+      // oracle as the composed q_join_asof — two independent
+      // implementations, one hash to match.
+      (s, dir) => {
+        val e = Q.events(s, dir).filter(col("event_type").isin("purchase", "signup"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val signups = e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("s_ts"))
+        graft.plans.Asof.join(purchases, signups, Seq("user_id"), "ts", "s_ts")
+          .select(col("event_id"), col("s_ts").as("last_signup_ts"))
+      },
+      Some(s"""SELECT p.event_id, s.ts AS last_signup_ts
+              FROM (SELECT * FROM ${Q.eventsOracle} WHERE event_type = 'purchase') p
+              ASOF JOIN (SELECT * FROM ${Q.eventsOracle} WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id AND p.ts >= s.ts""")),
+
     // ----- §2.4 aggregations ----------------------------------------------
 
     "q_count_star" -> Q(
