@@ -783,12 +783,37 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
         throw new IllegalArgumentException(
           s"clickhouse_native bucketed write: bucket column type ${f.dataType} unsupported")
     }
-    new Write {
-      override def toBatch: BatchWrite =
-        new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
-          compression, bucket)
-      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
+    bucket match {
+      case Some((col, n)) =>
+        // Cluster the incoming rows by bucket id BEFORE the writers run:
+        // each bucket then lands in exactly ONE write task, so an insert
+        // produces N part files total instead of up to tasks × N (at
+        // 100 TB ingest, the difference between N and hundreds of
+        // thousands of small files). Advisory, not strict — if the
+        // bucket function can't be resolved Spark writes unclustered and
+        // the per-row routing still produces correct (more numerous)
+        // single-bucket files.
+        new Write with RequiresDistributionAndOrdering {
+          override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)))
+          override def distributionStrictlyRequired(): Boolean = false
+          override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
+          override def toBatch: BatchWrite =
+            new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
+              compression, bucket)
+          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
+        }
+      case None =>
+        new Write {
+          override def toBatch: BatchWrite =
+            new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
+              compression, bucket)
+          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
+        }
     }
   }
 }

@@ -89,6 +89,11 @@ class NativeCatalogSpec extends AnyFunSuite {
     assert(back.count() === 1000)
     assert(back.agg(sum("k")).head.getLong(0) === (0L until 1000L).sum)
 
+    // clustered write distribution: every bucket lands in ONE task, so
+    // the insert produced at most one file per bucket — 4 total — even
+    // though the input arrived in 3 arbitrary partitions
+    // (RequiresDistributionAndOrdering on the bucketed Write)
+
     // every data file carries a bucket tag, and the rows inside match it
     val cat = spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[NativeCatalog]
@@ -98,6 +103,8 @@ class NativeCatalogSpec extends AnyFunSuite {
     val dataFiles = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".clickhouse"))
     assert(dataFiles.nonEmpty)
+    assert(dataFiles.length <= 4,
+      s"clustered bucketed insert should write <= numBuckets files, got ${dataFiles.length}")
     dataFiles.foreach { f =>
       val tag = NativeBucket.bucketOfFile(f.getName)
       assert(tag.isDefined, s"untagged data file ${f.getName}")
