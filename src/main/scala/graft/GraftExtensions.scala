@@ -89,6 +89,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TopKAgg(children.head, k)
       }))
+    // sequence_match_agg(ts, mask, 'pattern') — CH sequenceMatch subset
+    ext.injectFunction((
+      new FunctionIdentifier("sequence_match_agg"),
+      new ExpressionInfo(classOf[graft.functions.SequenceMatchAgg].getName, "sequence_match_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "sequence_match_agg takes (ts, mask, pattern)")
+        val pat = children(2) match {
+          case l if l.foldable && l.dataType == org.apache.spark.sql.types.StringType =>
+            l.eval().toString
+          case other => throw new IllegalArgumentException(
+            s"sequence_match_agg pattern must be a string literal, got $other")
+        }
+        graft.functions.SequenceMatchAgg(children.head, children(1), pat)
+      }))
     // funnel_agg(ts, level, window, steps) — CH windowFunnel semantics
     ext.injectFunction((
       new FunctionIdentifier("funnel_agg"),

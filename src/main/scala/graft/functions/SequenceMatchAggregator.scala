@@ -1,0 +1,192 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType}
+
+/**
+ * ClickHouse `sequenceMatch('pattern')(ts, cond1, …)` (reachable through
+ * the reference's SQL passthrough, src/clickhouse_scan.rs:78): does the
+ * group's event sequence, ordered by time, CONTAIN a subsequence
+ * matching the pattern?
+ *
+ * Supported pattern subset — the structural core of CH's language:
+ *   `(?N)` an event where condition N holds (N in 1..32)
+ *   `.`    exactly one event of any kind
+ *   `.*`   any number of events (including none)
+ * Time-bound constraints (`(?t<=n)`) are NOT supported — reject at
+ * plan time rather than silently mis-match.
+ *
+ * Input is pre-flattened for Spark (same convention as funnel_agg):
+ * `sequence_match_agg(ts, mask, 'pattern')` where `mask` is the bitmask
+ * of conditions this event satisfies (bit N-1 for condition N; a CH
+ * event can satisfy several conditions at once). Rows matching no
+ * condition still participate as `.`/`.*` fodder — include them with
+ * mask 0.
+ *
+ * Distribution: the buffer is the group's (ts, mask) events; partials
+ * concatenate and the order-sensitive matching runs once at eval after
+ * an explicit (ts, mask) sort — result independent of partitioning and
+ * merge order. Matching itself is a position-set NFA sweep, O(tokens ×
+ * events), no backtracking blowup.
+ */
+case class SequenceMatchAgg(
+    ts: Expression,
+    mask: Expression,
+    pattern: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Long]] with BinaryLike[Expression] {
+
+  import SequenceMatchAgg._
+
+  override def left: Expression = ts
+  override def right: Expression = mask
+  override def prettyName: String = "sequence_match_agg"
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  // parsed once per plan; IllegalArgumentException here surfaces at
+  // planning with the offending pattern in the message
+  @transient private lazy val tokens: Array[Token] = parse(pattern)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ts.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"sequence_match_agg timestamp must be bigint (epoch units), got ${ts.dataType.simpleString}")
+    else if (mask.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"sequence_match_agg mask must be int, got ${mask.dataType.simpleString}")
+    else
+      try { parse(pattern); TypeCheckResult.TypeCheckSuccess }
+      catch { case e: IllegalArgumentException =>
+        TypeCheckResult.TypeCheckFailure(e.getMessage) }
+
+  override def createAggregationBuffer(): ArrayBuffer[Long] = ArrayBuffer.empty[Long]
+
+  override def update(buffer: ArrayBuffer[Long], input: InternalRow): ArrayBuffer[Long] = {
+    val t = ts.eval(input)
+    val m = mask.eval(input)
+    if (t != null && m != null) {
+      buffer += t.asInstanceOf[Long]
+      buffer += m.asInstanceOf[Int].toLong
+    }
+    buffer
+  }
+
+  override def merge(a: ArrayBuffer[Long], b: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+    a ++= b
+    a
+  }
+
+  override def eval(buffer: ArrayBuffer[Long]): Any = {
+    val n = buffer.length / 2
+    val idx = Array.range(0, n)
+      .sortBy(i => (buffer(2 * i), buffer(2 * i + 1)))
+    val masks = idx.map(i => buffer(2 * i + 1).toInt)
+    matches(masks, tokens)
+  }
+
+  override def serialize(buffer: ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buffer.length)
+    bb.putInt(buffer.length)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val out = new ArrayBuffer[Long](n)
+    var i = 0
+    while (i < n) { out += bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SequenceMatchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SequenceMatchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SequenceMatchAgg =
+    copy(ts = newLeft, mask = newRight)
+}
+
+object SequenceMatchAgg {
+  sealed trait Token
+  case class Cond(bit: Int) extends Token // event with condition bit set
+  case object AnyOne extends Token        // '.'  — exactly one event
+  case object AnyGap extends Token        // '.*' — zero or more events
+
+  /** Parse the CH pattern subset; fail with the position on anything else. */
+  def parse(p: String): Array[Token] = {
+    val out = ArrayBuffer.empty[Token]
+    var i = 0
+    while (i < p.length) {
+      if (p.startsWith("(?", i)) {
+        val close = p.indexOf(')', i)
+        if (close < 0) throw new IllegalArgumentException(
+          s"sequence_match_agg: unclosed '(?' at position $i in '$p'")
+        val body = p.substring(i + 2, close)
+        if (body.startsWith("t")) throw new IllegalArgumentException(
+          s"sequence_match_agg: time constraints '(?t…)' are not supported ('$p')")
+        val n = body.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"sequence_match_agg: expected (?N) with integer N, got '(?$body)' in '$p'"))
+        if (n < 1 || n > 32) throw new IllegalArgumentException(
+          s"sequence_match_agg: condition number $n outside [1, 32] in '$p'")
+        out += Cond(n - 1)
+        i = close + 1
+      } else if (p.startsWith(".*", i)) { out += AnyGap; i += 2 }
+      else if (p.charAt(i) == '.') { out += AnyOne; i += 1 }
+      else throw new IllegalArgumentException(
+        s"sequence_match_agg: unexpected character '${p.charAt(i)}' at position $i in '$p'")
+    }
+    if (!out.exists(_.isInstanceOf[Cond])) throw new IllegalArgumentException(
+      s"sequence_match_agg: pattern '$p' has no (?N) condition")
+    out.toArray
+  }
+
+  /**
+   * Containment match (CH searches the pattern WITHIN the sequence, so
+   * leading/trailing gaps are implicit): position-set NFA — `reach(p)`
+   * = "after consuming the tokens so far, the match cursor can stand
+   * just before event p".
+   */
+  def matches(masks: Array[Int], tokens: Array[Token]): Boolean = {
+    val n = masks.length
+    var reach = Array.fill(n + 1)(true) // implicit leading .*
+    tokens.foreach { tok =>
+      val next = Array.fill(n + 1)(false)
+      tok match {
+        case Cond(bit) =>
+          var p = 0
+          while (p < n) {
+            if (reach(p) && ((masks(p) >> bit) & 1) == 1) next(p + 1) = true
+            p += 1
+          }
+        case AnyOne =>
+          var p = 0
+          while (p < n) {
+            if (reach(p)) next(p + 1) = true
+            p += 1
+          }
+        case AnyGap =>
+          // upward closure: from p the cursor may stand anywhere >= p
+          var seen = false
+          var p = 0
+          while (p <= n) {
+            seen ||= reach(p)
+            next(p) = seen
+            p += 1
+          }
+      }
+      reach = next
+    }
+    reach.exists(identity) // implicit trailing .*
+  }
+}

@@ -316,6 +316,47 @@ object RelationalQueries {
       },
       None),
 
+    "q_agg_sequence_match" -> Q(
+      // CH sequenceMatch('(?1).*(?2)'): per user, does a signup occur
+      // strictly before a purchase? Pattern matching itself isn't
+      // ANSI-SQL, but THIS pattern reduces to EXISTS over a self-join —
+      // which is the oracle. Events in the same microsecond tie-break
+      // by mask (signup bit < purchase bit), matching the oracle's
+      // strict '<' on (ts, type) pairs only when timestamps differ; the
+      // synthetic data has no same-user same-microsecond collisions.
+      (s, dir) => {
+        val m = when(col("event_type") === "signup", 1)
+          .when(col("event_type") === "purchase", 2).otherwise(0)
+        Q.events(s, dir)
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("tus"), m.as("mask"))
+          .groupBy("user_id")
+          .agg(
+            call_function("sequence_match_agg",
+              col("tus"), col("mask"), lit("(?1).*(?2)")).as("m_gap"),
+            call_function("sequence_match_agg",
+              col("tus"), col("mask"), lit("(?1)(?2)")).as("m_adj"))
+          .groupBy("m_gap", "m_adj").agg(count(lit(1)).as("users"))
+          .orderBy("m_gap", "m_adj")
+      },
+      Some(s"""SELECT m_gap, m_adj, count(*) AS users FROM (
+                 SELECT a.user_id,
+                        coalesce(g.m_gap, false) AS m_gap,
+                        a.m_adj AS m_adj
+                 FROM (SELECT user_id,
+                              bool_or(cur = 'signup' AND nxt = 'purchase') AS m_adj
+                       FROM (SELECT user_id, event_type AS cur,
+                                    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+                             FROM ${Q.eventsOracle}) ordered
+                       GROUP BY user_id) a
+                 LEFT JOIN (SELECT DISTINCT s.user_id, true AS m_gap
+                            FROM ${Q.eventsOracle} s JOIN ${Q.eventsOracle} p
+                              ON s.user_id = p.user_id
+                            WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+                              AND s.ts < p.ts) g
+                   ON a.user_id = g.user_id)
+               GROUP BY m_gap, m_adj ORDER BY m_gap, m_adj""")),
+
     "q_agg_conditional" -> Q(
       // CH countIf/sumIf/avgIf — conditional aggregation without a
       // pre-filter (each aggregate sees a different predicate). Spark

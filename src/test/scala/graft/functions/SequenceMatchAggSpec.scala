@@ -1,0 +1,108 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.functions.SequenceMatchAgg._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.Random
+
+/** CH sequenceMatch subset: parser, NFA matcher vs a brute-force
+  * reference, SQL surface, and merge-order invariance. */
+class SequenceMatchAggSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** Exponential reference matcher: try every split point recursively. */
+  private def ref(masks: Array[Int], tokens: List[Token], from: Int): Boolean =
+    tokens match {
+      case Nil => true
+      case Cond(bit) :: rest =>
+        from < masks.length && ((masks(from) >> bit) & 1) == 1 && ref(masks, rest, from + 1)
+      case AnyOne :: rest => from < masks.length && ref(masks, rest, from + 1)
+      case AnyGap :: rest =>
+        (from to masks.length).exists(p => ref(masks, rest, p))
+    }
+  private def refContains(masks: Array[Int], tokens: Array[Token]): Boolean =
+    (0 to masks.length).exists(s => ref(masks, tokens.toList, s))
+
+  test("parser: tokens and rejection") {
+    assert(parse("(?1).*(?2)").toSeq === Seq(Cond(0), AnyGap, Cond(1)))
+    assert(parse("(?3).(?1)").toSeq === Seq(Cond(2), AnyOne, Cond(0)))
+    intercept[IllegalArgumentException](parse("(?t<=3600)(?1)"))
+    intercept[IllegalArgumentException](parse("(?0)"))
+    intercept[IllegalArgumentException](parse(".*"))
+    intercept[IllegalArgumentException](parse("(?1"))
+    intercept[IllegalArgumentException](parse("abc"))
+  }
+
+  test("adjacency vs gap semantics") {
+    // events: cond1, cond1, cond2  (masks 1,1,2)
+    val m = Array(1, 1, 2)
+    assert(matches(m, parse("(?1)(?2)")))      // adjacent pair exists (idx 1,2)
+    assert(matches(m, parse("(?1).*(?2)")))
+    assert(!matches(m, parse("(?2)(?1)")))     // no cond2-then-cond1
+    assert(matches(m, parse("(?1).(?2)")))     // one-any between idx 0 and 2
+    assert(!matches(Array(1, 2), parse("(?1).(?2)"))) // nothing between
+    // multi-condition event: one event satisfying both conds is NOT two events
+    assert(!matches(Array(3), parse("(?1)(?2)").toArray))
+    assert(matches(Array(3), parse("(?1)").toArray))
+    assert(matches(Array(3), parse("(?2)").toArray))
+  }
+
+  test("fuzz: NFA matcher equals brute-force reference") {
+    val rnd = new Random(42)
+    val patterns = Seq("(?1).*(?2)", "(?1)(?2)", "(?2).*(?1).*(?3)",
+      "(?1).(?2)", "(?3)", "(?1).*(?1)(?2)", ".(?1).")
+      .map(p => p -> parse(p))
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(10)
+      val masks = Array.fill(n)(rnd.nextInt(8))
+      patterns.foreach { case (p, toks) =>
+        assert(matches(masks, toks) === refContains(masks, toks),
+          s"pattern $p over ${masks.mkString(",")}")
+      }
+    }
+  }
+
+  test("merge-order invariance: partial buffers in any order agree") {
+    val rnd = new Random(7)
+    val toks = parse("(?1).*(?2).*(?3)")
+    for (_ <- 1 to 50) {
+      val events = (1 to 30).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(8)))
+      val agg = SequenceMatchAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.catalyst.expressions.Literal(1), "(?1).*(?2).*(?3)")
+      def bufOf(es: Seq[(Long, Int)]): ArrayBuffer[Long] = {
+        val b = ArrayBuffer.empty[Long]
+        es.foreach { case (t, m) => b += t; b += m.toLong }
+        b
+      }
+      val whole = agg.eval(bufOf(events))
+      val shuffled = rnd.shuffle(events.grouped(7).toSeq)
+      val merged = shuffled.map(bufOf).reduce((a, b) => agg.merge(a, b))
+      assert(agg.eval(merged) === whole)
+      // reference on the time-sorted sequence
+      val sortedMasks = events.sortBy(e => (e._1, e._2)).map(_._2).toArray
+      assert(whole === refContains(sortedMasks, toks))
+    }
+  }
+
+  test("SQL surface over grouped events") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "signup"), (1L, 20L, "purchase"),     // matches
+      (2L, 10L, "purchase"), (2L, 20L, "signup"),     // wrong order
+      (3L, 10L, "view"), (3L, 11L, "signup")          // no purchase
+    ).toDF("user_id", "tus", "event_type")
+      .withColumn("mask", when($"event_type" === "signup", 1)
+        .when($"event_type" === "purchase", 2).otherwise(0))
+    df.createOrReplaceTempView("seq_events")
+    val out = spark.sql(
+      """SELECT user_id, sequence_match_agg(tus, mask, '(?1).*(?2)') AS m
+         FROM seq_events GROUP BY user_id ORDER BY user_id""").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(1))).toSeq ===
+      Seq((1L, true), (2L, false), (3L, false)))
+  }
+}
