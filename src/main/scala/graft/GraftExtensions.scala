@@ -103,6 +103,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.SequenceMatchAgg(children.head, children(1), pat)
       }))
+    // sequence_count_agg(ts, mask, 'pattern') — CH sequenceCount
+    ext.injectFunction((
+      new FunctionIdentifier("sequence_count_agg"),
+      new ExpressionInfo(classOf[graft.functions.SequenceCountAgg].getName, "sequence_count_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "sequence_count_agg takes (ts, mask, pattern)")
+        val pat = children(2) match {
+          case l if l.foldable && l.dataType == org.apache.spark.sql.types.StringType =>
+            l.eval().toString
+          case other => throw new IllegalArgumentException(
+            s"sequence_count_agg pattern must be a string literal, got $other")
+        }
+        graft.functions.SequenceCountAgg(children.head, children(1), pat)
+      }))
     // funnel_agg(ts, level, window, steps) — CH windowFunnel semantics
     ext.injectFunction((
       new FunctionIdentifier("funnel_agg"),

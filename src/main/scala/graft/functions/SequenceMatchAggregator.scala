@@ -117,6 +117,89 @@ case class SequenceMatchAgg(
     copy(ts = newLeft, mask = newRight)
 }
 
+/**
+ * CH `sequenceCount('pattern')(ts, cond1, …)`: number of NON-OVERLAPPING
+ * chains matching the pattern, greedy earliest-end in time order. Same
+ * input convention, buffer, and merge-order independence as
+ * [[SequenceMatchAgg]].
+ */
+case class SequenceCountAgg(
+    ts: Expression,
+    mask: Expression,
+    pattern: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Long]] with BinaryLike[Expression] {
+
+  import SequenceMatchAgg._
+
+  override def left: Expression = ts
+  override def right: Expression = mask
+  override def prettyName: String = "sequence_count_agg"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  @transient private lazy val tokens: Array[Token] = parse(pattern)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ts.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"sequence_count_agg timestamp must be bigint (epoch units), got ${ts.dataType.simpleString}")
+    else if (mask.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"sequence_count_agg mask must be int, got ${mask.dataType.simpleString}")
+    else
+      try { parse(pattern); TypeCheckResult.TypeCheckSuccess }
+      catch { case e: IllegalArgumentException =>
+        TypeCheckResult.TypeCheckFailure(e.getMessage) }
+
+  override def createAggregationBuffer(): ArrayBuffer[Long] = ArrayBuffer.empty[Long]
+
+  override def update(buffer: ArrayBuffer[Long], input: InternalRow): ArrayBuffer[Long] = {
+    val t = ts.eval(input)
+    val m = mask.eval(input)
+    if (t != null && m != null) {
+      buffer += t.asInstanceOf[Long]
+      buffer += m.asInstanceOf[Int].toLong
+    }
+    buffer
+  }
+
+  override def merge(a: ArrayBuffer[Long], b: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+    a ++= b; a
+  }
+
+  override def eval(buffer: ArrayBuffer[Long]): Any = {
+    val n = buffer.length / 2
+    val idx = Array.range(0, n).sortBy(i => (buffer(2 * i), buffer(2 * i + 1)))
+    countMatches(idx.map(i => buffer(2 * i + 1).toInt), tokens)
+  }
+
+  override def serialize(buffer: ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buffer.length)
+    bb.putInt(buffer.length)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val out = new ArrayBuffer[Long](n)
+    var i = 0
+    while (i < n) { out += bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SequenceCountAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SequenceCountAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SequenceCountAgg =
+    copy(ts = newLeft, mask = newRight)
+}
+
 object SequenceMatchAgg {
   sealed trait Token
   case class Cond(bit: Int) extends Token // event with condition bit set
@@ -149,6 +232,55 @@ object SequenceMatchAgg {
     if (!out.exists(_.isInstanceOf[Cond])) throw new IllegalArgumentException(
       s"sequence_match_agg: pattern '$p' has no (?N) condition")
     out.toArray
+  }
+
+  /**
+   * Non-overlapping match count (CH `sequenceCount`): scan the events
+   * once with a token-position NFA (state t = "first t tokens
+   * consumed"; `.*` contributes an epsilon edge and an any-event self
+   * loop); every time the accept state is reached the counter bumps
+   * and the NFA restarts on the NEXT event — greedy earliest-end,
+   * which never overlaps chains.
+   */
+  def countMatches(masks: Array[Int], tokens: Array[Token]): Int = {
+    val m = tokens.length
+    def closure(states: java.util.BitSet): java.util.BitSet = {
+      var t = 0
+      while (t < m) {
+        if (states.get(t) && tokens(t) == AnyGap) states.set(t + 1)
+        t += 1
+      }
+      states
+    }
+    def fresh(): java.util.BitSet = {
+      val s = new java.util.BitSet(m + 1)
+      s.set(0)
+      closure(s)
+    }
+    var states = fresh()
+    var count = 0
+    var i = 0
+    while (i < masks.length) {
+      val ev = masks(i)
+      val next = new java.util.BitSet(m + 1)
+      var t = 0
+      while (t < m) {
+        if (states.get(t)) tokens(t) match {
+          case Cond(bit) => if (((ev >> bit) & 1) == 1) next.set(t + 1)
+          case AnyOne => next.set(t + 1)
+          case AnyGap => next.set(t) // gap swallows this event
+        }
+        t += 1
+      }
+      // implicit leading .*: a new tentative match may start at ANY
+      // event, so the start state persists across steps
+      next.set(0)
+      closure(next)
+      if (next.get(m)) { count += 1; states = fresh() }
+      else states = next
+      i += 1
+    }
+    count
   }
 
   /**

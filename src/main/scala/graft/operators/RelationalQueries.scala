@@ -357,6 +357,33 @@ object RelationalQueries {
                    ON a.user_id = g.user_id)
                GROUP BY m_gap, m_adj ORDER BY m_gap, m_adj""")),
 
+    "q_agg_sequence_count" -> Q(
+      // CH sequenceCount('(?1)(?2)'): per user, how many times does a
+      // view IMMEDIATELY precede a click (no event between)? A 2-token
+      // adjacency chain can never overlap another when the two types
+      // differ, so the count equals the lead()-pair count — which is
+      // the SQL oracle. Output: distribution of per-user pair counts.
+      (s, dir) => {
+        val m = when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2).otherwise(0)
+        Q.events(s, dir)
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("tus"), m.as("mask"))
+          .groupBy("user_id")
+          .agg(call_function("sequence_count_agg",
+            col("tus"), col("mask"), lit("(?1)(?2)")).cast("long").as("pairs"))
+          .groupBy("pairs").agg(count(lit(1)).as("users"))
+          .orderBy("pairs")
+      },
+      Some(s"""SELECT pairs, count(*) AS users FROM (
+                 SELECT user_id,
+                        count(*) FILTER (WHERE cur = 'view' AND nxt = 'click') AS pairs
+                 FROM (SELECT user_id, event_type AS cur,
+                              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+                       FROM ${Q.eventsOracle}) ordered
+                 GROUP BY user_id)
+               GROUP BY pairs ORDER BY pairs""")),
+
     "q_agg_conditional" -> Q(
       // CH countIf/sumIf/avgIf — conditional aggregation without a
       // pre-filter (each aggregate sees a different predicate). Spark

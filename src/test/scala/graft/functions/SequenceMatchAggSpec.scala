@@ -89,6 +89,53 @@ class SequenceMatchAggSpec extends AnyFunSuite {
     }
   }
 
+  /** Reference non-overlap counter: repeatedly find the earliest-ending
+    * match via brute force, restart after its end. */
+  private def refCount(masks: Array[Int], tokens: Array[Token]): Int = {
+    var pos = 0
+    var count = 0
+    var found = true
+    while (found && pos <= masks.length) {
+      // earliest end e >= pos such that some match lies within [pos, e)
+      val ends = (pos to masks.length).find { e =>
+        val window = masks.slice(pos, e)
+        // a match that ENDS exactly at e: last token consumed at e-1 or
+        // empty-tail gaps; approximate by: contains-match in window but
+        // not in window minus last event (forces the match to need e-1)
+        refContains(window, tokens) && (e == pos || !refContains(masks.slice(pos, e - 1), tokens))
+      }
+      ends match {
+        case Some(e) if refContains(masks.slice(pos, e), tokens) =>
+          count += 1
+          pos = e.max(pos + 1)
+        case _ => found = false
+      }
+    }
+    count
+  }
+
+  test("count: non-overlapping chains, greedy earliest end") {
+    assert(countMatches(Array(1, 2, 1, 2), parse("(?1).*(?2)")) === 2)
+    assert(countMatches(Array(1, 1, 1), parse("(?1)")) === 3)
+    assert(countMatches(Array(1, 0, 2, 1, 2), parse("(?1)(?2)")) === 1)
+    assert(countMatches(Array(1, 2, 0, 1, 2), parse("(?1)(?2)")) === 2)
+    assert(countMatches(Array.empty[Int], parse("(?1)")) === 0)
+    assert(countMatches(Array(2, 2, 1), parse("(?1).*(?2)")) === 0)
+  }
+
+  test("count fuzz: agrees with brute-force earliest-end reference") {
+    val rnd = new Random(99)
+    val patterns = Seq("(?1)", "(?1)(?2)", "(?1).*(?2)", "(?1).(?2)")
+      .map(p => p -> parse(p))
+    for (_ <- 1 to 300) {
+      val masks = Array.fill(rnd.nextInt(12))(rnd.nextInt(4))
+      patterns.foreach { case (p, toks) =>
+        assert(countMatches(masks, toks) === refCount(masks, toks),
+          s"pattern $p over ${masks.mkString(",")}")
+      }
+    }
+  }
+
   test("SQL surface over grouped events") {
     import spark.implicits._
     val df = Seq(
