@@ -172,9 +172,15 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String],
     }
     val compression = opt(info, "compression").getOrElse("none")
     NativeCompression.methodFor(compression) // validate at plan time
+    // sortBy (option or table property): comma-separated columns the
+    // incoming rows are sorted by per write task BEFORE the writer
+    // runs — block zone maps over a sorted layout prune range/point
+    // queries to O(matching blocks) instead of "all blocks overlap".
+    val sortBy = opt(info, "sortBy").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     new NativeWriteBuilder(info.schema(), paths.headOption.getOrElse(
         throw new IllegalArgumentException("clickhouse_native write requires a path")),
-      maxRows, dictEncode, compression, bucket)
+      maxRows, dictEncode, compression, bucket, sortBy)
   }
 }
 
@@ -765,7 +771,7 @@ private[native] class NativePartitionReader(part: NativeInputPartition, required
 
 private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRowsPerFile: Int,
     dictEncode: Boolean, compression: String = "none",
-    bucket: Option[(String, Int)] = None)
+    bucket: Option[(String, Int)] = None, sortBy: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -783,38 +789,50 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
         throw new IllegalArgumentException(
           s"clickhouse_native bucketed write: bucket column type ${f.dataType} unsupported")
     }
-    bucket match {
-      case Some((col, n)) =>
-        // Cluster the incoming rows by bucket id BEFORE the writers run:
-        // each bucket then lands in exactly ONE write task, so an insert
-        // produces N part files total instead of up to tasks × N (at
-        // 100 TB ingest, the difference between N and hundreds of
-        // thousands of small files). Advisory, not strict — if the
-        // bucket function can't be resolved Spark writes unclustered and
-        // the per-row routing still produces correct (more numerous)
-        // single-bucket files.
-        new Write with RequiresDistributionAndOrdering {
-          override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-            org.apache.spark.sql.connector.distributions.Distributions.clustered(
-              Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)))
-          override def distributionStrictlyRequired(): Boolean = false
-          override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-            Array.empty
-          override def toBatch: BatchWrite =
-            new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
-              compression, bucket)
-          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
-        }
-      case None =>
-        new Write {
-          override def toBatch: BatchWrite =
-            new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
-              compression, bucket)
-          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
-        }
+    sortBy.foreach { col =>
+      if (!schema.fieldNames.contains(col))
+        throw new IllegalArgumentException(
+          s"clickhouse_native write: sortBy column '$col' not in input schema")
     }
+    if (bucket.isEmpty && sortBy.isEmpty)
+      new Write {
+        override def toBatch: BatchWrite =
+          new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
+            compression, bucket)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
+      }
+    else
+      // Cluster the incoming rows by bucket id BEFORE the writers run:
+      // each bucket then lands in exactly ONE write task, so an insert
+      // produces N part files total instead of up to tasks × N (at
+      // 100 TB ingest, the difference between N and hundreds of
+      // thousands of small files). sortBy columns additionally sort
+      // rows WITHIN each task, so every block's zone maps cover a
+      // disjoint range and range scans prune to O(matching blocks).
+      // Advisory, not strict — if the bucket function can't be
+      // resolved Spark writes unclustered and the per-row routing
+      // still produces correct (more numerous) single-bucket files.
+      new Write with RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+        override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+          bucket match {
+            case Some((col, n)) =>
+              org.apache.spark.sql.connector.distributions.Distributions.clustered(
+                Array(Expressions.bucket(n, col)))
+            case None =>
+              org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+          }
+        override def distributionStrictlyRequired(): Boolean = false
+        override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          sortBy.map(c =>
+            Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+        override def toBatch: BatchWrite =
+          new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
+            compression, bucket)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
+      }
   }
 }
 

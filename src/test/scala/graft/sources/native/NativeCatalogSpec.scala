@@ -153,6 +153,35 @@ class NativeCatalogSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getDouble(1)).sum - expected) < 1e-6)
   }
 
+  test("sortBy table property orders blocks so zone maps prune range scans") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sorted")
+    spark.sql("DROP TABLE IF EXISTS graft.sorted.ev")
+    spark.sql("""CREATE TABLE graft.sorted.ev (ts BIGINT, v STRING)
+                 USING clickhouse_native TBLPROPERTIES ('sortBy'='ts')""")
+    // one task, values arriving in pseudo-random order — requiredOrdering
+    // must sort them before the writer sees a row
+    spark.range(0, 400000)
+      .select(pmod(col("id") * 2654435761L, lit(400000L)).as("ts"),
+        concat(lit("v"), col("id")).as("v"))
+      .coalesce(1)
+      .writeTo("graft.sorted.ev").append()
+
+    val hit = spark.table("graft.sorted.ev").filter(col("ts") === 123L)
+    assert(hit.count() >= 1)
+    // the scan behind the filter decodes ONE 65536-row block, not 400k
+    val scan = spark.table("graft.sorted.ev").filter(col("ts") === 123L)
+    scan.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+      case o => o.children.flatMap(scans)
+    }
+    val b = scans(scan.queryExecution.executedPlan).head
+    assert(b.metrics("numOutputRows").value <= 65536L,
+      s"sorted table point query should decode one block, read ${b.metrics("numOutputRows").value}")
+  }
+
   test("unbucketed catalog tables still join correctly (no layout claims)") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.plain")
