@@ -423,7 +423,10 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
         catch { case _: Exception => Seq.empty }
       val tags = sts.map(st =>
         st.getPath.toString -> NativeBucket.bucketOfFile(st.getPath.getName))
-      if (tags.forall(_._2.isDefined))
+      // a tag >= n means the files were written under a DIFFERENT bucket
+      // count (table recreated?) — claiming key-grouped layout then
+      // would co-locate rows that do not share a key: degrade instead
+      if (tags.forall(t => t._2.isDefined && t._2.get < n))
         Some((col, n, tags.map { case (p, t) => p -> t.get }.toMap))
       else None
     }

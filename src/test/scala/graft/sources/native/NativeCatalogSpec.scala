@@ -153,6 +153,60 @@ class NativeCatalogSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getDouble(1)).sum - expected) < 1e-6)
   }
 
+  test("SPJ stays correct when one side is missing buckets, and string keys co-locate") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj2")
+    Seq("all", "sparse").foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft.spj2.$t"))
+    spark.sql("""CREATE TABLE graft.spj2.all (k STRING, v INT)
+                 USING clickhouse_native PARTITIONED BY (bucket(4, k))""")
+    spark.sql("""CREATE TABLE graft.spj2.sparse (k STRING, w INT)
+                 USING clickhouse_native PARTITIONED BY (bucket(4, k))""")
+    val keys = (0 until 200).map(i => s"key_$i")
+    keys.map(k => (k, 1)).toDF("k", "v").writeTo("graft.spj2.all").append()
+    // sparse side: ONE key only → most buckets have no file at all
+    Seq(("key_7", 9)).toDF("k", "w").writeTo("graft.spj2.sparse").append()
+
+    val prior = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft.spj2.all").join(spark.table("graft.spj2.sparse"), "k")
+      val rows = j.collect()
+      assert(rows.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq ===
+        Seq(("key_7", 1, 9)))
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("stale bucket tags from a wider layout degrade to unknown, not wrong co-location") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stale")
+    spark.sql("DROP TABLE IF EXISTS graft.stale.t")
+    spark.sql("""CREATE TABLE graft.stale.t (k BIGINT, v INT)
+                 USING clickhouse_native PARTITIONED BY (bucket(2, k))""")
+    (0L until 100L).map(i => (i, 1)).toDF("k", "v").writeTo("graft.stale.t").append()
+    // simulate files from an OLD wider layout: rename one part to bucket 7
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dir = new org.apache.hadoop.fs.Path(wh, "stale/t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".clickhouse")).head
+    val renamed = new org.apache.hadoop.fs.Path(dir,
+      part.getName.replaceFirst("b0000\\d-", "b00007-"))
+    assert(fs.rename(part, renamed))
+    val idx = NativeIndex.sidecarPath(part)
+    if (fs.exists(idx)) fs.rename(idx, NativeIndex.sidecarPath(renamed))
+
+    // table still reads completely; the scan must NOT claim key-grouped
+    // layout (tag 7 >= numBuckets 2)
+    val df = spark.table("graft.stale.t")
+    assert(df.count() === 100)
+    df.collect()
+    val scanPartitioning = df.queryExecution.executedPlan.toString
+    assert(!scanPartitioning.contains("KeyGroupedPartitioning"))
+  }
+
   test("sortBy table property orders blocks so zone maps prune range scans") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sorted")
     spark.sql("DROP TABLE IF EXISTS graft.sorted.ev")
