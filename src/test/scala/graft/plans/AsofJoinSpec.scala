@@ -125,6 +125,55 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out.map(x => (x.getLong(0), x.getLong(1))).toSeq === Seq((1L, 5L)))
   }
 
+  test("asof over co-bucketed catalog tables is correct (SPJ not reachable: Spark gate)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.asof")
+    Seq("trades", "quotes").foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft.asof.$t"))
+    spark.sql("""CREATE TABLE graft.asof.trades (sym BIGINT, ts BIGINT, tid INT)
+                 USING clickhouse_native PARTITIONED BY (bucket(4, sym))""")
+    spark.sql("""CREATE TABLE graft.asof.quotes (sym BIGINT, qts BIGINT, px DOUBLE)
+                 USING clickhouse_native PARTITIONED BY (bucket(4, sym))""")
+    (0 until 200).map(i => (i.toLong % 20, 100L + i, i)).toDF("sym", "ts", "tid")
+      .writeTo("graft.asof.trades").append()
+    (0 until 100).map(i => (i.toLong % 20, 90L + i, i * 1.0)).toDF("sym", "qts", "px")
+      .writeTo("graft.asof.quotes").append()
+
+    val prior = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = Asof.join(spark.table("graft.asof.trades"),
+        spark.table("graft.asof.quotes"), Seq("sym"), "ts", "qts")
+      j.collect()
+      // Storage-partitioned-join elision is NOT available to custom
+      // execs: EnsureRequirements.checkKeyGroupCompatible dispatches on
+      // SortMergeJoinExec/ShuffledHashJoinExec only (verified against
+      // Spark 4.1 bytecode), so the asof over bucketed inputs pays one
+      // hash exchange per side — same as over unbucketed inputs, and
+      // exactly the plan our requiredChildDistribution asks for. Pin
+      // that the exchanges are plain ENSURE_REQUIREMENTS hash ones
+      // (not a pathological pattern), and above all that results over
+      // the bucketed layout are IDENTICAL to the plain computation.
+      def shuffles(p: SparkPlan): Seq[String] = p match {
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case q: QueryStageExec => shuffles(q.plan)
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          s.nodeName +: s.children.flatMap(shuffles)
+        case o => o.children.flatMap(shuffles)
+      }
+      assert(shuffles(j.queryExecution.executedPlan).size <= 2)
+
+      // the result agrees with the unbucketed computation
+      val viaPlain = Asof.join(
+        (0 until 200).map(i => (i.toLong % 20, 100L + i, i)).toDF("sym", "ts", "tid"),
+        (0 until 100).map(i => (i.toLong % 20, 90L + i, i * 1.0)).toDF("sym", "qts", "px"),
+        Seq("sym"), "ts", "qts")
+      assert(j.select("tid", "px").collect().map(r => (r.getInt(0), r.getDouble(1))).toSet ===
+        viaPlain.select("tid", "px").collect().map(r => (r.getInt(0), r.getDouble(1))).toSet)
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("agrees with the window-composition formulation on events data") {
     val e = graft.operators.Q.events(spark, SparkTestBase.sfDir)
       .filter(col("event_type").isin("purchase", "signup"))
