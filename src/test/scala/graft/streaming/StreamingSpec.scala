@@ -147,6 +147,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sequence match: pattern state accumulates across micro-batches") {
+    // The sequence aggregates buffer (ts, mask) pairs and defer the
+    // order-sensitive NFA pass to eval — so events arriving out of
+    // order ACROSS micro-batches still converge to the batch answer
+    // once all partials merge.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Int)]
+    val out = input.toDF().toDF("user_id", "tus", "mask")
+      .groupBy("user_id")
+      .agg(call_function("sequence_match_agg",
+        col("tus"), col("mask"), lit("(?1).*(?2)")).as("m"))
+    val q = out.writeStream.format("memory").queryName("seq_t").outputMode("update").start()
+    try {
+      // the PURCHASE (cond 2) arrives in batch 1, the earlier SIGNUP
+      // (cond 1) only in batch 2 — time order opposite arrival order
+      input.addData((1L, 20L, 2), (2L, 20L, 2))
+      q.processAllAvailable()
+      input.addData((1L, 10L, 1)) // user 1 completes the pattern
+      q.processAllAvailable()
+      val last = spark.table("seq_t").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).exists(identity)).toMap
+      assert(last(1L) === true)   // signup(10) before purchase(20)
+      assert(last(2L) === false)  // purchase only
+    } finally q.stop()
+  }
+
   test("file-based event stream matches the batch tumbling aggregation") {
     val dir = SparkTestBase.sfDir
     val stream = EventStreams.readEventStream(spark, dir)
