@@ -217,7 +217,62 @@ object ChDialect {
     one("varSamp")(VarianceSamp(_)),
     one("varPop")(VariancePop(_)),
     two("covarSamp")(CovSample(_, _)),
-    two("covarPop")(CovPopulation(_, _))
+    two("covarPop")(CovPopulation(_, _)),
+
+    // ----- round-3 widening ---------------------------------------------
+    // CH position(haystack, needle): 1-based, 0 when absent — exactly
+    // Spark's locate with the argument order swapped
+    two("position")((h, n) => new StringLocate(n, h)),
+    one("toStartOfQuarter")(e => TruncDate(date(e), Literal("QUARTER"))),
+    // CH toStartOfWeek(d, 1) (ISO, Monday). Mode-0 (Sunday) weeks are not
+    // offered — Spark's trunc is Monday-based.
+    one("toStartOfWeek")(e => TruncDate(date(e), Literal("WEEK"))),
+    one("toStartOfMinute")(e => TruncTimestamp(Literal("minute"), ts(e))),
+    two("addYears")((d, n) => AddMonths(date(d), Multiply(n, Literal(12)))),
+    two("subtractMonths")((d, n) => AddMonths(date(d), UnaryMinus(n))),
+    two("addHours")((t, n) => TimestampAdd("HOUR", n, ts(t))),
+    two("addMinutes")((t, n) => TimestampAdd("MINUTE", n, ts(t))),
+    two("addSeconds")((t, n) => TimestampAdd("SECOND", n, ts(t))),
+    // (no dateDiff: Spark's parser intercepts dateDiff(unit, …) with an
+    // UNQUOTED unit before function resolution, so the CH quoted-unit
+    // spelling cannot be registered — use datediff(end, start) or
+    // timestampdiff(DAY, …))
+    one("arrayMin")(ArrayMin(_)),
+    one("arrayMax")(ArrayMax(_)),
+    one("arrayFlatten")(Flatten(_)),
+    "arrayZip" -> { args: Seq[Expression] =>
+      require(args.nonEmpty, "arrayZip takes at least one array")
+      ArraysZip(args)
+    },
+    two("arrayPushBack")((arr, x) => Concat(Seq(arr, CreateArray(Seq(x))))),
+    two("arrayPushFront")((arr, x) => Concat(Seq(CreateArray(Seq(x)), arr))),
+    one("arrayPopBack")(arr => Slice(arr, Literal(1),
+      Greatest(Seq(Subtract(Size(arr), Literal(1)), Literal(0))))),
+    one("arrayPopFront")(arr => Slice(arr, Literal(2),
+      Greatest(Seq(Subtract(Size(arr), Literal(1)), Literal(0))))),
+    one("mapKeys")(MapKeys(_)),
+    one("mapValues")(MapValues(_)),
+    two("mapContains")((m, k) => ArrayContains(MapKeys(m), k)),
+    one("assumeNotNull")(KnownNotNull(_)),
+    // CH arg order: splitByString(separator, s); literal separator
+    two("splitByString")((sep, s) => sep match {
+      case l: Literal if l.dataType == StringType && l.value != null =>
+        StringSplit(s, Literal(java.util.regex.Pattern.quote(l.value.toString)), Literal(-1))
+      case other => throw new IllegalArgumentException(
+        s"splitByString separator must be a string literal, got $other")
+    }),
+    two("JSONExtractFloat")((j, k) => Cast(GetJsonObject(j, jsonPath(k)), DoubleType)),
+    two("JSONExtractBool")((j, k) => Cast(GetJsonObject(j, jsonPath(k)), BooleanType)),
+    one("uniqExact")(e => Count(e).toAggregateExpression(isDistinct = true)),
+    one("anyLast")(Last(_, true)),
+    one("toYYYYMMDDhhmmss")(e => Cast(
+      DateFormatClass(ts(e), Literal("yyyyMMddHHmmss")), LongType)),
+    "now" -> { args: Seq[Expression] =>
+      require(args.isEmpty, "now() takes no arguments"); CurrentTimestamp()
+    },
+    "today" -> { args: Seq[Expression] =>
+      require(args.isEmpty, "today() takes no arguments"); CurrentDate()
+    }
   )
 
   /** CH formatDateTime %-specifiers → Java SimpleDateFormat pattern. */

@@ -46,6 +46,54 @@ class ChDialectSpec extends AnyFunSuite {
     assert(q1("addMonths(DATE '2024-03-15', 2)") == java.sql.Date.valueOf("2024-05-15"))
   }
 
+  test("round-3 widening: dates") {
+    assert(q1("toStartOfQuarter(DATE '2024-05-20')") == java.sql.Date.valueOf("2024-04-01"))
+    // 2024-03-15 is a Friday; ISO week starts Monday 2024-03-11
+    assert(q1("toStartOfWeek(DATE '2024-03-15')") == java.sql.Date.valueOf("2024-03-11"))
+    assert(q1("toStartOfMinute(TIMESTAMP '2024-03-15 13:45:56')") ==
+      java.sql.Timestamp.valueOf("2024-03-15 13:45:00"))
+    assert(q1("addYears(DATE '2024-02-29', 1)") == java.sql.Date.valueOf("2025-02-28"))
+    assert(q1("subtractMonths(DATE '2024-03-31', 1)") == java.sql.Date.valueOf("2024-02-29"))
+    assert(q1("addHours(TIMESTAMP '2024-03-15 23:30:00', 2)") ==
+      java.sql.Timestamp.valueOf("2024-03-16 01:30:00"))
+    assert(q1("addMinutes(TIMESTAMP '2024-03-15 23:59:00', 2)") ==
+      java.sql.Timestamp.valueOf("2024-03-16 00:01:00"))
+    assert(q1("addSeconds(TIMESTAMP '2024-03-15 23:59:59', 2)") ==
+      java.sql.Timestamp.valueOf("2024-03-16 00:00:01"))
+    assert(q1("toYYYYMMDDhhmmss(TIMESTAMP '2024-03-15 13:45:56')") == 20240315134556L)
+    assert(q1("now()").isInstanceOf[java.sql.Timestamp])
+    assert(q1("today()").isInstanceOf[java.sql.Date])
+  }
+
+  test("round-3 widening: arrays, maps, strings, json, aggregates") {
+    assert(q1("position('clickhouse', 'house')") == 6)
+    assert(q1("position('clickhouse', 'zzz')") == 0)
+    assert(q1("arrayMin(array(3, 1, 2))") == 1)
+    assert(q1("arrayMax(array(3, 1, 2))") == 3)
+    assert(q1("arrayFlatten(array(array(1, 2), array(3)))") == Seq(1, 2, 3))
+    assert(q1("arrayZip(array(1, 2), array('a', 'b'))") ==
+      Seq(Row(1, "a"), Row(2, "b")))
+    assert(q1("arrayPushBack(array(1, 2), 3)") == Seq(1, 2, 3))
+    assert(q1("arrayPushFront(array(1, 2), 0)") == Seq(0, 1, 2))
+    assert(q1("arrayPopBack(array(1, 2, 3))") == Seq(1, 2))
+    assert(q1("arrayPopFront(array(1, 2, 3))") == Seq(2, 3))
+    assert(q1("arrayPopBack(array(1))") == Seq())
+    assert(q1("mapKeys(map('a', 1, 'b', 2))") == Seq("a", "b"))
+    assert(q1("mapValues(map('a', 1, 'b', 2))") == Seq(1, 2))
+    assert(q1("mapContains(map('a', 1), 'a')") == true)
+    assert(q1("mapContains(map('a', 1), 'z')") == false)
+    assert(q1("assumeNotNull(5)") == 5)
+    assert(q1("splitByString('::', 'a::b::c')") == Seq("a", "b", "c"))
+    assert(q1("""JSONExtractFloat('{"x": 2.5}', 'x')""") == 2.5)
+    assert(q1("""JSONExtractBool('{"x": true}', 'x')""") == true)
+    assert(spark.sql(
+      "SELECT uniqExact(x) AS v FROM VALUES (1), (2), (2), (3) AS t(x)")
+      .collect()(0).get(0) == 3L)
+    assert(spark.sql(
+      "SELECT anyLast(x) AS v FROM (SELECT x FROM VALUES (1), (2), (7) AS t(x) ORDER BY x)")
+      .collect()(0).get(0) == 7)
+  }
+
   test("string functions") {
     assert(q1("lowerUTF8('AbC')") == "abc")
     assert(q1("upperUTF8('AbC')") == "ABC")
