@@ -327,6 +327,18 @@ object LlmQueries {
                    LATERAL (SELECT unnest(range(0, CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT), 5)) AS frame_idx) f
               WHERE octet_length(encode(text)) > 0""")),
 
+    "q_multimodal_dims" -> Q(
+      // REAL container-format metadata decode: each doc gets a valid
+      // PNG header sized from its metadata; Multimodal.imageDims
+      // recovers (width, height) from the BYTES (8-byte signature +
+      // IHDR walk). The oracle recomputes the dims arithmetically, so
+      // a parser offset slip fails the hash — this is the decode step
+      // that actually runs at scan time at 100 TB (resolution routing/
+      // filtering), with pixel decode behind the documented stub seam.
+      (s, dir) => Multimodal.dimsPipeline(s, t(s, dir, "documents")),
+      Some("""SELECT doc_id, n_chars % 640 + 1 AS width, n_chars % 480 + 1 AS height
+              FROM documents""")),
+
     "q_multimodal_schema" -> Q(
       // binary payload + typed metadata struct → typed mapPartitions
       // feature extraction (decode stubbed — see Multimodal scaladoc)

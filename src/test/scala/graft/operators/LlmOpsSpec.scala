@@ -171,6 +171,47 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.count() === docs.count())
   }
 
+  test("image header dims: PNG/JPEG/GIF containers parse, junk rejects") {
+    // PNG: synth-then-parse roundtrip at awkward sizes
+    for ((w, h) <- Seq((1, 1), (640, 480), (65535, 3), (1 << 20, 7)))
+      assert(Multimodal.imageDims(Multimodal.pngHeaderBytes(w, h)) === Some((w, h)))
+
+    // JPEG: SOI + APP0 segment + SOF0 frame header (height then width)
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val app0 = Array(0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46) // len 4 + 2 payload
+      val sof = Array(0xff, 0xc0, 0x00, 0x0b, 0x08,
+        (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, 0x01, 0x00)
+      (Array(0xff, 0xd8) ++ app0 ++ sof).map(_.toByte)
+    }
+    assert(Multimodal.imageDims(jpeg(1024, 768)) === Some((1024, 768)))
+    assert(Multimodal.imageDims(jpeg(33, 7)) === Some((33, 7)))
+
+    // GIF89a: little-endian logical screen size
+    val gif = ("GIF89a".getBytes("ASCII") ++
+      Array[Byte](0x21.toByte, 0x01.toByte, 0x0f.toByte, 0x00.toByte)).clone()
+    gif(6) = 0x21; gif(7) = 0x01 // 0x0121 = 289
+    gif(8) = 0x0f; gif(9) = 0x00 // 15
+    assert(Multimodal.imageDims(gif) === Some((289, 15)))
+
+    // junk, truncation, empty
+    assert(Multimodal.imageDims(Array.empty[Byte]) === None)
+    assert(Multimodal.imageDims("not an image at all".getBytes) === None)
+    assert(Multimodal.imageDims(Multimodal.pngHeaderBytes(9, 9).take(12)) === None)
+    assert(Multimodal.imageDims(Array(0xff, 0xd8, 0x00).map(_.toByte)) === None)
+  }
+
+  test("dims pipeline recovers synthesized dimensions from bytes alone") {
+    val out = Multimodal.dimsPipeline(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val meta = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, w, h) =>
+      assert(w === meta(id) % 640 + 1)
+      assert(h === meta(id) % 480 + 1)
+    }
+  }
+
   test("rolling fingerprint is edit-tolerant-ish and deterministic") {
     val a = "a" * 50 + "the quick brown fox jumps over the lazy dog" + "b" * 50
     assert(TextHash.rollingFingerprint(a) === TextHash.rollingFingerprint(a))
