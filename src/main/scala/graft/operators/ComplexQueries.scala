@@ -242,6 +242,107 @@ object ComplexQueries {
                   OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 50
                       AND l_quantity BETWEEN 20 AND 50))""")),
 
+    "q_tpch_q4" -> Q(
+      // TPC-H Q4 SHAPE (order-priority checking): count orders that had
+      // at least one LATE line (no l_commitdate in the synthetic schema
+      // — "late" = shipped >60 days after the order date). The plan is
+      // the canonical one: EXISTS → LEFT SEMI join on (orderkey) with a
+      // non-equi residual, then a tiny grouped count. At scale the semi
+      // join shuffles once on orderkey and dedups fact rows map-side.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= tsLit("1996-01-01") &&
+            col("o_orderdate") < tsLit("1997-01-01"))
+        val l = t(s, dir, "lineitem")
+        o.join(l, o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    "q_tpch_q16" -> Q(
+      // TPC-H Q16 SHAPE (supplier-count by part attributes, NOT IN):
+      // distinct suppliers per (brand, size band), excluding suppliers
+      // in bad standing (acctbal < 0 stands in for the complaints
+      // predicate; lineitem stands in for partsupp). NOT IN → LEFT ANTI
+      // join; the distinct count shuffles once on the grouping key.
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+        val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        val p = t(s, dir, "part").filter(col("p_size").isin(1, 5, 9, 13))
+        p.join(ps, p("p_partkey") === ps("l_partkey"))
+          .join(bad, ps("l_suppkey") === bad("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+              FROM part JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+                ON p_partkey = l_partkey
+              WHERE p_size IN (1, 5, 9, 13)
+                AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              GROUP BY p_brand, p_size
+              ORDER BY supplier_cnt DESC, p_brand, p_size""")),
+
+    "q_tpch_q17" -> Q(
+      // TPC-H Q17 (small-quantity-order revenue): lines whose quantity
+      // is below 20% of their part's average — a CORRELATED scalar
+      // subquery Catalyst decorrelates into an aggregate + join; the
+      // per-part averages are tiny and broadcast.
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val avgQ = l.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        val p = t(s, dir, "part").filter(col("p_brand") === "Brand#1")
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(avgQ, l("l_partkey") === avgQ("ap_partkey"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+      },
+      Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#1'
+                AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                                  WHERE l2.l_partkey = lineitem.l_partkey)""")),
+
+    "q_tpch_q22" -> Q(
+      // TPC-H Q22 SHAPE (global-sales-opportunity): customers with
+      // above-average positive balance and NO orders — a scalar
+      // subquery (broadcast 1-row cross) plus NOT EXISTS → LEFT ANTI
+      // on the orders fact, grouped by nation.
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        // every synthetic customer has SOME order — anti-join against
+        // recent orders so the "dormant big-balance customers" set is
+        // non-trivial
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= tsLit("2000-01-01"))
+          .select(col("o_custkey"))
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg(avg(col("c_acctbal")).as("avg_bal"))
+        c.join(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+              FROM customer
+              WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+                AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+              GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     "q_ch_dialect" -> Q(
       // The ClickHouse-dialect SQL surface end-to-end: a query written
       // entirely with CH function spellings (type conversion, date

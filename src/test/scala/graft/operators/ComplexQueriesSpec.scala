@@ -48,6 +48,25 @@ class ComplexQueriesSpec extends AnyFunSuite {
       p.contains("GreaterThanOrEqual"), p.take(2500))
   }
 
+  test("q4/q16/q22: EXISTS and NOT IN compile to semi/anti joins, no cartesian") {
+    val p4 = plan("q_tpch_q4")
+    assert(p4.contains("LeftSemi"), p4.take(2000))
+    assert(!p4.contains("CartesianProduct"))
+    val p16 = plan("q_tpch_q16")
+    assert(p16.contains("LeftAnti"), p16.take(2000))
+    assert(!p16.contains("CartesianProduct"))
+    val p22 = plan("q_tpch_q22")
+    assert(p22.contains("LeftAnti"), p22.take(2000))
+    // the 1-row average broadcasts; the anti join keys on o_custkey
+    assert(p22.contains("BroadcastNestedLoopJoin") || p22.contains("BroadcastHashJoin"))
+  }
+
+  test("q17: correlated-average join stays equi (no cartesian, no nested loop)") {
+    val p = plan("q_tpch_q17")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoop"), p.take(2000))
+  }
+
   test("retention cohort counts are internally consistent") {
     val r = QueryRegistry.queries("q_agg_retention")(spark, dir).collect()(0)
     val (v, vc, vp) = (r.getLong(0), r.getLong(1), r.getLong(2))
