@@ -220,9 +220,11 @@ object ChDialect {
     two("covarPop")(CovPopulation(_, _)),
 
     // ----- round-3 widening ---------------------------------------------
-    // CH position(haystack, needle): 1-based, 0 when absent — exactly
-    // Spark's locate with the argument order swapped
-    two("position")((h, n) => new StringLocate(n, h)),
+    // (no `position`: Spark's ANSI builtin position(substr, str) has the
+    // OPPOSITE argument order to CH position(haystack, needle) —
+    // shadowing the builtin would silently flip standard queries. Use
+    // locate/instr. Same for `now`: Spark's builtin is already
+    // identical, so it is not overridden.)
     one("toStartOfQuarter")(e => TruncDate(date(e), Literal("QUARTER"))),
     // CH toStartOfWeek(d, 1) (ISO, Monday). Mode-0 (Sunday) weeks are not
     // offered — Spark's trunc is Monday-based.
@@ -267,9 +269,6 @@ object ChDialect {
     one("anyLast")(Last(_, true)),
     one("toYYYYMMDDhhmmss")(e => Cast(
       DateFormatClass(ts(e), Literal("yyyyMMddHHmmss")), LongType)),
-    "now" -> { args: Seq[Expression] =>
-      require(args.isEmpty, "now() takes no arguments"); CurrentTimestamp()
-    },
     "today" -> { args: Seq[Expression] =>
       require(args.isEmpty, "today() takes no arguments"); CurrentDate()
     }

@@ -343,6 +343,75 @@ object ComplexQueries {
                                 AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
               GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
+    "q_tpch_q7" -> Q(
+      // TPC-H Q7 volume shipping: revenue flowing between nation PAIRS
+      // (supplier nation ≠ customer nation; the canonical two-nation
+      // filter keys on values too sparse at sf0.001), by year. Both dims
+      // broadcast onto the lineitem→orders join; the fact side shuffles
+      // once on l_orderkey and once for the final (pair, year) rollup.
+      (s, dir) => {
+        val n1 = t(s, dir, "nation").select(
+          col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation").select(
+          col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+            col("l_shipdate") < tsLit("1998-01-01"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          // sum in integer CENTS: double += is order-sensitive in the
+          // last ulp, and with hundreds of (pair, year) groups one lands
+          // on a rounding boundary between Spark's and DuckDB's
+          // accumulation orders (and round() tie policies differ too).
+          // floor of the identical IEEE product is policy-free, and the
+          // integer sum is order-free — bit-exact on both engines.
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM lineitem, orders, supplier, customer, nation n1, nation n2
+              WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+                AND o_custkey = c_custkey
+                AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND n1.n_name <> n2.n_name
+              GROUP BY supp_nation, cust_nation, l_year
+              ORDER BY supp_nation, cust_nation, l_year""")),
+
+    "q_tpch_q9" -> Q(
+      // TPC-H Q9 SHAPE (product-type profit by nation and year; profit
+      // simplified to discounted revenue — the synthetic schema has no
+      // ps_supplycost): part filter broadcasts into the fact, supplier
+      // nation resolves the group key.
+      (s, dir) => t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").contains("bolt"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("supp_nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_profit"))
+        .orderBy(col("supp_nation"), col("o_year").desc),
+      Some("""SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+              FROM lineitem, part, orders, supplier, nation
+              WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+                AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                AND p_name LIKE '%bolt%'
+              GROUP BY supp_nation, o_year
+              ORDER BY supp_nation, o_year DESC""")),
+
     "q_ch_dialect" -> Q(
       // The ClickHouse-dialect SQL surface end-to-end: a query written
       // entirely with CH function spellings (type conversion, date

@@ -61,13 +61,13 @@ class ChDialectSpec extends AnyFunSuite {
     assert(q1("addSeconds(TIMESTAMP '2024-03-15 23:59:59', 2)") ==
       java.sql.Timestamp.valueOf("2024-03-16 00:00:01"))
     assert(q1("toYYYYMMDDhhmmss(TIMESTAMP '2024-03-15 13:45:56')") == 20240315134556L)
-    assert(q1("now()").isInstanceOf[java.sql.Timestamp])
     assert(q1("today()").isInstanceOf[java.sql.Date])
+    // Spark's ANSI position(substr IN str) builtin must stay intact
+    // (CH's arg-flipped position is deliberately NOT registered)
+    assert(q1("position('house', 'clickhouse')") == 6)
   }
 
   test("round-3 widening: arrays, maps, strings, json, aggregates") {
-    assert(q1("position('clickhouse', 'house')") == 6)
-    assert(q1("position('clickhouse', 'zzz')") == 0)
     assert(q1("arrayMin(array(3, 1, 2))") == 1)
     assert(q1("arrayMax(array(3, 1, 2))") == 3)
     assert(q1("arrayFlatten(array(array(1, 2), array(3)))") == Seq(1, 2, 3))
