@@ -412,6 +412,105 @@ object ComplexQueries {
               GROUP BY supp_nation, o_year
               ORDER BY supp_nation, o_year DESC""")),
 
+    "q_tpch_q8" -> Q(
+      // TPC-H Q8 market share: NATION_3's fraction of yearly revenue
+      // within one region's customer base — conditional aggregation
+      // (sumIf-style) over the fully-joined fact, every dim broadcast.
+      // Revenue in floor-cents (see q7) so the FRACTION's operands are
+      // bit-exact on both engines; the ratio rounds to 6 places.
+      (s, dir) => {
+        val rNations = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))
+        val sNation = t(s, dir, "nation").select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= tsLit("1996-01-01") &&
+              col("o_orderdate") < tsLit("1998-01-01")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(rNations), col("c_nationkey") === col("cn_key"), "left_semi")
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sNation), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(round(
+            sum(when(col("supp_nation") === "NATION_3", cents).otherwise(lit(0L)))
+              .cast("double") / sum(cents).cast("double"), 6).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                     round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                                    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                                    ELSE 0 END) AS DOUBLE)
+                           / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE),
+                           6) AS mkt_share
+              FROM lineitem, orders, customer, supplier, nation n2
+              WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+                AND c_nationkey IN (SELECT n_nationkey FROM nation, region
+                                    WHERE n_regionkey = r_regionkey AND r_name = 'ASIA')
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY o_year ORDER BY o_year""")),
+
+    "q_tpch_q13" -> Q(
+      // TPC-H Q13 customer distribution: LEFT OUTER join (customers with
+      // zero orders must survive), per-customer order count, then the
+      // count-of-counts histogram — two shuffles, both on small keys.
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(c("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+                 SELECT c_custkey, count(o_orderkey) AS c_count
+                 FROM customer LEFT OUTER JOIN orders
+                   ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                 GROUP BY c_custkey)
+               GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    "q_tpch_q15" -> Q(
+      // TPC-H Q15 top supplier: per-supplier revenue, then the suppliers
+      // hitting the global max — a 1-row broadcast scalar against the
+      // aggregated view (Catalyst plans the max as its own tiny stage).
+      // Floor-cents (see q7) keep the max comparison exact.
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+            col("l_shipdate") < tsLit("1996-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("total_cents"))
+        val top = rev.agg(max(col("total_cents")).as("max_cents"))
+        rev.join(broadcast(top), col("total_cents") === col("max_cents"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, CAST(total_cents AS BIGINT) AS total_cents FROM (
+                 SELECT l_suppkey, sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+                 GROUP BY l_suppkey) rev
+               JOIN supplier ON l_suppkey = s_suppkey
+               WHERE total_cents = (SELECT max(total_cents) FROM (
+                     SELECT sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents
+                     FROM lineitem
+                     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+                     GROUP BY l_suppkey))
+               ORDER BY s_suppkey""")),
+
     "q_ch_dialect" -> Q(
       // The ClickHouse-dialect SQL surface end-to-end: a query written
       // entirely with CH function spellings (type conversion, date
