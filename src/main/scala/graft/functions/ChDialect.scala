@@ -266,6 +266,11 @@ object ChDialect {
     two("JSONExtractFloat")((j, k) => Cast(GetJsonObject(j, jsonPath(k)), DoubleType)),
     two("JSONExtractBool")((j, k) => Cast(GetJsonObject(j, jsonPath(k)), BooleanType)),
     one("uniqExact")(e => Count(e).toAggregateExpression(isDistinct = true)),
+    // CH uniqUpTo(N)(x) ⇄ uniqUpTo(x, N): exact distinct count while
+    // <= N, else N+1 — precisely least(count(distinct x), N+1)
+    two("uniqUpTo")((x, n) => Least(Seq(
+      Count(x).toAggregateExpression(isDistinct = true),
+      Cast(Add(n, Literal(1)), LongType)))),
     one("anyLast")(Last(_, true)),
     one("toYYYYMMDDhhmmss")(e => Cast(
       DateFormatClass(ts(e), Literal("yyyyMMddHHmmss")), LongType)),

@@ -92,6 +92,13 @@ class ChDialectSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT anyLast(x) AS v FROM (SELECT x FROM VALUES (1), (2), (7) AS t(x) ORDER BY x)")
       .collect()(0).get(0) == 7)
+    // uniqUpTo: exact below the cap, cap+1 above it
+    assert(spark.sql(
+      "SELECT uniqUpTo(x, 5) AS v FROM VALUES (1), (2), (2), (3) AS t(x)")
+      .collect()(0).get(0) == 3L)
+    assert(spark.sql(
+      "SELECT uniqUpTo(x, 2) AS v FROM VALUES (1), (2), (3), (4) AS t(x)")
+      .collect()(0).get(0) == 3L)
   }
 
   test("string functions") {
