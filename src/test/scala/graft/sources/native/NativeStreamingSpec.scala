@@ -152,6 +152,48 @@ class NativeStreamingSpec extends AnyFunSuite {
     assert(parts.nonEmpty && parts.forall(_.startsWith("epoch-")), parts.mkString(","))
   }
 
+  test("writeStream into a bucketed catalog table: epoch and bucket tags compose") {
+    val ckpt = Files.createTempDirectory("graft-sbucket-ckpt").toString
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.ev")
+    spark.sql("""CREATE TABLE graft.stream.ev (k BIGINT, v STRING)
+                 USING clickhouse_native PARTITIONED BY (bucket(4, k))""")
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("k", "v")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").toTable("graft.stream.ev")
+    try {
+      input.addData((0L until 100L).map(i => (i, s"v$i")): _*)
+      q.processAllAvailable()
+      input.addData((100L until 200L).map(i => (i, s"v$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // complete across epochs
+    val back = spark.table("graft.stream.ev")
+    assert(back.count() === 200)
+    assert(back.agg(sum("k")).head.getLong(0) === (0L until 200L).sum)
+
+    // every data file carries BOTH the epoch prefix and a valid bucket
+    // tag, and holds only rows of its bucket
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dir = new org.apache.hadoop.fs.Path(wh, "stream/ev")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".clickhouse"))
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      assert(p.getName.startsWith("epoch-"), p.getName)
+      val tag = NativeBucket.bucketOfFile(p.getName)
+      assert(tag.isDefined && tag.get < 4, p.getName)
+      val ks = spark.read.format("clickhouse_native").load(p.toString)
+        .select("k").as[Long].collect()
+      assert(ks.forall(k => NativeBucket.ofLong(k, 4) === tag.get), p.getName)
+    }
+  }
+
   test("write option maxRowsPerFile is validated at build time") {
     val nation = spark.read.parquet(s"${SparkTestBase.sfDir}/nation.parquet")
     val dir = Files.createTempDirectory("graft-opt").toString + "/out"
