@@ -87,7 +87,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"topk_agg k must be an integer literal, got $other")
         }
-        TopKAgg(children.head, k)
+        TopKAgg(children.head,
+          org.apache.spark.sql.catalyst.expressions.Literal(1L), k)
       }))
     // sequence_match_agg(ts, mask, 'pattern') — CH sequenceMatch subset
     ext.injectFunction((
@@ -116,6 +117,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"sequence_count_agg pattern must be a string literal, got $other")
         }
         graft.functions.SequenceCountAgg(children.head, children(1), pat)
+      }))
+    // topk_weighted_agg(col, weight, k) — CH topKWeighted
+    ext.injectFunction((
+      new FunctionIdentifier("topk_weighted_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_weighted_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "topk_weighted_agg takes (col, weight, k)")
+        val k = children(2) match {
+          case lit if lit.foldable && (lit.dataType == org.apache.spark.sql.types.IntegerType ||
+              lit.dataType == org.apache.spark.sql.types.LongType) =>
+            lit.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"topk_weighted_agg k must be an integer literal, got $other")
+        }
+        TopKAgg(children.head, children(1), k)
       }))
     // funnel_agg(ts, level, window, steps) — CH windowFunnel semantics
     ext.injectFunction((

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,13 +33,24 @@ import org.apache.spark.unsafe.types.UTF8String
  * Returns the top `k` entries as `array<struct<value, count_est>>`,
  * count-descending (ties broken by value for a deterministic layout).
  * Registered as SQL `topk_agg(col, k)` by [[graft.GraftExtensions]].
+ *
+ * `weight` generalizes to CH `topKWeighted(k)(col, w)` (SQL
+ * `topk_weighted_agg(col, w, k)`): a row counts as `w` occurrences.
+ * The weighted Misra–Gries step charges `min(w, min counter)` against
+ * every tracked key before inserting the remainder, which preserves
+ * the ±totalWeight/capacity estimate bound; with w ≡ 1 it reduces to
+ * the classic decrement.
  */
 case class TopKAgg(
     child: Expression,
+    weight: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[Any, Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[java.util.HashMap[Any, Long]] with BinaryLike[Expression] {
+
+  override def left: Expression = child
+  override def right: Expression = weight
 
   private def capacity: Int = 8 * k
 
@@ -56,6 +67,9 @@ case class TopKAgg(
   override def checkInputDataTypes(): TypeCheckResult =
     if (k <= 0 || k > 65536)
       TypeCheckResult.TypeCheckFailure(s"topk_agg k=$k outside (0, 65536]")
+    else if (weight.dataType != LongType && weight.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg weight must be int/bigint, got ${weight.dataType.simpleString}")
     else child.dataType match {
       case StringType | LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
@@ -68,26 +82,41 @@ case class TopKAgg(
   override def update(buffer: java.util.HashMap[Any, Long], input: InternalRow)
       : java.util.HashMap[Any, Long] = {
     val v = child.eval(input)
-    if (v != null) {
+    val wRaw = weight.eval(input)
+    val w = wRaw match {
+      case null => 0L
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+    }
+    if (v != null && w > 0) {
       // keys must own their bytes: eval may return a re-used UTF8String
       val key = v match {
         case s: UTF8String => s.clone()
         case other => other
       }
       val cur = buffer.get(key)
-      if (cur != 0L || buffer.containsKey(key)) buffer.put(key, cur + 1L)
-      else if (buffer.size < capacity) buffer.put(key, 1L)
-      else decrementAll(buffer)
+      if (cur != 0L || buffer.containsKey(key)) buffer.put(key, cur + w)
+      else if (buffer.size < capacity) buffer.put(key, w)
+      else {
+        // weighted Misra–Gries: charge d = min(w, min counter) against
+        // every tracked key; any remainder of w inserts as a new entry
+        var minV = Long.MaxValue
+        val vit = buffer.values().iterator()
+        while (vit.hasNext) { val c = vit.next(); if (c < minV) minV = c }
+        val d = math.min(w, minV)
+        subtractAll(buffer, d)
+        if (w > d) buffer.put(key, w - d)
+      }
     }
     buffer
   }
 
-  /** The Misra–Gries step: new key with a full table → all counters -1. */
-  private def decrementAll(buffer: java.util.HashMap[Any, Long]): Unit = {
+  /** Subtract `d` from every counter, dropping the non-positive. */
+  private def subtractAll(buffer: java.util.HashMap[Any, Long], d: Long): Unit = {
     val it = buffer.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+      if (e.getValue <= d) it.remove() else e.setValue(e.getValue - d)
     }
   }
 
@@ -185,6 +214,7 @@ case class TopKAgg(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): TopKAgg =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKAgg =
+    copy(child = newLeft, weight = newRight)
 }

@@ -60,6 +60,41 @@ class TopKAggSpec extends AnyFunSuite {
     assert(out("odd")._2 >= 214L) // 1500 odds over 7 residues
   }
 
+  test("weighted: topk_weighted_agg(v, w, k) equals topk_agg over w-times repeated rows") {
+    // small distinct count → both exact, so results must match exactly
+    val weighted = Seq(("a", 5L), ("b", 3L), ("a", 2L), ("c", 9L)).toDF("v", "w")
+    val expanded = Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq.fill(9)("c")
+    val got = weighted
+      .agg(call_function("topk_weighted_agg", col("v"), col("w"), lit(3)).as("top"))
+      .selectExpr("inline(top)").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = expanded.toDF("v")
+      .agg(call_function("topk_agg", col("v"), lit(3)).as("top"))
+      .selectExpr("inline(top)").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+    assert(got === Seq(("c", 9L), ("a", 7L), ("b", 3L)))
+  }
+
+  test("weighted: heavy hitters by weight survive a sea of light entries") {
+    // 3 ids with total weight 50k each, 5000 ids with weight 1-10;
+    // k=3 → capacity 24 — the heavies must surface with sane estimates
+    val rnd = new scala.util.Random(5)
+    val heavy = (1 to 100).flatMap(_ => Seq(("H1", 500L), ("H2", 500L), ("H3", 500L)))
+    val light = (1 to 5000).map(i => (s"l$i", 1L + rnd.nextInt(10).toLong))
+    val df = rnd.shuffle(heavy ++ light).toDF("v", "w").repartition(7)
+    val got = df
+      .agg(call_function("topk_weighted_agg", col("v"), col("w"), lit(3)).as("top"))
+      .selectExpr("inline(top)").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._1).toSet === Set("H1", "H2", "H3"))
+    // estimate bound: totalWeight/capacity undercount at most
+    val totalW = heavy.map(_._2).sum + light.map(_._2).sum
+    got.foreach { case (_, est) =>
+      assert(est <= 50000L && est >= 50000L - totalW / 24, s"estimate $est")
+    }
+  }
+
   test("plan uses ObjectHashAggregate (raw buffer, not row-encoded)") {
     val df = (1 to 100).map(_.toString).toDF("v")
       .agg(call_function("topk_agg", col("v"), lit(5)))
