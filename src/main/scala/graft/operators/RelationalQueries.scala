@@ -292,6 +292,20 @@ object RelationalQueries {
           col("col.count_est").as("count_est")),
       None),
 
+    "q_agg_topk_weighted" -> Q(
+      // CH topKWeighted(k)(col, w): heavy hitters by accumulated WEIGHT
+      // (here: suppliers by total quantity shipped, not line count) —
+      // same mergeable sketch with the weighted Misra–Gries step;
+      // estimates are sketch-dependent → no SQL oracle, equivalence and
+      // bounds in TopKAggSpec.
+      (s, dir) => t(s, dir, "lineitem")
+        .agg(call_function("topk_weighted_agg", col("l_suppkey"),
+          col("l_quantity").cast("long"), lit(10)).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("pos"), col("col.value").as("suppkey"),
+          col("col.count_est").as("qty_est")),
+      None),
+
     "q_funnel" -> Q(
       // CH windowFunnel: per-user view→click→purchase conversion depth
       // within a 1-hour window, aggregated into a step distribution.
