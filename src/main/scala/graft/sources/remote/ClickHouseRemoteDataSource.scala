@@ -90,11 +90,37 @@ final case class TransportSpec(
         "clickhouse_remote with transport=file requires option responsePath")
       val p = new Path(responsePath)
       p.getFileSystem(conf.value).open(p)
+    case "socket" =>
+      // Handshake-less streaming over a real TCP connection: send the
+      // query (UTF-8, LEB128 length prefix — the Native string wire
+      // encoding), stream the server's Native-block response until it
+      // closes. Every opener (driver schema probe, each executor
+      // partition) dials its own connection — the connection-per-
+      // partition shape a full client needs, minus the protocol
+      // negotiation the `tcp` case documents as descoped.
+      val hp = url.stripPrefix("tcp://").stripPrefix("socket://")
+      val (host, port) = hp.lastIndexOf(':') match {
+        case -1 => throw new IllegalArgumentException(
+          s"clickhouse_remote transport=socket: url must be host:port, got '$url'")
+        case i => (hp.substring(0, i), hp.substring(i + 1).toInt)
+      }
+      val sock = new java.net.Socket(host, port)
+      sock.setTcpNoDelay(true)
+      val out = sock.getOutputStream
+      new graft.sources.native.NativeCodec.Output(out).writeString(query)
+      out.flush()
+      sock.shutdownOutput() // half-close: response streams until server EOF
+      new java.io.FilterInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream, 1 << 16)) {
+        override def close(): Unit = { super.close(); sock.close() }
+      }
     case "tcp" =>
       throw new UnsupportedOperationException(
-        "clickhouse_remote: the native TCP transport is descoped in this " +
-          "offline build (no server reachable) — see docs/REMOTE_SCAN.md. " +
-          "Use transport=file with a recorded Native response.")
+        "clickhouse_remote: the full native TCP protocol (hello/revision " +
+          "handshake, server progress packets) is descoped in this offline " +
+          "build (no server reachable) — see docs/REMOTE_SCAN.md. Use " +
+          "transport=socket (handshake-less byte streaming to host:port) " +
+          "or transport=file with a recorded Native response.")
     case other =>
       throw new IllegalArgumentException(s"clickhouse_remote: unknown transport '$other'")
   }
