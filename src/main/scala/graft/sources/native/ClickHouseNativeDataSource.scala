@@ -860,7 +860,8 @@ private[native] class NativeStreamingWrite(schema: StructType, path: String,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
-    NativeStreamingWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf, compression, bucket)
+    NativeStreamingWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf, compression,
+      bucket, java.util.UUID.randomUUID().toString.substring(0, 8))
   }
 
   // Epoch commit is recorded by the streaming engine's own offset/commit
@@ -874,17 +875,19 @@ private[native] class NativeStreamingWrite(schema: StructType, path: String,
 /** Ships to executors — a named case class so only serializable fields travel. */
 private[native] case class NativeStreamingWriterFactory(schema: StructType, path: String,
     maxRowsPerFile: Int, dictEncode: Boolean, conf: SerializableHadoopConf,
-    compression: String = "none", bucket: Option[(String, Int)] = None)
+    compression: String = "none", bucket: Option[(String, Int)] = None,
+    writeToken: String = "w0")
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     val prefix = f"epoch-$epochId%08d-"
     bucket match {
       case Some((col, n)) =>
         new BucketedNativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile,
-          conf.value, col, n, prefix, dictEncode, compression)
+          conf.value, col, n, prefix, dictEncode, compression, writeToken)
       case None =>
         new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
-          filePrefix = prefix, dictEncode = dictEncode, compression = compression)
+          filePrefix = prefix, dictEncode = dictEncode, compression = compression,
+          writeToken = writeToken)
     }
   }
 }
@@ -892,42 +895,67 @@ private[native] case class NativeStreamingWriterFactory(schema: StructType, path
 private[native] class NativeBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
     maxRowsPerFile: Int, dictEncode: Boolean, compression: String = "none",
     bucket: Option[(String, Int)] = None) extends BatchWrite {
+  // Unique token embedded in every part name this write produces. Two
+  // jobs must never collide on names: partitionId AND taskId both
+  // restart from 0 in a fresh session, so the deterministic
+  // part-<pid>-<tid>-<seq> scheme could silently CLOBBER an existing
+  // part on append (fs.create(overwrite=true)). The token also lets an
+  // overwrite distinguish its own output from pre-existing data.
+  private val writeToken = java.util.UUID.randomUUID().toString.substring(0, 8)
+  private val conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf())
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // Driver-side, before any task launches: clear the target on
-    // overwrite. Only DATA entries are removed — "_"/"." names (the
-    // catalog's _graft_table.meta, checkpoint dirs) survive a TRUNCATE.
-    val conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf())
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
-    if (truncateFirst && fs.exists(dir)) {
-      fs.listStatus(dir).foreach { st =>
-        val n = st.getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) fs.delete(st.getPath, true)
-      }
-    }
     fs.mkdirs(dir)
-    new NativeWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf, compression, bucket)
+    // NOTE: an overwrite does NOT clear the target here. Deleting
+    // before the tasks run destroys the old data while a self-read
+    // (INSERT OVERWRITE t SELECT ... FROM t — the natural compaction
+    // command) is still scanning it: the job fails AND the table is
+    // gone. The old files are removed at commit() instead, so readers
+    // of this very write's input stay consistent and an aborted
+    // overwrite leaves the previous data fully intact.
+    new NativeWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf, compression,
+      bucket, writeToken)
   }
+
   // Spark's default useCommitCoordinator() (true) guarantees at most one
   // committed attempt per partition; aborted attempts delete their file
   // (NativeDataWriter.abort), so speculative/retried tasks leave no
   // duplicate or truncated parts behind.
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncateFirst) {
+      // overwrite, second half: every data entry NOT carrying this
+      // write's token is pre-existing data — remove it (and its
+      // sidecar). "_"/"." control files survive, as before.
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(conf.value)
+      if (fs.exists(dir)) {
+        val tokenTag = s"-$writeToken-"
+        fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".") && !n.contains(tokenTag))
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private[native] class NativeWriterFactory(schema: StructType, path: String,
     maxRowsPerFile: Int, dictEncode: Boolean, conf: SerializableHadoopConf,
-    compression: String = "none", bucket: Option[(String, Int)] = None)
+    compression: String = "none", bucket: Option[(String, Int)] = None,
+    writeToken: String = "w0")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     bucket match {
       case Some((col, n)) =>
         new BucketedNativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile,
-          conf.value, col, n, "", dictEncode, compression)
+          conf.value, col, n, "", dictEncode, compression, writeToken)
       case None =>
         new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
-          dictEncode = dictEncode, compression = compression)
+          dictEncode = dictEncode, compression = compression, writeToken = writeToken)
     }
 }
 
@@ -942,7 +970,7 @@ private[native] class NativeWriterFactory(schema: StructType, path: String,
 private[native] class BucketedNativeDataWriter(schema: StructType, dir: String,
     partitionId: Int, taskId: Long, rowsPerFile: Int, conf: Configuration,
     bucketCol: String, numBuckets: Int, filePrefix: String,
-    dictEncode: Boolean, compression: String)
+    dictEncode: Boolean, compression: String, writeToken: String = "w0")
     extends DataWriter[InternalRow] {
   private val keyIdx = schema.fieldIndex(bucketCol)
   private val keyType = schema.fields(keyIdx).dataType
@@ -952,7 +980,7 @@ private[native] class BucketedNativeDataWriter(schema: StructType, dir: String,
     var w = writers(b)
     if (w == null) {
       w = new NativeDataWriter(schema, dir, partitionId, taskId, rowsPerFile, conf,
-        filePrefix + NativeBucket.filePrefix(b), dictEncode, compression)
+        filePrefix + NativeBucket.filePrefix(b), dictEncode, compression, writeToken)
       writers(b) = w
     }
     w
@@ -979,7 +1007,8 @@ private[native] class BucketedNativeDataWriter(schema: StructType, dir: String,
  */
 private[native] class NativeDataWriter(schema: StructType, dir: String,
     partitionId: Int, taskId: Long, rowsPerFile: Int, conf: Configuration,
-    filePrefix: String = "", dictEncode: Boolean = true, compression: String = "none")
+    filePrefix: String = "", dictEncode: Boolean = true, compression: String = "none",
+    writeToken: String = "w0")
     extends DataWriter[InternalRow] {
 
   private val rowsPerBlock = 65536
@@ -1140,7 +1169,8 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
     closeCurrentFile()
     fileSeq += 1
     rowsInFile = 0
-    val p = new Path(f"$dir/${filePrefix}part-$partitionId%05d-$taskId-$fileSeq%03d.clickhouse")
+    val p = new Path(
+      f"$dir/${filePrefix}part-$partitionId%05d-$taskId-$writeToken-$fileSeq%03d.clickhouse")
     written += p
     currentFile = p
     writer = new NativeBlockWriter(p.getFileSystem(conf).create(p, true), compression)

@@ -1,0 +1,69 @@
+package graft.sources.native
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Write-path safety: part names carry a per-write unique token (a new
+ * session's deterministic part-<pid>-<tid>-<seq> names would otherwise
+ * CLOBBER existing parts via create(overwrite=true)), and overwrite
+ * defers old-file deletion to commit so a self-read — INSERT OVERWRITE
+ * t SELECT ... FROM t, the natural compaction command — scans the old
+ * data while writing the new.
+ */
+class OverwriteSafetySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("every write embeds a distinct token: same (pid, tid) never collides") {
+    val dir = Files.createTempDirectory("graft-token").toString + "/out"
+    val conf = spark.sessionState.newHadoopConf()
+    // two writers with IDENTICAL partitionId/taskId — the cross-session
+    // collision shape — but different write tokens
+    Seq("aaaa1111", "bbbb2222").foreach { token =>
+      val w = new NativeDataWriter(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.LongType))),
+        dir, 0, 0L, 1 << 20, conf, writeToken = token)
+      (1L to 10L).foreach(i => w.write(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](i))))
+      w.commit()
+    }
+    val back = spark.read.format("clickhouse_native").load(dir)
+    assert(back.count() === 20, "second write must not clobber the first")
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".clickhouse"))
+    assert(names.length === 2)
+    assert(names.exists(_.contains("-aaaa1111-")) && names.exists(_.contains("-bbbb2222-")))
+  }
+
+  test("INSERT OVERWRITE from the table itself compacts instead of destroying") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ow")
+    spark.sql("DROP TABLE IF EXISTS graft.ow.t")
+    spark.sql("CREATE TABLE graft.ow.t (k BIGINT) USING clickhouse_native")
+    spark.range(0, 1000).selectExpr("id AS k").writeTo("graft.ow.t").append()
+    spark.sql("INSERT OVERWRITE graft.ow.t SELECT * FROM graft.ow.t WHERE k < 500")
+    val back = spark.table("graft.ow.t")
+    assert(back.count() === 500)
+    assert(back.agg(max("k")).head.getLong(0) === 499L)
+  }
+
+  test("dataframe overwrite of a path keeps old data until commit; result replaces it") {
+    val dir = Files.createTempDirectory("graft-ow2").toString + "/out"
+    (1 to 100).map(_.toLong).toDF("x").write.format("clickhouse_native")
+      .mode("overwrite").save(dir)
+    (1 to 7).map(_.toLong).toDF("x").write.format("clickhouse_native")
+      .mode("overwrite").save(dir)
+    assert(spark.read.format("clickhouse_native").load(dir).count() === 7)
+    // overwrite-from-self through the path API too
+    val self = spark.read.format("clickhouse_native").load(dir).filter($"x" <= 3)
+    self.write.format("clickhouse_native").mode("overwrite").save(dir)
+    assert(spark.read.format("clickhouse_native").load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+}
