@@ -333,10 +333,13 @@ object ComplexQueries {
           .filter(col("c_acctbal") > col("avg_bal"))
           .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .groupBy("c_nationkey")
-          .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+          .agg(count(lit(1)).as("numcust"),
+            // floor-cents (see q7) — order-free integer sum
+            sum(floor(col("c_acctbal") * 100).cast("long")).as("totacctbal_cents"))
           .orderBy("c_nationkey")
       },
-      Some("""SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+      Some("""SELECT c_nationkey, count(*) AS numcust,
+                     CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
               FROM customer
               WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
                 AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -400,11 +403,13 @@ object ComplexQueries {
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("supp_nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_profit"))
+        // floor-cents integer sum (see q7): ~175 groups is enough
+        // exposure for a double-accumulation-order rounding flake
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("profit_cents"))
         .orderBy(col("supp_nation"), col("o_year").desc),
       Some("""SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS profit_cents
               FROM lineitem, part, orders, supplier, nation
               WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
                 AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey

@@ -94,6 +94,10 @@ object Multimodal {
       var i = 2
       while (i + 9 < payload.length) {
         if (u8(i) != 0xff) return None // desynced
+        // ISO 10918 permits any number of 0xFF fill bytes before a
+        // marker id — skip them or the walk reads a garbage length
+        while (i + 1 < payload.length && u8(i + 1) == 0xff) i += 1
+        if (i + 9 >= payload.length) return None
         val marker = u8(i + 1)
         if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
           i += 2 // standalone markers, no length field

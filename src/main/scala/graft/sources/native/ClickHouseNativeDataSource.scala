@@ -425,8 +425,12 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
         st.getPath.toString -> NativeBucket.bucketOfFile(st.getPath.getName))
       // a tag >= n means the files were written under a DIFFERENT bucket
       // count (table recreated?) — claiming key-grouped layout then
-      // would co-locate rows that do not share a key: degrade instead
-      if (tags.forall(t => t._2.isDefined && t._2.get < n))
+      // would co-locate rows that do not share a key: degrade instead.
+      // An EMPTY listing (no files yet, or a listing failure swallowed
+      // above) must also degrade: `forall` over nothing is vacuously
+      // true, and claiming layout off a failed listing would key-group
+      // a join against partitions that later plan with unknown buckets.
+      if (tags.nonEmpty && tags.forall(t => t._2.isDefined && t._2.get < n))
         Some((col, n, tags.map { case (p, t) => p -> t.get }.toMap))
       else None
     }
@@ -524,11 +528,21 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
       .map(_.sessionState.conf.filesMaxPartitionBytes)
       .getOrElse(128L * 1024 * 1024)
     val pruning = effectiveFilters
-    val buckets: Map[String, Int] =
-      bucketLayout.map { case (_, _, m) => m }.getOrElse(Map.empty)
+    val layoutClaimed = bucketLayout.isDefined
     NativeIO.resolveFileStatuses(paths, conf.value).flatMap { st =>
       val p = st.getPath
-      val bucketId = buckets.getOrElse(p.toString, -1)
+      // bucket id parses from THIS listing's file names, not the layout
+      // snapshot — a file that appeared between the two listings still
+      // gets its true bucket. If layout was claimed but an untagged
+      // file materialized since, silence would mis-co-locate: fail.
+      val bucketId = NativeBucket.bucketOfFile(p.getName) match {
+        case Some(b) => b
+        case None if layoutClaimed => throw new IllegalStateException(
+          s"clickhouse_native: untagged data file ${p.getName} appeared in a " +
+            "bucketed table between layout planning and partition planning — " +
+            "cannot key-group safely; retry the query")
+        case None => -1
+      }
       val whole = Seq(NativeInputPartition(p.toString, bucketId = bucketId))
       // small files skip the sidecar RPC unless filters could prune them
       if (st.getLen <= target && pruning.isEmpty) whole
@@ -865,10 +879,31 @@ private[native] class NativeStreamingWrite(schema: StructType, path: String,
   }
 
   // Epoch commit is recorded by the streaming engine's own offset/commit
-  // log; file visibility is atomic per part (create+close), so there is
-  // nothing extra to do here. Abort of individual failed tasks already
-  // deleted their parts.
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  // log; file visibility is atomic per part (create+close). What CAN
+  // linger is an earlier ATTEMPT of this same epoch: a driver that died
+  // after task commits but before the engine logged the epoch replays it
+  // with a fresh write token, so the first attempt's parts would
+  // double-count. Reconcile here — the committing attempt keeps exactly
+  // the files its tasks reported and removes any other file carrying
+  // this epoch's prefix (plus its sidecar).
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val kept = messages.flatMap {
+      case NativeCommitMessage(files) => files.map(f => new Path(f).getName)
+      case _ => Seq.empty
+    }.toSet
+    val epochPrefix = f"epoch-$epochId%08d-"
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        val dataName = if (n.startsWith(".") && n.endsWith(".chidx"))
+          n.stripPrefix(".").stripSuffix(".chidx") else n
+        if (dataName.startsWith(epochPrefix) && !kept.contains(dataName))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -926,21 +961,39 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (truncateFirst) {
       // overwrite, second half: every data entry NOT carrying this
-      // write's token is pre-existing data — remove it (and its
-      // sidecar). "_"/"." control files survive, as before.
+      // write's token is pre-existing data — remove it AND its hidden
+      // ".<part>.chidx" sidecar (which also lacks the token in its
+      // derived name). "_" control files and unrelated dot-files
+      // survive, as before.
       val dir = new Path(path)
       val fs = dir.getFileSystem(conf.value)
       if (fs.exists(dir)) {
         val tokenTag = s"-$writeToken-"
         fs.listStatus(dir).foreach { st =>
           val n = st.getPath.getName
-          if (!n.startsWith("_") && !n.startsWith(".") && !n.contains(tokenTag))
-            fs.delete(st.getPath, true)
+          val isStaleData = !n.startsWith("_") && !n.startsWith(".") && !n.contains(tokenTag)
+          val isStaleSidecar = n.startsWith(".") && n.endsWith(".chidx") && !n.contains(tokenTag)
+          if (isStaleData || isStaleSidecar) fs.delete(st.getPath, true)
         }
       }
     }
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  // JOB abort: tasks that already committed are not rolled back by the
+  // task-level abort path, so their token-tagged parts would linger —
+  // as partial data after a failed append, or as DUPLICATES after a
+  // failed overwrite (the old files were deliberately kept). Remove
+  // everything carrying this write's token; old data is untouched.
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (fs.exists(dir)) {
+      val tokenTag = s"-$writeToken-"
+      fs.listStatus(dir).foreach { st =>
+        if (st.getPath.getName.contains(tokenTag)) fs.delete(st.getPath, true)
+      }
+    }
+  }
 }
 
 private[native] class NativeWriterFactory(schema: StructType, path: String,

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
@@ -168,6 +168,10 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
+    // mkdirs on an existing dir returns true — check first, or CREATE
+    // NAMESPACE silently "succeeds" twice (SupportsNamespaces contract)
+    if (fs.exists(nsPath(namespace)))
+      throw new NamespaceAlreadyExistsException((catalogName +: namespace.toSeq).toArray)
     fs.mkdirs(nsPath(namespace))
   }
 

@@ -82,7 +82,8 @@ final case class TransportSpec(
     query: String,
     url: String,
     responsePath: String,
-    conf: SerializableHadoopConf) extends Serializable {
+    conf: SerializableHadoopConf,
+    timeoutMs: Int = 30000) extends Serializable {
 
   def open(): InputStream = transport match {
     case "file" =>
@@ -104,16 +105,23 @@ final case class TransportSpec(
           s"clickhouse_remote transport=socket: url must be host:port, got '$url'")
         case i => (hp.substring(0, i), hp.substring(i + 1).toInt)
       }
-      val sock = new java.net.Socket(host, port)
-      sock.setTcpNoDelay(true)
-      val out = sock.getOutputStream
-      new graft.sources.native.NativeCodec.Output(out).writeString(query)
-      out.flush()
-      sock.shutdownOutput() // half-close: response streams until server EOF
-      new java.io.FilterInputStream(
-          new java.io.BufferedInputStream(sock.getInputStream, 1 << 16)) {
-        override def close(): Unit = { super.close(); sock.close() }
-      }
+      // bounded connect/read waits: a black-holed connection must fail
+      // the task, not hang it forever; close the socket on ANY failure
+      // before the wrapping stream takes ownership
+      val sock = new java.net.Socket()
+      try {
+        sock.setTcpNoDelay(true)
+        sock.setSoTimeout(timeoutMs)
+        sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+        val out = sock.getOutputStream
+        new graft.sources.native.NativeCodec.Output(out).writeString(query)
+        out.flush()
+        sock.shutdownOutput() // half-close: response streams until server EOF
+        new java.io.FilterInputStream(
+            new java.io.BufferedInputStream(sock.getInputStream, 1 << 16)) {
+          override def close(): Unit = { super.close(); sock.close() }
+        }
+      } catch { case e: Throwable => sock.close(); throw e }
     case "tcp" =>
       throw new UnsupportedOperationException(
         "clickhouse_remote: the full native TCP protocol (hello/revision " +
@@ -135,7 +143,8 @@ object TransportSpec {
     url = Option(options.get("url"))
       .orElse(sys.env.get("CLICKHOUSE_URL")).getOrElse("tcp://localhost:9000"),
     responsePath = Option(options.get("responsePath")).getOrElse(""),
-    conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf()))
+    conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf()),
+    timeoutMs = Option(options.get("timeoutMs")).map(_.toInt).getOrElse(30000))
 }
 
 private[remote] class RemoteTable(tableSchema: StructType, spec: TransportSpec)

@@ -186,6 +186,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.imageDims(jpeg(1024, 768)) === Some((1024, 768)))
     assert(Multimodal.imageDims(jpeg(33, 7)) === Some((33, 7)))
 
+    // ISO 10918 fill bytes: extra 0xFF padding before a marker is legal
+    val padded = {
+      val base = jpeg(640, 360)
+      // inject two fill bytes before the SOF marker (after APP0 segment)
+      val sofStart = 2 + 6 // SOI + APP0
+      base.take(sofStart) ++ Array(0xff.toByte, 0xff.toByte) ++ base.drop(sofStart)
+    }
+    assert(Multimodal.imageDims(padded) === Some((640, 360)))
+
     // GIF89a: little-endian logical screen size
     val gif = ("GIF89a".getBytes("ASCII") ++
       Array[Byte](0x21.toByte, 0x01.toByte, 0x0f.toByte, 0x00.toByte)).clone()

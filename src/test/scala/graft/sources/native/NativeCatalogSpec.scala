@@ -179,6 +179,24 @@ class NativeCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("empty bucketed table claims no layout (vacuous forall guard)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.empty")
+    spark.sql("DROP TABLE IF EXISTS graft.empty.t")
+    spark.sql("""CREATE TABLE graft.empty.t (k BIGINT, v INT)
+                 USING clickhouse_native PARTITIONED BY (bucket(4, k))""")
+    val df = spark.table("graft.empty.t")
+    assert(df.count() === 0)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("KeyGroupedPartitioning"))
+  }
+
+  test("duplicate CREATE NAMESPACE throws per the SupportsNamespaces contract") {
+    spark.sql("DROP NAMESPACE IF EXISTS graft.dupns")
+    spark.sql("CREATE NAMESPACE graft.dupns")
+    intercept[Exception](spark.sql("CREATE NAMESPACE graft.dupns"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dupns") // no error
+  }
+
   test("stale bucket tags from a wider layout degrade to unknown, not wrong co-location") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stale")

@@ -53,6 +53,46 @@ class OverwriteSafetySpec extends AnyFunSuite {
     assert(back.agg(max("k")).head.getLong(0) === 499L)
   }
 
+  test("overwrite commit removes the old parts' sidecars too") {
+    val dir = Files.createTempDirectory("graft-ow-sc").toString + "/out"
+    (1 to 100).map(_.toLong).toDF("x").write.format("clickhouse_native")
+      .mode("overwrite").save(dir)
+    (1 to 5).map(_.toLong).toDF("x").write.format("clickhouse_native")
+      .mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    val parts = files.filter(_.endsWith(".clickhouse"))
+    val sidecars = files.filter(_.endsWith(".chidx"))
+    // every surviving sidecar belongs to a surviving part — no orphans
+    assert(sidecars.nonEmpty)
+    sidecars.foreach { sc =>
+      val dataName = sc.stripPrefix(".").stripSuffix(".chidx")
+      assert(parts.contains(dataName), s"orphan sidecar $sc")
+    }
+  }
+
+  test("job-level abort removes this write's parts, keeps pre-existing data") {
+    val dir = Files.createTempDirectory("graft-ow-abort").toString + "/out"
+    (1 to 50).map(_.toLong).toDF("x").write.format("clickhouse_native")
+      .mode("overwrite").save(dir)
+
+    // drive the V2 write protocol by hand: tasks commit, then the JOB
+    // aborts (the shape a partially-failed INSERT OVERWRITE leaves)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType)))
+    val write = new NativeWriteBuilder(schema, dir, 1 << 20, true, "none", None)
+      .truncate().asInstanceOf[NativeWriteBuilder].build()
+    val batch = write.toBatch
+    val factory = batch.createBatchWriterFactory(null)
+    val w = factory.createWriter(0, 0L)
+    (1L to 9L).foreach(i => w.write(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](i))))
+    val msg = w.commit()
+    batch.abort(Array(msg))
+
+    // the aborted overwrite's parts are gone; the original 50 rows stand
+    assert(spark.read.format("clickhouse_native").load(dir).count() === 50)
+  }
+
   test("dataframe overwrite of a path keeps old data until commit; result replaces it") {
     val dir = Files.createTempDirectory("graft-ow2").toString + "/out"
     (1 to 100).map(_.toLong).toDF("x").write.format("clickhouse_native")
