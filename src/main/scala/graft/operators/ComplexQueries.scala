@@ -578,13 +578,18 @@ object ComplexQueries {
       // Spark's exact percentile over an array of levels ≡ DuckDB
       // quantile_cont list form — both linear-interpolated, so the
       // arrays compare exactly after rounding.
+      // Serialized to integer-cent strings because the driver's
+      // comparator cannot hash array cells, and because cents dodge
+      // double-formatting drift between Java and DuckDB string casts.
+      // The array form is covered by ComplexQueriesSpec.
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D)), x -> round(x, 2))")
+        .agg(expr("""array_join(transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D)),
+                                x -> cast(cast(round(x * 100) as bigint) as string)), '|')""")
           .as("qs")),
       Some("""SELECT l_returnflag,
-                     list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
-                                    x -> round(x, 2)) AS qs
+                     array_to_string(list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                                     x -> CAST(CAST(round(x * 100) AS BIGINT) AS VARCHAR)), '|') AS qs
               FROM lineitem GROUP BY l_returnflag""")),
 
     "q_agg_retention" -> Q(

@@ -456,13 +456,18 @@ object RelationalQueries {
               HAVING round(sum(o_totalprice), 2) > 500000.0""")),
 
     "q_agg_collect" -> Q(
-      // list aggregation (CH groupArray equivalent); sorted for a
-      // deterministic multiset compare of the array cells
+      // list aggregation (CH groupArray equivalent); sorted for
+      // determinism, then serialized to a delimited string because the
+      // driver's comparator cannot hash array-typed cells. The array
+      // form itself is covered by RelationalOpsSpec ("q_agg_collect
+      // array form").
       (s, dir) => t(s, dir, "nation")
         .groupBy("n_regionkey")
-        .agg(sort_array(collect_list(col("n_name"))).as("names"),
+        .agg(array_join(sort_array(collect_list(col("n_name"))), "|").as("names"),
           count(lit(1)).as("n")),
-      Some("""SELECT n_regionkey, list_sort(list(n_name)) AS names, count(*) AS n
+      Some("""SELECT n_regionkey,
+                     array_to_string(list_sort(list(n_name)), '|') AS names,
+                     count(*) AS n
               FROM nation GROUP BY n_regionkey""")),
 
     "q_pivot" -> Q(

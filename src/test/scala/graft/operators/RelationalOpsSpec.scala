@@ -98,6 +98,44 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("q_agg_collect array form: per-region sorted name lists (CH groupArray)") {
+    // The registry key serializes to a '|'-joined string for the driver's
+    // comparator; this pins the underlying array semantics.
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val arrays = nation.groupBy("n_regionkey")
+      .agg(sort_array(collect_list(col("n_name"))).as("names"))
+      .collect().map(r => r.get(0).toString -> r.getSeq[String](1)).toMap
+    val joined = QueryRegistry.queries("q_agg_collect")(spark, dir)
+      .collect().map(r => r.get(0).toString -> r.getString(1)).toMap
+    assert(arrays.keySet === joined.keySet)
+    arrays.foreach { case (k, names) =>
+      assert(names === names.sorted, s"region $k list not sorted")
+      assert(joined(k) === names.mkString("|"), s"region $k join mismatch")
+    }
+  }
+
+  test("q_agg_quantiles array form: multi-level exact percentiles in one pass") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val multi = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // each level agrees with the single-level exact percentile
+    Seq(0.25 -> 0, 0.5 -> 1, 0.75 -> 2).foreach { case (lvl, i) =>
+      val single = li.groupBy("l_returnflag")
+        .agg(expr(s"percentile(l_quantity, ${lvl}D)").as("p"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      single.foreach { case (k, v) =>
+        assert(math.abs(multi(k)(i) - v) < 1e-9, s"$k level $lvl")
+      }
+    }
+    // and the registry key is the cents-serialized form of the same arrays
+    val joined = QueryRegistry.queries("q_agg_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    multi.foreach { case (k, qs) =>
+      assert(joined(k) === qs.map(x => math.round(x * 100)).mkString("|"), k)
+    }
+  }
+
   test("parquet scans prune columns and push filters") {
     val df = spark.read.parquet(s"$dir/lineitem.parquet")
       .filter(col("l_quantity") > 49.0).select("l_orderkey")
