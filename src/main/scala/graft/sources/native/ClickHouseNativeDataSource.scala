@@ -529,6 +529,12 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
       .getOrElse(128L * 1024 * 1024)
     val pruning = effectiveFilters
     val layoutClaimed = bucketLayout.isDefined
+    // When key-grouped layout was claimed, outputPartitioning() already
+    // reported numPartitions off the snapshot's bucket-id set — a file
+    // whose bucket id is NOT in that set (concurrent ingest under a
+    // different layout) would mis-group, so it must fail like an
+    // untagged file does, not silently join a phantom group.
+    val snapshotBuckets = bucketLayout.map(_._3.values.toSet)
     NativeIO.resolveFileStatuses(paths, conf.value).flatMap { st =>
       val p = st.getPath
       // bucket id parses from THIS listing's file names, not the layout
@@ -536,6 +542,12 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
       // gets its true bucket. If layout was claimed but an untagged
       // file materialized since, silence would mis-co-locate: fail.
       val bucketId = NativeBucket.bucketOfFile(p.getName) match {
+        case Some(b) if layoutClaimed && !snapshotBuckets.get.contains(b) =>
+          throw new IllegalStateException(
+            s"clickhouse_native: data file ${p.getName} carries bucket id $b, " +
+              "absent from the layout snapshot this plan's partitioning was " +
+              "reported from (concurrent ingest?) — cannot key-group safely; " +
+              "retry the query")
         case Some(b) => b
         case None if layoutClaimed => throw new IllegalStateException(
           s"clickhouse_native: untagged data file ${p.getName} appeared in a " +
@@ -543,17 +555,26 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
             "cannot key-group safely; retry the query")
         case None => -1
       }
-      val whole = Seq(NativeInputPartition(p.toString, bucketId = bucketId))
       // small files skip the sidecar RPC unless filters could prune them
-      if (st.getLen <= target && pruning.isEmpty) whole
-      else NativeIndex.read(p.getFileSystem(conf.value), p, st.getLen) match {
-        case Some(entries) =>
+      // — EXCEPT under checksum=skip with no explicit compression conf:
+      // skip forbids sniffing, so the reader needs the sidecar's
+      // writer-declared method (one extra RPC the user opted into)
+      val needsDeclaration =
+        "skip".equalsIgnoreCase(conf.value.get(NativeCompression.ChecksumConfKey, "verify")) &&
+          "auto".equalsIgnoreCase(conf.value.get(NativeCompression.ReadConfKey, "auto"))
+      if (st.getLen <= target && pruning.isEmpty && !needsDeclaration)
+        Seq(NativeInputPartition(p.toString, bucketId = bucketId))
+      else NativeIndex.readWithMeta(p.getFileSystem(conf.value), p, st.getLen) match {
+        case Some((entries, meta)) =>
+          // writer-declared compression rides the partition so executor
+          // readers never sniff files this writer produced
+          val declared = meta.get("compression")
           NativeIndex.splitRangesKeeping(entries, st.getLen, target,
             i => NativeIndex.blockMayMatch(entries(i).stats, pruning.toSeq)).map {
             case (offset, nBlocks, _) =>
-              NativeInputPartition(p.toString, offset, nBlocks, bucketId)
+              NativeInputPartition(p.toString, offset, nBlocks, bucketId, declared)
           }
-        case None => whole
+        case None => Seq(NativeInputPartition(p.toString, bucketId = bucketId))
       }
     }.map(x => x: InputPartition).toArray
   }
@@ -575,7 +596,7 @@ private[native] class NativeScan(fullSchema: StructType, required: StructType,
  * (the key is only consulted when the scan reports key-grouped layout).
  */
 private[native] case class NativeInputPartition(file: String, start: Long = 0L,
-    blockCount: Int = -1, bucketId: Int = -1)
+    blockCount: Int = -1, bucketId: Int = -1, compression: Option[String] = None)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucketId))
@@ -617,7 +638,7 @@ private[native] class NativeColumnarPartitionReader(part: NativeInputPartition,
   private val stream = path.getFileSystem(conf).open(path)
   if (part.start > 0) stream.seek(part.start) // sidecar offsets are frame boundaries
   private val blocks = new NativeBlockReader(
-    NativeCompression.maybeWrapRead(stream, conf), Some(required.fieldNames.toSet),
+    NativeCompression.maybeWrapRead(stream, conf, part.compression), Some(required.fieldNames.toSet),
     part.blockCount)
   private var batch: ColumnarBatch = _
 
@@ -737,7 +758,7 @@ private[native] class NativePartitionReader(part: NativeInputPartition, required
   private val stream = path.getFileSystem(conf).open(path)
   if (part.start > 0) stream.seek(part.start) // sidecar offsets are frame boundaries
   private val blocks = new NativeBlockReader(
-    NativeCompression.maybeWrapRead(stream, conf), Some(required.fieldNames.toSet),
+    NativeCompression.maybeWrapRead(stream, conf, part.compression), Some(required.fieldNames.toSet),
     part.blockCount)
 
   private var colValues: Array[Array[Any]] = _ // per required-field value arrays
@@ -792,7 +813,17 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def overwrite(filters: Array[Filter]): WriteBuilder = truncate()
+  // Only a FULL overwrite is expressible in this format (no row-level
+  // deletes): accept AlwaysTrue / empty, and fail loudly for any real
+  // condition — silently truncating rows NOT matching the condition
+  // (df.writeTo("graft.db.t").overwrite(cond)) would be data loss.
+  override def overwrite(filters: Array[Filter]): WriteBuilder =
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])) truncate()
+    else throw new UnsupportedOperationException(
+      "clickhouse_native supports only unconditional overwrite (truncate); " +
+        s"conditional overwrite on [${filters.mkString(", ")}] would have to delete " +
+        "matching rows in place, which the Native format cannot do. " +
+        "Use overwritePartitions/truncate, or rewrite the full table.")
 
   override def build(): Write = {
     // Validate the schema driver-side at planning, so an unsupported
@@ -1213,7 +1244,10 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
       val len = writer.position // flushes; equals final file length
       writer.close()
       writer = null
-      NativeIndex.write(currentFile.getFileSystem(conf), currentFile, blockIndex.toSeq, len)
+      NativeIndex.write(currentFile.getFileSystem(conf), currentFile, blockIndex.toSeq, len,
+        // authoritative compression declaration: readers of files this
+        // writer produced never have to sniff frame headers
+        meta = Map("compression" -> compression))
     }
     blockIndex.clear()
   }

@@ -392,40 +392,47 @@ object ColumnCodec {
       while (i < values.length) { out.writeByte(if (values(i) == null) 1 else 0); i += 1 }
       val defaults = values.map(v => if (v == null) defaultValue(inner) else v)
       encode(out, inner, defaults)
-    case ChArray(inner) =>
+    case at @ ChArray(inner) =>
+      // ClickHouse has no Nullable(Array/Map/Tuple), so forSpark maps a
+      // nullable Spark container column to a bare container type; a null
+      // cell reaching here degrades to the empty container (same
+      // null→default rule as the ChNullable inner-column encode above).
+      val vs = nullsToDefault(at, values)
       var cum = 0L
       var i = 0
-      while (i < values.length) {
-        cum += values(i).asInstanceOf[ArrayData].numElements()
+      while (i < vs.length) {
+        cum += vs(i).asInstanceOf[ArrayData].numElements()
         out.writeLongLE(cum)
         i += 1
       }
-      val flat = values.flatMap(v => v.asInstanceOf[ArrayData].toObjectArray(inner.sparkType))
+      val flat = vs.flatMap(v => v.asInstanceOf[ArrayData].toObjectArray(inner.sparkType))
       encode(out, inner, flat.asInstanceOf[Array[Any]])
     case lc: ChLowCardinality =>
       encodeLowCardinality(out, lc, values)
-    case ChMap(kt, vt) =>
+    case mt @ ChMap(kt, vt) =>
+      val vs = nullsToDefault(mt, values)
       var cum = 0L
       var i = 0
-      while (i < values.length) {
-        cum += values(i).asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].numElements()
+      while (i < vs.length) {
+        cum += vs(i).asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].numElements()
         out.writeLongLE(cum)
         i += 1
       }
-      val flatK = values.flatMap(v =>
+      val flatK = vs.flatMap(v =>
         v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].keyArray().toObjectArray(kt.sparkType))
-      val flatV = values.flatMap(v =>
+      val flatV = vs.flatMap(v =>
         v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].valueArray().toObjectArray(vt.sparkType))
       encode(out, kt, flatK.asInstanceOf[Array[Any]])
       encode(out, vt, flatV.asInstanceOf[Array[Any]])
-    case ChTuple(fields) =>
+    case tt @ ChTuple(fields) =>
+      val values2 = nullsToDefault(tt, values)
       var f = 0
       while (f < fields.length) {
         val ft = fields(f)._2
-        val col = new Array[Any](values.length)
+        val col = new Array[Any](values2.length)
         var i = 0
-        while (i < values.length) {
-          val r = values(i).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        while (i < values2.length) {
+          val r = values2(i).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
           col(i) = if (r.isNullAt(f)) null else r.get(f, ft.sparkType)
           i += 1
         }
@@ -485,7 +492,21 @@ object ColumnCodec {
     }
   }
 
+  /** Replace null container cells with the type's empty/default value
+    * (allocation-free when the column has no nulls — the common case). */
+  private def nullsToDefault(t: ChType, values: Array[Any]): Array[Any] = {
+    var i = 0
+    var hasNull = false
+    while (i < values.length && !hasNull) { hasNull = values(i) == null; i += 1 }
+    if (!hasNull) values
+    else values.map(v => if (v == null) defaultValue(t) else v)
+  }
+
   private def defaultValue(t: ChType): Any = t match {
+    // a nullable slot's default IS null — its own encode writes the
+    // null mask and substitutes the inner default (only reachable from
+    // container defaults, e.g. a tuple with nullable fields)
+    case _: ChNullable => null
     case ChString | _: ChFixedString | _: ChEnum8 => UTF8String.fromString("")
     case ChBool => java.lang.Boolean.FALSE
     case ChUInt8 | ChInt8 | ChUInt16 | ChInt16 | ChInt32 | ChDate | ChDate32 => Integer.valueOf(0)

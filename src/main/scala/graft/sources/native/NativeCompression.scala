@@ -38,9 +38,11 @@ private[sources] object NativeCompression {
   /** Hadoop-conf key: "skip" disables checksum verification on read
    *  (structural size checks still apply). See [[CityHash102]]. */
   val ChecksumConfKey = "graft.native.checksum"
-  /** Hadoop-conf key: force the read-side compression detection to
-   *  "none" for the (pathological) uncompressed file whose bytes
-   *  coincidentally sniff as a frame header. Default "auto". */
+  /** Hadoop-conf key: declare the read-side compression explicitly
+   *  (`none|lz4|zstd`) instead of sniffing — the escape hatch for the
+   *  (pathological) foreign file whose bytes coincidentally sniff as a
+   *  frame header, or for skipping checksums on undeclared files.
+   *  Default "auto" = sidecar declaration if present, else sniff. */
   val ReadConfKey = "graft.native.read.compression"
 
   def methodFor(name: String): Byte = name.toLowerCase match {
@@ -53,13 +55,37 @@ private[sources] object NativeCompression {
 
   /**
    * Wrap a freshly-opened (and possibly seeked-to-a-frame-boundary)
-   * read stream: sniff the first frame header and insert the
-   * decompressing layer when the file is compressed. Returns a plain
-   * buffered view of the original bytes otherwise.
+   * read stream, inserting the decompressing layer when the file is
+   * compressed. Resolution order for the compression method:
+   *
+   *   1. explicit [[ReadConfKey]] (`none|lz4|zstd`) — user declaration;
+   *   2. `declared` — the `.chidx` sidecar's writer-authored method,
+   *      authoritative for files this writer produced;
+   *   3. sniff the first frame header (foreign / sidecar-less files).
+   *
+   * Sniffing is a heuristic (a raw Native file's first 25 bytes could
+   * coincidentally form a plausible frame header), so checksum
+   * verification is what surfaces a misclassification — therefore
+   * `checksum=skip` is REFUSED on a sniffed file: declare the method
+   * via conf or sidecar to skip checksums.
    */
-  def maybeWrapRead(raw: InputStream, conf: Configuration): InputStream = {
+  def maybeWrapRead(raw: InputStream, conf: Configuration,
+      declared: Option[String] = None): InputStream = {
     val in = new BufferedInputStream(raw, 64 * 1024)
-    if (conf != null && "none".equalsIgnoreCase(conf.get(ReadConfKey, "auto"))) return in
+    val skip = conf != null && "skip".equalsIgnoreCase(conf.get(ChecksumConfKey, "verify"))
+    val confMethod = if (conf == null) "auto" else conf.get(ReadConfKey, "auto")
+    (confMethod.toLowerCase match {
+      case "auto" => declared.map(_.toLowerCase)
+      case m => Some(m)
+    }) match {
+      case Some("none") => return in
+      case Some(m @ ("lz4" | "zstd")) =>
+        methodFor(m) // validates
+        return new FrameInputStream(in, verify = !skip)
+      case Some(other) => throw new IllegalArgumentException(
+        s"clickhouse_native read compression must be auto|none|lz4|zstd, got '$other'")
+      case None => // fall through to sniffing
+    }
     in.mark(ChecksumLen + HeaderLen)
     val peek = new Array[Byte](ChecksumLen + HeaderLen)
     var got = 0
@@ -78,8 +104,11 @@ private[sources] object NativeCompression {
       uncomp >= 0 && uncomp <= MaxFrameBytes * 64 &&
       (method != MethodNone || comp == uncomp + HeaderLen)
     if (!plausible) in
-    else new FrameInputStream(in,
-      verify = conf == null || !"skip".equalsIgnoreCase(conf.get(ChecksumConfKey, "verify")))
+    else if (skip) throw new IllegalStateException(
+      s"clickhouse_native: $ChecksumConfKey=skip with a SNIFFED compression " +
+        s"method — a misclassified file would decode garbage silently. Declare " +
+        s"the method ($ReadConfKey=none|lz4|zstd) or re-enable checksums.")
+    else new FrameInputStream(in, verify = true)
   }
 
   @inline private[native] def readIntLE(b: Array[Byte], i: Int): Int =

@@ -89,13 +89,20 @@ private[native] object NativeIndex {
     s
   }
 
-  /** Write the sidecar for a just-closed data file of `dataLen` bytes. */
-  def write(fs: FileSystem, dataFile: Path, entries: Seq[BlockEntry], dataLen: Long): Unit = {
+  /** Write the sidecar for a just-closed data file of `dataLen` bytes.
+    * `meta` carries writer facts authoritative for THIS file (currently
+    * `compression=none|lz4|zstd`), so readers need not sniff. */
+  def write(fs: FileSystem, dataFile: Path, entries: Seq[BlockEntry], dataLen: Long,
+      meta: Map[String, String] = Map.empty): Unit = {
     // stats column universe, in first-seen order, indexed by the #cols line
     val cols = entries.flatMap(_.stats.keys).distinct
     val colIdx = cols.zipWithIndex.toMap
     val sb = new StringBuilder(s"CHIDX2 $dataLen ${entries.length}\n")
     sb.append("#cols ").append(cols.map(enc).mkString(",")).append('\n')
+    if (meta.nonEmpty)
+      sb.append("#meta ")
+        .append(meta.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString(","))
+        .append('\n')
     entries.foreach { e =>
       sb.append(e.offset).append(' ').append(e.rows)
       e.stats.foreach { case (name, st) =>
@@ -115,7 +122,13 @@ private[native] object NativeIndex {
    * because a wrong index silently drops or duplicates rows, while no
    * index merely costs parallelism.
    */
-  def read(fs: FileSystem, dataFile: Path, dataLen: Long): Option[Array[BlockEntry]] = {
+  def read(fs: FileSystem, dataFile: Path, dataLen: Long): Option[Array[BlockEntry]] =
+    readWithMeta(fs, dataFile, dataLen).map(_._1)
+
+  /** [[read]] plus the writer-authored `#meta` key/value line (empty for
+    * pre-meta sidecars and CHIDX1). */
+  def readWithMeta(fs: FileSystem, dataFile: Path,
+      dataLen: Long): Option[(Array[BlockEntry], Map[String, String])] = {
     val p = sidecarPath(dataFile)
     val text =
       try {
@@ -136,7 +149,6 @@ private[native] object NativeIndex {
     val (len, count) =
       try (header(1).toLong, header(2).toInt)
       catch { case _: NumberFormatException => return None }
-    val firstBlockLine = if (v2) 2 else 1
     if (v2 && (lines.length < 2 || !lines(1).startsWith("#cols "))) return None
     val cols: Array[String] =
       if (!v2) Array.empty
@@ -144,6 +156,16 @@ private[native] object NativeIndex {
         val names = lines(1).stripPrefix("#cols ").trim
         if (names.isEmpty) Array.empty else names.split(',').map(dec)
       }
+    // optional writer-meta line (absent in pre-meta CHIDX2 sidecars)
+    val hasMeta = v2 && lines.length > 2 && lines(2).startsWith("#meta ")
+    val meta: Map[String, String] =
+      if (!hasMeta) Map.empty
+      else lines(2).stripPrefix("#meta ").trim.split(',').filter(_.contains('='))
+        .map { kv =>
+          val i = kv.indexOf('=')
+          dec(kv.substring(0, i)) -> dec(kv.substring(i + 1))
+        }.toMap
+    val firstBlockLine = (if (v2) 2 else 1) + (if (hasMeta) 1 else 0)
     if (len != dataLen || count != lines.length - firstBlockLine || count == 0) return None
     val entries = new Array[BlockEntry](count)
     var i = 0
@@ -167,7 +189,7 @@ private[native] object NativeIndex {
       entries(i) = e
       i += 1
     }
-    Some(entries)
+    Some((entries, meta))
   }
 
   /**

@@ -277,4 +277,31 @@ class NativeCatalogSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("bucket-id drift between layout snapshot and partition planning fails loudly") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    // seed the table with one tagged file (content is never opened:
+    // layout and partition planning only look at names and lengths)
+    def drop(name: String): Unit = {
+      val f = new java.io.File(dir, name)
+      val out = new java.io.FileOutputStream(f)
+      out.write(Array.fill[Byte](64)(1)); out.close()
+    }
+    drop(NativeBucket.filePrefix(0) + "part-00000-1-aaaa-000.clickhouse")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val scan = new NativeScanBuilder(schema, Seq(dir), bucket = Some(("k", 4))).build()
+    // claim the layout off the current (snapshot) listing
+    scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportPartitioning].outputPartitioning()
+    // concurrent ingest materializes a bucket id the snapshot never saw
+    drop(NativeBucket.filePrefix(2) + "part-00000-1-bbbb-000.clickhouse")
+    val e = intercept[IllegalStateException](scan.toBatch.planInputPartitions())
+    assert(e.getMessage.contains("bucket id 2"), e.getMessage)
+    // a late file in an ALREADY-SNAPSHOTTED bucket just joins its group
+    // (group count unchanged), so planning succeeds
+    assert(new java.io.File(dir,
+      NativeBucket.filePrefix(2) + "part-00000-1-bbbb-000.clickhouse").delete())
+    drop(NativeBucket.filePrefix(0) + "part-00000-1-cccc-000.clickhouse")
+    assert(scan.toBatch.planInputPartitions().length === 2)
+  }
 }

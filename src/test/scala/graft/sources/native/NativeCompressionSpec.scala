@@ -177,6 +177,56 @@ class NativeCompressionSpec extends AnyFunSuite {
     assert(one.length === 1 && one(0).getDouble(1) === 199998.0)
   }
 
+  test("writer declares compression in the sidecar; checksum=skip honors it, refuses sniffed") {
+    val dir = tmpDir("declared")
+    spark.range(0, 5000).selectExpr("id", "id * 2.0D AS v")
+      .write.format("clickhouse_native").option("compression", "lz4")
+      .mode("overwrite").save(dir)
+    // the sidecar carries the writer-authored method
+    val fs = new Path(dir).getFileSystem(hadoopConf)
+    val dataFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".clickhouse")).head
+    val meta = NativeIndex.readWithMeta(fs, new Path(dataFile.getPath),
+      dataFile.length()).get._2
+    assert(meta.get("compression") === Some("lz4"))
+    // declared via sidecar → checksum=skip is allowed (no sniffing
+    // involved for partitions planned off the sidecar)
+    val declared = NativeCompression.maybeWrapRead(
+      new java.io.FileInputStream(dataFile), confWith("graft.native.checksum" -> "skip"),
+      declared = Some("lz4"))
+    try assert(declared.read() >= 0) finally declared.close()
+    // sniffed (no declaration) + skip → refuse: a misclassified file
+    // would decode garbage with nothing to catch it
+    val e = intercept[IllegalStateException] {
+      NativeCompression.maybeWrapRead(
+        new java.io.FileInputStream(dataFile), confWith("graft.native.checksum" -> "skip"))
+    }
+    assert(e.getMessage.contains("SNIFFED"))
+    // explicit conf declaration is the escape hatch
+    val viaConf = NativeCompression.maybeWrapRead(
+      new java.io.FileInputStream(dataFile),
+      confWith("graft.native.checksum" -> "skip",
+        "graft.native.read.compression" -> "lz4"))
+    try assert(viaConf.read() >= 0) finally viaConf.close()
+    // and the full read path (skip + sidecar declaration) works end-to-end
+    val prev = spark.conf.getOption("spark.hadoop.graft.native.checksum")
+    spark.conf.set("spark.hadoop.graft.native.checksum", "skip")
+    // sum forces a real data read (count(*) is answered from the sidecar)
+    try assert(spark.read.format("clickhouse_native").load(dir)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0)
+      === (0L until 5000L).map(_ * 2.0).sum)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.hadoop.graft.native.checksum", v)
+      case None => spark.conf.unset("spark.hadoop.graft.native.checksum")
+    }
+  }
+
+  private def confWith(kv: (String, String)*): org.apache.hadoop.conf.Configuration = {
+    val c = hadoopConf
+    kv.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   test("cityhash128 structural self-checks (length-path edges, determinism, avalanche)") {
     val rnd = new Random(7)
     // every length class: empty, <4, 4..7, 8..15, 16..127 (murmur), >=128 (long loop)

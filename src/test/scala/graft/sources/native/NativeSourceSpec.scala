@@ -246,4 +246,26 @@ class NativeSourceSpec extends AnyFunSuite {
       assert(spark.read.format("clickhouse_native").load(dir).count() === 4L)
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
   }
+
+  test("null cells in container columns degrade to empty containers, not NPE") {
+    // ClickHouse has no Nullable(Array/Map/Tuple): forSpark strips the
+    // nullability, so a null container cell reaching the encoder maps to
+    // the type's empty/default value — the documented degradation.
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullcont").toString + "/out"
+    val df = spark.sql("""
+      SELECT * FROM VALUES
+        (1L, array(1L, 2L), map('a', 1L), named_struct('x', 1L, 'y', 'p')),
+        (2L, CAST(NULL AS ARRAY<BIGINT>), CAST(NULL AS MAP<STRING, BIGINT>),
+             CAST(NULL AS STRUCT<x: BIGINT, y: STRING>))
+        AS t(id, arr, m, st)""")
+    df.write.format("clickhouse_native").mode("overwrite").save(dir)
+    val back = spark.read.format("clickhouse_native").load(dir)
+      .orderBy("id").collect()
+    assert(back(0).getSeq[Long](1) === Seq(1L, 2L))
+    assert(back(1).getSeq[Long](1) === Seq.empty)         // null -> []
+    assert(back(1).getMap[String, Long](2).isEmpty)        // null -> {}
+    val st = back(1).getStruct(3)
+    // null struct -> all-null fields (fields are themselves nullable)
+    assert(st.isNullAt(0) && st.isNullAt(1))
+  }
 }

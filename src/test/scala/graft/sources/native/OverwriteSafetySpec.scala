@@ -106,4 +106,40 @@ class OverwriteSafetySpec extends AnyFunSuite {
     assert(spark.read.format("clickhouse_native").load(dir)
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("conditional overwrite fails loudly instead of truncating everything") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ow")
+    spark.sql("DROP TABLE IF EXISTS graft.ow.cond")
+    spark.sql("CREATE TABLE graft.ow.cond (id BIGINT, v STRING) USING clickhouse_native")
+    spark.sql("INSERT INTO graft.ow.cond VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    // overwrite(cond) cannot be expressed as row-level deletes in this
+    // format; silently truncating ALL rows (the old behavior) loses the
+    // rows NOT matching the condition. Two layers refuse it: the
+    // analyzer (no OVERWRITE_BY_FILTER capability) ...
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((9L, "z")).toDF("id", "v").writeTo("graft.ow.cond").overwrite($"id" > 2)
+    }
+    assert(e.getMessage.contains("overwrite by filter"), e.getMessage)
+    // ... and, defense-in-depth, the write builder itself (in case the
+    // capability is ever added or a planner path bypasses the check)
+    val builder = new NativeWriteBuilder(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))),
+      "/tmp/never-used", 1 << 20, dictEncode = false)
+    val e2 = intercept[UnsupportedOperationException] {
+      builder.overwrite(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThan("id", 2L)))
+    }
+    assert(e2.getMessage.contains("unconditional"), e2.getMessage)
+    // AlwaysTrue (the df.overwrite(lit(true)) shape) is a plain truncate
+    builder.overwrite(Array[org.apache.spark.sql.sources.Filter](
+      new org.apache.spark.sql.sources.AlwaysTrue))
+    // the data survived the refused overwrite
+    assert(spark.table("graft.ow.cond").count() === 3)
+    // unconditional overwrite (AlwaysTrue) still works
+    Seq((9L, "z")).toDF("id", "v").writeTo("graft.ow.cond").overwrite(lit(true))
+    assert(spark.table("graft.ow.cond").collect().map(_.getLong(0)).toSeq === Seq(9L))
+    spark.sql("DROP TABLE graft.ow.cond")
+  }
 }
