@@ -283,35 +283,55 @@ object RelationalQueries {
       // CH topK(k) heavy hitters — mergeable Misra–Gries sketch
       // (functions/TopKAggregator.scala); partials summarize per
       // partition, only capacity-bounded maps cross the shuffle.
-      // Estimates are sketch-dependent → no SQL oracle; the frequency
-      // guarantee is asserted in TopKAggSpec.
+      // Oracle-gate configuration: capacity (8×k = 16000) exceeds the
+      // column cardinality (1000 suppliers at sf0.1), which is the
+      // sketch's EXACT regime — no decrement ever fires, counts are
+      // true frequencies, and the (count desc, value asc) tie-break is
+      // deterministic, so a plain GROUP BY + ORDER BY oracle applies.
+      // The genuinely-approximate small-capacity regime (estimates
+      // within totalWeight/capacity) is property-tested in TopKAggSpec.
       (s, dir) => t(s, dir, "lineitem")
-        .agg(call_function("topk_agg", col("l_suppkey"), lit(10)).as("top"))
+        .agg(call_function("topk_agg", col("l_suppkey"), lit(2000)).as("top"))
         .select(posexplode(col("top")))
+        .filter(col("pos") < 10)
         .select(col("pos"), col("col.value").as("suppkey"),
           col("col.count_est").as("count_est")),
-      None),
+      Some("""SELECT CAST(row_number() OVER (ORDER BY cnt DESC, l_suppkey) - 1 AS INTEGER) AS pos,
+                     l_suppkey AS suppkey, cnt AS count_est
+              FROM (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey)
+              QUALIFY pos < 10""")),
 
     "q_agg_topk_weighted" -> Q(
       // CH topKWeighted(k)(col, w): heavy hitters by accumulated WEIGHT
       // (here: suppliers by total quantity shipped, not line count) —
-      // same mergeable sketch with the weighted Misra–Gries step;
-      // estimates are sketch-dependent → no SQL oracle, equivalence and
-      // bounds in TopKAggSpec.
+      // same mergeable sketch with the weighted Misra–Gries step. Same
+      // exact-regime argument as q_agg_topk (capacity >= cardinality ⇒
+      // weighted sums are exact); l_quantity is integral in this corpus
+      // so the long cast is lossless on both engines.
       (s, dir) => t(s, dir, "lineitem")
         .agg(call_function("topk_weighted_agg", col("l_suppkey"),
-          col("l_quantity").cast("long"), lit(10)).as("top"))
+          col("l_quantity").cast("long"), lit(2000)).as("top"))
         .select(posexplode(col("top")))
+        .filter(col("pos") < 10)
         .select(col("pos"), col("col.value").as("suppkey"),
           col("col.count_est").as("qty_est")),
-      None),
+      Some("""SELECT CAST(row_number() OVER (ORDER BY w DESC, l_suppkey) - 1 AS INTEGER) AS pos,
+                     l_suppkey AS suppkey, w AS qty_est
+              FROM (SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                    FROM lineitem GROUP BY l_suppkey)
+              QUALIFY pos < 10""")),
 
     "q_funnel" -> Q(
       // CH windowFunnel: per-user view→click→purchase conversion depth
       // within a 1-hour window, aggregated into a step distribution.
-      // Sequence semantics aren't ANSI-SQL-expressible → no oracle;
-      // FunnelAggSpec checks against a driver-side reference
-      // implementation and partitioning invariance.
+      // Oracle: FunnelAgg's greedy pass (FunnelAggregator.scala) is
+      // provably equivalent to an EXISTS formulation — the chain-start
+      // it keeps per level is the LATEST one, which is maximally
+      // permissive for the t <= start + window deadline, so
+      // step >= L  ⟺  ∃ e_0..e_{L-1} with lvl(e_i)=i, ts(e_0) <= … <=
+      // ts(e_{L-1}), and ts(e_i) <= ts(e_0) + window. That is a chain
+      // of correlated EXISTS over the events table, which IS ANSI-SQL.
+      // Merge/partitioning invariance stays covered by FunnelAggSpec.
       (s, dir) => {
         val lvl = when(col("event_type") === "view", 0)
           .when(col("event_type") === "click", 1)
@@ -328,7 +348,30 @@ object RelationalQueries {
           .agg(count(lit(1)).as("users"))
           .orderBy("funnel_step")
       },
-      None),
+      Some(s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                          FROM ${Q.eventsOracle}
+                          WHERE event_type IN ('view', 'click', 'purchase'))
+               SELECT funnel_step, count(*) AS users FROM (
+                 SELECT u.user_id,
+                   CASE WHEN EXISTS (SELECT 1 FROM e v, e c, e p
+                               WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+                                 AND p.user_id = u.user_id
+                                 AND v.event_type = 'view' AND c.event_type = 'click'
+                                 AND p.event_type = 'purchase'
+                                 AND v.ts <= c.ts AND c.ts <= p.ts
+                                 AND c.ts <= v.ts + INTERVAL 1 HOUR
+                                 AND p.ts <= v.ts + INTERVAL 1 HOUR) THEN 3
+                        WHEN EXISTS (SELECT 1 FROM e v, e c
+                               WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+                                 AND v.event_type = 'view' AND c.event_type = 'click'
+                                 AND v.ts <= c.ts
+                                 AND c.ts <= v.ts + INTERVAL 1 HOUR) THEN 2
+                        WHEN EXISTS (SELECT 1 FROM e v
+                               WHERE v.user_id = u.user_id
+                                 AND v.event_type = 'view') THEN 1
+                        ELSE 0 END AS funnel_step
+                 FROM (SELECT DISTINCT user_id FROM e) u)
+               GROUP BY funnel_step ORDER BY funnel_step""")),
 
     "q_agg_sequence_match" -> Q(
       // CH sequenceMatch('(?1).*(?2)'): per user, does a signup occur
@@ -485,17 +528,30 @@ object RelationalQueries {
               FROM lineitem GROUP BY l_linestatus""")),
 
     "q_sample_stratified" -> Q(
-      // stratified sampling (per-class fractions, seeded Bernoulli) —
-      // the training-data rebalancing primitive. Sample membership is
-      // engine-specific → no SQL oracle; per-stratum proportions are
-      // bounded in RelationalOpsSpec.
-      (s, dir) => t(s, dir, "orders")
-        .stat.sampleBy("o_orderpriority",
-          Map("1-URGENT" -> 0.5, "2-HIGH" -> 0.25, "3-MEDIUM" -> 0.1,
-            "4-NOT SPECIFIED" -> 0.1, "5-LOW" -> 0.1),
-          seed = 42L)
-        .select("o_orderkey", "o_orderpriority"),
-      None),
+      // stratified sampling (per-class fractions) — the training-data
+      // rebalancing primitive, in its DETERMINISTIC form: membership is
+      // a multiplicative hash of the row key against a per-stratum
+      // threshold (Knuth's 2654435761 mod 2^32, bucketed mod 1000).
+      // Hash sampling beats seeded RNG at 100 TB — membership is
+      // reproducible across reruns/engines/partitionings, which makes
+      // it SQL-expressible and oracle-able; per-stratum proportions are
+      // bounded in RelationalOpsSpec, and the seeded-Bernoulli
+      // `sampleBy` formulation is exercised there too.
+      (s, dir) => {
+        val bucket =
+          pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L)) % 1000
+        val thresh = when(col("o_orderpriority") === "1-URGENT", 500)
+          .when(col("o_orderpriority") === "2-HIGH", 250)
+          .otherwise(100)
+        t(s, dir, "orders")
+          .filter(bucket < thresh)
+          .select("o_orderkey", "o_orderpriority")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders
+              WHERE ((o_orderkey * 2654435761) % 4294967296) % 1000 <
+                    CASE o_orderpriority WHEN '1-URGENT' THEN 500
+                                         WHEN '2-HIGH' THEN 250
+                                         ELSE 100 END""")),
 
     // ----- §2.5 window functions ------------------------------------------
 

@@ -91,19 +91,28 @@ object Similarity {
    * keys and each query touches nprobe/nlist of the data.
    */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
 
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"ivfTopK trainFraction=$trainFraction outside (0, 1]")
     val withVec = candidates.select(col("vec_id"), col("embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
     // Random init, few iterations: the coarse quantizer only partitions
     // space into nlist cells — k-means|| init costs ~5 extra full passes
     // and buys nothing measurable for ANN recall at this granularity.
+    // trainFraction < 1 fits the quantizer on a seeded sample — at
+    // 100 TB the train pass must be bounded (a cell layout learned from
+    // a few hundred vectors per cell is as good for ANN routing as one
+    // learned from the full corpus); assignment still covers every row.
+    val trainRows =
+      if (trainFraction >= 1.0) withVec
+      else withVec.sample(withReplacement = false, trainFraction, seed = 42L)
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setInitMode("random")
-      .fit(withVec.select("features"))
+      .fit(trainRows.select("features"))
     val cand = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 
