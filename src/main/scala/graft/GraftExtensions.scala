@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Fnv1a64, FunnelAgg, MinHashSketchAgg, ShingleHashes, SimHash64, TopKAgg, VecDot}
+import graft.functions.{Fnv1a64, FunnelAgg, Hamming64, MinHashSig, MinHashSketchAgg, RollingFingerprintExpr, ShingleArray, ShingleHashes, SigAgree, SimHash64, TopKAgg, VecDot}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -57,6 +57,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"shingle_hashes n must be an integer literal, got $other")
         }
         ShingleHashes(children.head, n)
+      }))
+    // minhash_sig(text, k, n) — codegen'd per-row MinHash signature (the
+    // dedup pipeline's hottest map; k and n size the loop at plan time)
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "minhash_sig takes (text, k, n)")
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int =
+          e match {
+            case l if l.foldable && (l.dataType == org.apache.spark.sql.types.IntegerType ||
+                l.dataType == org.apache.spark.sql.types.LongType) =>
+              l.eval().asInstanceOf[Number].intValue()
+            case other => throw new IllegalArgumentException(
+              s"minhash_sig $what must be an integer literal, got $other")
+          }
+        MinHashSig(children.head, intLit(children(1), "k"), intLit(children(2), "n"))
+      }))
+    // shingle_array(text, n) — distinct shingle hashes as one array
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_array"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "shingle_array takes (text, n)")
+        val n = children(1) match {
+          case l if l.foldable && (l.dataType == org.apache.spark.sql.types.IntegerType ||
+              l.dataType == org.apache.spark.sql.types.LongType) =>
+            l.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"shingle_array n must be an integer literal, got $other")
+        }
+        ShingleArray(children.head, n)
+      }))
+    // hamming64(a, b) / sig_agree(a, b) / rolling_fingerprint(text)
+    ext.injectFunction((
+      new FunctionIdentifier("hamming64"),
+      new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "hamming64 takes exactly two bigint arguments")
+        Hamming64(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sig_agree"),
+      new ExpressionInfo(classOf[SigAgree].getName, "sig_agree"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "sig_agree takes exactly two array<bigint> arguments")
+        SigAgree(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprintExpr].getName, "rolling_fingerprint"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "rolling_fingerprint takes exactly one argument")
+        RollingFingerprintExpr(children.head)
       }))
     // minhash_agg(shingle_hash, k) — mergeable MinHash sketch aggregate;
     // k must be a literal (it sizes the aggregation buffer at plan time)

@@ -30,6 +30,34 @@ object HashExpressions {
 
   def simhash64(s: UTF8String): Long = TextHash.simhash64(s.toString)
 
+  /** k-wide MinHash signature of a text's word-n-gram shingles. */
+  def minhashSig(s: UTF8String, k: Int, n: Int): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      TextHash.minhashSignature(TextHash.shingleHashes(s.toString, n), k))
+
+  /** Distinct word-n-gram shingle hashes as a long array. */
+  def shingleArray(s: UTF8String, n: Int): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      TextHash.shingleHashes(s.toString, n))
+
+  /** Fraction of agreeing slots between two equal-width signatures. */
+  def sigAgree(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sig_agree: signature widths differ ($n vs ${b.numElements()})")
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  def rollingFingerprint(s: UTF8String): Long =
+    TextHash.rollingFingerprint(s.toString)
+
   /**
    * Dot product of two numeric arrays in double precision, summed
    * left-to-right — the same element order and arithmetic as
@@ -150,6 +178,139 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
       s"graft.functions.HashExpressions.fnv1a64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+/**
+ * `minhash_sig(string, k, n) -> array<bigint>` — the k-wide MinHash
+ * signature of a document's word-n-gram shingle set, codegen'd. This
+ * is the hottest map of the dedup pipeline (every document, every
+ * byte); as a native expression it stays inside whole-stage codegen
+ * instead of paying the UDF serialization boundary per row, and it
+ * writes an UnsafeArrayData directly (no boxing of k longs).
+ */
+case class MinHashSig(child: Expression, k: Int, shingleN: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires a string argument, got ${child.dataType.simpleString}")
+    else if (k <= 0 || k > TextHash.MaxK)
+      TypeCheckResult.TypeCheckFailure(s"minhash_sig k=$k outside (0, ${TextHash.MaxK}]")
+    else if (shingleN <= 0)
+      TypeCheckResult.TypeCheckFailure(s"minhash_sig n=$shingleN must be > 0")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressions.minhashSig(input.asInstanceOf[UTF8String], k, shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashExpressions.minhashSig($c, $k, $shingleN)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `shingle_array(string, n) -> array<bigint>` — distinct word-n-gram
+  * shingle hashes as one array (the verify-join side of n-gram
+  * Jaccard; the row-generator form is [[ShingleHashes]]). */
+case class ShingleArray(child: Expression, shingleN: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_array"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"shingle_array requires a string argument, got ${child.dataType.simpleString}")
+    else if (shingleN <= 0)
+      TypeCheckResult.TypeCheckFailure(s"shingle_array n=$shingleN must be > 0")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressions.shingleArray(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashExpressions.shingleArray($c, $shingleN)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleArray =
+    copy(child = newChild)
+}
+
+/** `hamming64(bigint, bigint) -> int` — popcount of the XOR; inlines to
+  * two JVM intrinsics inside codegen. */
+case class Hamming64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "hamming64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming64 requires two bigint arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Hamming64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `sig_agree(array<bigint>, array<bigint>) -> double` — fraction of
+  * agreeing MinHash slots (the Jaccard estimator); width mismatch
+  * throws rather than estimating against a junk signature. */
+case class SigAgree(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sig_agree"
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sig_agree requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashExpressions.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashExpressions.sigAgree($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SigAgree =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `rolling_fingerprint(string) -> bigint` — winnowing fingerprint
+  * (TextHash.rollingFingerprint), codegen'd. */
+case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_fingerprint requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressions.rollingFingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashExpressions.rollingFingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprintExpr =
     copy(child = newChild)
 }
 

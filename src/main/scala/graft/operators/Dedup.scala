@@ -28,17 +28,34 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Per-row MinHash signature of a text column. */
-  def minhashSigUdf(k: Int, shingleN: Int) =
-    udf((text: String) =>
-      TextHash.minhashSignature(TextHash.shingleHashes(text, shingleN), k))
+  // Every per-row hash below is a codegen'd Catalyst expression
+  // (functions/HashExpressions.scala, registered by GraftExtensions) —
+  // no Scala UDF anywhere in the dedup hot path: the signature map runs
+  // over every byte of the corpus and a UDF would force a
+  // serialization boundary per row right where throughput matters most.
 
-  val shinglesUdf = udf((text: String, n: Int) => TextHash.shingleHashes(text, n))
-  val simhashUdf = udf((text: String) => TextHash.simhash64(text))
-  val fingerprintUdf = udf((text: String) => TextHash.rollingFingerprint(text))
-  val estJaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
-    TextHash.estJaccard(a.toArray, b.toArray))
-  val hammingUdf = udf((a: Long, b: Long) => TextHash.hamming(a, b))
+  /** Per-row MinHash signature of a text column (codegen'd). */
+  def minhashSigCol(text: Column, k: Int, shingleN: Int): Column =
+    call_function("minhash_sig", text, lit(k), lit(shingleN))
+
+  /** Distinct word-n-gram shingle hashes as one array (codegen'd). */
+  def shinglesCol(text: Column, n: Int): Column =
+    call_function("shingle_array", text, lit(n))
+
+  /** 64-bit SimHash fingerprint (codegen'd). */
+  def simhashCol(text: Column): Column = call_function("simhash64", text)
+
+  /** Winnowing rolling fingerprint (codegen'd). */
+  def fingerprintCol(text: Column): Column =
+    call_function("rolling_fingerprint", text)
+
+  /** Fraction of agreeing signature slots — the Jaccard estimator. */
+  def estJaccardCol(a: Column, b: Column): Column =
+    call_function("sig_agree", a, b)
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hammingCol(a: Column, b: Column): Column =
+    call_function("hamming64", a, b)
 
   /**
    * MinHash + LSH near-duplicate candidate pairs.
@@ -72,7 +89,7 @@ object Dedup {
           .groupBy("id").agg(expr(s"minhash_agg(sh, $k)").as("sig"))
       } else {
         // per-row formulation: pure map, no shuffle
-        df.select(col(idCol).as("id"), minhashSigUdf(k, shingleN)(col(textCol)).as("sig"))
+        df.select(col(idCol).as("id"), minhashSigCol(col(textCol), k, shingleN).as("sig"))
       }
 
     // --- banding stage: THIN candidate rows (band, band_hash, id) --------
@@ -104,7 +121,7 @@ object Dedup {
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        estJaccardUdf(col("sig_a"), col("sig_b")).as("est_sim"))
+        estJaccardCol(col("sig_a"), col("sig_b")).as("est_sim"))
       .filter(col("est_sim") >= threshold)
   }
 
@@ -126,7 +143,7 @@ object Dedup {
    */
   def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
       candidates: DataFrame, minJaccard: Double, shingleN: Int = 3): DataFrame = {
-    val shingled = df.select(col(idCol), shinglesUdf(col(textCol), lit(shingleN)).as("sh"))
+    val shingled = df.select(col(idCol), shinglesCol(col(textCol), shingleN).as("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     candidates
@@ -209,7 +226,7 @@ object Dedup {
         "maxHamming+1 slices of >= 4 bits each")
     val nSlices = maxHamming + 1
     val width = 64 / nSlices // last slice absorbs the remainder bits
-    val fps = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("fp"))
+    val fps = df.select(col(idCol).as("id"), simhashCol(col(textCol)).as("fp"))
     val slices = (0 until nSlices).map { i =>
       val bits = if (i == nSlices - 1) 64 - i * width else width
       val mask = if (bits >= 64) -1L else (1L << bits) - 1L
@@ -227,7 +244,7 @@ object Dedup {
     l.join(r, col("slice") === col("slice_b") && col("key") === col("key_b") &&
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        hammingUdf(col("fp_a"), col("fp_b")).as("pair_ham"))
+        hammingCol(col("fp_a"), col("fp_b")).as("pair_ham"))
       .groupBy("id_a", "id_b")
       .agg(min(col("pair_ham")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

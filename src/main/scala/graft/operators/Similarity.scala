@@ -157,7 +157,7 @@ object Similarity {
     // distinct occupied buckets = at most 2^planes rows of metadata
     val buckets = cand.select(col("bucket")).distinct()
     val probes = q.crossJoin(broadcast(buckets))
-      .filter(Dedup.hammingUdf(col("q_bucket"), col("bucket")) <= probeRadius)
+      .filter(Dedup.hammingCol(col("q_bucket"), col("bucket")) <= probeRadius)
     val scored = cand.join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),

@@ -79,4 +79,71 @@ class HashExpressionSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [fnv1a64"), plan.take(1000))
   }
+
+  test("minhash_sig / shingle_array equal the TextHash reference implementations") {
+    val out = spark.read.parquet(s"${SparkTestBase.sfDir}/documents.parquet")
+      .selectExpr("text", "minhash_sig(text, 64, 3) AS sig", "shingle_array(text, 3) AS sh")
+      .limit(20).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val text = r.getString(0)
+      assert(r.getSeq[Long](1).toArray ===
+        TextHash.minhashSignature(TextHash.shingleHashes(text, 3), 64))
+      // shingleHashes builds from a HashSet — order is arbitrary but
+      // deterministic; compare as sets AND lengths (distinctness)
+      val sh = r.getSeq[Long](2)
+      val ref = TextHash.shingleHashes(text, 3)
+      assert(sh.toSet === ref.toSet)
+      assert(sh.length === ref.length)
+    }
+  }
+
+  test("sig_agree / hamming64 / rolling_fingerprint equal their Scala forms") {
+    import spark.implicits._
+    val df = Seq(
+      ("alpha beta gamma delta epsilon", "alpha beta gamma delta zeta"),
+      ("one two three", "one two three"),
+      ("completely different words here", "nothing shared at all end"))
+      .toDF("ta", "tb")
+      .selectExpr("ta", "tb",
+        "sig_agree(minhash_sig(ta, 128, 3), minhash_sig(tb, 128, 3)) AS agree",
+        "hamming64(simhash64(ta), simhash64(tb)) AS ham",
+        "rolling_fingerprint(ta) AS fp")
+    df.collect().foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      assert(r.getDouble(2) === TextHash.estJaccard(
+        TextHash.minhashSignature(TextHash.shingleHashes(ta, 3), 128),
+        TextHash.minhashSignature(TextHash.shingleHashes(tb, 3), 128)))
+      assert(r.getInt(3) === TextHash.hamming(
+        TextHash.simhash64(ta), TextHash.simhash64(tb)))
+      assert(r.getLong(4) === TextHash.rollingFingerprint(ta))
+    }
+  }
+
+  test("sig_agree rejects mismatched signature widths") {
+    import spark.implicits._
+    val df = Seq(("a b c d e")).toDF("t")
+    val e = intercept[Exception] {
+      df.selectExpr("sig_agree(minhash_sig(t, 64, 3), minhash_sig(t, 128, 3))").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("widths differ")))
+  }
+
+  test("dedup pipelines carry no Scala UDF (expression tier end-to-end)") {
+    val docs = spark.read.parquet(s"${SparkTestBase.sfDir}/documents.parquet")
+    val plans = Seq(
+      graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3),
+      graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3),
+      graft.operators.Dedup.verifiedPairs(docs, "doc_id", "text",
+        graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3),
+        minJaccard = 0.3))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach { p =>
+      // ScalaUDF prints as "UDF(" in physical plans; the codegen'd
+      // expressions print under their own prettyNames
+      assert(!p.contains("UDF("), p.take(1500))
+    }
+  }
 }
