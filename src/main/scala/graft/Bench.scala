@@ -81,6 +81,58 @@ object Bench {
       } catch { case _: Throwable => -1.0 })
     }
 
+    // Scale points: the same plan at 1× and at a synthetic 10× (union of
+    // ten id-shifted copies — key arithmetic keeps joins aligned and, for
+    // documents, a per-copy text suffix avoids manufacturing duplicates).
+    // The 10×/1× ratio is the evidence the shapes scale: a single-shuffle
+    // aggregate or a broadcast-dim join should grow sub-linearly on this
+    // host (fixed job overhead amortizes), and nothing should go
+    // super-linear — that would flag a shuffle or candidate explosion
+    // that 100 TB would amplify.
+    val keyShift = 100000000L
+    def lineitemAt(copies: Int) = {
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      (0 until copies).map(i =>
+        l.withColumn("l_orderkey", col("l_orderkey") + lit(i * keyShift)))
+        .reduce(_ unionByName _)
+    }
+    def ordersAt(copies: Int) = {
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      (0 until copies).map(i =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(i * keyShift)))
+        .reduce(_ unionByName _)
+    }
+    def docsAt(copies: Int) = {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until copies).map(i =>
+        d.select((col("doc_id") + lit(i * keyShift)).as("doc_id"),
+          concat(col("text"), lit(s" copy$i")).as("text")))
+        .reduce(_ unionByName _)
+    }
+    def scaleAgg(copies: Int) = lineitemAt(copies)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("cnt"))
+    def scaleJoin(copies: Int) = lineitemAt(copies)
+      .join(ordersAt(copies), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+    def scaleDedup(copies: Int) = graft.operators.Dedup.minhashPairs(
+      docsAt(copies), "doc_id", "text", threshold = 0.5)
+    val scalePoints = Seq(
+      "scale_agg_1x" -> (() => scaleAgg(1)), "scale_agg_10x" -> (() => scaleAgg(10)),
+      "scale_join_1x" -> (() => scaleJoin(1)), "scale_join_10x" -> (() => scaleJoin(10)),
+      "scale_dedup_1x" -> (() => scaleDedup(1)), "scale_dedup_10x" -> (() => scaleDedup(10)))
+      .map { case (name, mk) =>
+        name -> (try {
+          val t1 = time(force(mk()))
+          val t2 = time(force(mk()))
+          math.min(t1, t2)
+        } catch { case _: Throwable => -1.0 })
+      }
+
     // BASELINE.md anchor: warm count(*) over a 1M-row Native file
     val fx = s"${sys.props("java.io.tmpdir")}/graft_bench/native_1m"
     if (!new java.io.File(fx).exists()) {
@@ -138,7 +190,8 @@ object Bench {
     }).min
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
-    val all = results :+ ("native_count_1m" -> t1m) :+ ("native_point_lookup_1m" -> tpt) :+
+    val all = results ++ scalePoints :+ ("native_count_1m" -> t1m) :+
+      ("native_point_lookup_1m" -> tpt) :+
       ("native_spj_join_1m" -> tspj) :+ ("native_shuffle_join_1m" -> tshuf)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum

@@ -23,24 +23,47 @@ object Q {
 
   /**
    * `events` needs special handling: some sf dirs store `ts` as parquet
-   * INT64 TIMESTAMP(NANOS), which Spark 4 refuses outright
-   * (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to micros —
-   * the same ns→us truncation DuckDB's CAST(ts AS TIMESTAMP) performs,
-   * so oracles stay value-identical.
+   * INT64 TIMESTAMP(NANOS), which Spark 4's schema INFERENCE refuses
+   * outright (PARQUET_TYPE_ILLEGAL). The vectorized reader, however,
+   * happily decodes the raw INT64 into an explicitly-declared LongType
+   * field — so the nanos path reads with an explicit schema (the
+   * harness events contract, same columns [[eventsOracle]] names) and
+   * truncates ns→us, the same truncation DuckDB's CAST(ts AS
+   * TIMESTAMP) performs, keeping oracles value-identical. No session
+   * conf is touched (the earlier nanosAsLong global leaked read
+   * behavior into every other query on the session); schema-on-read is
+   * also the pattern that skips the footer-inference pass at scale.
    */
+  /** The harness events contract as an explicit read schema (ts held as
+    * raw INT64 nanos — see [[events]]). */
+  val eventsNanosSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
   def events(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType =>
-        // integral division (`div`): ns epoch values exceed 2^53, so
-        // double math (plain `/`) silently loses the low microseconds
-        raw.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-      case TimestampType => raw.withColumn("ts", col("ts").cast(TimestampNTZType))
-      case _ => raw
+    // integral division (`div`) for ns→us: ns epoch values exceed 2^53,
+    // so double math (plain `/`) silently loses the low microseconds
+    def nsToTs(df: org.apache.spark.sql.DataFrame) = df.withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    try {
+      val raw = t(s, dir, "events")
+      raw.schema("ts").dataType match {
+        case TimestampType => raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+        // a session with the legacy nanosAsLong conf already set infers
+        // LongType instead of throwing — same ns→us conversion applies
+        case LongType => nsToTs(raw)
+        case _ => raw
+      }
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PARQUET_TYPE_ILLEGAL" =>
+        nsToTs(s.read.schema(eventsNanosSchema).parquet(s"$dir/events.parquet"))
     }
   }
 

@@ -100,10 +100,18 @@ object EventStreams {
   }
 
   /** File-based streaming read of the harness events table (handles
-    * both micros-timestamp and nanos-as-long parquet, like Q.events). */
+    * both micros-timestamp and nanos-as-long parquet, like Q.events —
+    * and like it, via an explicit schema rather than mutating the
+    * session's legacy nanosAsLong conf, which would leak nanos-as-long
+    * reads into every other parquet query on the session). */
   def readEventStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema =
+      try s.read.parquet(s"$dir/events.parquet").schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PARQUET_TYPE_ILLEGAL" =>
+          graft.operators.Q.eventsNanosSchema
+      }
     // the file stream source requires a directory or glob (a bare file
     // path makes it derive a non-directory basePath and fail)
     val stream = s.readStream.schema(rawSchema).parquet(s"$dir/event*.parquet")
