@@ -32,18 +32,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * query string executes verbatim on the server
  * (src/clickhouse_scan.rs:78,131); Spark-side operators apply on top.
  *
- * Transport is pluggable ([[NativeQueryTransport]]):
+ * Transport is pluggable:
  *  - `transport=file` — a recorded-response double: reads the Native
  *    byte stream a server would have sent from `responsePath`. This is
  *    what the offline harness exercises (there is no server in CI —
  *    the reference's own remote test is commented out for the same
  *    reason, test/sql/chsql_native.test:22-27).
- *  - `transport=tcp` — DESCOPED: documented in docs/REMOTE_SCAN.md.
- *    The ClickHouse native TCP protocol (hello handshake, protocol
- *    revision negotiation, compressed frames) needs a live server to
- *    validate against, and this environment has zero egress. The seam
- *    is this one trait; the scan/schema/streaming machinery on top is
- *    the same code the file transport runs end-to-end.
+ *  - `transport=socket` — handshake-less byte streaming to host:port
+ *    (query out, Native blocks back until EOF).
+ *  - `transport=tcp` — the real ClickHouse native TCP protocol:
+ *    hello handshake, protocol revision negotiation, Query packet
+ *    with client info, and the server packet stream (Data / Progress /
+ *    ProfileInfo / Log / Totals / Extremes / Exception / EndOfStream)
+ *    — [[ChTcpProtocol]]. Validated against hand-derived golden byte
+ *    vectors and a recorded loopback session (ChTcpProtocolSpec); a
+ *    live-server run needs an environment with egress. TLS (the
+ *    reference's `CLICKHOUSE_SECURE`, README.md:18-23) remains out of
+ *    scope here.
  *
  * Unlike the reference — which runs the remote query TWICE (bind and
  * init, src/clickhouse_scan.rs:78,126-131) and stringifies every cell
@@ -57,14 +62,9 @@ class ClickHouseRemoteDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spec = TransportSpec.fromOptions(options)
-    // recorded server responses may be compressed-frame wrapped (the
-    // live protocol compresses by default) — sniff and decompress
-    val stream = graft.sources.native.NativeCompression.maybeWrapRead(spec.open(), null)
-    try {
-      StructType(NativeBlockReader.readHeader(stream).map { case (name, t) =>
-        StructField(name, t.sparkType, nullable = ChType.isNullable(t))
-      })
-    } finally stream.close()
+    StructType(spec.header().map { case (name, t) =>
+      StructField(name, t.sparkType, nullable = ChType.isNullable(t))
+    })
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -83,7 +83,53 @@ final case class TransportSpec(
     url: String,
     responsePath: String,
     conf: SerializableHadoopConf,
-    timeoutMs: Int = 30000) extends Serializable {
+    timeoutMs: Int = 30000,
+    user: String = "default",
+    password: String = "",
+    database: String = "default") extends Serializable {
+
+  /** host:port from the url (tcp:// and socket:// prefixes accepted). */
+  private def hostPort: (String, Int) = {
+    val hp = url.stripPrefix("tcp://").stripPrefix("socket://")
+    hp.lastIndexOf(':') match {
+      case -1 => throw new IllegalArgumentException(
+        s"clickhouse_remote transport=$transport: url must be host:port, got '$url'")
+      case i => (hp.substring(0, i), hp.substring(i + 1).toInt)
+    }
+  }
+
+  /**
+   * The remote result as a stream of Native blocks, however carried.
+   * file/socket transports are raw block byte streams; tcp interleaves
+   * blocks with protocol packets, so the seam is block-level.
+   */
+  def openSource(projection: Option[Set[String]]): RemoteBlockSource = transport match {
+    case "tcp" =>
+      val (host, port) = hostPort
+      ChTcpClient.connect(host, port, user, password, database, timeoutMs)
+        .execute(query, projection)
+    case _ =>
+      val reader = new NativeBlockReader(
+        graft.sources.native.NativeCompression.maybeWrapRead(open(), null), projection)
+      new RemoteBlockSource {
+        override def nextBlock(): Option[graft.sources.native.NativeBlock] =
+          if (reader.hasNext) Some(reader.next()) else None
+        override def close(): Unit = reader.close()
+      }
+  }
+
+  /** Bind-time schema: first block's per-column (name, type) headers. */
+  def header(): Seq[(String, ChType)] = transport match {
+    case "tcp" =>
+      // the server's first Data packet is a rowless header block
+      val src = openSource(None)
+      try src.nextBlock().map(_.columns.map(c => c.name -> c.chType).toSeq)
+        .getOrElse(Seq.empty)
+      finally src.close()
+    case _ =>
+      val stream = graft.sources.native.NativeCompression.maybeWrapRead(open(), null)
+      try NativeBlockReader.readHeader(stream) finally stream.close()
+  }
 
   def open(): InputStream = transport match {
     case "file" =>
@@ -99,12 +145,7 @@ final case class TransportSpec(
       // partition) dials its own connection — the connection-per-
       // partition shape a full client needs, minus the protocol
       // negotiation the `tcp` case documents as descoped.
-      val hp = url.stripPrefix("tcp://").stripPrefix("socket://")
-      val (host, port) = hp.lastIndexOf(':') match {
-        case -1 => throw new IllegalArgumentException(
-          s"clickhouse_remote transport=socket: url must be host:port, got '$url'")
-        case i => (hp.substring(0, i), hp.substring(i + 1).toInt)
-      }
+      val (host, port) = hostPort
       // bounded connect/read waits: a black-holed connection must fail
       // the task, not hang it forever; close the socket on ANY failure
       // before the wrapping stream takes ownership
@@ -123,15 +164,18 @@ final case class TransportSpec(
         }
       } catch { case e: Throwable => sock.close(); throw e }
     case "tcp" =>
-      throw new UnsupportedOperationException(
-        "clickhouse_remote: the full native TCP protocol (hello/revision " +
-          "handshake, server progress packets) is descoped in this offline " +
-          "build (no server reachable) — see docs/REMOTE_SCAN.md. Use " +
-          "transport=socket (handshake-less byte streaming to host:port) " +
-          "or transport=file with a recorded Native response.")
+      throw new IllegalStateException(
+        "clickhouse_remote: transport=tcp is packet-framed, not a raw block " +
+          "stream — use openSource()/header() (internal invariant)")
     case other =>
       throw new IllegalArgumentException(s"clickhouse_remote: unknown transport '$other'")
   }
+}
+
+/** One open stream of Native blocks from the remote, however carried. */
+trait RemoteBlockSource extends AutoCloseable {
+  /** The next block (zero-row header blocks included), or None at end. */
+  def nextBlock(): Option[graft.sources.native.NativeBlock]
 }
 
 object TransportSpec {
@@ -139,12 +183,19 @@ object TransportSpec {
     transport = Option(options.get("transport")).getOrElse("tcp"),
     query = Option(options.get("query")).getOrElse(
       throw new IllegalArgumentException("clickhouse_remote requires option 'query'")),
-    // env fallbacks mirror the reference (src/clickhouse_scan.rs:59-71)
+    // env fallbacks mirror the reference (src/clickhouse_scan.rs:59-71,
+    // README.md:18-23: CLICKHOUSE_URL / CLICKHOUSE_USER / CLICKHOUSE_PASSWORD)
     url = Option(options.get("url"))
       .orElse(sys.env.get("CLICKHOUSE_URL")).getOrElse("tcp://localhost:9000"),
     responsePath = Option(options.get("responsePath")).getOrElse(""),
     conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf()),
-    timeoutMs = Option(options.get("timeoutMs")).map(_.toInt).getOrElse(30000))
+    timeoutMs = Option(options.get("timeoutMs")).map(_.toInt).getOrElse(30000),
+    user = Option(options.get("user"))
+      .orElse(sys.env.get("CLICKHOUSE_USER")).getOrElse("default"),
+    password = Option(options.get("password"))
+      .orElse(sys.env.get("CLICKHOUSE_PASSWORD")).getOrElse(""),
+    database = Option(options.get("database"))
+      .orElse(sys.env.get("CLICKHOUSE_DATABASE")).getOrElse("default"))
 }
 
 private[remote] class RemoteTable(tableSchema: StructType, spec: TransportSpec)
@@ -189,9 +240,7 @@ private[remote] case class RemotePartition(spec: TransportSpec) extends InputPar
 private[remote] class RemotePartitionReader(spec: TransportSpec, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val blocks = new NativeBlockReader(
-    graft.sources.native.NativeCompression.maybeWrapRead(spec.open(), null),
-    Some(required.fieldNames.toSet))
+  private val blocks = spec.openSource(Some(required.fieldNames.toSet))
   private var colValues: Array[Array[Any]] = _
   private var rowsInBlock = 0
   private var rowIdx = 0
@@ -199,12 +248,14 @@ private[remote] class RemotePartitionReader(spec: TransportSpec, required: Struc
 
   override def next(): Boolean = {
     while (rowIdx >= rowsInBlock) {
-      if (!blocks.hasNext) return false
-      val block = blocks.next()
-      val byName = block.columns.map(c => c.name -> c).toMap
-      colValues = required.fields.map(f => byName.get(f.name).map(_.values).orNull)
-      rowsInBlock = block.numRows
-      rowIdx = 0
+      blocks.nextBlock() match {
+        case None => return false
+        case Some(block) =>
+          val byName = block.columns.map(c => c.name -> c).toMap
+          colValues = required.fields.map(f => byName.get(f.name).map(_.values).orNull)
+          rowsInBlock = block.numRows
+          rowIdx = 0
+      }
     }
     var i = 0
     while (i < required.length) {

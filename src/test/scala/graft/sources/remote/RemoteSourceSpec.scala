@@ -107,14 +107,19 @@ class RemoteSourceSpec extends AnyFunSuite {
     assert(causes(e).exists(c => String.valueOf(c.getMessage).contains("host:port")))
   }
 
-  test("tcp transport reports the documented descope") {
+  test("tcp transport is the default and fails fast on an unreachable server") {
+    // protocol-level behavior (handshake, framing, golden bytes) is
+    // covered by ChTcpProtocolSpec; here: default transport = tcp, and
+    // a dead endpoint errors at connect within the timeout instead of
+    // hanging (port 1 on loopback is never listening)
     val e = intercept[Exception] {
       spark.read.format("clickhouse_remote")
-        .option("query", "SELECT 1").load().collect()
+        .option("query", "SELECT 1")
+        .option("url", "tcp://127.0.0.1:1")
+        .option("timeoutMs", "2000").load().collect()
     }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
-    assert(causes(e).exists(c =>
-      String.valueOf(c.getMessage).contains("REMOTE_SCAN.md")))
+    assert(causes(e).exists(_.isInstanceOf[java.net.ConnectException]), e.toString)
   }
 }
