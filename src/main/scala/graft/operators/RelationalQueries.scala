@@ -477,16 +477,27 @@ object RelationalQueries {
               FROM orders GROUP BY o_orderpriority""")),
 
     "q_agg_approx_quantile" -> Q(
-      // t-digest-class approximate percentile (CH quantile() default is
-      // approximate too) — mergeable sketch, the 100-TB replacement for
-      // exact sort-based quantiles. Estimates are engine-specific → no
-      // SQL oracle; accuracy vs exact is asserted in RelationalOpsSpec.
+      // Greenwald–Khanna approximate percentile (CH quantile() default
+      // is approximate too) — mergeable sketch, the 100-TB replacement
+      // for exact sort-based quantiles. Oracle-gate configuration:
+      // accuracy 2^30 makes the permitted rank error εn < 1 at any
+      // correctness SF, i.e. the sketch returns the exact discrete
+      // order statistic — and Spark's rank definition (smallest element
+      // with rank >= ceil(p·n)) matches DuckDB's quantile_disc
+      // (verified empirically incl. fractional-rank edges), so the SQL
+      // gate applies. The genuinely-approximate small-accuracy regime
+      // keeps its ±2% bound in RelationalOpsSpec.
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("approx_p95")),
-      None),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1073741824))
+            .as("approx_p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1073741824))
+            .as("approx_p95")),
+      Some("""SELECT l_returnflag,
+                     quantile_disc(l_extendedprice, 0.5) AS approx_p50,
+                     quantile_disc(l_extendedprice, 0.95) AS approx_p95
+              FROM lineitem GROUP BY l_returnflag""")),
 
     "q_agg_having" -> Q(
       (s, dir) => t(s, dir, "orders")

@@ -24,11 +24,15 @@ class RelationalOpsSpec extends AnyFunSuite {
   }
 
   test("approx quantile within 2% of exact (sketch accuracy bound)") {
+    // the registry key runs the sketch in its exact regime (accuracy
+    // 2^30, oracle-gated); this pins the genuinely-approximate
+    // small-accuracy regime the key documents for 100-TB use
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val exact = li.groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val approx = QueryRegistry.queries("q_agg_approx_quantile")(spark, dir)
+    val approx = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(approx.keySet === exact.keySet)
     approx.foreach { case (k, a) =>
