@@ -140,7 +140,7 @@ private[sources] object NativeCompression {
  * (called by [[NativeBlockWriter]] at block boundaries) or the 1 MB
  * cap emits one frame. Not thread-safe (one per write task).
  */
-private[native] final class FrameOutputStream(out: OutputStream, method: Byte)
+private[sources] final class FrameOutputStream(out: OutputStream, method: Byte)
     extends OutputStream {
   import NativeCompression._
 
@@ -202,7 +202,7 @@ private[native] final class FrameOutputStream(out: OutputStream, method: Byte)
  * stream, pulling one frame at a time. EOF cleanly at a frame
  * boundary; truncation inside a frame raises.
  */
-private[native] final class FrameInputStream(in: InputStream, verify: Boolean)
+private[sources] final class FrameInputStream(in: InputStream, verify: Boolean)
     extends InputStream {
   import NativeCompression._
 

@@ -21,8 +21,8 @@ import ChTcpProtocol._
  * reach). Reads and connects are timeout-bounded: a black-holed
  * server fails the task instead of hanging it.
  */
-final class ChTcpClient private (sock: Socket, in: Input, out: Output,
-    val hello: ServerHello) extends AutoCloseable {
+final class ChTcpClient private (sock: Socket, rawIn: java.io.InputStream,
+    in: Input, out: Output, val hello: ServerHello) extends AutoCloseable {
 
   /**
    * Send one query; the returned source streams the server's Data
@@ -32,23 +32,44 @@ final class ChTcpClient private (sock: Socket, in: Input, out: Output,
    * server's code and message. Owns the connection: closing the
    * source closes the socket (the protocol has no reset-for-reuse
    * short of Cancel + drain, and a scan partition is one query).
+   *
+   * With `compress`, block BODIES arrive as ClickHouse compressed
+   * frames (CityHash128-checksummed LZ4/ZSTD — the same
+   * [[graft.sources.native.NativeCompression]] layer the file format
+   * uses). Each block is framed independently and ends on a frame
+   * boundary, so a per-block [[graft.sources.native.FrameInputStream]]
+   * over the socket consumes exactly the block's frames and leaves the
+   * stream at the next packet code. Log blocks are always
+   * uncompressed, per the protocol.
    */
-  def execute(query: String, projection: Option[Set[String]]): RemoteBlockSource = {
+  def execute(query: String, projection: Option[Set[String]],
+      compress: Boolean = false): RemoteBlockSource = {
     val negotiated = hello.negotiated
-    writeQuery(out, query, negotiated)
+    writeQuery(out, query, negotiated, compress)
     out.flush()
     new RemoteBlockSource {
       private var done = false
+      private def blockBody(proj: Option[Set[String]]): NativeBlock = {
+        in.readString() // temporary-table name
+        if (compress) {
+          // per-block frame window; do NOT close (that would close the
+          // socket) — the block decode drains it exactly
+          val frames = new graft.sources.native.FrameInputStream(rawIn, verify = true)
+          readBlockBody(new Input(frames), negotiated, proj)
+        } else readBlockBody(in, negotiated, proj)
+      }
       override def nextBlock(): Option[NativeBlock] = {
         if (done) return None
         while (true) {
           in.readVarUInt() match {
             case ServerPacket.Data =>
-              return Some(readBlock(in, negotiated, projection))
+              return Some(blockBody(projection))
             case ServerPacket.Progress => readProgress(in, negotiated)
             case ServerPacket.ProfileInfo => readProfileInfo(in)
-            case ServerPacket.Totals | ServerPacket.Extremes | ServerPacket.Log =>
-              readBlock(in, negotiated, Some(Set.empty)) // consume, skip-decode
+            case ServerPacket.Totals | ServerPacket.Extremes =>
+              blockBody(Some(Set.empty)) // consume, skip-decode
+            case ServerPacket.Log =>
+              readBlock(in, negotiated, Some(Set.empty)) // never compressed
             case ServerPacket.Exception => throw readException(in)
             case ServerPacket.EndOfStream =>
               done = true
@@ -75,11 +96,15 @@ object ChTcpClient {
       sock.setSoTimeout(timeoutMs)
       sock.connect(new InetSocketAddress(host, port), timeoutMs)
       val out = new Output(new BufferedOutputStream(sock.getOutputStream, 1 << 14))
-      val in = new Input(new BufferedInputStream(sock.getInputStream, 1 << 16))
+      // ONE buffered stream shared by the packet reader and any
+      // per-block frame reader — a second buffering layer would read
+      // ahead past packet boundaries
+      val rawIn = new BufferedInputStream(sock.getInputStream, 1 << 16)
+      val in = new Input(rawIn)
       writeClientHello(out, database, user, password)
       out.flush()
       val hello = readServerHello(in)
-      new ChTcpClient(sock, in, out, hello)
+      new ChTcpClient(sock, rawIn, in, out, hello)
     } catch { case e: Throwable => sock.close(); throw e }
   }
 }

@@ -130,8 +130,16 @@ object ChTcpProtocol {
    * fields that would vary per host (os user, hostname, start time)
    * are sent empty/zero so a session is byte-deterministic — which is
    * what lets the spec pin golden vectors.
+   *
+   * With `compress` the compression flag negotiates frames ON: every
+   * subsequent block BODY (everything after the packet code and
+   * temporary-table name) travels as ClickHouse compressed frames —
+   * including this packet's own external-tables terminator block.
+   * Packet codes, table names, Progress / ProfileInfo / Exception
+   * payloads, and Log blocks stay uncompressed, per the protocol.
    */
-  def writeQuery(out: Output, query: String, negotiated: Long): Unit = {
+  def writeQuery(out: Output, query: String, negotiated: Long,
+      compress: Boolean = false): Unit = {
     out.writeVarUInt(ClientPacket.Query)
     out.writeString("") // query id: let the server assign one
     if (negotiated >= MinRevisionWithClientInfo) {
@@ -156,18 +164,35 @@ object ChTcpProtocol {
     out.writeString("") // settings: none → immediate terminator
     if (negotiated >= MinRevisionWithInterserverSecret) out.writeString("")
     out.writeVarUInt(2L) // processing stage: Complete
-    out.writeVarUInt(0L) // compression: off (framing stays byte-transparent)
+    out.writeVarUInt(if (compress) 1L else 0L)
     out.writeString(query)
-    writeEmptyDataBlock(out, negotiated)
+    writeEmptyDataBlock(out, negotiated, compress)
   }
 
   /** The zero-column zero-row Data block that ends external tables. */
-  def writeEmptyDataBlock(out: Output, negotiated: Long): Unit = {
+  def writeEmptyDataBlock(out: Output, negotiated: Long, compress: Boolean = false): Unit = {
     out.writeVarUInt(ClientPacket.Data)
     out.writeString("") // temporary-table name: none
-    writeBlockInfo(out, negotiated)
-    out.writeVarUInt(0L) // columns
-    out.writeVarUInt(0L) // rows
+    val body = if (compress) {
+      // block body rides in its own compressed frame(s)
+      val bos = new java.io.ByteArrayOutputStream()
+      val frames = new graft.sources.native.FrameOutputStream(
+        bos, graft.sources.native.NativeCompression.MethodLZ4)
+      val fOut = new Output(frames)
+      writeBlockInfo(fOut, negotiated)
+      fOut.writeVarUInt(0L)
+      fOut.writeVarUInt(0L)
+      fOut.flush()
+      frames.endFrame()
+      Some(bos.toByteArray)
+    } else None
+    body match {
+      case Some(bytes) => out.writeBytes(bytes)
+      case None =>
+        writeBlockInfo(out, negotiated)
+        out.writeVarUInt(0L) // columns
+        out.writeVarUInt(0L) // rows
+    }
   }
 
   /** BlockInfo: (field 1, is_overflows u8) (field 2, bucket_num i32) 0. */
@@ -201,6 +226,13 @@ object ChTcpProtocol {
    */
   def readBlock(in: Input, negotiated: Long, projection: Option[Set[String]]): NativeBlock = {
     in.readString() // temporary-table name (empty for results)
+    readBlockBody(in, negotiated, projection)
+  }
+
+  /** Block body only — what travels inside compressed frames when the
+    * session negotiated compression (the packet code and table name
+    * stay outside the frames). */
+  def readBlockBody(in: Input, negotiated: Long, projection: Option[Set[String]]): NativeBlock = {
     readBlockInfo(in, negotiated)
     val nCols = in.readVarUInt().toInt
     val nRows = in.readVarUInt().toInt

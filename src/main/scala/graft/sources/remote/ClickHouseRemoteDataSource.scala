@@ -86,7 +86,8 @@ final case class TransportSpec(
     timeoutMs: Int = 30000,
     user: String = "default",
     password: String = "",
-    database: String = "default") extends Serializable {
+    database: String = "default",
+    compression: Boolean = false) extends Serializable {
 
   /** host:port from the url (tcp:// and socket:// prefixes accepted). */
   private def hostPort: (String, Int) = {
@@ -107,7 +108,7 @@ final case class TransportSpec(
     case "tcp" =>
       val (host, port) = hostPort
       ChTcpClient.connect(host, port, user, password, database, timeoutMs)
-        .execute(query, projection)
+        .execute(query, projection, compress = compression)
     case _ =>
       val reader = new NativeBlockReader(
         graft.sources.native.NativeCompression.maybeWrapRead(open(), null), projection)
@@ -195,7 +196,9 @@ object TransportSpec {
     password = Option(options.get("password"))
       .orElse(sys.env.get("CLICKHOUSE_PASSWORD")).getOrElse(""),
     database = Option(options.get("database"))
-      .orElse(sys.env.get("CLICKHOUSE_DATABASE")).getOrElse("default"))
+      .orElse(sys.env.get("CLICKHOUSE_DATABASE")).getOrElse("default"),
+    // tcp only: negotiate ClickHouse compressed frames for block bodies
+    compression = Option(options.get("compression")).exists(_.toBoolean))
 }
 
 private[remote] class RemoteTable(tableSchema: StructType, spec: TransportSpec)
