@@ -155,6 +155,53 @@ object Dedup {
   }
 
   /**
+   * EXACT n-gram-Jaccard near-duplicate pairs via prefix filtering
+   * (Chaudhuri et al. SSJoin / Xiao et al. PPJoin): under any global
+   * total order over shingles (here: the hash value), two sets with
+   * Jaccard >= θ MUST share an element within their first
+   * |S| - ⌈θ·|S|⌉ + 1 ordered shingles — so candidates generated by an
+   * equi-join on ONLY those prefix shingles have recall exactly 1.0,
+   * provably, and the exact-Jaccard verify makes the whole operator
+   * exact (which is why it can be SQL-oracled, unlike the
+   * probabilistic-recall MinHash-LSH candidates). Cost model: the
+   * prefix join shuffles thin (shingle, id) rows once; bucket sizes
+   * are bounded by per-shingle document frequency — for corpora with
+   * heavy stop-shingles, raise θ or fall back to [[minhashPairs]]
+   * (recall traded for candidate volume).
+   *
+   * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= theta,
+   *         over documents with a non-empty shingle set
+   */
+  def ngramPairsExact(df: DataFrame, idCol: String, textCol: String,
+      theta: Double, shingleN: Int = 3): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta=$theta outside (0, 1]")
+    val shingled = df
+      .select(col(idCol).as("id"), sort_array(shinglesCol(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // +1 beyond the theoretical |S| - ⌈θ|S|⌉ + 1: double ceil(θ·n) can
+    // land one high when θ·n sits on an ulp boundary (0.2*5 →
+    // 1.0000000000000002 → 2), which would SHORTEN the prefix and void
+    // the recall guarantee; one extra key per document only adds
+    // candidates, never loses any
+    val prefixLen = (size(col("sh"))
+      - ceil(lit(theta) * size(col("sh"))).cast("int") + 2)
+    val keys = shingled
+      .select(col("id"), explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+    val cand = keys.select(col("g"), col("id").as("id_a"))
+      .join(keys.select(col("g").as("g_b"), col("id").as("id_b")),
+        col("g") === col("g_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    cand
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= theta)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, the 100-TB path: multi-table
    * sign-random-projection LSH generates candidates (equi-join on
    * (table, bucket) — the corpus shuffles once per table, never an

@@ -174,16 +174,35 @@ object LlmQueries {
                  ON a.doc_id < b.doc_id AND a.text = b.text""")),
 
     "q_dedup_ngram" -> Q(
-      // exact n-gram Jaccard verification of the LSH candidates
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val cands = Dedup.minhashPairs(docs, "doc_id", "text",
-          k = 128, bands = 32, shingleN = 3, threshold = 0.2)
-        Dedup.verifiedPairs(docs, "doc_id", "text", cands, minJaccard = 0.2)
-          .withColumn("est_sim", round(col("est_sim"), 4))
-          .withColumn("jaccard", round(col("jaccard"), 4))
-      },
-      None),
+      // EXACT word-3-gram Jaccard pairs via prefix filtering
+      // (Dedup.ngramPairsExact): candidate recall for jaccard >= θ is
+      // provably 1.0 (SSJoin/PPJoin prefix principle), and the verify
+      // computes the exact Jaccard — so the whole operator is exact and
+      // a DuckDB oracle that recomputes shingle-set Jaccard over all
+      // pairs must agree. (The LSH-candidates + exact-verify
+      // composition — probabilistic recall, for corpora where prefix
+      // buckets blow up — stays spec-tested via
+      // Dedup.minhashPairs + Dedup.verifiedPairs in LlmOpsSpec.)
+      (s, dir) => Dedup.ngramPairsExact(t(s, dir, "documents"), "doc_id", "text",
+        theta = 0.2, shingleN = 3),
+      Some("""WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 w -> w <> '') AS ws
+                   FROM documents),
+              sh AS (SELECT doc_id,
+                     CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                                 i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS s
+                   FROM toks),
+              ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0)
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+                       AS jaccard
+              FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2""")),
 
     "q_dedup_embedding" -> Q(
       // embedding-cosine near-dup via multi-table SRP-LSH + exact cosine

@@ -136,6 +136,32 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramPairsExact equals brute-force exact Jaccard (prefix recall 1.0)") {
+    val theta = 0.2
+    val got = Dedup.ngramPairsExact(docs, "doc_id", "text", theta)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    // brute force over every pair on the driver — the ground truth the
+    // prefix-filter candidates must reach completely
+    val texts = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toSeq.sortBy(_._1)
+    val expected = (for {
+      i <- texts.indices
+      j <- (i + 1) until texts.length
+      jac = TextHash.exactJaccard(texts(i)._2, texts(j)._2, 3)
+      if jac >= theta && TextHash.shingleHashes(texts(i)._2, 3).nonEmpty &&
+        TextHash.shingleHashes(texts(j)._2, 3).nonEmpty
+    } yield (texts(i)._1, texts(j)._1) -> jac).toMap
+    assert(got.keySet === expected.keySet) // recall 1.0 AND no false positives
+    got.foreach { case (k, j) =>
+      assert(math.abs(j - expected(k)) < 1e-4, s"pair $k: got $j want ${expected(k)}")
+    }
+    // prefix join is an equi-join on shingle keys — never all-pairs
+    val plan = Dedup.ngramPairsExact(docs, "doc_id", "text", theta)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan.take(2000))
+  }
+
   test("IVF cosine top-k recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(emb, queries, 10)
