@@ -84,6 +84,35 @@ object LlmQueries {
               CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
        FROM s QUALIFY rn <= 10"""
 
+  /**
+   * FNV-1a 64 re-implemented in pure DuckDB SQL (HUGEINT arithmetic
+   * mod 2^64; per-byte xor folded through the low byte since the data
+   * byte is < 256) — an INDEPENDENT arithmetic path that differentially
+   * tests the codegen'd expressions, not a port of them. Relies on the
+   * corpus being ASCII (ascii(char) == the UTF-8 byte), which holds for
+   * the synthetic documents table.
+   */
+  private def fnvSql(e: String): String =
+    "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"list_transform(range(1, length($e) + 1), fnv_i -> " +
+      s"CAST(ascii(substr($e, CAST(fnv_i AS INT), 1)) AS HUGEINT))), " +
+      "(fnv_h, fnv_b) -> ((fnv_h - (fnv_h % 256) + " +
+      "CAST(xor(CAST(fnv_h % 256 AS BIGINT), CAST(fnv_b AS BIGINT)) AS HUGEINT)) " +
+      "* 1099511628211) % 18446744073709551616)"
+
+  /** SimHash bit votes: bit b set iff words with bit b outnumber those without. */
+  private val simhashBitsSql: String = (0 until 64).map { b =>
+    val p = BigInt(1) << b
+    s"(CASE WHEN 2 * len(list_filter(wh, sh_h -> (sh_h // CAST('$p' AS HUGEINT)) % 2 = 1)) " +
+      s"> len(wh) THEN CAST('$p' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+  }.mkString(" + ")
+
+  /** Map an unsigned-64 HUGEINT onto the signed BIGINT Spark emits. */
+  private def toSignedSql(e: String): String =
+    s"CASE WHEN ($e) >= CAST('9223372036854775808' AS HUGEINT) " +
+      s"THEN CAST(($e) - CAST('18446744073709551616' AS HUGEINT) AS BIGINT) " +
+      s"ELSE CAST(($e) AS BIGINT) END"
+
   val all: Seq[(String, Q)] = Seq(
 
     // ----- deduplication --------------------------------------------------
@@ -388,12 +417,28 @@ object LlmQueries {
 
     "q_fn_hash_expr" -> Q(
       // the codegen'd native Expressions registered via GraftExtensions
-      // (Verify/Bench sessions set spark.sql.extensions). Deterministic
-      // but not SQL-expressible in DuckDB → rows-only; equivalence with
-      // the Scala implementations is asserted in HashExpressionSpec.
+      // (Verify/Bench sessions set spark.sql.extensions). The oracle
+      // re-implements FNV-1a 64 and SimHash from scratch in DuckDB SQL
+      // (HUGEINT mod-2^64 arithmetic, per-bit majority votes) — a
+      // differential test through an independent arithmetic path, on
+      // top of HashExpressionSpec's Scala-reference equivalence.
       (s, dir) => t(s, dir, "documents")
         .selectExpr("doc_id", "fnv1a64(text) AS content_hash", "simhash64(text) AS sim_fp"),
-      None),
+      Some(s"""WITH toks AS (SELECT doc_id, text,
+                      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  w -> w <> '') AS ws
+                    FROM documents),
+               whashed AS (SELECT doc_id, text,
+                      list_transform(ws, sw -> ${fnvSql("sw")}) AS wh
+                    FROM toks),
+               u AS (SELECT doc_id,
+                      ${fnvSql("text")} AS content_u,
+                      ($simhashBitsSql) AS sim_u
+                    FROM whashed)
+               SELECT doc_id,
+                      ${toSignedSql("content_u")} AS content_hash,
+                      ${toSignedSql("sim_u")} AS sim_fp
+               FROM u""")),
 
     "q_pii_redact" -> Q(
       // PII scrubbing: email/phone redaction plus a per-document count —
