@@ -606,8 +606,10 @@ object ComplexQueries {
           .agg(min(col("ps_supplycost")).as("min_cost"))
         val p = t(s, dir, "part")
           .filter(col("p_size").between(10, 30) && col("p_type") === "STANDARD")
+        // minCost is one row per part — bounded by the part DIMENSION,
+        // so it broadcasts at any scale where part itself would
         ps.join(broadcast(p), col("ps_partkey") === col("p_partkey"))
-          .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+          .join(broadcast(minCost), col("ps_partkey") === col("mc_partkey") &&
             col("ps_supplycost") === col("min_cost"))
           .select("s_acctbal", "s_name", "n_name", "p_partkey")
           .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))

@@ -186,10 +186,19 @@ object Dedup {
     val prefixLen = (size(col("sh"))
       - ceil(lit(theta) * size(col("sh"))).cast("int") + 2)
     val keys = shingled
-      .select(col("id"), explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
-    val cand = keys.select(col("g"), col("id").as("id_a"))
-      .join(keys.select(col("g").as("g_b"), col("id").as("id_b")),
-        col("g") === col("g_b") && col("id_a") < col("id_b"))
+      .select(col("id"), size(col("sh")).as("n"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+    // length filter (the other PPJoin prune): J >= θ ⇒ |A∩B| >= θ·max ⇒
+    // min(|A|,|B|) >= θ·max(|A|,|B|) — size-incompatible collisions drop
+    // before the candidate distinct, carrying only one extra int per key
+    val cand = keys.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(keys.select(col("g").as("g_b"), col("id").as("id_b"), col("n").as("n_b")),
+        col("g") === col("g_b") && col("id_a") < col("id_b") &&
+          least(col("n_a"), col("n_b")).cast("double") >=
+            // -1e-6 slack: double θ·max can exceed the real product by an
+            // ulp, which would prune a pair sitting exactly at J = θ; a
+            // hair of extra admission only costs one verify
+            lit(theta) * greatest(col("n_a"), col("n_b")) - lit(1e-6))
       .select("id_a", "id_b").distinct()
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
