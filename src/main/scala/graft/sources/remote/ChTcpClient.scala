@@ -88,13 +88,61 @@ final class ChTcpClient private (sock: Socket, rawIn: java.io.InputStream,
 }
 
 object ChTcpClient {
+  /**
+   * TLS configuration for [[connect]] — mirrors the reference's
+   * `CLICKHOUSE_SECURE` switch (reference README.md:18-23; the secure
+   * native port is conventionally 9440). Certificate trust comes from
+   * either the JVM default trust store, an explicit PKCS12/JKS
+   * truststore, or — for test rigs and self-signed lab servers, never
+   * as a default — `insecureSkipVerify`.
+   */
+  final case class Tls(
+      enabled: Boolean = false,
+      truststorePath: String = "",
+      truststorePassword: String = "",
+      insecureSkipVerify: Boolean = false) extends Serializable
+
+  private def sslContext(tls: Tls): javax.net.ssl.SSLContext = {
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    if (tls.insecureSkipVerify) {
+      val trustAll: javax.net.ssl.TrustManager = new javax.net.ssl.X509TrustManager {
+        override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+      }
+      ctx.init(null, Array(trustAll), new java.security.SecureRandom())
+    } else if (tls.truststorePath.nonEmpty) {
+      val ks = java.security.KeyStore.getInstance(
+        if (tls.truststorePath.endsWith(".jks")) "JKS" else "PKCS12")
+      val in = new java.io.FileInputStream(tls.truststorePath)
+      try ks.load(in, tls.truststorePassword.toCharArray) finally in.close()
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      ctx.init(null, tmf.getTrustManagers, new java.security.SecureRandom())
+    } else {
+      ctx.init(null, null, new java.security.SecureRandom()) // JVM default trust
+    }
+    ctx
+  }
+
   def connect(host: String, port: Int, user: String, password: String,
-      database: String, timeoutMs: Int): ChTcpClient = {
-    val sock = new Socket()
+      database: String, timeoutMs: Int, tls: Tls = Tls()): ChTcpClient = {
+    val plain = new Socket()
+    var sock: Socket = plain
     try {
-      sock.setTcpNoDelay(true)
-      sock.setSoTimeout(timeoutMs)
-      sock.connect(new InetSocketAddress(host, port), timeoutMs)
+      plain.setTcpNoDelay(true)
+      plain.setSoTimeout(timeoutMs)
+      plain.connect(new InetSocketAddress(host, port), timeoutMs)
+      if (tls.enabled) {
+        // layer TLS over the already-connected socket so the connect
+        // timeout applies; the handshake inherits the SO timeout
+        val ssl = sslContext(tls).getSocketFactory
+          .createSocket(plain, host, port, true).asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setSoTimeout(timeoutMs)
+        ssl.startHandshake()
+        sock = ssl
+      }
       val out = new Output(new BufferedOutputStream(sock.getOutputStream, 1 << 14))
       // ONE buffered stream shared by the packet reader and any
       // per-block frame reader — a second buffering layer would read
@@ -105,6 +153,6 @@ object ChTcpClient {
       out.flush()
       val hello = readServerHello(in)
       new ChTcpClient(sock, rawIn, in, out, hello)
-    } catch { case e: Throwable => sock.close(); throw e }
+    } catch { case e: Throwable => sock.close(); plain.close(); throw e }
   }
 }

@@ -87,7 +87,8 @@ final case class TransportSpec(
     user: String = "default",
     password: String = "",
     database: String = "default",
-    compression: Boolean = false) extends Serializable {
+    compression: Boolean = false,
+    tls: ChTcpClient.Tls = ChTcpClient.Tls()) extends Serializable {
 
   /** host:port from the url (tcp:// and socket:// prefixes accepted). */
   private def hostPort: (String, Int) = {
@@ -107,7 +108,7 @@ final case class TransportSpec(
   def openSource(projection: Option[Set[String]]): RemoteBlockSource = transport match {
     case "tcp" =>
       val (host, port) = hostPort
-      ChTcpClient.connect(host, port, user, password, database, timeoutMs)
+      ChTcpClient.connect(host, port, user, password, database, timeoutMs, tls)
         .execute(query, projection, compress = compression)
     case _ =>
       val reader = new NativeBlockReader(
@@ -198,7 +199,15 @@ object TransportSpec {
     database = Option(options.get("database"))
       .orElse(sys.env.get("CLICKHOUSE_DATABASE")).getOrElse("default"),
     // tcp only: negotiate ClickHouse compressed frames for block bodies
-    compression = Option(options.get("compression")).exists(_.toBoolean))
+    compression = Option(options.get("compression")).exists(_.toBoolean),
+    // tcp only: TLS (the reference's CLICKHOUSE_SECURE, README.md:18-23)
+    tls = ChTcpClient.Tls(
+      enabled = Option(options.get("secure"))
+        .orElse(sys.env.get("CLICKHOUSE_SECURE")).exists(_.toBoolean),
+      truststorePath = Option(options.get("sslTruststore")).getOrElse(""),
+      truststorePassword = Option(options.get("sslTruststorePassword")).getOrElse(""),
+      insecureSkipVerify =
+        Option(options.get("sslInsecureSkipVerify")).exists(_.toBoolean)))
 }
 
 private[remote] class RemoteTable(tableSchema: StructType, spec: TransportSpec)
