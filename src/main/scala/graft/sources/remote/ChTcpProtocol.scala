@@ -234,8 +234,17 @@ object ChTcpProtocol {
     * stay outside the frames). */
   def readBlockBody(in: Input, negotiated: Long, projection: Option[Set[String]]): NativeBlock = {
     readBlockInfo(in, negotiated)
-    val nCols = in.readVarUInt().toInt
-    val nRows = in.readVarUInt().toInt
+    // sanity caps BEFORE toInt: this is network input, and a corrupt or
+    // hostile length here must fail cleanly instead of wrapping
+    // negative (toInt) or driving an allocation OOM
+    val nColsL = in.readVarUInt()
+    val nRowsL = in.readVarUInt()
+    if (nColsL < 0 || nColsL > 1000000)
+      throw new IOException(s"clickhouse tcp: implausible column count $nColsL in block")
+    if (nRowsL < 0 || nRowsL > Int.MaxValue)
+      throw new IOException(s"clickhouse tcp: implausible row count $nRowsL in block")
+    val nCols = nColsL.toInt
+    val nRows = nRowsL.toInt
     val cols = Array.newBuilder[NativeColumn]
     var c = 0
     while (c < nCols) {

@@ -90,13 +90,16 @@ final case class TransportSpec(
     compression: Boolean = false,
     tls: ChTcpClient.Tls = ChTcpClient.Tls()) extends Serializable {
 
-  /** host:port from the url (tcp:// and socket:// prefixes accepted). */
+  /** host:port from the url (tcp:// and socket:// prefixes accepted;
+    * IPv6 literals in brackets, e.g. tcp://[::1]:9000). */
   private def hostPort: (String, Int) = {
     val hp = url.stripPrefix("tcp://").stripPrefix("socket://")
     hp.lastIndexOf(':') match {
       case -1 => throw new IllegalArgumentException(
         s"clickhouse_remote transport=$transport: url must be host:port, got '$url'")
-      case i => (hp.substring(0, i), hp.substring(i + 1).toInt)
+      case i =>
+        val host = hp.substring(0, i).stripPrefix("[").stripSuffix("]")
+        (host, hp.substring(i + 1).toInt)
     }
   }
 
