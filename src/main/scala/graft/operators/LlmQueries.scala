@@ -219,7 +219,8 @@ object LlmQueries {
                                  w -> w <> '') AS ws
                    FROM documents),
               sh AS (SELECT doc_id,
-                     CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                     CASE WHEN len(ws) = 0 THEN []
+                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
                           ELSE list_distinct(list_transform(range(1, len(ws) - 1),
                                  i -> array_to_string(ws[i:i+2], ' ')))
                      END AS s

@@ -61,9 +61,17 @@ class ClickHouseNativeDataSource extends TableProvider with DataSourceRegister {
         s"clickhouse_native: no files found for path(s): ${paths.mkString(", ")}")
     // First file with a readable header wins (tolerates empty files
     // from other writers; our own writer no longer produces them).
+    // The sidecar's writer-declared compression rides into the probe —
+    // same authority as the partition readers use — so files this
+    // writer produced are never sniffed at schema time either (and
+    // checksum=skip, which forbids sniffing, still works here).
     val header = files.iterator.map { p =>
       val fs = p.getFileSystem(conf)
-      val s = NativeCompression.maybeWrapRead(fs.open(p), conf)
+      val declared =
+        try NativeIndex.readWithMeta(fs, p, fs.getFileStatus(p).getLen)
+          .flatMap(_._2.get("compression"))
+        catch { case _: java.io.IOException => None }
+      val s = NativeCompression.maybeWrapRead(fs.open(p), conf, declared)
       try NativeBlockReader.readHeader(s) finally s.close()
     }.find(_.nonEmpty).getOrElse(
       // all files headerless → fail loudly, same policy as no-files

@@ -74,16 +74,19 @@ private[sources] object NativeCompression {
     val in = new BufferedInputStream(raw, 64 * 1024)
     val skip = conf != null && "skip".equalsIgnoreCase(conf.get(ChecksumConfKey, "verify"))
     val confMethod = if (conf == null) "auto" else conf.get(ReadConfKey, "auto")
-    (confMethod.toLowerCase match {
-      case "auto" => declared.map(_.toLowerCase)
-      case m => Some(m)
-    }) match {
+    val fromConf = !"auto".equalsIgnoreCase(confMethod)
+    (if (fromConf) Some(confMethod.toLowerCase) else declared.map(_.toLowerCase)) match {
       case Some("none") => return in
       case Some(m @ ("lz4" | "zstd")) =>
         methodFor(m) // validates
         return new FrameInputStream(in, verify = !skip)
-      case Some(other) => throw new IllegalArgumentException(
+      case Some(other) if fromConf => throw new IllegalArgumentException(
         s"clickhouse_native read compression must be auto|none|lz4|zstd, got '$other'")
+      case Some(_) =>
+        // an unrecognized value in a SIDECAR's #meta line is a corrupt/
+        // foreign declaration — degrade to sniffing like every other
+        // malformed-sidecar case (NativeIndex returns None), instead of
+        // hard-failing the scan; an explicit user conf stays strict
       case None => // fall through to sniffing
     }
     in.mark(ChecksumLen + HeaderLen)
@@ -229,8 +232,18 @@ private[sources] final class FrameInputStream(in: InputStream, verify: Boolean)
     val method = head(ChecksumLen)
     val comp = readIntLE(head, ChecksumLen + 1)
     val uncomp = readIntLE(head, ChecksumLen + 5)
-    if (comp < HeaderLen)
-      throw new java.io.IOException(s"corrupt frame: compressed_size $comp < $HeaderLen")
+    // bounds before any allocation: frames arrive over the NETWORK on
+    // the tcp transport, and a corrupt/hostile size must fail with a
+    // named error, not a NegativeArraySizeException or a ~2 GB
+    // allocation. Caps mirror the sniffer's plausibility window (64 MB
+    // uncompressed — far above ClickHouse's 1 MB default
+    // max_compress_block_size, low enough to bound one frame's memory).
+    if (comp < HeaderLen || comp - HeaderLen > MaxFrameBytes * 64)
+      throw new java.io.IOException(
+        s"corrupt frame: implausible compressed_size $comp")
+    if (uncomp < 0 || uncomp > MaxFrameBytes * 64)
+      throw new java.io.IOException(
+        s"corrupt frame: implausible uncompressed_size $uncomp")
     val payload = new Array[Byte](comp - HeaderLen)
     readFully(payload, 0, payload.length, allowEofAtStart = false)
     if (verify) {

@@ -140,6 +140,16 @@ object ChTcpClient {
         val ssl = sslContext(tls).getSocketFactory
           .createSocket(plain, host, port, true).asInstanceOf[javax.net.ssl.SSLSocket]
         ssl.setSoTimeout(timeoutMs)
+        if (!tls.insecureSkipVerify) {
+          // hostname/endpoint verification: a bare SSLSocket does NOT
+          // check that the certificate matches the host (Java enables
+          // that only for HttpsURLConnection) — without this, ANY
+          // CA-trusted certificate for ANY name passes and a MITM with
+          // a valid cert of its own receives the credentials
+          val params = ssl.getSSLParameters
+          params.setEndpointIdentificationAlgorithm("HTTPS")
+          ssl.setSSLParameters(params)
+        }
         ssl.startHandshake()
         sock = ssl
       }

@@ -208,16 +208,23 @@ class NativeCompressionSpec extends AnyFunSuite {
       confWith("graft.native.checksum" -> "skip",
         "graft.native.read.compression" -> "lz4"))
     try assert(viaConf.read() >= 0) finally viaConf.close()
-    // and the full read path (skip + sidecar declaration) works end-to-end
-    val prev = spark.conf.getOption("spark.hadoop.graft.native.checksum")
-    spark.conf.set("spark.hadoop.graft.native.checksum", "skip")
+    // and the full read path (skip + sidecar declaration) works
+    // end-to-end. Runtime spark.conf.set("spark.hadoop.*") is NOT
+    // prefix-stripped into sessionState.newHadoopConf (only
+    // construction-time confs are), so set the SparkContext hadoop
+    // conf directly — the same surface --conf spark.hadoop.* feeds.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = Option(hc.get("graft.native.checksum"))
+    hc.set("graft.native.checksum", "skip")
     // sum forces a real data read (count(*) is answered from the sidecar)
-    try assert(spark.read.format("clickhouse_native").load(dir)
-      .agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0)
-      === (0L until 5000L).map(_ * 2.0).sum)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.hadoop.graft.native.checksum", v)
-      case None => spark.conf.unset("spark.hadoop.graft.native.checksum")
+    try {
+      assert(hadoopConf.get("graft.native.checksum") === "skip") // reaches reads
+      assert(spark.read.format("clickhouse_native").load(dir)
+        .agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0)
+        === (0L until 5000L).map(_ * 2.0).sum)
+    } finally prev match {
+      case Some(v) => hc.set("graft.native.checksum", v)
+      case None => hc.unset("graft.native.checksum")
     }
   }
 
