@@ -67,6 +67,38 @@ class ComplexQueriesSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"), p.take(2000))
   }
 
+  test("q2/q11/q20: derived-partsupp joins broadcast their dimensions, no cartesian") {
+    val p2 = plan("q_tpch_q2")
+    // region-filtered supplier+nation, filtered part, AND the per-part
+    // min-cost aggregate (bounded by the part dimension) all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p2).length >= 5, p2.take(2500))
+    assert(!p2.contains("CartesianProduct"))
+    val p11 = plan("q_tpch_q11")
+    assert(p11.contains("BroadcastHashJoin"), p11.take(2000))
+    assert(!p11.contains("CartesianProduct"))
+    val p20 = plan("q_tpch_q20")
+    assert(p20.contains("BroadcastHashJoin"), p20.take(2000))
+    assert(!p20.contains("CartesianProduct"))
+  }
+
+  test("q21: EXISTS / NOT EXISTS compile to left-semi / left-anti joins") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q12: shipmode/date filters cut lineitem before the orderkey join") {
+    val p = plan("q_tpch_q12")
+    assert(!p.contains("CartesianProduct"))
+    // the derived-column filters are expression-level (not scan-pushed —
+    // they are computed columns), but they must sit BELOW the join
+    val joinIdx = p.indexOf("Join")
+    val filterIdx = p.indexOf("Filter")
+    assert(joinIdx >= 0 && filterIdx > joinIdx, // executedPlan prints top-down
+      s"expected Filter below the join\n${p.take(2500)}")
+  }
+
   test("retention cohort counts are internally consistent") {
     val r = QueryRegistry.queries("q_agg_retention")(spark, dir).collect()(0)
     val (v, vc, vp) = (r.getLong(0), r.getLong(1), r.getLong(2))
