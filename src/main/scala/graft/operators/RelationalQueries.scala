@@ -257,13 +257,26 @@ object RelationalQueries {
 
     "q_agg_approx_distinct" -> Q(
       // HyperLogLog++-class sketch — the CH uniq() equivalent; mergeable
-      // partial+final, the exact-distinct replacement at 100 TB. Sketch
-      // estimates differ per engine → no SQL oracle; accuracy bound is
-      // asserted in RelationalOpsSpec (±5% of exact).
+      // partial+final, the exact-distinct replacement at 100 TB. Raw
+      // sketch estimates differ per engine, so the oracle-VISIBLE
+      // columns are the exact count plus a boolean asserting the HLL
+      // estimate landed within ±5% of it (HLL++ is deterministic for
+      // fixed input+rsd, so the boolean is stable); the oracle emits
+      // literal TRUE — an estimate drifting past the bound flips the
+      // column and fails the hash gate. The raw-estimate behavior and
+      // rsd sweep stay property-tested in RelationalOpsSpec.
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
-      None),
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_raw"))
+        .select(col("l_returnflag"), col("distinct_parts"),
+          (abs(col("approx_raw") - col("distinct_parts"))
+            <= col("distinct_parts") * 0.05).as("hll_within_5pct")),
+      Some("""SELECT l_returnflag,
+                     count(DISTINCT l_partkey) AS distinct_parts,
+                     TRUE AS hll_within_5pct
+              FROM lineitem GROUP BY l_returnflag""")),
 
     "q_agg_corr" -> Q(
       // bivariate statistics (CH corr()/covarPop() equivalents)
@@ -283,11 +296,14 @@ object RelationalQueries {
       // CH topK(k) heavy hitters — mergeable Misra–Gries sketch
       // (functions/TopKAggregator.scala); partials summarize per
       // partition, only capacity-bounded maps cross the shuffle.
-      // Oracle-gate configuration: capacity (8×k = 16000) exceeds the
-      // column cardinality (1000 suppliers at sf0.1), which is the
-      // sketch's EXACT regime — no decrement ever fires, counts are
-      // true frequencies, and the (count desc, value asc) tie-break is
-      // deterministic, so a plain GROUP BY + ORDER BY oracle applies.
+      // Oracle-gate configuration: k=2000 ⇒ TopKAggregator's internal
+      // capacity 8×k = 16000, which exceeds the column cardinality
+      // (1000 distinct suppliers at sf0.1 — scales as 10k×SF), so no
+      // decrement ever fires, counts are true frequencies, and the
+      // (count desc, value asc) tie-break is deterministic — a plain
+      // GROUP BY + ORDER BY oracle applies. NOTE: this exactness is
+      // SF-dependent — at SF > ~1.6 supplier cardinality passes 16000
+      // and the gate silently leaves the exact regime; bump k with SF.
       // The genuinely-approximate small-capacity regime (estimates
       // within totalWeight/capacity) is property-tested in TopKAggSpec.
       (s, dir) => t(s, dir, "lineitem")

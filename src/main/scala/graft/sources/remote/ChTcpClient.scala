@@ -80,7 +80,20 @@ final class ChTcpClient private (sock: Socket, rawIn: java.io.InputStream,
         }
         None // unreachable
       }
-      override def close(): Unit = ChTcpClient.this.close()
+      override def close(): Unit = {
+        // Abandoning mid-stream (driver schema probe after the header
+        // block, a pushed LIMIT, a killed task): tell the server to
+        // stop computing instead of letting the query run until it
+        // notices the dead socket. Best-effort — the socket may
+        // already be broken, and close proceeds regardless.
+        if (!done) {
+          try {
+            out.writeVarUInt(ClientPacket.Cancel)
+            out.flush()
+          } catch { case _: IOException => () }
+        }
+        ChTcpClient.this.close()
+      }
     }
   }
 

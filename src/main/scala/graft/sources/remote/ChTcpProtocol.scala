@@ -241,7 +241,15 @@ object ChTcpProtocol {
     val nRowsL = in.readVarUInt()
     if (nColsL < 0 || nColsL > 1000000)
       throw new IOException(s"clickhouse tcp: implausible column count $nColsL in block")
-    if (nRowsL < 0 || nRowsL > Int.MaxValue)
+    // Row cap is a plausibility bound, not Int.MaxValue: decodeColumn
+    // pre-allocates O(nRows) per column BEFORE payload bytes arrive, so
+    // a hostile 2^31-row header on a fixed-width column would allocate
+    // multi-GB from the header alone. Real servers cap blocks at
+    // max_block_size (default 65536; practical ceilings are low
+    // millions even with huge settings) — 100M is ~1500× the default
+    // and far beyond anything a server emits, mirroring the 64 MB
+    // frame cap on the compressed path.
+    if (nRowsL < 0 || nRowsL > 100000000L)
       throw new IOException(s"clickhouse tcp: implausible row count $nRowsL in block")
     val nCols = nColsL.toInt
     val nRows = nRowsL.toInt

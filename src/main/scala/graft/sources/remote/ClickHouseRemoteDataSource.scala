@@ -47,8 +47,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *    — [[ChTcpProtocol]]. Validated against hand-derived golden byte
  *    vectors and a recorded loopback session (ChTcpProtocolSpec); a
  *    live-server run needs an environment with egress. TLS (the
- *    reference's `CLICKHOUSE_SECURE`, README.md:18-23) remains out of
- *    scope here.
+ *    reference's `CLICKHOUSE_SECURE`, README.md:18-23) is supported:
+ *    `secure=true` (or `CLICKHOUSE_SECURE`) enables it, with trust from
+ *    the JVM default store, an explicit `sslTruststore`/
+ *    `sslTruststorePassword` (PKCS12/JKS), or
+ *    `sslInsecureSkipVerify=true` for self-signed lab rigs; endpoint
+ *    identity is verified by default ([[ChTcpClient.Tls]]).
  *
  * Unlike the reference — which runs the remote query TWICE (bind and
  * init, src/clickhouse_scan.rs:78,126-131) and stringifies every cell
@@ -123,7 +127,12 @@ final case class TransportSpec(
       }
   }
 
-  /** Bind-time schema: first block's per-column (name, type) headers. */
+  /** Bind-time schema: first block's per-column (name, type) headers.
+    * On tcp the server sends the rowless header block before result
+    * rows, so the probe reads one packet and then CANCELS the query
+    * (the source's close sends ClientPacket.Cancel when abandoning
+    * mid-stream) — the server stops computing instead of running the
+    * probe to completion against a dead socket. */
   def header(): Seq[(String, ChType)] = transport match {
     case "tcp" =>
       // the server's first Data packet is a rowless header block

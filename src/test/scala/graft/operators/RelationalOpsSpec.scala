@@ -10,16 +10,26 @@ class RelationalOpsSpec extends AnyFunSuite {
   private val dir = SparkTestBase.sfDir
 
   test("approx_count_distinct within 5% of exact (HLL accuracy bound)") {
+    // raw-estimate property (the registry key exposes only exact +
+    // within-bound boolean to the oracle; this pins the estimate itself)
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = QueryRegistry.queries("q_agg_approx_distinct")(spark, dir)
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("a"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet === exact.keySet)
     approx.foreach { case (k, a) =>
       val e = exact(k)
       assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx=$a exact=$e")
+    }
+    // and the registry key's oracle-visible bound column holds
+    val gated = QueryRegistry.queries("q_agg_approx_distinct")(spark, dir).collect()
+    assert(gated.nonEmpty)
+    gated.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: hll_within_5pct is false")
+      assert(r.getLong(1) === exact(r.getString(0)))
     }
   }
 
