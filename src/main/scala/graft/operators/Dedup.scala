@@ -157,49 +157,41 @@ object Dedup {
   /**
    * EXACT n-gram-Jaccard near-duplicate pairs via prefix filtering
    * (Chaudhuri et al. SSJoin / Xiao et al. PPJoin): under any global
-   * total order over shingles (here: the hash value), two sets with
-   * Jaccard >= θ MUST share an element within their first
-   * |S| - ⌈θ·|S|⌉ + 1 ordered shingles — so candidates generated by an
-   * equi-join on ONLY those prefix shingles have recall exactly 1.0,
-   * provably, and the exact-Jaccard verify makes the whole operator
-   * exact (which is why it can be SQL-oracled, unlike the
-   * probabilistic-recall MinHash-LSH candidates). Cost model: the
-   * prefix join shuffles thin (shingle, id) rows once; bucket sizes
-   * are bounded by per-shingle document frequency — for corpora with
-   * heavy stop-shingles, raise θ or fall back to [[minhashPairs]]
-   * (recall traded for candidate volume).
+   * total order over shingles, two sets with Jaccard >= θ MUST share
+   * an element within their first |S| - ⌈θ·|S|⌉ + 1 ordered shingles —
+   * so candidates generated by an equi-join on ONLY those prefix
+   * shingles have recall exactly 1.0, provably, and the exact-Jaccard
+   * verify makes the whole operator exact (which is why it can be
+   * SQL-oracled, unlike the probabilistic-recall MinHash-LSH
+   * candidates).
+   *
+   * Stop-shingle robustness: the global order is GLOBAL DOCUMENT
+   * FREQUENCY ascending (ties by hash) — the canonical SSJoin ordering.
+   * The prefix theorem holds for ANY total order, so recall stays 1.0;
+   * choosing rare-first makes each document's prefix its RAREST
+   * shingles, sinking corpus-wide stop-shingles into the suffix where
+   * they generate no join keys. A corpus where every document shares a
+   * hot shingle therefore yields O(true matches) candidates instead of
+   * O(N²) (adversarial-corpus bound pinned in LlmOpsSpec). Two extra
+   * thin shuffles pay for it: the (shingle → df) aggregate and the
+   * per-doc reorder — both fixed-width rows, both map-side-combining.
+   *
+   * Candidates are additionally pruned by the PPJoin-style positional
+   * bound: a common element at (1-based) rare-first positions p_a, p_b
+   * caps the overlap at min(p_a,p_b) − 1 + 1 + min(n_a−p_a, n_b−p_b)
+   * (everything strictly before the match on both sides, the match,
+   * everything strictly after on the shorter remainder) — an upper
+   * bound valid for ANY common element, so requiring it to reach the
+   * equivalent-overlap threshold ⌈θ/(1+θ)·(n_a+n_b)⌉ never drops a
+   * true pair.
    *
    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= theta,
    *         over documents with a non-empty shingle set
    */
   def ngramPairsExact(df: DataFrame, idCol: String, textCol: String,
       theta: Double, shingleN: Int = 3): DataFrame = {
-    require(theta > 0.0 && theta <= 1.0, s"theta=$theta outside (0, 1]")
-    val shingled = df
-      .select(col(idCol).as("id"), sort_array(shinglesCol(col(textCol), shingleN)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // +1 beyond the theoretical |S| - ⌈θ|S|⌉ + 1: double ceil(θ·n) can
-    // land one high when θ·n sits on an ulp boundary (0.2*5 →
-    // 1.0000000000000002 → 2), which would SHORTEN the prefix and void
-    // the recall guarantee; one extra key per document only adds
-    // candidates, never loses any
-    val prefixLen = (size(col("sh"))
-      - ceil(lit(theta) * size(col("sh"))).cast("int") + 2)
-    val keys = shingled
-      .select(col("id"), size(col("sh")).as("n"),
-        explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
-    // length filter (the other PPJoin prune): J >= θ ⇒ |A∩B| >= θ·max ⇒
-    // min(|A|,|B|) >= θ·max(|A|,|B|) — size-incompatible collisions drop
-    // before the candidate distinct, carrying only one extra int per key
-    val cand = keys.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
-      .join(keys.select(col("g").as("g_b"), col("id").as("id_b"), col("n").as("n_b")),
-        col("g") === col("g_b") && col("id_a") < col("id_b") &&
-          least(col("n_a"), col("n_b")).cast("double") >=
-            // -1e-6 slack: double θ·max can exceed the real product by an
-            // ulp, which would prune a pair sitting exactly at J = θ; a
-            // hair of extra admission only costs one verify
-            lit(theta) * greatest(col("n_a"), col("n_b")) - lit(1e-6))
-      .select("id_a", "id_b").distinct()
+    val shingled = shingledOf(df, idCol, textCol, shingleN)
+    val cand = ngramCandidatesFrom(shingled, theta)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     cand
@@ -208,6 +200,61 @@ object Dedup {
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= theta)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** (id, sh): per-document distinct shingle-hash arrays, empties dropped. */
+  private def shingledOf(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"), shinglesCol(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Candidate (id_a, id_b) pairs for [[ngramPairsExact]] — exposed
+    * package-private so the adversarial-corpus spec can assert the
+    * candidate-count bound, not just end-to-end output. */
+  private[operators] def ngramCandidates(df: DataFrame, idCol: String,
+      textCol: String, theta: Double, shingleN: Int = 3): DataFrame =
+    ngramCandidatesFrom(shingledOf(df, idCol, textCol, shingleN), theta)
+
+  private def ngramCandidatesFrom(shingled: DataFrame, theta: Double): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta=$theta outside (0, 1]")
+    // global df per shingle, then each doc's shingles reordered
+    // rare-first: sort_array over (df, g) structs — lexicographic on
+    // field order, a deterministic TOTAL order (hash tie-break)
+    val ex = shingled.select(col("id"), explode(col("sh")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, "g")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("dg"))
+      .select(col("id"),
+        transform(col("dg"), x => x.getField("g")).as("shOrd"))
+    // +1 beyond the theoretical |S| - ⌈θ|S|⌉ + 1: double ceil(θ·n) can
+    // land one high when θ·n sits on an ulp boundary (0.2*5 →
+    // 1.0000000000000002 → 2), which would SHORTEN the prefix and void
+    // the recall guarantee; one extra key per document only adds
+    // candidates, never loses any
+    val prefixLen = (size(col("shOrd"))
+      - ceil(lit(theta) * size(col("shOrd"))).cast("int") + 2)
+    val keys = ordered
+      .select(col("id"), size(col("shOrd")).as("n"),
+        posexplode(slice(col("shOrd"), lit(1), prefixLen)).as(Seq("p0", "g")))
+      .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("g"))
+    // equivalent-overlap threshold: J >= θ ⇔ |A∩B| >= θ/(1+θ)·(n_a+n_b)
+    val alpha = lit(theta / (1.0 + theta)) * (col("n_a") + col("n_b"))
+    keys.select(col("g"), col("id").as("id_a"), col("n").as("n_a"), col("p").as("p_a"))
+      .join(keys.select(col("g").as("g_b"), col("id").as("id_b"),
+          col("n").as("n_b"), col("p").as("p_b")),
+        col("g") === col("g_b") && col("id_a") < col("id_b") &&
+          // length filter: J >= θ ⇒ min(|A|,|B|) >= θ·max(|A|,|B|).
+          // -1e-6 slack: double θ·max can exceed the real product by an
+          // ulp, which would prune a pair sitting exactly at J = θ; a
+          // hair of extra admission only costs one verify
+          least(col("n_a"), col("n_b")).cast("double") >=
+            lit(theta) * greatest(col("n_a"), col("n_b")) - lit(1e-6) &&
+          // positional filter (see scaladoc); same ulp slack
+          (least(col("p_a"), col("p_b"))
+            + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
+            .cast("double") >= alpha - lit(1e-6))
+      .select("id_a", "id_b").distinct()
   }
 
   /**

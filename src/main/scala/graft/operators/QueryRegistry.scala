@@ -44,6 +44,43 @@ object Q {
       StructField("value", DoubleType), StructField("props", StringType)))
   }
 
+  // dir → ts-is-NANOS, probed once per directory: letting Spark's
+  // inference discover it the hard way launches a DISTRIBUTED
+  // footer-merge job that fails (PARQUET_TYPE_ILLEGAL) before the
+  // fallback kicks in — a guaranteed-doomed job charged to every
+  // events query's build. One driver-side footer read answers the
+  // same question in milliseconds with no job at all.
+  private val tsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def tsIsNanos(s: SparkSession, dir: String): Boolean =
+    tsNanosCache.computeIfAbsent(dir, { _ =>
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = s.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = root.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).headOption.getOrElse(root)
+        else root
+      val reader = org.apache.parquet.hadoop.ParquetFileReader
+        .open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") && (schema.getType(Seq("ts"): _*) match {
+          case p: org.apache.parquet.schema.PrimitiveType =>
+            p.getLogicalTypeAnnotation match {
+              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            }
+          case _ => false
+        })
+      } finally reader.close()
+    })
+
   def events(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -51,7 +88,12 @@ object Q {
     // so double math (plain `/`) silently loses the low microseconds
     def nsToTs(df: org.apache.spark.sql.DataFrame) = df.withColumn("ts",
       timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-    try {
+    if (tsIsNanos(s, dir))
+      // explicit schema: the vectorized reader decodes raw INT64 nanos
+      // into a declared LongType field (inference would refuse), and
+      // schema-on-read skips the footer-inference pass entirely
+      nsToTs(s.read.schema(eventsNanosSchema).parquet(s"$dir/events.parquet"))
+    else try {
       val raw = t(s, dir, "events")
       raw.schema("ts").dataType match {
         case TimestampType => raw.withColumn("ts", col("ts").cast(TimestampNTZType))
@@ -61,6 +103,8 @@ object Q {
         case _ => raw
       }
     } catch {
+      // belt-and-suspenders: nanos layouts the probe cannot see (e.g.
+      // an exotic first file) still land on the explicit-schema path
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PARQUET_TYPE_ILLEGAL" =>
         nsToTs(s.read.schema(eventsNanosSchema).parquet(s"$dir/events.parquet"))

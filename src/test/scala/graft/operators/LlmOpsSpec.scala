@@ -162,6 +162,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesian"), plan.take(2000))
   }
 
+  test("ngram prefix join survives a stop-shingle-heavy corpus (candidates stay O(matches))") {
+    import spark.implicits._
+    // adversarial corpus: EVERY document opens with the same hot
+    // shingle ("z z z", df = N), then unique content. Under a plain
+    // hash order the hot shingle lands inside most prefixes and the
+    // prefix join degenerates to ~C(N,2) ≈ 11k candidate pairs; under
+    // the df-ascending order it is every document's LAST shingle, out
+    // of every prefix, and candidates come only from genuinely shared
+    // rare shingles — the duplicate pairs.
+    val n = 150
+    val base = (0 until n).map { i =>
+      (i.toLong, s"z z z z u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")
+    }
+    val dups = (0 until 10).map(i => (1000L + i, base(i)._2)) // 10 true pairs
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val theta = 0.5
+    val candidates = Dedup.ngramCandidates(docs, "doc_id", "text", theta).count()
+    assert(candidates >= 10, s"must still cover the 10 true pairs, got $candidates")
+    assert(candidates < 100,
+      s"stop-shingle corpus produced $candidates candidates — O(N²) blowup " +
+        "(df ordering should bound this at O(true matches))")
+    // end-to-end output: exactly the duplicate pairs, at jaccard 1.0
+    val pairs = Dedup.ngramPairsExact(docs, "doc_id", "text", theta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs === (0 until 10).map(i => (i.toLong, 1000L + i, 1.0)).toSet)
+  }
+
   test("IVF cosine top-k recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(emb, queries, 10)

@@ -190,6 +190,32 @@ class NativeCatalogSpec extends AnyFunSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("KeyGroupedPartitioning"))
   }
 
+  test("null container cells through catalog SQL INSERT degrade per the encoder contract") {
+    // same degradation NativeSourceSpec pins at the encoder unit level
+    // (ClickHouse has no Nullable(Array/Map/Tuple) → null cells become
+    // the type's empty/default), asserted here at the USER-facing
+    // surface: INSERT INTO graft.ns.t ... SELECT with null containers
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ncns")
+    spark.sql("DROP TABLE IF EXISTS graft.ncns.containers")
+    spark.sql("""CREATE TABLE graft.ncns.containers
+        (id BIGINT, arr ARRAY<BIGINT>, m MAP<STRING, BIGINT>,
+         st STRUCT<x: BIGINT, y: STRING>) USING clickhouse_native""")
+    try {
+      spark.sql("""INSERT INTO graft.ncns.containers
+        SELECT * FROM VALUES
+          (1L, array(1L, 2L), map('a', 1L), named_struct('x', 1L, 'y', 'p')),
+          (2L, CAST(NULL AS ARRAY<BIGINT>), CAST(NULL AS MAP<STRING, BIGINT>),
+               CAST(NULL AS STRUCT<x: BIGINT, y: STRING>))""")
+      val back = spark.table("graft.ncns.containers").orderBy("id").collect()
+      assert(back(0).getSeq[Long](1) === Seq(1L, 2L))
+      assert(back(0).getMap[String, Long](2) === Map("a" -> 1L))
+      assert(back(1).getSeq[Long](1) === Seq.empty)      // null -> []
+      assert(back(1).getMap[String, Long](2).isEmpty)    // null -> {}
+      val st = back(1).getStruct(3)
+      assert(st.isNullAt(0) && st.isNullAt(1))           // null -> all-null fields
+    } finally spark.sql("DROP TABLE IF EXISTS graft.ncns.containers")
+  }
+
   test("duplicate CREATE NAMESPACE throws per the SupportsNamespaces contract") {
     spark.sql("DROP NAMESPACE IF EXISTS graft.dupns")
     spark.sql("CREATE NAMESPACE graft.dupns")
