@@ -225,19 +225,24 @@ object Dedup {
     val ordered = ex.join(dfreq, "g")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("dg"))
-      .select(col("id"),
-        transform(col("dg"), x => x.getField("g")).as("shOrd"))
     // +1 beyond the theoretical |S| - ⌈θ|S|⌉ + 1: double ceil(θ·n) can
     // land one high when θ·n sits on an ulp boundary (0.2*5 →
     // 1.0000000000000002 → 2), which would SHORTEN the prefix and void
     // the recall guarantee; one extra key per document only adds
     // candidates, never loses any
-    val prefixLen = (size(col("shOrd"))
-      - ceil(lit(theta) * size(col("shOrd"))).cast("int") + 2)
+    val prefixLen = (size(col("dg"))
+      - ceil(lit(theta) * size(col("dg"))).cast("int") + 2)
     val keys = ordered
-      .select(col("id"), size(col("shOrd")).as("n"),
-        posexplode(slice(col("shOrd"), lit(1), prefixLen)).as(Seq("p0", "g")))
-      .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("g"))
+      .select(col("id"), size(col("dg")).as("n"),
+        posexplode(slice(col("dg"), lit(1), prefixLen)).as(Seq("p0", "dg")))
+      // df = 1 ⇒ the shingle exists in exactly ONE document corpus-wide
+      // ⇒ its join bucket is a singleton and can never produce a pair:
+      // dropping those keys loses NOTHING (any shared element has
+      // df >= 2 by definition) and removes the bulk of the self-join
+      // input — in a mostly-unique corpus the vast majority of prefix
+      // shingles are df=1
+      .filter(col("dg.df") > 1)
+      .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("dg.g").as("g"))
     // equivalent-overlap threshold: J >= θ ⇔ |A∩B| >= θ/(1+θ)·(n_a+n_b)
     val alpha = lit(theta / (1.0 + theta)) * (col("n_a") + col("n_b"))
     keys.select(col("g"), col("id").as("id_a"), col("n").as("n_a"), col("p").as("p_a"))
