@@ -477,6 +477,53 @@ object LlmQueries {
                      substring(md5(text), 1, 8) AS shard_key
               FROM documents""")),
 
+    "q_chunk_tokens" -> Q(
+      // pre-tokenizer packing: 64-token windows, 16-token overlap
+      // (stride 48), final partial window included — the shard-writing
+      // step of a training pipeline (TextPipeline.tokenChunks). Pure
+      // per-row column math, so the DuckDB oracle rebuilds the same
+      // windows with range()/list slicing and the hash gate pins every
+      // chunk string byte-for-byte.
+      (s, dir) => TextPipeline.tokenChunks(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 64, overlap = 16),
+      Some("""WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+                   FROM documents),
+              nz AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0),
+              st AS (SELECT doc_id, ws, n, unnest(range(0, n, 48)) AS s FROM nz)
+              SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_idx,
+                     CAST(least(64, n - s) AS INTEGER) AS n_tok,
+                     array_to_string(ws[s+1 : s+64], ' ') AS chunk_text
+              FROM st""")),
+
+    "q_decontaminate" -> Q(
+      // eval-set decontamination: flag corpus documents sharing any
+      // word-8-gram with a benchmark set (the C4/GPT-3-style n-gram
+      // collision screen). The benchmark is PLANTED from the corpus
+      // itself — every 10th document's tokens 11..40 as a 30-token
+      // benchmark passage — so leakage exists by construction and the
+      // flagged set + hit counts are deterministic
+      // (TextPipeline.contaminatedDocs / plantedBenchmark).
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextPipeline.contaminatedDocs(docs, "doc_id", "text",
+          TextPipeline.plantedBenchmark(docs, "doc_id", "text"), "bench_text")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 w -> w <> '') AS ws
+                   FROM documents),
+              corpusg AS (SELECT doc_id, unnest(list_distinct(
+                       list_transform(range(1, len(ws) - 6),
+                         i -> array_to_string(ws[i:i+7], ' ')))) AS g
+                   FROM toks WHERE len(ws) >= 8),
+              evalg AS (SELECT DISTINCT unnest(list_transform(range(1, 24),
+                       i -> array_to_string(ws[10+i : 17+i], ' '))) AS g
+                   FROM toks WHERE doc_id % 10 = 0 AND len(ws) >= 40)
+              SELECT c.doc_id, count(*) AS hits
+              FROM corpusg c JOIN evalg e USING (g)
+              GROUP BY c.doc_id""")),
+
     // ----- multimodal -----------------------------------------------------
 
     "q_multimodal_frames" -> Q(

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data text-pipeline operators beyond the dedup/similarity
+ * families: fixed-size token chunking (the pre-tokenizer packing step
+ * every LLM training pipeline runs before writing training shards)
+ * and eval-set decontamination (flagging training documents that
+ * contain benchmark passages — n-gram overlap screening, the standard
+ * C4/GPT-3-style 8-gram collision check).
+ *
+ * Scale design: both operators are pure column pipelines plus one
+ * thin equi-join — no UDFs, no driver-side state, no cartesian
+ * anywhere. Chunking is a per-row map (split → sequence → posexplode)
+ * that parallelizes embarrassingly. Decontamination joins the corpus'
+ * exploded (doc_id, gram) rows — fixed-width after hashing, string
+ * rows in the oracle-gated spelling — against the DISTINCT benchmark
+ * gram set, which is tiny relative to the corpus (benchmarks are
+ * thousands of documents, corpora are billions) and broadcasts; the
+ * corpus side never shuffles at all in that regime.
+ */
+object TextPipeline {
+
+  /** Lower-cased alphanumeric word tokens (the ngram-family contract:
+    * lower, split on non-alphanumeric runs, drop empties). */
+  private def wordTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => w =!= lit(""))
+
+  /** Whitespace tokens with original case (the chunking contract —
+    * chunk text must reassemble the original wording, so tokens keep
+    * their case and punctuation). */
+  private def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= lit(""))
+
+  /** Distinct space-joined word n-grams of an ordered token array;
+    * empty when the array holds fewer than n tokens (a document
+    * shorter than the window cannot contain any length-n passage). */
+  private def wordGrams(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * Split documents into fixed-size token windows with overlap:
+   * windows of `chunkSize` whitespace tokens starting every
+   * `chunkSize - overlap` tokens, final partial window included when
+   * it contributes at least one new token. Deterministic and
+   * reassemblable: concatenating each chunk's first `stride` tokens
+   * reconstructs the document exactly.
+   *
+   * @return (doc_id, chunk_idx, n_tok, chunk_text) — one row per
+   *         chunk, chunk_idx counting from 0 per document
+   */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap=$overlap < chunkSize=$chunkSize")
+    val stride = chunkSize - overlap
+    df.select(col(idCol).as("doc_id"), wsTokens(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+      // starts at 0, stride, 2·stride, … while start < n (sequence's
+      // inclusive stop n-1 ≡ range-exclusive n for positive strides)
+      .select(col("doc_id"), col("ws"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "s")))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkSize), col("n") - col("s")).cast("int").as("n_tok"),
+        concat_ws(" ", slice(col("ws"), col("s") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
+  /**
+   * Flag corpus documents sharing at least one word-`gramN`-gram with
+   * a benchmark set — the eval-decontamination screen. The benchmark
+   * side arrives as (any id, text) rows; its distinct gram set is the
+   * join build side. Exact string grams here (oracle-able); at corpus
+   * scale swap [[Dedup.shinglesCol]] hashed grams in for fixed-width
+   * join keys — same shape, 8 bytes per key.
+   *
+   * @return (doc_id, hits): corpus documents with >= 1 shared gram,
+   *         hits = number of DISTINCT shared grams
+   */
+  def contaminatedDocs(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, gramN: Int = 8): DataFrame = {
+    val corpusGrams = corpus
+      .select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("ws"))
+      .select(col("doc_id"), explode(wordGrams(col("ws"), gramN)).as("g"))
+    val benchGrams = benchmark
+      .select(explode(wordGrams(wordTokens(col(benchTextCol)), gramN)).as("g"))
+      .distinct()
+    // per-doc grams are array_distinct'd, so count(*) == distinct hits
+    corpusGrams.join(benchGrams, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+  }
+
+  /** A benchmark set derived from the corpus itself for the
+    * oracle-gated key: every 10th document's tokens 11..40 as a
+    * 30-token "benchmark passage" — planted leakage whose source
+    * documents must be flagged (and, at 8-gram granularity over this
+    * synthetic vocabulary, essentially only they will be). */
+  def plantedBenchmark(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("bench_id"), wordTokens(col(textCol)).as("ws"))
+      .filter(col("bench_id") % 10 === 0 && size(col("ws")) >= 40)
+      .select(col("bench_id"), concat_ws(" ", slice(col("ws"), 11, 30)).as("bench_text"))
+}

@@ -189,6 +189,61 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs === (0 until 10).map(i => (i.toLong, 1000L + i, 1.0)).toSet)
   }
 
+  test("token chunks reassemble the document and overlap consistently") {
+    val chunkSize = 64
+    val overlap = 16
+    val stride = chunkSize - overlap
+    val chunks = TextPipeline.tokenChunks(docs, "doc_id", "text", chunkSize, overlap)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2) }
+    assert(chunks.nonEmpty)
+    val texts = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    chunks.foreach { case (id, rs) =>
+      val toks = texts(id).trim.split("\\s+").filter(_.nonEmpty).toSeq
+      // chunk_idx is dense from 0 and count matches the stride math
+      assert(rs.map(_._2).toSeq === (0 until rs.length))
+      assert(rs.length === (toks.length + stride - 1) / stride)
+      rs.foreach { case (_, idx, nTok, text) =>
+        val ctoks = text.split(" ").toSeq
+        assert(ctoks.length === nTok)
+        assert(nTok === math.min(chunkSize, toks.length - idx * stride))
+        // the window content is exactly the source tokens at its offsets
+        assert(ctoks === toks.slice(idx * stride, idx * stride + chunkSize))
+      }
+      // concatenating each chunk's first `stride` tokens rebuilds the doc
+      val rebuilt = rs.flatMap { case (_, idx, _, text) =>
+        text.split(" ").take(stride)
+      }.toSeq
+      assert(rebuilt === toks)
+    }
+  }
+
+  test("decontamination flags exactly the documents containing benchmark grams") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      // contains the benchmark passage verbatim mid-document
+      (3L, "x y z alpha beta gamma delta epsilon zeta eta theta end marker"),
+      (4L, "totally unrelated words that never appear in any benchmark line")
+    ).toDF("doc_id", "text")
+    val bench = Seq(("b1", "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("bench_id", "bench_text")
+    val hits = TextPipeline.contaminatedDocs(corpus, "doc_id", "text",
+        bench, "bench_text", gramN = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1 and 3 contain the 8-token passage; 2 and 4 share nothing
+    assert(hits.keySet === Set(1L, 3L))
+    assert(hits(1L) === 1L && hits(3L) === 1L)
+    // a disjoint benchmark flags nothing
+    val clean = TextPipeline.contaminatedDocs(corpus, "doc_id", "text",
+      Seq(("b2", "completely different benchmark text with eight tokens here"))
+        .toDF("bench_id", "bench_text"), "bench_text", gramN = 8)
+    assert(clean.count() === 0)
+  }
+
   test("IVF cosine top-k recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(emb, queries, 10)
