@@ -496,6 +496,35 @@ object LlmQueries {
                      array_to_string(ws[s+1 : s+64], ' ') AS chunk_text
               FROM st""")),
 
+    "q_repetition_stats" -> Q(
+      // Gopher/MassiveText repetition quality signals
+      // (TextPipeline.repetitionStats): distinct-unigram ratio,
+      // top-token mass fraction, duplicate-trigram fraction — the
+      // screens for loops, dominated-token boilerplate and copied
+      // spans. Per-row array arithmetic, zero shuffles; the oracle
+      // recomputes each signal with DuckDB list functions.
+      (s, dir) => TextPipeline.repetitionStats(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 w -> w <> '') AS ws
+                   FROM documents),
+              nz AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0),
+              tri AS (SELECT doc_id, ws, n,
+                     CASE WHEN n >= 3 THEN list_transform(range(1, n - 1),
+                            i -> array_to_string(ws[i:i+2], ' '))
+                          ELSE [] END AS tris
+                   FROM nz)
+              SELECT doc_id,
+                     CAST(n AS INTEGER) AS n_tok,
+                     round(CAST(len(list_distinct(ws)) AS DOUBLE) / n, 4) AS distinct_ratio,
+                     round(CAST(list_max(list_transform(list_distinct(ws),
+                             w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / n, 4)
+                       AS top_token_frac,
+                     round(CASE WHEN len(tris) = 0 THEN 0.0
+                           ELSE CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE)
+                                / len(tris) END, 4) AS dup_trigram_frac
+              FROM tri""")),
+
     "q_decontaminate" -> Q(
       // eval-set decontamination: flag corpus documents sharing any
       // word-8-gram with a benchmark set (the C4/GPT-3-style n-gram

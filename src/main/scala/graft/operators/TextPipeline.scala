@@ -97,6 +97,43 @@ object TextPipeline {
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
   }
 
+  /**
+   * Gopher/MassiveText-style repetition signals, the quality-filter
+   * stage that screens boilerplate and degenerate generations before
+   * training: per document, the distinct-unigram ratio (low ⇒ loops),
+   * the most-frequent-token mass fraction (high ⇒ one token dominates)
+   * and the duplicate-trigram fraction (high ⇒ copied spans). All
+   * per-ROW array arithmetic — no shuffle of any kind, embarrassingly
+   * parallel, codegen-able column expressions end to end. The
+   * per-token frequency scan is O(distinct·n) per row, bounded by
+   * document length — cheap against the tokenize cost it rides on.
+   *
+   * @return (doc_id, n_tok, distinct_ratio, top_token_frac,
+   *         dup_trigram_frac), ratios rounded to 4 decimals
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = col("ws")
+    val n = size(ws).cast("double")
+    // non-distinct trigram list — multiplicity matters here, unlike the
+    // dedup shingle sets
+    val tris = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i => concat_ws(" ", slice(ws, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val topCount = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w))))
+    df.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("ws"))
+      .filter(size(ws) > 0)
+      .select(col("doc_id"), ws, tris.as("tris"))
+      .select(
+        col("doc_id"),
+        size(ws).as("n_tok"),
+        round(size(array_distinct(ws)) / n, 4).as("distinct_ratio"),
+        round(topCount / n, 4).as("top_token_frac"),
+        round(when(size(col("tris")) === 0, 0.0)
+          .otherwise((size(col("tris")) - size(array_distinct(col("tris"))))
+            / size(col("tris")).cast("double")), 4).as("dup_trigram_frac"))
+  }
+
   /** A benchmark set derived from the corpus itself for the
     * oracle-gated key: every 10th document's tokens 11..40 as a
     * 30-token "benchmark passage" — planted leakage whose source

@@ -220,6 +220,25 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition stats separate degenerate documents from healthy ones") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),            // one token loops
+      (2L, "a b c a b c a b c a b c"),                            // copied trigram spans
+      (3L, "each word here appears exactly once in this document") // healthy
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.repetitionStats(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc 1: 8 tokens, 1 distinct, top token owns all mass, all 6
+    // trigrams equal — 5/6 dup rounded to 4 decimals
+    assert(got(1L) === ((8, 0.125, 1.0, 0.8333)))
+    // doc 2: 12 tokens / 3 distinct; top count 4/12; 10 trigrams, 3 distinct
+    assert(got(2L) === ((12, 0.25, 0.3333, 0.7)))
+    // doc 3: fully distinct — no repetition on any signal
+    assert(got(3L)._2 === 1.0 && got(3L)._4 === 0.0)
+  }
+
   test("decontamination flags exactly the documents containing benchmark grams") {
     import spark.implicits._
     val corpus = Seq(
