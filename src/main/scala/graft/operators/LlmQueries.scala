@@ -496,6 +496,24 @@ object LlmQueries {
                      array_to_string(ws[s+1 : s+64], ' ') AS chunk_text
               FROM st""")),
 
+    "q_lang_mix" -> Q(
+      // temperature-rebalanced language mixing (τ=0.5 — the XLM-R
+      // recipe): over-represented languages are hash-downsampled at
+      // rate sqrt(n_min/n_lang), flattening the en-heavy corpus toward
+      // balance (TextPipeline.temperatureSample). The rate is DERIVED
+      // from the data but still deterministic (IEEE sqrt + floor +
+      // multiplicative-hash membership are engine-identical), so the
+      // oracle recomputes both the thresholds and the membership.
+      (s, dir) => TextPipeline.temperatureSample(
+        t(s, dir, "documents"), "doc_id", "lang"),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+              r AS (SELECT lang,
+                     CAST(floor(1000 * sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n)) AS BIGINT) AS thr
+                   FROM c)
+              SELECT d.doc_id, d.lang
+              FROM documents d JOIN r USING (lang)
+              WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000 < r.thr""")),
+
     "q_repetition_stats" -> Q(
       // Gopher/MassiveText repetition quality signals
       // (TextPipeline.repetitionStats): distinct-unigram ratio,

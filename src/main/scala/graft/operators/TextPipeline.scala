@@ -134,6 +134,34 @@ object TextPipeline {
             / size(col("tris")).cast("double")), 4).as("dup_trigram_frac"))
   }
 
+  /**
+   * Temperature-rebalanced corpus sampling (the XLM-R-style mixing
+   * stage): downsample over-represented strata toward the τ=0.5
+   * distribution by keeping each stratum at rate sqrt(n_min/n_s) — the
+   * smallest stratum keeps everything, a stratum k× larger keeps
+   * 1/sqrt(k), flattening counts to sqrt(n_min·n_s). Membership is the
+   * repo's standard DETERMINISTIC multiplicative-hash sampler (Knuth
+   * 2654435761 mod 2^32, per-mille buckets): reproducible across
+   * reruns, engines and partitionings — which is what makes a
+   * data-DERIVED sampling rate still hash-gateable, and at 100 TB
+   * means re-running the pipeline selects the same documents.
+   *
+   * Plan shape: one tiny per-stratum count aggregate (rows = distinct
+   * strata) broadcast back onto the corpus; the corpus itself never
+   * shuffles — filter + project only.
+   */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val thresholds = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .withColumn("thr",
+        floor(lit(1000) * sqrt(min(col("n")).over(w).cast("double") / col("n"))))
+      .select(col(stratumCol), col("thr"))
+    val bucket = pmod(col(idCol) * lit(2654435761L), lit(4294967296L)) % 1000
+    df.join(broadcast(thresholds), stratumCol)
+      .filter(bucket < col("thr"))
+      .select(col(idCol), col(stratumCol))
+  }
+
   /** A benchmark set derived from the corpus itself for the
     * oracle-gated key: every 10th document's tokens 11..40 as a
     * 30-token "benchmark passage" — planted leakage whose source

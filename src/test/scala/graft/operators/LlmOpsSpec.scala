@@ -220,6 +220,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature sampling flattens stratum counts toward sqrt and is deterministic") {
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = before.values.min.toDouble
+    val kept = TextPipeline.temperatureSample(docs, "doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val after = kept.groupBy(_._2).map { case (k, v) => k -> v.size }
+    // every stratum is kept at ~sqrt(n_min/n): expected count
+    // sqrt(n_min·n), within hash-sampling tolerance (buckets are
+    // per-mille, docs per stratum are tens to hundreds)
+    before.foreach { case (lang, n) =>
+      val expected = math.sqrt(nMin * n)
+      val got = after.getOrElse(lang, 0).toDouble
+      assert(math.abs(got - expected) / expected < 0.25,
+        s"$lang: kept $got expected ~$expected of $n")
+    }
+    // smallest stratum keeps everything (threshold 1000)
+    val minLang = before.minBy(_._2)._1
+    assert(after(minLang).toLong === before(minLang))
+    // deterministic: a second run selects the identical document set
+    val again = TextPipeline.temperatureSample(docs, "doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet === again.toSet)
+  }
+
   test("repetition stats separate degenerate documents from healthy ones") {
     import spark.implicits._
     val corpus = Seq(
