@@ -84,6 +84,34 @@ object LlmQueries {
               CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
        FROM s QUALIFY rn <= 10"""
 
+  /** Subspace-decomposed double dot product in DuckDB SQL: the sum of
+    * m=4 per-slice list_dot_products, left-associated — the exact
+    * association order Similarity.pqTopK's sorted-struct fold uses, so
+    * the lossless-PQ key's doubles are bit-identical to the oracle's. */
+  private def pqDotSql(a: String, b: String): String =
+    (0 until 4).map { s =>
+      val lo = s * 16 + 1; val hi = (s + 1) * 16
+      s"list_dot_product($a[$lo:$hi], $b[$lo:$hi])"
+    }.mkString(" + ")
+
+  private val pqTopKSql = {
+    val dot = pqDotSql("ed", "qd")
+    val v2 = pqDotSql("ed", "ed")
+    val q2 = pqDotSql("qd", "qd")
+    s"""WITH q AS (SELECT vec_id AS q_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd
+              FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+              FROM embeddings),
+            s AS (SELECT q_id, vec_id,
+              round(($dot) / (sqrt($v2) * sqrt($q2)), 4) AS sim
+              FROM c, q WHERE c.vec_id != q.q_id)
+       SELECT q_id, vec_id, sim,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
+       FROM s QUALIFY rn <= 10"""
+  }
+
   /**
    * FNV-1a 64 re-implemented in pure DuckDB SQL (HUGEINT arithmetic
    * mod 2^64; per-byte xor folded through the low byte since the data
@@ -301,6 +329,21 @@ object LlmQueries {
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
       },
       Some(bruteForceTopKSql)),
+
+    "q_sim_cosine_pq" -> Q(
+      // product quantization (the IVF-PQ memory half) in its LOSSLESS
+      // gate: one centroid per distinct subvector ⇒ quantization error
+      // exactly 0 ⇒ the full encode → ADC-table → (s,code)-join →
+      // subspace-ordered fold pipeline returns the EXACT decomposed
+      // cosine, which the oracle reproduces with the same 4-slice
+      // left-associated arithmetic. The compressing regime (sampled
+      // ksub-centroid codebook, real quantization error) is
+      // recall-tested in LlmOpsSpec.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10, m = 4)
+      },
+      Some(pqTopKSql)),
 
     "q_sim_cosine_ivf" -> Q(
       // IVF-Flat: KMeans coarse quantizer (sample-trained — the

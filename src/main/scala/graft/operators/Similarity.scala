@@ -140,6 +140,131 @@ object Similarity {
   }
 
   /**
+   * Product-quantization codebooks as a DATAFRAME (s, code, centroid):
+   * nothing is collected to the driver — codebooks are relations and
+   * every PQ stage below is a join, which is what makes the layout
+   * work when the codebook itself is large.
+   *
+   * Lossless variant: one centroid per DISTINCT subvector, so
+   * quantization error is exactly zero and [[pqTopK]] degenerates to
+   * the exact answer — the verification anchor (bounded corpus, like
+   * [[Dedup.embeddingPairsExact]]), which is what lets the PQ
+   * machinery run under a SQL oracle. Codes are dense ranks under the
+   * subvector sort order — deterministic.
+   */
+  def pqCodebookLossless(candidates: DataFrame, m: Int, dim: Int): DataFrame =
+    subVectors(candidates.select(col("vec_id"), col("embedding")), m, dim)
+      .select(col("s"), col("sub").as("centroid")).distinct()
+      .withColumn("code", row_number().over(
+        Window.partitionBy("s").orderBy(col("centroid"))))
+
+  /**
+   * Sampled codebook: `ksub` centroids per subspace drawn
+   * deterministically from the corpus' distinct subvectors (seeded
+   * hash order). Sampling-as-quantizer is the bounded-train-pass
+   * analogue of [[ivfTopK]]'s `trainFraction` — a KMeans-refined
+   * codebook plugs into the same (s, code, centroid) seam.
+   */
+  def pqCodebookSampled(candidates: DataFrame, m: Int, dim: Int,
+      ksub: Int = 256, seed: Long = 42L): DataFrame =
+    subVectors(candidates.select(col("vec_id"), col("embedding")), m, dim)
+      .select(col("s"), col("sub").as("centroid")).distinct()
+      .withColumn("code", row_number().over(Window.partitionBy("s")
+        .orderBy(xxhash64(col("centroid").cast("string"), lit(seed)), col("centroid"))))
+      .filter(col("code") <= ksub)
+
+  /** (vec_id, s, sub): the m per-subspace slices of each embedding. */
+  private def subVectors(df: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val w = dim / m
+    df.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("embedding"), s * w + 1, lit(w)))).as(Seq("s", "sub")))
+  }
+
+  /**
+   * IVF-PQ's PQ half: asymmetric-distance (ADC) top-k over
+   * product-quantized candidates. Candidates are ENCODED once — m
+   * small integers per vector instead of dim floats (the 100-TB
+   * memory story: 64 floats → 4 codes) — and queries score candidates
+   * through per-subspace dot-product TABLES against the codebook, not
+   * against raw vectors.
+   *
+   * Every stage is relational: encode = join subvectors to the
+   * codebook (equality in lossless mode, nearest-centroid argmin
+   * otherwise); the distance tables are queries × codebook (broadcast
+   * — ksub·m rows per query); scoring joins codes to tables on
+   * (s, code) and folds the m partial dots PER CANDIDATE IN SUBSPACE
+   * ORDER (sorted-struct fold), so the arithmetic is deterministic and
+   * — in the lossless regime — bit-identical to a subspace-decomposed
+   * exact cosine, which is exactly how the SQL oracle spells it.
+   *
+   * @return (q_id, vec_id, sim, rn) — per-query top-k by ADC cosine
+   */
+  def pqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, codebook: DataFrame = null, lossless: Boolean = true,
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else deriveDim(candidates, "embedding")
+    val cb = Option(codebook).getOrElse {
+      if (lossless) pqCodebookLossless(candidates, m, d)
+      else pqCodebookSampled(candidates, m, d)
+    }
+    val subs = subVectors(candidates.select(col("vec_id"), col("embedding")), m, d)
+    // --- encode: (vec_id, s, code) ---------------------------------------
+    val enc =
+      if (lossless)
+        subs.join(cb, subs("s") === cb("s") && subs("sub") === cb("centroid"))
+          .select(subs("vec_id"), subs("s"), cb("code"))
+      else {
+        // nearest centroid by L2: argmin over |sub|² − 2·sub·c + |c|²
+        // (|sub|² constant per row — omitted); deterministic code
+        // tie-break
+        val dist = lit(-2.0) * dotD(col("sub"), col("centroid")) +
+          dotD(col("centroid"), col("centroid"))
+        subs.join(cb, "s")
+          .withColumn("rnk", row_number().over(Window.partitionBy("vec_id", "s")
+            .orderBy(dist, col("code"))))
+          .filter(col("rnk") === 1)
+          .select(col("vec_id"), col("s"), col("code"))
+      }
+    // --- ADC tables: (q_id, s, code, dot, c2) + per-query norm -----------
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qsubs = subVectors(q.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")), m, d)
+      .select(col("vec_id").as("q_id"), col("s").as("qs"), col("sub").as("qsub"))
+    val dtab = qsubs.join(cb, qsubs("qs") === cb("s"))
+      .select(col("q_id"), col("s"), col("code"),
+        dotD(col("qsub"), col("centroid")).as("dot"),
+        dotD(col("centroid"), col("centroid")).as("c2"))
+    val qnorm = qsubs
+      .groupBy("q_id")
+      .agg(sort_array(collect_list(struct(col("qs"), col("qsub")))).as("parts"))
+      .select(col("q_id"), foldParts(col("parts"), p => dotSelf(p)).as("q2"))
+    // --- score: fold the m partials in subspace order --------------------
+    val scored = enc.join(broadcast(dtab), Seq("s", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("dot"), col("c2")))).as("parts"))
+      .select(col("q_id"), col("vec_id"),
+        foldParts(col("parts"), p => p.getField("dot")).as("vdot"),
+        foldParts(col("parts"), p => p.getField("c2")).as("v2"))
+      .join(broadcast(qnorm), "q_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(col("vdot") / (sqrt(col("v2")) * sqrt(col("q2"))), 4).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Left-fold a sorted struct array: ((x0 + x1) + x2) + … — the fixed
+    * association order that makes double sums deterministic and lets
+    * the oracle reproduce them exactly. */
+  private def foldParts(parts: Column, f: Column => Column): Column =
+    aggregate(parts, lit(0.0), (acc, x) => acc + f(x))
+
+  private def dotSelf(p: Column): Column =
+    call_function("vec_dot", p.getField("qsub"), p.getField("qsub"))
+
+  /**
    * LSH-bucketed approximate top-k: candidates hash to one bucket;
    * each query probes every bucket within hamming distance
    * `probeRadius` of its own code. The (query × bucket-code) expansion

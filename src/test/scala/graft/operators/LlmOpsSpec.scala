@@ -288,6 +288,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(clean.count() === 0)
   }
 
+  test("PQ: lossless codebook == brute force; compressing codebook keeps recall") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // lossless regime: zero quantization error ⇒ exact result through
+    // the full encode → ADC → fold pipeline (the oracle-gate config)
+    val lossless = Similarity.pqTopK(emb, queries, 10, m = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lossless === brute)
+    // compressing regime: 128 sampled centroids per subspace (≈4×
+    // fewer than distinct subvectors) — real quantization error, so
+    // top-k is approximate; recall must stay far above the ~0.02
+    // random floor
+    val cb = Similarity.pqCodebookSampled(emb, m = 4,
+      dim = emb.head().getAs[Seq[Float]]("embedding").size, ksub = 128)
+    val pq = Similarity.pqTopK(emb, queries, 10, m = 4, codebook = cb, lossless = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(pq.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("IVF cosine top-k recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(emb, queries, 10)
