@@ -614,6 +614,43 @@ object LlmQueries {
               FROM corpusg c JOIN evalg e USING (g)
               GROUP BY c.doc_id""")),
 
+    "q_pipeline_e2e" -> Q(
+      // the training-data pipeline COMPOSED, one declarative plan:
+      // quality screen (repetition signals) → exact dedup (min-id
+      // keeper) → token chunking, over the known-duplicate corpus.
+      // Each stage is individually oracle-gated elsewhere; this key
+      // pins their composition — Catalyst fuses the whole thing into
+      // one job (screen is per-row, dedup is one hash-agg shuffle,
+      // chunking is per-row again), which is the point of declaring
+      // pipelines instead of materializing between stages.
+      (s, dir) => {
+        val corpus = dupCorpus(s, dir)
+        val stats = TextPipeline.repetitionStats(corpus, "doc_id", "text")
+        val quality = corpus.join(
+          stats.filter(col("n_tok") >= 12 && col("distinct_ratio") >= 0.3)
+            .select("doc_id"), "doc_id")
+        val kept = quality.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        TextPipeline.tokenChunks(kept, "doc_id", "text", chunkSize = 64, overlap = 16)
+      },
+      Some(s"""WITH corpus AS (SELECT * FROM $dupCorpusSql c),
+               toks AS (SELECT doc_id, text,
+                      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  w -> w <> '') AS ws
+                    FROM corpus),
+               qual AS (SELECT doc_id, text FROM toks
+                    WHERE len(ws) >= 12
+                      AND round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) >= 0.3),
+               kept AS (SELECT min(doc_id) AS doc_id, text FROM qual GROUP BY text),
+               wtoks AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+                    FROM kept),
+               nz AS (SELECT doc_id, ws, len(ws) AS n FROM wtoks WHERE len(ws) > 0),
+               st AS (SELECT doc_id, ws, n, unnest(range(0, n, 48)) AS s FROM nz)
+               SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_idx,
+                      CAST(least(64, n - s) AS INTEGER) AS n_tok,
+                      array_to_string(ws[s+1 : s+64], ' ') AS chunk_text
+               FROM st""")),
+
     // ----- multimodal -----------------------------------------------------
 
     "q_multimodal_frames" -> Q(

@@ -147,6 +147,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming token chunking: per-row shard packing over a document stream equals batch") {
+    // tokenChunks is stateless per-row column math, so it composes with
+    // readStream unchanged — the shard-packing stage of a LIVE ingest
+    // pipeline (docs arrive, chunks stream out append-mode, no state
+    // store at all)
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextPipeline.tokenChunks(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        chunkSize = 4, overlap = 1)
+      .writeStream.format("memory").queryName("chunk_t").outputMode("append").start()
+    try {
+      input.addData((1L, "a b c d e f g h"), (2L, "x y"))
+      q.processAllAvailable()
+      input.addData((3L, "one two three four five"))
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_t")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+      val batch = graft.operators.TextPipeline.tokenChunks(
+          Seq((1L, "a b c d e f g h"), (2L, "x y"), (3L, "one two three four five"))
+            .toDF("doc_id", "text"), "doc_id", "text", chunkSize = 4, overlap = 1)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+      assert(streamed === batch)
+      assert(streamed.contains((1L, 0, 4, "a b c d")))
+      assert(streamed.contains((1L, 1, 4, "d e f g"))) // 1-token overlap
+    } finally q.stop()
+  }
+
   test("streaming sequence match: pattern state accumulates across micro-batches") {
     // The sequence aggregates buffer (ts, mask) pairs and defer the
     // order-sensitive NFA pass to eval — so events arriving out of
