@@ -45,11 +45,13 @@ object TextPipeline {
 
   /**
    * Split documents into fixed-size token windows with overlap:
-   * windows of `chunkSize` whitespace tokens starting every
-   * `chunkSize - overlap` tokens, final partial window included when
-   * it contributes at least one new token. Deterministic and
-   * reassemblable: concatenating each chunk's first `stride` tokens
-   * reconstructs the document exactly.
+   * windows of `chunkSize` whitespace tokens starting at every
+   * multiple of `stride = chunkSize - overlap` below the token count —
+   * always ⌈n/stride⌉ windows, so every token position `t` is a "new"
+   * token of window ⌊t/stride⌋ (an exact-fit document gets a tail
+   * window of pure overlap, the price of the uniform rule).
+   * Deterministic and reassemblable: concatenating each chunk's first
+   * `stride` tokens reconstructs the document exactly.
    *
    * @return (doc_id, chunk_idx, n_tok, chunk_text) — one row per
    *         chunk, chunk_idx counting from 0 per document

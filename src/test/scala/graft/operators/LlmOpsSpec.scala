@@ -264,6 +264,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(3L)._2 === 1.0 && got(3L)._4 === 0.0)
   }
 
+  test("token chunk boundaries: empty, exact-fit and one-over documents") {
+    import spark.implicits._
+    val n = 8; val overlap = 2; val stride = n - overlap // chunkSize 8, stride 6
+    val corpus = Seq(
+      (1L, "   "),                          // whitespace only → no chunks
+      (2L, (1 to n).map("t" + _).mkString(" ")),       // exactly chunkSize
+      (3L, (1 to n + 1).map("t" + _).mkString(" ")),   // one over → 2 chunks
+      (4L, "solo")                          // single token → 1 chunk of 1
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.tokenChunks(corpus, "doc_id", "text", n, overlap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(!got.contains(1L))
+    // uniform ⌈n/stride⌉ rule: exact-fit docs get a pure-overlap tail
+    // window (tokens 7..8 — already covered by chunk 0) so that the
+    // first-stride-tokens reassembly rule needs no special last case
+    assert(got(2L).sortBy(_._2).map(c => (c._2, c._3)).toSeq === Seq((0, n), (1, n - stride)))
+    // second chunk starts at stride: covers tokens 7..9 (3 tokens)
+    assert(got(3L).sortBy(_._2).map(c => (c._2, c._3, c._4)).toSeq === Seq(
+      (0, n, (1 to n).map("t" + _).mkString(" ")),
+      (1, n + 1 - stride, (stride + 1 to n + 1).map("t" + _).mkString(" "))))
+    assert(got(4L).map(c => (c._2, c._3, c._4)).toSeq === Seq((0, 1, "solo")))
+  }
+
   test("decontamination flags exactly the documents containing benchmark grams") {
     import spark.implicits._
     val corpus = Seq(
