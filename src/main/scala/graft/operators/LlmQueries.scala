@@ -345,6 +345,22 @@ object LlmQueries {
       },
       Some(pqTopKSql)),
 
+    "q_sim_cosine_ivfpq" -> Q(
+      // the COMPOSED 100-TB ANN layout: IVF cells route (only probed
+      // cells are scored), PQ codes score (ADC table lookups, never
+      // raw vectors). Exact gate: nprobe = nlist probes every cell and
+      // the lossless codebook has zero error ⇒ result ≡ brute force ≡
+      // the same decomposed-cosine oracle as q_sim_cosine_pq,
+      // regardless of what the trained cell layout did. Real configs
+      // (nprobe < nlist, sampled codebook) are recall-tested in
+      // LlmOpsSpec.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          nlist = 16, nprobe = 16, m = 4)
+      },
+      Some(pqTopKSql)),
+
     "q_sim_cosine_ivf" -> Q(
       // IVF-Flat: KMeans coarse quantizer (sample-trained — the
       // bounded train pass at scale), nprobe-cell probing. Oracle-gate

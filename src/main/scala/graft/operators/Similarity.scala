@@ -90,14 +90,16 @@ object Similarity {
    * classic IVF-Flat layout — at 100 TB the cells become partition
    * keys and each query touches nprobe/nlist of the data.
    */
-  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, trainFraction: Double = 1.0): DataFrame = {
+  /** The IVF coarse quantizer: KMeans cell per candidate plus the
+    * per-query nprobe nearest cells — shared by [[ivfTopK]] (flat
+    * scoring) and [[ivfPqTopK]] (ADC scoring). */
+  private def ivfCells(candidates: DataFrame, queries: DataFrame,
+      nlist: Int, nprobe: Int, trainFraction: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
 
     require(trainFraction > 0.0 && trainFraction <= 1.0,
-      s"ivfTopK trainFraction=$trainFraction outside (0, 1]")
+      s"trainFraction=$trainFraction outside (0, 1]")
     val withVec = candidates.select(col("vec_id"), col("embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
     // Random init, few iterations: the coarse quantizer only partitions
@@ -129,6 +131,12 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
       .filter(col("cell_rank") <= nprobe)
       .select("q_id", "q_emb", "cell")
+    (cand, probes)
+  }
+
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, trainFraction: Double = 1.0): DataFrame = {
+    val (cand, probes) = ivfCells(candidates, queries, nlist, nprobe, trainFraction)
 
     val scored = cand.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("q_id"))
@@ -248,6 +256,76 @@ object Similarity {
         foldParts(col("parts"), p => p.getField("c2")).as("v2"))
       .join(broadcast(qnorm), "q_id")
       .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(col("vdot") / (sqrt(col("v2")) * sqrt(col("q2"))), 4).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+  }
+
+  /**
+   * IVF-PQ composed: the coarse quantizer routes each query to its
+   * `nprobe` nearest cells, and only candidates in probed cells are
+   * scored — through the PQ codes (ADC), never the raw vectors. The
+   * 100-TB layout in full: cells partition the corpus, codes compress
+   * it (m bytes-ish per vector in the scoring path), the per-query
+   * work is nprobe/nlist of the data with table lookups instead of
+   * dim-float dots.
+   *
+   * Exact gate (the oracle config): nprobe = nlist probes every cell
+   * AND a lossless codebook has zero quantization error ⇒ the result
+   * is exactly brute force, whatever the trained cell layout did.
+   * Real configs (nprobe < nlist, sampled codebook) are recall-tested
+   * in LlmOpsSpec.
+   */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+      codebook: DataFrame = null, lossless: Boolean = true,
+      trainFraction: Double = 1.0, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else deriveDim(candidates, "embedding")
+    val (cellOf, probes) = ivfCells(candidates, queries, nlist, nprobe, trainFraction)
+    // IVF candidate set: (q_id, vec_id) pairs in probed cells
+    val allowed = cellOf.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val cb = Option(codebook).getOrElse {
+      if (lossless) pqCodebookLossless(candidates, m, d)
+      else pqCodebookSampled(candidates, m, d)
+    }
+    val subs = subVectors(candidates.select(col("vec_id"), col("embedding")), m, d)
+    val enc =
+      if (lossless)
+        subs.join(cb, subs("s") === cb("s") && subs("sub") === cb("centroid"))
+          .select(subs("vec_id"), subs("s"), cb("code"))
+      else {
+        val dist = lit(-2.0) * dotD(col("sub"), col("centroid")) +
+          dotD(col("centroid"), col("centroid"))
+        subs.join(cb, "s")
+          .withColumn("rnk", row_number().over(Window.partitionBy("vec_id", "s")
+            .orderBy(dist, col("code"))))
+          .filter(col("rnk") === 1)
+          .select(col("vec_id"), col("s"), col("code"))
+      }
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qsubs = subVectors(q.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")), m, d)
+      .select(col("vec_id").as("q_id"), col("s").as("qs"), col("sub").as("qsub"))
+    val dtab = qsubs.join(cb, qsubs("qs") === cb("s"))
+      .select(col("q_id"), col("s"), col("code"),
+        dotD(col("qsub"), col("centroid")).as("dot"),
+        dotD(col("centroid"), col("centroid")).as("c2"))
+    val qnorm = qsubs
+      .groupBy("q_id")
+      .agg(sort_array(collect_list(struct(col("qs"), col("qsub")))).as("parts"))
+      .select(col("q_id"), foldParts(col("parts"), p => dotSelf(p)).as("q2"))
+    val scored = allowed.join(enc, "vec_id")
+      .join(broadcast(dtab), Seq("q_id", "s", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("dot"), col("c2")))).as("parts"))
+      .select(col("q_id"), col("vec_id"),
+        foldParts(col("parts"), p => p.getField("dot")).as("vdot"),
+        foldParts(col("parts"), p => p.getField("c2")).as("v2"))
+      .join(broadcast(qnorm), "q_id")
       .select(col("q_id"), col("vec_id"),
         round(col("vdot") / (sqrt(col("v2")) * sqrt(col("q2"))), 4).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))

@@ -333,6 +333,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("IVF-PQ: exhaustive+lossless == brute force; real config keeps recall") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // gate config: every cell probed + zero quantization error
+    val exact = Similarity.ivfPqTopK(emb, queries, 10, nlist = 16, nprobe = 16, m = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === brute)
+    // realistic config: partial probing AND a compressing codebook —
+    // two approximation sources stacked, recall still well above the
+    // ~0.02 random floor
+    val dim = emb.head().getAs[Seq[Float]]("embedding").size
+    val cb = Similarity.pqCodebookSampled(emb, m = 4, dim = dim, ksub = 128)
+    val real = Similarity.ivfPqTopK(emb, queries, 10, nlist = 16, nprobe = 8,
+        m = 4, codebook = cb, lossless = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(real.contains).toDouble / brute.size
+    assert(recall >= 0.25, s"recall=$recall")
+  }
+
   test("IVF cosine top-k recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(emb, queries, 10)
