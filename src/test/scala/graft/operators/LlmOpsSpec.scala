@@ -288,6 +288,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(4L).map(c => (c._2, c._3, c._4)).toSeq === Seq((0, 1, "solo")))
   }
 
+  test("chunking invariants hold under seeded fuzz (random lengths × configs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813)
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(301) // 0..300 tokens
+      (i.toLong, (1 to n).map(t => s"w${rnd.nextInt(50)}_$t").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val configs = Seq((1, 0), (7, 3), (64, 16), (50, 49), (300, 0))
+    configs.foreach { case (cs, ov) =>
+      val stride = cs - ov
+      val got = TextPipeline.tokenChunks(df, "doc_id", "text", cs, ov)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) assert(!got.contains(id), s"cs=$cs ov=$ov id=$id")
+        else {
+          val chunks = got(id).sortBy(_._2)
+          assert(chunks.length === (toks.length + stride - 1) / stride,
+            s"cs=$cs ov=$ov id=$id n=${toks.length}")
+          chunks.foreach { case (_, idx, nTok, ct) =>
+            val want = toks.slice(idx * stride, idx * stride + cs)
+            assert(ct.split(" ").toSeq === want && nTok === want.length,
+              s"cs=$cs ov=$ov id=$id idx=$idx")
+          }
+          // lossless reassembly from first-stride tokens of each chunk
+          assert(chunks.flatMap(c => c._4.split(" ").take(stride)).toSeq === toks,
+            s"cs=$cs ov=$ov id=$id reassembly")
+        }
+      }
+    }
+  }
+
   test("decontamination flags exactly the documents containing benchmark grams") {
     import spark.implicits._
     val corpus = Seq(
