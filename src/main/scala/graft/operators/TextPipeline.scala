@@ -106,9 +106,12 @@ object TextPipeline {
    * the most-frequent-token mass fraction (high ⇒ one token dominates)
    * and the duplicate-trigram fraction (high ⇒ copied spans). All
    * per-ROW array arithmetic — no shuffle of any kind, embarrassingly
-   * parallel, codegen-able column expressions end to end. The
-   * per-token frequency scan is O(distinct·n) per row, bounded by
-   * document length — cheap against the tokenize cost it rides on.
+   * parallel, column expressions end to end. The top-token count is a
+   * longest-run fold over the SORTED token array — O(n log n) per row,
+   * safe for arbitrarily long documents (a naive per-distinct-token
+   * frequency scan would be O(distinct·n), quadratic on a
+   * pathological loop document — exactly the input this screen
+   * exists to catch).
    *
    * @return (doc_id, n_tok, distinct_ratio, top_token_frac,
    *         dup_trigram_frac), ratios rounded to 4 decimals
@@ -121,8 +124,17 @@ object TextPipeline {
     val tris = when(size(ws) >= 3,
       transform(sequence(lit(1), size(ws) - 2), i => concat_ws(" ", slice(ws, i, lit(3)))))
       .otherwise(array().cast("array<string>"))
-    val topCount = array_max(transform(array_distinct(ws),
-      w => size(filter(ws, x => x === w))))
+    // longest run in the sorted tokens == max frequency of any token
+    val topCount = aggregate(
+      sort_array(ws),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     df.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("ws"))
       .filter(size(ws) > 0)
       .select(col("doc_id"), ws, tris.as("tris"))
