@@ -172,6 +172,13 @@ object Similarity {
    * hash order). Sampling-as-quantizer is the bounded-train-pass
    * analogue of [[ivfTopK]]'s `trainFraction` — a KMeans-refined
    * codebook plugs into the same (s, code, centroid) seam.
+   *
+   * Scale note: the rank here sorts each subspace's distinct
+   * subvectors in one window partition (m partitions total) — fine
+   * for the test/gate corpora this ranks, but at billions of distinct
+   * subvectors pre-reduce first (sample the INPUT rows before
+   * distinct, or train per-subspace KMeans on a sample) and feed the
+   * result through the same codebook seam.
    */
   def pqCodebookSampled(candidates: DataFrame, m: Int, dim: Int,
       ksub: Int = 256, seed: Long = 42L): DataFrame =
