@@ -630,6 +630,28 @@ object LlmQueries {
               FROM corpusg c JOIN evalg e USING (g)
               GROUP BY c.doc_id""")),
 
+    "q_pack_sequences" -> Q(
+      // sequence packing (TextPipeline.packSequences): docs hashed
+      // into 8 independent pack-groups, packed within each group by
+      // integer prefix-sum div capacity — shard-local packing with no
+      // global scan, the way production packers shard. All-integer
+      // arithmetic ⇒ the oracle reproduces bins exactly with a window
+      // cumsum.
+      (s, dir) => TextPipeline.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", capacity = 256, groups = 8),
+      Some("""WITH toks AS (SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                          w -> w <> '')) AS BIGINT) AS n_tok
+                   FROM documents),
+              nz AS (SELECT doc_id, n_tok,
+                     ((doc_id * 2654435761) % 4294967296) % 8 AS grp
+                   FROM toks WHERE n_tok > 0),
+              cs AS (SELECT doc_id, n_tok, grp,
+                     CAST(COALESCE(sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+                   FROM nz)
+              SELECT doc_id, n_tok, grp, c // 256 AS bin FROM cs""")),
+
     "q_pipeline_e2e" -> Q(
       // the training-data pipeline COMPOSED, one declarative plan:
       // quality screen (repetition signals) → exact dedup (min-id

@@ -176,6 +176,39 @@ object TextPipeline {
       .select(col(idCol), col(stratumCol))
   }
 
+  /**
+   * Sequence packing: assign documents to fixed-capacity token bins —
+   * the packing step that turns variable-length documents into dense
+   * fixed-length training sequences. Documents are hashed into
+   * `groups` independent pack-groups and packed WITHIN each group by
+   * cumulative token count (bin = exclusive-prefix-sum div capacity,
+   * all integer arithmetic): shard-local packing, embarrassingly
+   * parallel — each group's running sum is its own window partition,
+   * so no global single-partition scan exists at any scale; more
+   * groups = more parallelism and marginally more boundary waste,
+   * which is how production packers shard too. Deterministic: group
+   * and order are functions of the id.
+   *
+   * @return (doc_id, n_tok, grp, bin) — bin numbering local to grp
+   */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 256, groups: Int = 8): DataFrame = {
+    require(capacity > 0 && groups > 0, s"need capacity=$capacity > 0, groups=$groups > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("doc_id"),
+        size(wsTokens(col(textCol))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("grp",
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).cast("long") % groups)
+      .withColumn("cs", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      // `div`: integer division — exact at any cumulative-sum magnitude
+      // (a double `/` would lose low bits past 2^53)
+      .withColumn("bin", expr(s"cs div ${capacity}L"))
+      .select("doc_id", "n_tok", "grp", "bin")
+  }
+
   /** A benchmark set derived from the corpus itself for the
     * oracle-gated key: every 10th document's tokens 11..40 as a
     * 30-token "benchmark passage" — planted leakage whose source

@@ -245,6 +245,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept.toSet === again.toSet)
   }
 
+  test("sequence packing: bins match driver-side cumsum arithmetic, groups partition the corpus") {
+    val capacity = 256
+    val got = TextPipeline.packSequences(docs, "doc_id", "text", capacity, groups = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = docs.collect().count(r =>
+      r.getAs[String]("text").trim.split("\\s+").count(_.nonEmpty) > 0)
+    assert(got.length === nDocs) // every non-empty doc packed exactly once
+    got.groupBy(_._3).foreach { case (grp, rows) =>
+      val ordered = rows.sortBy(_._1)
+      var cum = 0L
+      ordered.foreach { case (id, n, g, bin) =>
+        assert(g === grp)
+        assert(bin === cum / capacity, s"doc $id in grp $grp: bin $bin, cumsum $cum")
+        cum += n
+      }
+      // bins are contiguous from 0 within the group
+      val bins = ordered.map(_._4).distinct.sorted
+      assert(bins === (0L to bins.max).toVector, s"grp $grp bins: $bins")
+    }
+  }
+
   test("repetition stats separate degenerate documents from healthy ones") {
     import spark.implicits._
     val corpus = Seq(
