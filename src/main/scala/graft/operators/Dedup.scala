@@ -191,12 +191,17 @@ object Dedup {
   def ngramPairsExact(df: DataFrame, idCol: String, textCol: String,
       theta: Double, shingleN: Int = 3): DataFrame = {
     val shingled = shingledOf(df, idCol, textCol, shingleN)
-    val cand = ngramCandidatesFrom(shingled, theta)
+    val (cand, arrays) = ngramCandidatesAndArrays(shingled, theta)
+    // verify against the df-ordered arrays, NOT a fresh shingledOf:
+    // array_intersect is order-insensitive and `arrays` sits behind
+    // the same per-doc aggregate exchange the candidate keys already
+    // shuffled through, so Catalyst reuses that exchange instead of
+    // re-tokenizing the corpus twice more for the two verify sides
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     cand
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(arrays.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(arrays.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= theta)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -213,9 +218,16 @@ object Dedup {
     * candidate-count bound, not just end-to-end output. */
   private[operators] def ngramCandidates(df: DataFrame, idCol: String,
       textCol: String, theta: Double, shingleN: Int = 3): DataFrame =
-    ngramCandidatesFrom(shingledOf(df, idCol, textCol, shingleN), theta)
+    ngramCandidatesAndArrays(shingledOf(df, idCol, textCol, shingleN), theta)._1
 
-  private def ngramCandidatesFrom(shingled: DataFrame, theta: Double): DataFrame = {
+  private def ngramCandidatesFrom(shingled: DataFrame, theta: Double): DataFrame =
+    ngramCandidatesAndArrays(shingled, theta)._1
+
+  /** Candidates plus the df-ordered per-doc shingle arrays (id, sh) —
+    * the arrays ride the same aggregate the prefix keys come from, so
+    * a verify stage joining them reuses that exchange. */
+  private def ngramCandidatesAndArrays(shingled: DataFrame,
+      theta: Double): (DataFrame, DataFrame) = {
     require(theta > 0.0 && theta <= 1.0, s"theta=$theta outside (0, 1]")
     // global df per shingle, then each doc's shingles reordered
     // rare-first: sort_array over (df, g) structs — lexicographic on
@@ -245,7 +257,7 @@ object Dedup {
       .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("dg.g").as("g"))
     // equivalent-overlap threshold: J >= θ ⇔ |A∩B| >= θ/(1+θ)·(n_a+n_b)
     val alpha = lit(theta / (1.0 + theta)) * (col("n_a") + col("n_b"))
-    keys.select(col("g"), col("id").as("id_a"), col("n").as("n_a"), col("p").as("p_a"))
+    val cand = keys.select(col("g"), col("id").as("id_a"), col("n").as("n_a"), col("p").as("p_a"))
       .join(keys.select(col("g").as("g_b"), col("id").as("id_b"),
           col("n").as("n_b"), col("p").as("p_b")),
         col("g") === col("g_b") && col("id_a") < col("id_b") &&
@@ -260,6 +272,9 @@ object Dedup {
             + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
             .cast("double") >= alpha - lit(1e-6))
       .select("id_a", "id_b").distinct()
+    val arrays = ordered.select(col("id"),
+      transform(col("dg"), x => x.getField("g")).as("sh"))
+    (cand, arrays)
   }
 
   /**
