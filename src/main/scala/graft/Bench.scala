@@ -73,12 +73,12 @@ object Bench {
     // compiles, GC pauses, and host scheduling noise (observed on
     // identical binaries run minutes apart); min-of-2 is the standard
     // warm-benchmark estimator for the repeatable cost of the plan.
-    // TPC-H keys get min-of-3: round 3→4 showed ±30-40% swings on
-    // sub-second TPC-H shapes whose builders hadn't changed, so they
-    // need one more sample to separate plan regressions from host
-    // noise.
+    // TPC-H keys (and q_union_all, the fourth key in round 4's noisy
+    // set) get min-of-3: round 3→4 showed ±30-40% swings on sub-second
+    // shapes whose builders hadn't changed, so they need one more
+    // sample to separate plan regressions from host noise.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val reps = if (name.startsWith("q_tpch_")) 3 else 2
+      val reps = if (name.startsWith("q_tpch_") || name == "q_union_all") 3 else 2
       name -> (try {
         (1 to reps).map(_ => time(force(fn(spark, sfDir)))).min
       } catch { case _: Throwable => -1.0 })
@@ -86,7 +86,8 @@ object Bench {
 
     // Scale points: the same plan at 1× and at a synthetic 10× (union of
     // ten id-shifted copies — key arithmetic keeps joins aligned and, for
-    // documents, a per-copy text suffix avoids manufacturing duplicates).
+    // documents, a per-copy character substitution keeps copies mutually
+    // dissimilar; see docsAt).
     // The 10×/1× ratio is the evidence the shapes scale: a single-shuffle
     // aggregate or a broadcast-dim join should grow sub-linearly on this
     // host (fixed job overhead amortizes), and nothing should go

@@ -220,9 +220,6 @@ object Dedup {
       textCol: String, theta: Double, shingleN: Int = 3): DataFrame =
     ngramCandidatesAndArrays(shingledOf(df, idCol, textCol, shingleN), theta)._1
 
-  private def ngramCandidatesFrom(shingled: DataFrame, theta: Double): DataFrame =
-    ngramCandidatesAndArrays(shingled, theta)._1
-
   /** Candidates plus the df-ordered per-doc shingle arrays (id, sh) —
     * the arrays ride the same aggregate the prefix keys come from, so
     * a verify stage joining them reuses that exchange. */

@@ -571,7 +571,7 @@ object LlmQueries {
                    FROM c)
               SELECT d.doc_id, d.lang
               FROM documents d JOIN r USING (lang)
-              WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000 < r.thr""")),
+              WHERE (((d.doc_id % 1000003) * 2654435761) % 4294967296) % 1000 < r.thr""")),
 
     "q_repetition_stats" -> Q(
       // Gopher/MassiveText repetition quality signals
@@ -644,7 +644,7 @@ object LlmQueries {
                                           w -> w <> '')) AS BIGINT) AS n_tok
                    FROM documents),
               nz AS (SELECT doc_id, n_tok,
-                     ((doc_id * 2654435761) % 4294967296) % 8 AS grp
+                     (((doc_id % 1000003) * 2654435761) % 4294967296) % 8 AS grp
                    FROM toks WHERE n_tok > 0),
               cs AS (SELECT doc_id, n_tok, grp,
                      CAST(COALESCE(sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id

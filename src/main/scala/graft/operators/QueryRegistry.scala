@@ -55,30 +55,36 @@ object Q {
 
   private def tsIsNanos(s: SparkSession, dir: String): Boolean =
     tsNanosCache.computeIfAbsent(dir, { _ =>
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      import org.apache.parquet.schema.LogicalTypeAnnotation
-      val conf = s.sessionState.newHadoopConf()
-      val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-      val fs = root.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).headOption.getOrElse(root)
-        else root
-      val reader = org.apache.parquet.hadoop.ParquetFileReader
-        .open(HadoopInputFile.fromPath(file, conf))
+      // best-effort: ANY probe failure (odd part-file names, transient
+      // IO, exotic layouts) means "answer unknown" → false, which
+      // routes events() through the original inference + typed-catch
+      // fallback instead of crashing a path that used to work
       try {
-        val schema = reader.getFooter.getFileMetaData.getSchema
-        schema.containsField("ts") && (schema.getType(Seq("ts"): _*) match {
-          case p: org.apache.parquet.schema.PrimitiveType =>
-            p.getLogicalTypeAnnotation match {
-              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-              case _ => false
-            }
-          case _ => false
-        })
-      } finally reader.close()
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val conf = s.sessionState.newHadoopConf()
+        val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+        val fs = root.getFileSystem(conf)
+        val file =
+          if (fs.getFileStatus(root).isDirectory)
+            fs.listStatus(root).map(_.getPath)
+              .filter(_.getName.endsWith(".parquet")).headOption.getOrElse(root)
+          else root
+        val reader = org.apache.parquet.hadoop.ParquetFileReader
+          .open(HadoopInputFile.fromPath(file, conf))
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          schema.containsField("ts") && (schema.getType(Seq("ts"): _*) match {
+            case p: org.apache.parquet.schema.PrimitiveType =>
+              p.getLogicalTypeAnnotation match {
+                case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+                case _ => false
+              }
+            case _ => false
+          })
+        } finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) => java.lang.Boolean.FALSE }
     })
 
   def events(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {

@@ -220,14 +220,37 @@ object Similarity {
       m: Int = 4, codebook: DataFrame = null, lossless: Boolean = true,
       dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else deriveDim(candidates, "embedding")
+    adcTopK(candidates, queries, k, m, codebook, lossless, d, allowed = None)
+  }
+
+  /**
+   * The shared PQ scoring pipeline (encode → ADC tables → fold →
+   * top-k) behind [[pqTopK]] and [[ivfPqTopK]] — ONE implementation so
+   * the two oracle-gated keys can never drift bit-wise apart.
+   * `allowed` restricts scoring to an (q_id, vec_id) candidate set
+   * (the IVF routing); None scores every pair.
+   *
+   * Encode discipline: the exact equality-join encode is used ONLY
+   * for the internally-built lossless codebook, where every subvector
+   * is present by construction. A caller-provided codebook always
+   * goes through nearest-centroid assignment — identical codes for a
+   * lossless codebook (the distance-0 match is unique) and the
+   * correct semantics for a compressing one, where an equality join
+   * would silently DROP every candidate whose subvector isn't a
+   * centroid.
+   */
+  private def adcTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      m: Int, codebook: DataFrame, lossless: Boolean, d: Int,
+      allowed: Option[DataFrame]): DataFrame = {
     val cb = Option(codebook).getOrElse {
       if (lossless) pqCodebookLossless(candidates, m, d)
       else pqCodebookSampled(candidates, m, d)
     }
+    val equalityEncode = lossless && (codebook eq null)
     val subs = subVectors(candidates.select(col("vec_id"), col("embedding")), m, d)
     // --- encode: (vec_id, s, code) ---------------------------------------
     val enc =
-      if (lossless)
+      if (equalityEncode)
         subs.join(cb, subs("s") === cb("s") && subs("sub") === cb("centroid"))
           .select(subs("vec_id"), subs("s"), cb("code"))
       else {
@@ -255,14 +278,18 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("qs"), col("qsub")))).as("parts"))
       .select(col("q_id"), foldParts(col("parts"), p => dotSelf(p)).as("q2"))
     // --- score: fold the m partials in subspace order --------------------
-    val scored = enc.join(broadcast(dtab), Seq("s", "code"))
+    val paired = allowed match {
+      case Some(a) => a.join(enc, "vec_id").join(broadcast(dtab), Seq("q_id", "s", "code"))
+      case None => enc.join(broadcast(dtab), Seq("s", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+    }
+    val scored = paired
       .groupBy("q_id", "vec_id")
       .agg(sort_array(collect_list(struct(col("s"), col("dot"), col("c2")))).as("parts"))
       .select(col("q_id"), col("vec_id"),
         foldParts(col("parts"), p => p.getField("dot")).as("vdot"),
         foldParts(col("parts"), p => p.getField("c2")).as("v2"))
       .join(broadcast(qnorm), "q_id")
-      .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(col("vdot") / (sqrt(col("v2")) * sqrt(col("q2"))), 4).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
@@ -296,48 +323,7 @@ object Similarity {
       .join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id")
-    val cb = Option(codebook).getOrElse {
-      if (lossless) pqCodebookLossless(candidates, m, d)
-      else pqCodebookSampled(candidates, m, d)
-    }
-    val subs = subVectors(candidates.select(col("vec_id"), col("embedding")), m, d)
-    val enc =
-      if (lossless)
-        subs.join(cb, subs("s") === cb("s") && subs("sub") === cb("centroid"))
-          .select(subs("vec_id"), subs("s"), cb("code"))
-      else {
-        val dist = lit(-2.0) * dotD(col("sub"), col("centroid")) +
-          dotD(col("centroid"), col("centroid"))
-        subs.join(cb, "s")
-          .withColumn("rnk", row_number().over(Window.partitionBy("vec_id", "s")
-            .orderBy(dist, col("code"))))
-          .filter(col("rnk") === 1)
-          .select(col("vec_id"), col("s"), col("code"))
-      }
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val qsubs = subVectors(q.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")), m, d)
-      .select(col("vec_id").as("q_id"), col("s").as("qs"), col("sub").as("qsub"))
-    val dtab = qsubs.join(cb, qsubs("qs") === cb("s"))
-      .select(col("q_id"), col("s"), col("code"),
-        dotD(col("qsub"), col("centroid")).as("dot"),
-        dotD(col("centroid"), col("centroid")).as("c2"))
-    val qnorm = qsubs
-      .groupBy("q_id")
-      .agg(sort_array(collect_list(struct(col("qs"), col("qsub")))).as("parts"))
-      .select(col("q_id"), foldParts(col("parts"), p => dotSelf(p)).as("q2"))
-    val scored = allowed.join(enc, "vec_id")
-      .join(broadcast(dtab), Seq("q_id", "s", "code"))
-      .groupBy("q_id", "vec_id")
-      .agg(sort_array(collect_list(struct(col("s"), col("dot"), col("c2")))).as("parts"))
-      .select(col("q_id"), col("vec_id"),
-        foldParts(col("parts"), p => p.getField("dot")).as("vdot"),
-        foldParts(col("parts"), p => p.getField("c2")).as("v2"))
-      .join(broadcast(qnorm), "q_id")
-      .select(col("q_id"), col("vec_id"),
-        round(col("vdot") / (sqrt(col("v2")) * sqrt(col("q2"))), 4).as("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
-      .filter(col("rn") <= k)
+    adcTopK(candidates, queries, k, m, codebook, lossless, d, Some(allowed))
   }
 
   /** Left-fold a sorted struct array: ((x0 + x1) + x2) + … — the fixed

@@ -28,6 +28,16 @@ object TextPipeline {
   private def wordTokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), w => w =!= lit(""))
 
+  /** Deterministic multiplicative-hash bucket of a non-negative id
+    * (Knuth 2654435761 mod 2^32). The id is reduced mod a prime FIRST
+    * so the multiply stays within Long for ANY id — without it,
+    * ids ≥ ~3.5e9 overflow 2^63 (an ArithmeticException under ANSI
+    * mode, a silent wrap otherwise, and a divergence from the oracle's
+    * HUGEINT arithmetic either way), which matters precisely at the
+    * corpus sizes where deterministic sampling matters. */
+  private def hashBucket(id: Column, buckets: Int): Column =
+    pmod((id % lit(1000003L)) * lit(2654435761L), lit(4294967296L)) % buckets
+
   /** Whitespace tokens with original case (the chunking contract —
     * chunk text must reassemble the original wording, so tokens keep
     * their case and punctuation). */
@@ -170,7 +180,7 @@ object TextPipeline {
       .withColumn("thr",
         floor(lit(1000) * sqrt(min(col("n")).over(w).cast("double") / col("n"))))
       .select(col(stratumCol), col("thr"))
-    val bucket = pmod(col(idCol) * lit(2654435761L), lit(4294967296L)) % 1000
+    val bucket = hashBucket(col(idCol), 1000)
     df.join(broadcast(thresholds), stratumCol)
       .filter(bucket < col("thr"))
       .select(col(idCol), col(stratumCol))
@@ -200,8 +210,7 @@ object TextPipeline {
     df.select(col(idCol).as("doc_id"),
         size(wsTokens(col(textCol))).cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
-      .withColumn("grp",
-        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).cast("long") % groups)
+      .withColumn("grp", hashBucket(col("doc_id"), groups).cast("long"))
       .withColumn("cs", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       // `div`: integer division — exact at any cumulative-sum magnitude
       // (a double `/` would lose low bits past 2^53)
