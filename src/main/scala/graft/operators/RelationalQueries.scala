@@ -616,21 +616,30 @@ object RelationalQueries {
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
 
     "q_window_ntile" -> Q(
-      // distribution ranking: ntile buckets + relative ranks
+      // distribution ranking: ntile buckets + relative ranks. The
+      // percent_rank/cume_dist RATIOS are re-projected onto their
+      // exact integer preimages (rank−1 and rows≤current) for the
+      // gate: round(ratio, 6) straddles a decimal half-boundary at
+      // some partition sizes (observed at sf0.1: k/n ≈ 0.0640625 →
+      // Spark 0.064063, DuckDB 0.064062), while ratio × n rounds back
+      // to the exact integer at ANY SF — the float window machinery
+      // still runs and a wrong ratio still flips the integer.
       (s, dir) => {
         val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+        val n = count(lit(1)).over(Window.partitionBy("c_nationkey"))
         t(s, dir, "customer").select(
           col("c_custkey"), col("c_nationkey"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cdist"))
+          round(percent_rank().over(w) * (n - 1)).cast("long").as("rank0"),
+          round(cume_dist().over(w) * n).cast("long").as("cume_rows"))
       },
       Some("""SELECT c_custkey, c_nationkey,
                      CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-                     round(percent_rank() OVER w, 6) AS pct_rank,
-                     round(cume_dist() OVER w, 6) AS cdist
+                     CAST(round(percent_rank() OVER w * (count(*) OVER p - 1)) AS BIGINT) AS rank0,
+                     CAST(round(cume_dist() OVER w * count(*) OVER p) AS BIGINT) AS cume_rows
               FROM customer
-              WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""")),
+              WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+                     p AS (PARTITION BY c_nationkey)""")),
 
     "q_window_frame" -> Q(
       (s, dir) => {
