@@ -188,6 +188,39 @@ object Similarity {
         .orderBy(xxhash64(col("centroid").cast("string"), lit(seed)), col("centroid"))))
       .filter(col("code") <= ksub)
 
+  /**
+   * KMeans-trained codebook: the classic PQ quantizer — per subspace,
+   * `ksub` centroids fit on a (seeded, bounded) sample of that
+   * subspace's subvectors. Cluster centers are nlist-scale metadata
+   * (ksub·m rows), the same bounded driver-side footprint as
+   * [[ivfCells]]'s centroid table; the training pass is sampled
+   * exactly like IVF's `trainFraction`. Plugs into the same
+   * (s, code, centroid) seam as the other codebooks — recall
+   * ordering vs the sampled codebook is pinned in LlmOpsSpec.
+   */
+  def pqCodebookKMeans(candidates: DataFrame, m: Int, dim: Int,
+      ksub: Int = 256, trainFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction=$trainFraction outside (0, 1]")
+    val subs = subVectors(candidates.select(col("vec_id"), col("embedding")), m, dim)
+    val spark = candidates.sparkSession
+    val perSub = (0 until m).map { s =>
+      val rows = subs.filter(col("s") === s)
+        .select(array_to_vector(col("sub")).as("features"))
+      val train =
+        if (trainFraction >= 1.0) rows
+        else rows.sample(withReplacement = false, trainFraction, seed = 42L + s)
+      val model = new KMeans().setK(ksub).setSeed(42L + s).setMaxIter(5)
+        .setInitMode("random").fit(train)
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (s, i + 1, c.toArray.map(_.toFloat))
+      }.toSeq
+    }
+    spark.createDataFrame(perSub.flatten).toDF("s", "code", "centroid")
+  }
+
   /** (vec_id, s, sub): the m per-subspace slices of each embedding. */
   private def subVectors(df: DataFrame, m: Int, dim: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")

@@ -388,6 +388,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("KMeans PQ codebook plugs into the codebook seam and holds recall") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val dim = emb.head().getAs[Seq[Float]]("embedding").size
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(cb: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.pqTopK(emb, queries, 10, m = 4, codebook = cb,
+          lossless = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count(got.contains).toDouble / brute.size
+    }
+    val km = recallOf(Similarity.pqCodebookKMeans(emb, m = 4, dim = dim, ksub = 64))
+    val sampled = recallOf(Similarity.pqCodebookSampled(emb, m = 4, dim = dim, ksub = 64))
+    // a trained quantizer must at least hold its own against random
+    // sampling at the same budget (slack for seed luck), and clear the
+    // ~0.02 random floor by a wide margin
+    assert(km >= 0.25, s"kmeans recall=$km")
+    assert(km >= sampled - 0.15, s"kmeans recall=$km < sampled recall=$sampled - slack")
+  }
+
   test("IVF-PQ: exhaustive+lossless == brute force; real config keeps recall") {
     val queries = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(emb, queries, 10)
