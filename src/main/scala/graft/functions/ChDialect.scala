@@ -276,7 +276,52 @@ object ChDialect {
       DateFormatClass(ts(e), Literal("yyyyMMddHHmmss")), LongType)),
     "today" -> { args: Seq[Expression] =>
       require(args.isEmpty, "today() takes no arguments"); CurrentDate()
-    }
+    },
+
+    // ----- round-5 widening ---------------------------------------------
+    // (name-clash refusals, same policy as `position`/`now`: CH `any(x)`
+    // returns an arbitrary value while Spark's builtin any(bool) is a
+    // boolean OR — overriding would silently break standard queries, so
+    // it is not offered; use any_value. CH `length` spans strings AND
+    // arrays while Spark's is string-only — use size for arrays.
+    // `startsWith`/`endsWith`/`ifNull`/`median`/`log2`/`log10` need no
+    // entry: Spark's case-insensitive registry already resolves them
+    // with identical semantics.)
+    two("match")((s, p) => RLike(s, p)),
+    // CH extract(haystack, pattern): first subgroup if the pattern has
+    // one, else the whole match — decidable only for literal patterns
+    two("extract")((s, p) => p match {
+      case l: Literal if l.dataType == StringType && l.value != null =>
+        val groups = java.util.regex.Pattern.compile(l.value.toString).matcher("").groupCount()
+        RegExpExtract(s, p, Literal(if (groups > 0) 1 else 0))
+      case other => throw new IllegalArgumentException(
+        s"extract pattern must be a string literal, got $other")
+    }),
+    one("base64Encode")(e => Base64(Cast(e, BinaryType))),
+    one("base64Decode")(e => Cast(new UnBase64(e), StringType)),
+    "yesterday" -> { args: Seq[Expression] =>
+      require(args.isEmpty, "yesterday() takes no arguments")
+      DateSub(CurrentDate(), Literal(1))
+    },
+    one("toMonday")(e => TruncDate(date(e), Literal("WEEK"))),
+    one("toLastDayOfMonth")(e => LastDay(date(e))),
+    one("fromUnixTimestamp")(SecondsToTimestamp(_)),
+    two("addWeeks")((d, n) => DateAdd(date(d), Multiply(n, Literal(7)))),
+    two("subtractWeeks")((d, n) => DateSub(date(d), Multiply(n, Literal(7)))),
+    two("subtractYears")((d, n) => AddMonths(date(d), Multiply(UnaryMinus(n), Literal(12)))),
+    two("subtractHours")((t, n) => TimestampAdd("HOUR", UnaryMinus(n), ts(t))),
+    two("subtractMinutes")((t, n) => TimestampAdd("MINUTE", UnaryMinus(n), ts(t))),
+    two("subtractSeconds")((t, n) => TimestampAdd("SECOND", UnaryMinus(n), ts(t))),
+    "roundBankers" -> { args: Seq[Expression] =>
+      require(args.length == 1 || args.length == 2,
+        "roundBankers takes (x) or (x, places)")
+      BRound(args(0), if (args.length == 2) args(1) else Literal(0))
+    },
+    two("hasAll")((arr, sub) => EqualTo(Size(ArrayExcept(sub, arr)), Literal(0))),
+    // count of elements equal to x: ArrayRemove drops ALL occurrences
+    two("countEqual")((arr, x) => Subtract(Size(arr), Size(ArrayRemove(arr, x)))),
+    two("arrayElement")((arr, i) => ElementAt(arr, i)),
+    two("quantilesExact")((x, ps) => new Percentile(x, ps))
   )
 
   /** CH formatDateTime %-specifiers → Java SimpleDateFormat pattern. */

@@ -220,4 +220,43 @@ class ChDialectSpec extends AnyFunSuite {
     assert(q1("(SELECT quantileExact(c, 0.5) FROM (SELECT explode(array(1, 2, 3, 4)) AS c))") == 2.5)
     assert(q1("(SELECT quantile(c, 0.5) FROM (SELECT explode(sequence(1, 101)) AS c))") == 51)
   }
+
+  test("round-5 widening: strings, regex, encodings") {
+    assert(q1("match('hello42', '[a-z]+[0-9]+')") == true)
+    assert(q1("match('hello', '^[0-9]+$')") == false)
+    // pattern with a subgroup → first subgroup; without → whole match
+    assert(q1("extract('key=value', 'key=([a-z]+)')") == "value")
+    assert(q1("extract('abc123', '[0-9]+')") == "123")
+    assert(q1("base64Encode('spark')") == "c3Bhcms=")
+    assert(q1("base64Decode('c3Bhcms=')") == "spark")
+  }
+
+  test("round-5 widening: dates") {
+    assert(q1("toMonday(DATE '2024-03-15')") == java.sql.Date.valueOf("2024-03-11"))
+    assert(q1("toLastDayOfMonth(DATE '2024-02-10')") == java.sql.Date.valueOf("2024-02-29"))
+    assert(q1("fromUnixTimestamp(100)") == java.sql.Timestamp.valueOf("1970-01-01 00:01:40"))
+    assert(q1("addWeeks(DATE '2024-03-15', 2)") == java.sql.Date.valueOf("2024-03-29"))
+    assert(q1("subtractWeeks(DATE '2024-03-15', 2)") == java.sql.Date.valueOf("2024-03-01"))
+    assert(q1("subtractYears(DATE '2024-02-29', 1)") == java.sql.Date.valueOf("2023-02-28"))
+    assert(q1("subtractHours(TIMESTAMP '2024-03-15 01:30:00', 2)") ==
+      java.sql.Timestamp.valueOf("2024-03-14 23:30:00"))
+    assert(q1("subtractMinutes(TIMESTAMP '2024-03-15 00:01:00', 2)") ==
+      java.sql.Timestamp.valueOf("2024-03-14 23:59:00"))
+    assert(q1("subtractSeconds(TIMESTAMP '2024-03-15 00:00:01', 2)") ==
+      java.sql.Timestamp.valueOf("2024-03-14 23:59:59"))
+    assert(q1("yesterday()") == java.sql.Date.valueOf(
+      java.time.LocalDate.now(java.time.ZoneOffset.UTC).minusDays(1).toString))
+  }
+
+  test("round-5 widening: arrays, math, aggregates") {
+    assert(q1("roundBankers(2.5D)") == 2.0) // half-even, vs round's half-up 3
+    assert(q1("roundBankers(2.345D, 2)") == 2.34)
+    assert(q1("hasAll(array(1, 2, 3, 4), array(2, 4))") == true)
+    assert(q1("hasAll(array(1, 2), array(2, 5))") == false)
+    assert(q1("countEqual(array(1, 2, 1, 1), 1)") == 3)
+    assert(q1("arrayElement(array(10, 20, 30), 2)") == 20)
+    assert(q1("arrayElement(array(10, 20, 30), -1)") == 30) // CH negative = from end
+    assert(q1("(SELECT quantilesExact(c, array(0.25, 0.5, 0.75)) " +
+      "FROM (SELECT explode(array(1, 2, 3, 4)) AS c))") == Seq(1.75, 2.5, 3.25))
+  }
 }
