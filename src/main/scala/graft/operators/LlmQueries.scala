@@ -652,6 +652,29 @@ object LlmQueries {
                    FROM nz)
               SELECT doc_id, n_tok, grp, c // 256 AS bin FROM cs""")),
 
+    "q_pack_shards" -> Q(
+      // shard materialization (TextPipeline.packShards): each packed
+      // (group, bin)'s documents concatenated in doc_id order with an
+      // end-of-document separator — the text a tokenizer turns into
+      // one training sequence. DuckDB mirrors the deterministic
+      // ordering with string_agg(... ORDER BY doc_id).
+      (s, dir) => TextPipeline.packShards(
+        t(s, dir, "documents"), "doc_id", "text", capacity = 256, groups = 8),
+      Some("""WITH toks AS (SELECT doc_id, text,
+                     CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                          w -> w <> '')) AS BIGINT) AS n_tok
+                   FROM documents),
+              nz AS (SELECT doc_id, text, n_tok,
+                     (((doc_id % 1000003) * 2654435761) % 4294967296) % 8 AS grp
+                   FROM toks WHERE n_tok > 0),
+              cs AS (SELECT doc_id, text, n_tok, grp,
+                     CAST(COALESCE(sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+                   FROM nz)
+              SELECT grp, c // 256 AS bin, count(*) AS n_docs,
+                     string_agg(text, '<|eod|>' ORDER BY doc_id) AS shard_text
+              FROM cs GROUP BY grp, c // 256""")),
+
     "q_pipeline_e2e" -> Q(
       // the training-data pipeline COMPOSED, one declarative plan:
       // quality screen (repetition signals) → exact dedup (min-id

@@ -218,6 +218,28 @@ object TextPipeline {
       .select("doc_id", "n_tok", "grp", "bin")
   }
 
+  /**
+   * Materialize packed bins as shard rows: the documents of each
+   * (group, bin) concatenated in doc_id order with an end-of-document
+   * separator — the text that actually gets tokenized into one
+   * training sequence. Deterministic (sorted-struct fold, not
+   * collect order); one shuffle on the (grp, bin) key, whose
+   * cardinality is corpus_tokens / capacity.
+   *
+   * @return (grp, bin, n_docs, shard_text)
+   */
+  def packShards(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 256, groups: Int = 8, sep: String = "<|eod|>"): DataFrame = {
+    val assigned = packSequences(df, idCol, textCol, capacity, groups)
+      .join(df.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
+    assigned.groupBy("grp", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(struct(col("doc_id"), col("text")))).as("dts"))
+      .select(col("grp"), col("bin"), col("n_docs"),
+        array_join(transform(col("dts"), x => x.getField("text")), sep)
+          .as("shard_text"))
+  }
+
   /** A benchmark set derived from the corpus itself for the
     * oracle-gated key: every 10th document's tokens 11..40 as a
     * 30-token "benchmark passage" — planted leakage whose source

@@ -264,6 +264,20 @@ class LlmOpsSpec extends AnyFunSuite {
       val bins = ordered.map(_._4).distinct.sorted
       assert(bins === (0L to bins.max).toVector, s"grp $grp bins: $bins")
     }
+    // shard materialization: splitting each shard on the separator
+    // recovers exactly that bin's documents in doc_id order
+    val texts = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val shards = TextPipeline.packShards(docs, "doc_id", "text", capacity, groups = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(3)))).toMap
+    val byBin = got.groupBy(r => (r._3, r._4))
+    assert(shards.keySet === byBin.keySet)
+    byBin.foreach { case (k, rows) =>
+      val wantDocs = rows.sortBy(_._1).map(r => texts(r._1))
+      val (nDocs, text) = shards(k)
+      assert(nDocs === rows.length)
+      assert(text.split(java.util.regex.Pattern.quote("<|eod|>"), -1).toSeq === wantDocs)
+    }
   }
 
   test("repetition stats separate degenerate documents from healthy ones") {
