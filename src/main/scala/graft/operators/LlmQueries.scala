@@ -555,6 +555,29 @@ object LlmQueries {
                      array_to_string(ws[s+1 : s+64], ' ') AS chunk_text
               FROM st""")),
 
+    "q_text_normalize" -> Q(
+      // C4-style cleaning (TextPipeline.normalizeText): strip control
+      // chars, collapse whitespace, trim. The synthetic corpus is
+      // already clean, so the gate DIRTIES it first with deterministic
+      // injected tabs/double-spaces (same replace arithmetic both
+      // sides) — the normalizer must provably undo real dirt, not
+      // no-op over clean text.
+      (s, dir) => TextPipeline.normalizeText(
+        t(s, dir, "documents")
+          .select(col("doc_id"), regexp_replace(col("text"), "a", "\ta  ").as("text")),
+        "doc_id", "text"),
+      Some("""WITH dirty AS (SELECT doc_id,
+                     regexp_replace(text, 'a', chr(9) || 'a' || '  ', 'g') AS text
+                   FROM documents)
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                       ' {2,}', ' ', 'g')) AS clean_text,
+                     CAST(length(text) - length(trim(regexp_replace(
+                       regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                       ' {2,}', ' ', 'g'))) AS INTEGER) AS n_chars_removed
+              FROM dirty""")),
+
     "q_lang_mix" -> Q(
       // temperature-rebalanced language mixing (τ=0.5 — the XLM-R
       // recipe): over-represented languages are hash-downsampled at

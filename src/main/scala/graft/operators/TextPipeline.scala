@@ -240,6 +240,23 @@ object TextPipeline {
           .as("shard_text"))
   }
 
+  /**
+   * C4-style text normalization, the cleaning stage ahead of dedup
+   * and filtering: strip control characters, collapse whitespace runs
+   * to single spaces, trim. Pure per-row regex arithmetic (Java and
+   * RE2 agree on these classes, so the stage is oracle-able);
+   * normalizing BEFORE hashing/shingling is what makes exact dedup
+   * see through formatting-only differences.
+   *
+   * @return (doc_id, clean_text, n_chars_removed)
+   */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stripped = regexp_replace(col(textCol), "[\\x00-\\x1F\\x7F]", " ")
+    val collapsed = trim(regexp_replace(stripped, " {2,}", " "))
+    df.select(col(idCol).as("doc_id"), collapsed.as("clean_text"),
+      (length(col(textCol)) - length(collapsed)).as("n_chars_removed"))
+  }
+
   /** A benchmark set derived from the corpus itself for the
     * oracle-gated key: every 10th document's tokens 11..40 as a
     * 30-token "benchmark passage" — planted leakage whose source

@@ -280,6 +280,26 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text normalization strips control chars and collapses whitespace") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "clean text stays put"),
+      (2L, "  leading   and\ttrailing\n runs  "),
+      (3L, "ctrl\u0000chars\u0007are\u001fstripped\u007f")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.normalizeText(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L) === (("clean text stays put", 0)))
+    assert(got(2L) === (("leading and trailing runs", 7)))
+    assert(got(3L)._1 === "ctrl chars are stripped")
+    // normalization makes formatting-variant duplicates exact-equal
+    val a = TextPipeline.normalizeText(
+      Seq((1L, "same   doc\twith formatting"), (2L, "same doc with formatting"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getString(1)).distinct
+    assert(a.length === 1)
+  }
+
   test("repetition stats separate degenerate documents from healthy ones") {
     import spark.implicits._
     val corpus = Seq(
