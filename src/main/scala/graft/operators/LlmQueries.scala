@@ -625,6 +625,36 @@ object LlmQueries {
                                 / len(tris) END, 4) AS dup_trigram_frac
               FROM tri""")),
 
+    "q_quality_filter" -> Q(
+      // the Gopher-rule DECISION (TextPipeline.qualityFilter): each
+      // doc's accept/reject plus the failed-rule list in fixed rule
+      // order — the curation verdict a pipeline writes next to the
+      // data. The oracle rebuilds the signals and the same rule list.
+      (s, dir) => TextPipeline.qualityFilter(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 w -> w <> '') AS ws
+                   FROM documents),
+              nz AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0),
+              sig AS (SELECT doc_id,
+                     CAST(n AS INTEGER) AS n_tok,
+                     round(CAST(len(list_distinct(ws)) AS DOUBLE) / n, 4) AS dr,
+                     round(CAST(list_max(list_transform(list_distinct(ws),
+                             w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / n, 4) AS ttf,
+                     round(CASE WHEN n < 3 THEN 0.0
+                           ELSE CAST((n - 2) - len(list_distinct(list_transform(range(1, n - 1),
+                                  i -> array_to_string(ws[i:i+2], ' ')))) AS DOUBLE)
+                                / (n - 2) END, 4) AS dtf
+                   FROM nz),
+              dec AS (SELECT doc_id,
+                     list_filter([CASE WHEN n_tok < 15 THEN 'too_short' END,
+                                  CASE WHEN dr < 0.3 THEN 'low_diversity' END,
+                                  CASE WHEN ttf > 0.2 THEN 'token_dominance' END,
+                                  CASE WHEN dtf > 0.5 THEN 'repeated_spans' END],
+                                 x -> x IS NOT NULL) AS reasons
+                   FROM sig)
+              SELECT doc_id, len(reasons) = 0 AS accepted, reasons FROM dec""")),
+
     "q_decontaminate" -> Q(
       // eval-set decontamination: flag corpus documents sharing any
       // word-8-gram with a benchmark set (the C4/GPT-3-style n-gram

@@ -257,6 +257,31 @@ object TextPipeline {
       (length(col(textCol)) - length(collapsed)).as("n_chars_removed"))
   }
 
+  /**
+   * The Gopher-rule filtering DECISION over [[repetitionStats]]:
+   * per document, accept/reject plus the list of failed rules (in
+   * fixed rule order — the actionable output a curation pipeline
+   * writes next to each document). Thresholds are the classic
+   * MassiveText-style screens; compare on the rounded signals so the
+   * decision is engine-reproducible.
+   *
+   * @return (doc_id, accepted, reasons)
+   */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 15, minDistinctRatio: Double = 0.3,
+      maxTopTokenFrac: Double = 0.2, maxDupTrigramFrac: Double = 0.5): DataFrame = {
+    val stats = repetitionStats(df, idCol, textCol)
+    val rules = array(
+      when(col("n_tok") < minTokens, lit("too_short")),
+      when(col("distinct_ratio") < minDistinctRatio, lit("low_diversity")),
+      when(col("top_token_frac") > maxTopTokenFrac, lit("token_dominance")),
+      when(col("dup_trigram_frac") > maxDupTrigramFrac, lit("repeated_spans")))
+    stats.select(col("doc_id"),
+        filter(rules, x => x.isNotNull).as("reasons"))
+      .select(col("doc_id"), (size(col("reasons")) === 0).as("accepted"),
+        col("reasons"))
+  }
+
   /** A benchmark set derived from the corpus itself for the
     * oracle-gated key: every 10th document's tokens 11..40 as a
     * 30-token "benchmark passage" — planted leakage whose source

@@ -377,6 +377,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality filter rejects degenerate docs with the right reasons") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "short doc"),                                          // too_short
+      (2L, ("spam " * 30).trim),                                  // every repetition rule
+      (3L, (1 to 40).map("unique" + _).mkString(" "))             // healthy
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.qualityFilter(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getSeq[String](2))).toMap
+    // 2 tokens: top token owns half the mass, so dominance fires too
+    assert(got(1L) === ((false, Seq("too_short", "token_dominance"))))
+    assert(got(2L)._1 === false)
+    assert(got(2L)._2.toSet ===
+      Set("low_diversity", "token_dominance", "repeated_spans"))
+    assert(got(3L) === ((true, Seq.empty[String])))
+  }
+
   test("decontamination flags exactly the documents containing benchmark grams") {
     import spark.implicits._
     val corpus = Seq(
