@@ -655,6 +655,69 @@ object LlmQueries {
                    FROM sig)
               SELECT doc_id, len(reasons) = 0 AS accepted, reasons FROM dec""")),
 
+    "q_vocab_build" -> Q(
+      // corpus vocabulary (TextPipeline.buildVocab): top-1000 word
+      // tokens with dense ids — the tokenizer-training precursor. The
+      // oracle rebuilds the same (count desc, word asc) total order.
+      (s, dir) => TextPipeline.buildVocab(t(s, dir, "documents"), "text", 1000),
+      Some("""WITH w AS (SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS word
+                   FROM documents),
+              c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)
+              SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) - 1 AS INTEGER)
+                       AS token_id, word, cnt
+              FROM c ORDER BY cnt DESC, word LIMIT 1000""")),
+
+    "q_split_assign" -> Q(
+      // deterministic train/val/test assignment
+      // (TextPipeline.assignSplits): hash-bucketed 98/1/1 so documents
+      // never migrate between splits across reruns or appends; the
+      // oracle recomputes the multiplicative-hash arithmetic.
+      (s, dir) => TextPipeline.assignSplits(t(s, dir, "documents"), "doc_id"),
+      Some("""SELECT doc_id,
+                     CAST((((doc_id % 1000003) * 2654435761) % 4294967296) % 100
+                       AS INTEGER) AS bucket,
+                     CASE WHEN (((doc_id % 1000003) * 2654435761) % 4294967296) % 100 < 98
+                            THEN 'train'
+                          WHEN (((doc_id % 1000003) * 2654435761) % 4294967296) % 100 < 99
+                            THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents""")),
+
+    "q_df_stats" -> Q(
+      // corpus document-frequency profile (TextPipeline.dfStats):
+      // top-200 words by df with an integer-exact majority stopword
+      // flag — the df table behind the dedup family's prefix filters.
+      (s, dir) => TextPipeline.dfStats(t(s, dir, "documents"), "doc_id", "text", 200),
+      Some("""WITH w AS (SELECT doc_id, unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''))) AS word
+                   FROM documents),
+              d AS (SELECT word, count(*) AS df FROM w GROUP BY word)
+              SELECT word, df, df * 2 > (SELECT count(*) FROM documents) AS is_stopword
+              FROM d ORDER BY df DESC, word LIMIT 200""")),
+
+    "q_tfidf_terms" -> Q(
+      // per-document distinctive terms (TextPipeline.tfidfTerms):
+      // top-3 by tf/df — linear-idf tf·idf, kept as an IEEE integer
+      // division so the ranking is engine-exact (log-idf would hang
+      // the hash gate on libm ulps); output columns are all integer.
+      (s, dir) => TextPipeline.tfidfTerms(t(s, dir, "documents"), "doc_id", "text", 3),
+      Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+                   FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+              dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+              ranked AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     CAST(row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df DESC, tf.term)
+                       AS INTEGER) AS rank
+                   FROM tf JOIN dfreq USING (term))
+              SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3""")),
+
     "q_decontaminate" -> Q(
       // eval-set decontamination: flag corpus documents sharing any
       // word-8-gram with a benchmark set (the C4/GPT-3-style n-gram

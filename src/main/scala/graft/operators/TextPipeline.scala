@@ -291,4 +291,97 @@ object TextPipeline {
     docs.select(col(idCol).as("bench_id"), wordTokens(col(textCol)).as("ws"))
       .filter(col("bench_id") % 10 === 0 && size(col("ws")) >= 40)
       .select(col("bench_id"), concat_ws(" ", slice(col("ws"), 11, 30)).as("bench_text"))
+
+  /**
+   * Corpus vocabulary: the `maxVocab` most frequent word tokens with
+   * dense token ids — the word-level precursor every tokenizer
+   * training run starts from. The count is the canonical map-side-
+   * combined aggregate (one thin (word, count) shuffle regardless of
+   * corpus size); the top-N is TakeOrdered (per-partition heaps, no
+   * global sort materialization); only the ≤`maxVocab`-row survivor
+   * set — vocabulary-sized, not corpus-sized, by definition — passes
+   * through the single-partition id-assignment window. Ties at the
+   * boundary are broken (count desc, word asc), a total order, so the
+   * vocabulary is deterministic at any scale.
+   *
+   * @return (token_id, word, cnt) — token_id dense from 0
+   */
+  def buildVocab(df: DataFrame, textCol: String, maxVocab: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word").asc)
+    df.select(explode(wordTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(maxVocab)
+      .select((row_number().over(w) - 1).as("token_id"), col("word"), col("cnt"))
+  }
+
+  /**
+   * Deterministic train/val/test split assignment by document id:
+   * the same Knuth multiplicative-hash bucket the sampling operators
+   * use ([[hashBucket]]), mod 100, cut at `trainPct` and
+   * `trainPct + valPct`. Hash-based (not random) so the split is
+   * stable under reruns, re-partitioning, and corpus appends — the
+   * property a training pipeline needs so a document never migrates
+   * between train and eval. Pure per-row arithmetic; zero shuffles.
+   *
+   * @return (doc_id, bucket, split)
+   */
+  def assignSplits(df: DataFrame, idCol: String,
+      trainPct: Int = 98, valPct: Int = 1): DataFrame = {
+    val bucket = hashBucket(col(idCol), 100)
+    df.select(col(idCol).as("doc_id"), bucket.cast("int").as("bucket"),
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  /**
+   * Corpus document-frequency statistics: for the `topN` highest-df
+   * word tokens, the document count containing them and a stopword
+   * flag (`df·2 > n_docs` — present in a majority of documents; the
+   * comparison is integer so the flag is engine-exact). This is the
+   * df side of every prefix/blacklist filter the dedup family uses,
+   * surfaced as its own corpus profile. One thin (word, df) shuffle
+   * (distinct word per doc first, a per-row array op); the corpus
+   * count broadcasts as a 1-row join.
+   *
+   * @return (word, df, is_stopword), top `topN` by (df desc, word asc)
+   */
+  def dfStats(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 200): DataFrame = {
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    df.select(explode(array_distinct(wordTokens(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("word"), col("df"), (col("df") * 2 > col("n_docs")).as("is_stopword"))
+      .orderBy(col("df").desc, col("word").asc).limit(topN)
+  }
+
+  /**
+   * Per-document distinctive terms: the `k` terms with the highest
+   * tf/df ratio (term frequency in the document over corpus document
+   * frequency — tf·idf with the idf linear instead of logarithmic,
+   * which keeps the score an IEEE division of two integers, bit-equal
+   * on any engine, where log(N/df) invites libm divergence). Ranking
+   * ties break (score desc, term asc) — total order, deterministic.
+   * Two thin shuffles (term-level tf and df aggregates meet on the
+   * term key) plus the per-document ranking window; the score itself
+   * stays internal — the output is all integers and strings.
+   *
+   * @return (doc_id, term, tf, df, rank) — rank 1..k per document
+   */
+  def tfidfTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(wordTokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -394,6 +394,65 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((true, Seq.empty[String])))
   }
 
+  test("vocab build assigns dense frequency-ordered token ids") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "alpha beta delta")
+    ).toDF("doc_id", "text")
+    val v = TextPipeline.buildVocab(corpus, "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // alpha×4, beta×3, then gamma/delta tie at 1 broken alphabetically
+    assert(v.toSeq === Seq((0, "alpha", 4L), (1, "beta", 3L), (2, "delta", 1L)))
+  }
+
+  test("split assignment is deterministic, total, and hash-stable under append") {
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("doc_id")
+    val a = TextPipeline.assignSplits(ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.size === 1000 && Set("train", "val", "test").subsetOf(a.values.toSet))
+    // appending more documents must not move any existing assignment
+    val b = TextPipeline.assignSplits((0L until 2000L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.forall { case (id, s) => b(id) == s })
+    // hash split should land near 98/1/1 without being exactly it
+    val train = a.values.count(_ == "train")
+    assert(train > 940 && train < 1000, s"train=$train")
+  }
+
+  test("df stats flags exactly the majority words as stopwords") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat"), (2L, "the dog"), (3L, "the bird"), (4L, "a fish")
+    ).toDF("doc_id", "text")
+    val m = TextPipeline.dfStats(corpus, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(m("the") === ((3L, true)))   // 3 of 4 docs: 6 > 4
+    assert(m("cat") === ((1L, false)))
+    // exactly half is NOT a majority (2*2 = 4, not > 4)
+    val half = TextPipeline.dfStats(
+      Seq((1L, "x y"), (2L, "x z"), (3L, "p"), (4L, "q")).toDF("doc_id", "text"),
+      "doc_id", "text").filter(col("word") === "x").head()
+    assert(half.getBoolean(2) === false)
+  }
+
+  test("tfidf ranks a document's unique term above shared boilerplate") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "common common quark"),   // quark: 1/1 = 1.0 beats common 2/3
+      (2L, "common gluon"),
+      (3L, "common")
+    ).toDF("doc_id", "text")
+    val top = TextPipeline.tfidfTerms(corpus, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) === "quark" && top(2L) === "gluon" && top(3L) === "common")
+    val ranks = TextPipeline.tfidfTerms(corpus, "doc_id", "text", k = 2)
+      .groupBy("doc_id").agg(max("rank")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ranks(1L) === 2 && ranks(3L) === 1) // k bounds, short doc exhausts
+  }
+
   test("decontamination flags exactly the documents containing benchmark grams") {
     import spark.implicits._
     val corpus = Seq(
