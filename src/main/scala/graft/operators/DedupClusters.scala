@@ -96,4 +96,20 @@ object DedupClusters {
       .withColumn("cluster", coalesce(col("cluster"), col("id")))
       .withColumn("keep", col("id") === col("cluster"))
   }
+
+  /**
+   * Materialize the dedup decision: the corpus with every
+   * non-representative cluster member removed — what a curation
+   * pipeline actually writes out. The decision travels as a thin
+   * (id) semi-join probe (only SURVIVOR ids, each a single long), so
+   * the corpus rows stream through unshuffled on the probe side and
+   * no text ever rides the decision machinery.
+   *
+   * @return the input rows whose `idCol` survives dedup, unchanged
+   */
+  def applyKeepList(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val kept = keepList(corpus.select(col(idCol)), idCol, pairs)
+      .filter(col("keep")).select(col("id"))
+    corpus.join(kept, corpus(idCol) === kept("id"), "left_semi")
+  }
 }

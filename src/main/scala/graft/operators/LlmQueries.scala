@@ -211,6 +211,22 @@ object LlmQueries {
                       doc_id = min(doc_id) OVER (PARTITION BY text) AS keep
                FROM $dupCorpusSql""")),
 
+    "q_dedup_apply" -> Q(
+      // the dedup pipeline's terminal operator
+      // (DedupClusters.applyKeepList): the CLEANED CORPUS — candidate
+      // pairs → connected components → min-id survivor semi-join, one
+      // declarative plan; over the exact-duplicate gate the survivors
+      // are exactly one doc per distinct text (the min id), which the
+      // oracle states directly with a window QUALIFY.
+      (s, dir) => {
+        val corpus = dupCorpus(s, dir)
+        val pairs = confirmExact(corpus, Dedup.minhashPairs(corpus, "doc_id", "text",
+          threshold = 1.0)).select("id_a", "id_b")
+        DedupClusters.applyKeepList(corpus, "doc_id", pairs)
+      },
+      Some(s"""SELECT doc_id, text FROM $dupCorpusSql
+               QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)""")),
+
     "q_dedup_simhash" -> Q(
       // SimHash bucketing in its exact-duplicate gate: maxHamming = 0
       // means ONE slice = the whole 64-bit fingerprint, i.e. an

@@ -106,6 +106,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(keepers === clusters)
   }
 
+  test("applyKeepList keeps min-id per component and every unpaired row") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "e"))
+      .toDF("doc_id", "text")
+    // chain 1-2-3 is one component; 4 pairs with nothing; 9 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = DedupClusters.applyKeepList(corpus, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept === Set((1L, "a"), (4L, "d"), (9L, "e")))
+  }
+
   test("embedding near-dup: LSH pairs == exact all-pairs baseline (seeded copies)") {
     import org.apache.spark.sql.functions.col
     val corpus = emb.select(col("vec_id"), col("embedding"))
