@@ -321,8 +321,99 @@ object ChDialect {
     // count of elements equal to x: ArrayRemove drops ALL occurrences
     two("countEqual")((arr, x) => Subtract(Size(arr), Size(ArrayRemove(arr, x)))),
     two("arrayElement")((arr, i) => ElementAt(arr, i)),
-    two("quantilesExact")((x, ps) => new Percentile(x, ps))
+    two("quantilesExact")((x, ps) => new Percentile(x, ps)),
+
+    // ----- round-5b widening: array arithmetic, position, time buckets --
+    // (further refusals under the same policy: `xxHash64` is NOT aliased
+    // to Spark's xxhash64 — Spark seeds with 42 and hashes SQL values,
+    // CH seeds 0 over raw bytes, so the alias would silently return
+    // different hashes; `cityHash64` would carry the same unanchored-
+    // vector risk COVERAGE.md §2.1 documents for CityHash128 and is not
+    // offered either.)
+    one("arraySum") { arr =>
+      val (acc, x) = (lv("acc"), lv("x"))
+      // the fold's zero must already HAVE the result type (the analyzer
+      // checks merge-vs-zero, it doesn't coerce zero up), and that type
+      // depends on the element: Int64 for integer arrays, Float64 for
+      // fractional (CH widening). first − first is an element-typed 0;
+      // the out-of-bounds-safe ElementAt keeps the empty array null →
+      // coalesce; the BIGINT literal makes int arrays fold widened.
+      val el = ElementAt(arr, Literal(1), None, failOnError = false)
+      val zero = Coalesce(Seq(new Subtract(el, el), Literal(0L)))
+      ArrayAggregate(arr, zero,
+        LambdaFunction(new Add(acc, x), Seq(acc, x)), LambdaFunction.identity)
+    },
+    one("arrayProduct") { arr =>
+      val (acc, x) = (lv("acc"), lv("x"))
+      // CH arrayProduct always returns Float64 — the zero is a double
+      ArrayAggregate(arr, Literal(1.0d),
+        LambdaFunction(new Multiply(acc, x), Seq(acc, x)), LambdaFunction.identity)
+    },
+    one("arrayAvg") { arr =>
+      val (acc, x) = (lv("acc"), lv("x"))
+      val sum = ArrayAggregate(arr, Literal(0.0d),
+        LambdaFunction(new Add(acc, x), Seq(acc, x)), LambdaFunction.identity)
+      // CH arrayAvg([]) = 0; under ANSI the ÷0 would THROW, so the
+      // empty edge is its own branch, not a coalesce
+      CaseWhen(Seq((EqualTo(Size(arr), Literal(0)), Literal(0.0d))),
+        Some(new Divide(sum, Cast(Size(arr), DoubleType))))
+    },
+    one("arrayDifference") { arr =>
+      // [a0, a1-a0, a2-a1, …]: element-wise subtract of the 0-fronted
+      // shift; zip_with pads the SHORTER side with null, so the empty
+      // array (shift = [0], zip → [null]) needs its own branch
+      val (x, y) = (lv("x"), lv("y"))
+      val shifted = Concat(Seq(CreateArray(Seq(Literal(0))),
+        Slice(arr, Literal(1), Greatest(Seq(Subtract(Size(arr), Literal(1)), Literal(0))))))
+      CaseWhen(Seq((EqualTo(Size(arr), Literal(0)), arr)),
+        Some(ZipWith(arr, shifted, LambdaFunction(new Subtract(x, y), Seq(x, y)))))
+    },
+    one("arrayEnumerate") { arr =>
+      // [1, 2, …, n]; sequence(1, 0) would DESCEND, so empty is its own
+      // branch
+      CaseWhen(Seq((EqualTo(Size(arr), Literal(0)),
+        Cast(Literal.create(Array.empty[Int], ArrayType(IntegerType)), ArrayType(IntegerType)))),
+        Some(new Sequence(Literal(1), Size(arr))))
+    },
+    // CH position(haystack, needle) clashes with the ANSI builtin (see
+    // the round-3 note) but the CaseInsensitive spelling has no builtin
+    // to clash with
+    two("positionCaseInsensitive")((h, n) => new StringLocate(Lower(n), Lower(h))),
+    "substringUTF8" -> { args: Seq[Expression] =>
+      require(args.length == 2 || args.length == 3,
+        "substringUTF8 takes (s, offset[, length])")
+      Substring(args(0), args(1),
+        if (args.length == 3) args(2) else Literal(Int.MaxValue))
+    },
+    one("toStartOfFiveMinutes")(e => secondsBucket(e, 300L)),
+    one("toStartOfTenMinutes")(e => secondsBucket(e, 600L)),
+    one("toStartOfFifteenMinutes")(e => secondsBucket(e, 900L)),
+    // CH range(end) = [0 … end-1], range(start, end) = [start … end-1];
+    // empty when the interval is — sequence(0, -1) would descend, so
+    // the guard branch returns the empty array. The 3-arg stepped form
+    // is refused (sequence TO-inclusive vs range TO-exclusive cannot be
+    // reconciled without evaluating the step).
+    "range" -> { args: Seq[Expression] =>
+      require(args.length == 1 || args.length == 2,
+        "range takes (end) or (start, end); the stepped form is not offered")
+      val (start, end) = if (args.length == 1) (Literal(0L), args(0))
+        else (args(0), args(1))
+      CaseWhen(Seq((LessThanOrEqual(end, start),
+        Cast(Literal.create(Array.empty[Long], ArrayType(LongType)), ArrayType(LongType)))),
+        Some(new Sequence(start, new Subtract(end, Literal(1)))))
+    }
   )
+
+  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+
+  /** Timestamp floored to a fixed bucket of epoch seconds (the
+    * toStartOfNMinutes family). Matches CH for epochs >= 0; pre-1970
+    * timestamps round toward zero rather than down (documented edge —
+    * IntegralDivide truncates). */
+  private def secondsBucket(e: Expression, seconds: Long): Expression =
+    SecondsToTimestamp(Multiply(
+      new IntegralDivide(UnixSeconds(Cast(e, TimestampType)), Literal(seconds)),
+      Literal(seconds)))
 
   /** CH formatDateTime %-specifiers → Java SimpleDateFormat pattern. */
   private def translateChFormat(f: String): String = {

@@ -259,4 +259,31 @@ class ChDialectSpec extends AnyFunSuite {
     assert(q1("(SELECT quantilesExact(c, array(0.25, 0.5, 0.75)) " +
       "FROM (SELECT explode(array(1, 2, 3, 4)) AS c))") == Seq(1.75, 2.5, 3.25))
   }
+
+  test("round-5b widening: array arithmetic, position, time buckets, range") {
+    assert(q1("arraySum(array(1, 2, 3))") == 6L)           // Int → Int64, CH-style
+    assert(q1("arraySum(array(1.5D, 2.5D))") == 4.0)
+    assert(q1("arraySum(CAST(array() AS ARRAY<INT>))") == 0L)
+    assert(q1("arrayProduct(array(2, 3, 4))") == 24.0)     // always Float64, CH-style
+    assert(q1("arrayAvg(array(1, 2, 3, 4))") == 2.5)
+    assert(q1("arrayAvg(CAST(array() AS ARRAY<INT>))") == 0.0) // CH pins the empty edge
+    assert(q1("arrayDifference(array(1, 4, 9, 16))") == Seq(1, 3, 5, 7))
+    assert(q1("arrayDifference(CAST(array() AS ARRAY<INT>))") == Seq())
+    assert(q1("arrayEnumerate(array('a', 'b', 'c'))") == Seq(1, 2, 3))
+    assert(q1("arrayEnumerate(CAST(array() AS ARRAY<STRING>))") == Seq())
+    assert(q1("positionCaseInsensitive('Hello World', 'WORLD')") == 7)
+    assert(q1("positionCaseInsensitive('abc', 'z')") == 0)  // CH: 0 = not found
+    assert(q1("substringUTF8('clickhouse', 6)") == "house")
+    assert(q1("substringUTF8('clickhouse', 1, 5)") == "click")
+    assert(q1("toStartOfFiveMinutes(TIMESTAMP '2024-03-15 13:47:56')") ==
+      java.sql.Timestamp.valueOf("2024-03-15 13:45:00"))
+    assert(q1("toStartOfTenMinutes(TIMESTAMP '2024-03-15 13:47:56')") ==
+      java.sql.Timestamp.valueOf("2024-03-15 13:40:00"))
+    assert(q1("toStartOfFifteenMinutes(TIMESTAMP '2024-03-15 13:47:56')") ==
+      java.sql.Timestamp.valueOf("2024-03-15 13:45:00"))
+    assert(q1("range(4)") == Seq(0L, 1L, 2L, 3L))           // TO-exclusive, CH-style
+    assert(q1("range(2, 5)") == Seq(2L, 3L, 4L))
+    assert(q1("range(0)") == Seq())
+    assert(q1("range(5, 2)") == Seq())
+  }
 }
