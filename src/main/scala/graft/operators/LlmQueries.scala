@@ -47,6 +47,57 @@ object LlmQueries {
         WHERE doc_id % 10 = 0)"""
 
   /**
+   * The q_bpe_merges oracle, generated per step count: chained CTEs,
+   * one block per merge round, each recomputing pair counts over the
+   * token rows, picking the (cnt desc, lhs, rhs) argmax, and applying
+   * the merge with the run/rank selection equivalent to the greedy
+   * left-to-right fold (see TextPipeline.bpeMerges).
+   */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val steps = (1 to numMerges).map { k =>
+      s"""pairs$k AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+              SELECT word, freq, tok AS lhs,
+                     lead(tok) OVER (PARTITION BY word ORDER BY pos) AS rhs
+              FROM t$k) WHERE rhs IS NOT NULL GROUP BY lhs, rhs),
+          best$k AS (SELECT $k AS step, lhs, rhs, cnt FROM pairs$k
+                     ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+          cr$k AS (SELECT word, pos FROM (
+              SELECT word, pos, tok = (SELECT lhs FROM best$k) AND
+                     lead(tok) OVER (PARTITION BY word ORDER BY pos)
+                       = (SELECT rhs FROM best$k) AS c
+              FROM t$k) WHERE c),
+          runs$k AS (SELECT word, pos,
+                     pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS run
+                     FROM cr$k),
+          sel$k AS (SELECT word, pos FROM (
+              SELECT word, pos,
+                     row_number() OVER (PARTITION BY word, run ORDER BY pos) AS rk
+              FROM runs$k) WHERE rk % 2 = 1),
+          t${k + 1} AS (SELECT word, freq,
+                     row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, tok
+              FROM (
+                SELECT t.word, t.freq, t.pos,
+                       CASE WHEN s.pos IS NOT NULL
+                            THEN t.tok || (SELECT rhs FROM best$k)
+                            ELSE t.tok END AS tok,
+                       CASE WHEN p.pos IS NOT NULL THEN 1 ELSE 0 END AS dropped
+                FROM t$k t
+                LEFT JOIN sel$k s ON t.word = s.word AND t.pos = s.pos
+                LEFT JOIN sel$k p ON t.word = p.word AND t.pos = p.pos + 1)
+              WHERE dropped = 0)"""
+    }.mkString(",\n")
+    s"""WITH wf AS (SELECT word, count(*) AS freq FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          w -> w <> '')) AS word FROM documents) GROUP BY word),
+        t1 AS (SELECT word, freq, i AS pos,
+                      substring(word, CAST(i AS INTEGER), 1) AS tok
+               FROM wf, unnest(range(1, length(word) + 1)) AS u(i)),
+        $steps
+        SELECT step, lhs, rhs, cnt FROM (
+          ${(1 to numMerges).map(k => s"SELECT * FROM best$k").mkString(" UNION ALL ")})"""
+  }
+
+  /**
    * Confirm candidate pairs as EXACT duplicates by content-hash
    * equality — a fixed-width compare instead of shipping full text
    * through the verify join (the md5 collision risk is ~2^-64 at any
@@ -670,6 +721,17 @@ object LlmQueries {
                                  x -> x IS NOT NULL) AS reasons
                    FROM sig)
               SELECT doc_id, len(reasons) = 0 AS accepted, reasons FROM dec""")),
+
+    "q_bpe_merges" -> Q(
+      // BPE tokenizer training, first 3 merge rules
+      // (TextPipeline.bpeMerges). The oracle replays the identical
+      // algorithm in SQL: per round, frequency-weighted pair counts →
+      // deterministic argmax → greedy non-overlapping merge, spelled
+      // as the run/rank window selection that provably equals the
+      // Spark side's left-to-right fold (odd ranks within each run of
+      // consecutive match positions).
+      (s, dir) => TextPipeline.bpeMerges(t(s, dir, "documents"), "doc_id", "text", 3),
+      Some(bpeOracleSql(3))),
 
     "q_vocab_build" -> Q(
       // corpus vocabulary (TextPipeline.buildVocab): top-1000 word

@@ -293,6 +293,73 @@ object TextPipeline {
       .select(col("bench_id"), concat_ws(" ", slice(col("ws"), 11, 30)).as("bench_text"))
 
   /**
+   * The first `numMerges` BPE (byte-pair-encoding) merge rules learned
+   * from the corpus — the core loop of tokenizer training. Classic
+   * algorithm: words become character sequences; each round counts
+   * adjacent token pairs weighted by word frequency, picks the most
+   * frequent (ties broken (count desc, lhs asc, rhs asc) — a total
+   * order, so the learned rules are deterministic), and merges its
+   * non-overlapping occurrences left-to-right.
+   *
+   * Scale design: the corpus is read ONCE (a map-side-combined word
+   * count); every merge round then iterates over the DISTINCT-WORD
+   * table, which is vocabulary-sized, not corpus-sized — the reason
+   * BPE training is tractable at all. Each round's driver traffic is
+   * a single 1-row collect (the argmax pair — a scalar probe, like a
+   * KMeans centroid fetch); the merge APPLY is a per-row array fold,
+   * fully distributed. At 100 TB one would additionally cap or sample
+   * the word table (standard practice); the loop itself is unchanged.
+   *
+   * The left-to-right fold (merge into `acc` when `last(acc) = lhs ∧
+   * x = rhs`) implements exactly the "greedy non-overlapping"
+   * semantics: within any run of consecutive match positions it
+   * merges the 1st, 3rd, 5th… — the invariant the oracle reproduces
+   * with a run/rank window selection.
+   *
+   * @return (step, lhs, rhs, cnt) — one row per learned merge rule,
+   *         step counting from 1; fewer rows if the corpus runs out
+   *         of repeated pairs first
+   */
+  def bpeMerges(df: DataFrame, idCol: String, textCol: String,
+      numMerges: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    def lit1(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    var words = df.select(explode(wordTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("toks",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to numMerges if !exhausted) {
+      val best = words
+        .filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> struct(element_at(toks, i) AS lhs, element_at(toks, i + 1) AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, cnt))
+        // greedy left-to-right merge of (l, r): the AND short-circuits,
+        // so element_at(acc, -1) never sees an empty acc under ANSI
+        words = words.withColumn("toks", expr(
+          s"""aggregate(toks, cast(array() as array<string>),
+              (acc, x) -> if(size(acc) > 0 AND element_at(acc, -1) = ${lit1(l)}
+                              AND x = ${lit1(r)},
+                            concat(slice(acc, 1, size(acc) - 1), array(${lit1(l + r)})),
+                            concat(acc, array(x))))"""))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("step", "lhs", "rhs", "cnt")
+  }
+
+  /**
    * Corpus vocabulary: the `maxVocab` most frequent word tokens with
    * dense token ids — the word-level precursor every tokenizer
    * training run starts from. The count is the canonical map-side-

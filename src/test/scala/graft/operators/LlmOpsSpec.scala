@@ -464,6 +464,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ranks(1L) === 2 && ranks(3L) === 1) // k bounds, short doc exhausts
   }
 
+  test("bpe merges: greedy non-overlapping runs and early exhaustion") {
+    import spark.implicits._
+    // "aaaa" → pair (a,a) appears at 3 positions but merges greedily
+    // into [aa, aa] (positions 1 and 3 of the run), then (aa,aa) → one
+    // token, then NO pairs remain → only 2 of the 3 requested merges
+    val got = TextPipeline.bpeMerges(Seq((1L, "aaaa")).toDF("doc_id", "text"),
+      "doc_id", "text", numMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("bpe merges: frequency weighting and deterministic tie-break") {
+    import spark.implicits._
+    // "banana" twice: freq 2 → (a,n) and (n,a) both count 4; the tie
+    // breaks lhs-ascending → (a,n). After merging: [b, an, an, a]
+    val got = TextPipeline.bpeMerges(
+      Seq((1L, "banana banana")).toDF("doc_id", "text"),
+      "doc_id", "text", numMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got(0) === ((1, "a", "n", 4L)))
+    // round 2 over [b, an, an, a]: all pairs count 2, lhs/rhs-asc → (an, a)
+    assert(got(1) === ((2, "an", "a", 2L)))
+  }
+
   test("decontamination flags exactly the documents containing benchmark grams") {
     import spark.implicits._
     val corpus = Seq(
