@@ -47,11 +47,14 @@ object LlmQueries {
         WHERE doc_id % 10 = 0)"""
 
   /**
-   * The q_bpe_merges oracle, generated per step count: chained CTEs,
-   * one block per merge round, each recomputing pair counts over the
-   * token rows, picking the (cnt desc, lhs, rhs) argmax, and applying
-   * the merge with the run/rank selection equivalent to the greedy
-   * left-to-right fold (see TextPipeline.bpeMerges).
+   * The shared CTE prefix of the BPE oracles, generated per step
+   * count: chained CTEs, one block per merge round, each recomputing
+   * pair counts over the token rows, picking the (cnt desc, lhs, rhs)
+   * argmax, and applying the merge with the run/rank selection
+   * equivalent to the greedy left-to-right fold (see
+   * TextPipeline.bpeMerges). Ends after t{numMerges+1}, the final
+   * segmentation — the merges and encode oracles add their own final
+   * SELECT.
    */
   private def bpeOracleSql(numMerges: Int): String = {
     val steps = (1 to numMerges).map { k =>
@@ -92,10 +95,27 @@ object LlmQueries {
         t1 AS (SELECT word, freq, i AS pos,
                       substring(word, CAST(i AS INTEGER), 1) AS tok
                FROM wf, unnest(range(1, length(word) + 1)) AS u(i)),
-        $steps
+        $steps"""
+  }
+
+  /** q_bpe_merges: the learned rules themselves. */
+  private def bpeMergesOracleSql(numMerges: Int): String =
+    s"""${bpeOracleSql(numMerges)}
         SELECT step, lhs, rhs, cnt FROM (
           ${(1 to numMerges).map(k => s"SELECT * FROM best$k").mkString(" UNION ALL ")})"""
-  }
+
+  /** q_bpe_encode: per-document word and BPE-token counts using the
+    * final segmentation table t{numMerges+1}. */
+  private def bpeEncodeOracleSql(numMerges: Int): String =
+    s"""${bpeOracleSql(numMerges)},
+        wc AS (SELECT word, count(*) AS n_tok
+               FROM t${numMerges + 1} GROUP BY word),
+        dw AS (SELECT doc_id, unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 w -> w <> '')) AS word FROM documents)
+        SELECT doc_id, count(*) AS n_words,
+               CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN wc USING (word) GROUP BY doc_id"""
 
   /**
    * Confirm candidate pairs as EXACT duplicates by content-hash
@@ -731,7 +751,16 @@ object LlmQueries {
       // Spark side's left-to-right fold (odd ranks within each run of
       // consecutive match positions).
       (s, dir) => TextPipeline.bpeMerges(t(s, dir, "documents"), "doc_id", "text", 3),
-      Some(bpeOracleSql(3))),
+      Some(bpeMergesOracleSql(3))),
+
+    "q_bpe_encode" -> Q(
+      // BPE applied: per-document sequence-length accounting under the
+      // 3-rule tokenizer just trained (TextPipeline.bpeEncode) — the
+      // encode is a vocabulary-sized join, never a per-document
+      // re-segmentation; the oracle extends the training CTEs with the
+      // same per-word count join.
+      (s, dir) => TextPipeline.bpeEncode(t(s, dir, "documents"), "doc_id", "text", 3),
+      Some(bpeEncodeOracleSql(3))),
 
     "q_vocab_build" -> Q(
       // corpus vocabulary (TextPipeline.buildVocab): top-1000 word

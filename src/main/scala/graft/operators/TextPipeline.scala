@@ -323,6 +323,16 @@ object TextPipeline {
   def bpeMerges(df: DataFrame, idCol: String, textCol: String,
       numMerges: Int = 3): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
+    bpeTrain(df, textCol, numMerges)._1.toDF("step", "lhs", "rhs", "cnt")
+  }
+
+  /** The BPE training loop shared by [[bpeMerges]] (which returns the
+    * learned rules) and [[bpeEncode]] (which also needs the final
+    * per-word segmentation): the merge table plus the word table with
+    * its `toks` column after all merges applied. */
+  private def bpeTrain(df: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     def lit1(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     var words = df.select(explode(wordTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -355,8 +365,32 @@ object TextPipeline {
           .localCheckpoint()
       }
     }
-    import spark.implicits._
-    merges.result().toDF("step", "lhs", "rhs", "cnt")
+    (merges.result(), words)
+  }
+
+  /**
+   * Encode the corpus with a freshly-trained BPE segmentation: per
+   * document, the word count and the total BPE token count after
+   * `numMerges` learned merges — the sequence-length accounting a
+   * training pipeline runs to budget context windows after switching
+   * tokenizers. The encode itself is a join of the corpus' exploded
+   * words against the trained word table's per-word token counts
+   * (vocabulary-sized build side — broadcastable at any corpus scale)
+   * plus one doc-keyed sum; no text re-segmentation happens per
+   * document row.
+   *
+   * @return (doc_id, n_words, n_bpe_tokens) for documents with at
+   *         least one word token
+   */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      numMerges: Int = 3): DataFrame = {
+    val (_, words) = bpeTrain(df, textCol, numMerges)
+    val wc = words.select(col("word"), size(col("toks")).as("n_tok"))
+    df.select(col(idCol).as("doc_id"), explode(wordTokens(col(textCol))).as("word"))
+      .join(wc, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).cast("long").as("n_bpe_tokens"))
   }
 
   /**

@@ -488,6 +488,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(1) === ((2, "an", "a", 2L)))
   }
 
+  test("bpe encode: sequence lengths reflect the learned segmentation") {
+    import spark.implicits._
+    // rules over this corpus: (a,n) cnt 5, then (b,an) cnt 3 —
+    // "banana" segments [ban, an, a], "ban" collapses to [ban]
+    val got = TextPipeline.bpeEncode(
+      Seq((1L, "banana banana"), (2L, "ban")).toDF("doc_id", "text"),
+      "doc_id", "text", numMerges = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((2L, 6L)))
+    assert(got(2L) === ((1L, 1L)))
+  }
+
   test("decontamination flags exactly the documents containing benchmark grams") {
     import spark.implicits._
     val corpus = Seq(
