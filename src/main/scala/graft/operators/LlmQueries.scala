@@ -825,6 +825,51 @@ object LlmQueries {
                    FROM tf JOIN dfreq USING (term))
               SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3""")),
 
+    "q_curation_report" -> Q(
+      // per-source curation dashboard (TextPipeline.curationReport):
+      // accept/reject tallies per Gopher rule + token mass, one row
+      // per feed — every column an integer count so the gate is
+      // arithmetic-exact; the oracle rebuilds the same signals and
+      // tallies.
+      (s, dir) => TextPipeline.curationReport(
+        t(s, dir, "documents"), "doc_id", "text", "source"),
+      Some("""WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 w -> w <> '') AS ws
+                   FROM documents),
+              nz AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0),
+              sig AS (SELECT doc_id,
+                     CAST(n AS INTEGER) AS n_tok,
+                     round(CAST(len(list_distinct(ws)) AS DOUBLE) / n, 4) AS dr,
+                     round(CAST(list_max(list_transform(list_distinct(ws),
+                             w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / n, 4) AS ttf,
+                     round(CASE WHEN n < 3 THEN 0.0
+                           ELSE CAST((n - 2) - len(list_distinct(list_transform(range(1, n - 1),
+                                  i -> array_to_string(ws[i:i+2], ' ')))) AS DOUBLE)
+                                / (n - 2) END, 4) AS dtf
+                   FROM nz),
+              dec AS (SELECT doc_id,
+                     list_filter([CASE WHEN n_tok < 15 THEN 'too_short' END,
+                                  CASE WHEN dr < 0.3 THEN 'low_diversity' END,
+                                  CASE WHEN ttf > 0.2 THEN 'token_dominance' END,
+                                  CASE WHEN dtf > 0.5 THEN 'repeated_spans' END],
+                                 x -> x IS NOT NULL) AS reasons
+                   FROM sig)
+              SELECT d.source, count(*) AS n_docs,
+                     CAST(sum(CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_accepted,
+                     CAST(sum(CASE WHEN list_contains(reasons, 'too_short')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+                     CAST(sum(CASE WHEN list_contains(reasons, 'low_diversity')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+                     CAST(sum(CASE WHEN list_contains(reasons, 'token_dominance')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_token_dominance,
+                     CAST(sum(CASE WHEN list_contains(reasons, 'repeated_spans')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated_spans,
+                     CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+              FROM documents d JOIN sig USING (doc_id) JOIN dec USING (doc_id)
+              GROUP BY d.source""")),
+
     "q_decontaminate" -> Q(
       // eval-set decontamination: flag corpus documents sharing any
       // word-8-gram with a benchmark set (the C4/GPT-3-style n-gram

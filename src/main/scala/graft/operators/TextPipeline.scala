@@ -282,6 +282,41 @@ object TextPipeline {
         col("reasons"))
   }
 
+  /**
+   * The curation dashboard: per corpus source, document counts,
+   * accept/reject tallies per Gopher rule, and the total token mass —
+   * the report a pipeline owner reads to see WHICH feed is producing
+   * rejects before re-crawling it. Composes [[repetitionStats]] +
+   * [[qualityFilter]] and reduces to one row per source; every output
+   * is an integer count (rates are left to the reader — integer
+   * tallies hash-gate exactly, engine-divided rates invite float
+   * drift for no information gain). One corpus pass, one
+   * source-keyed map-side-combined aggregate; documents with no word
+   * tokens are outside the screen's domain and are not counted.
+   *
+   * @return (source, n_docs, n_accepted, n_too_short,
+   *         n_low_diversity, n_token_dominance, n_repeated_spans,
+   *         sum_tokens) — reject tallies overlap when a document
+   *         fails several rules
+   */
+  def curationReport(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val stats = repetitionStats(df, idCol, textCol).select(col("doc_id"), col("n_tok"))
+    val decisions = qualityFilter(df, idCol, textCol)
+    val reason = (r: String) =>
+      sum(when(array_contains(col("reasons"), r), 1L).otherwise(0L))
+    df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(stats, "doc_id").join(decisions, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("accepted"), 1L).otherwise(0L)).as("n_accepted"),
+        reason("too_short").as("n_too_short"),
+        reason("low_diversity").as("n_low_diversity"),
+        reason("token_dominance").as("n_token_dominance"),
+        reason("repeated_spans").as("n_repeated_spans"),
+        sum(col("n_tok")).cast("long").as("sum_tokens"))
+  }
+
   /** A benchmark set derived from the corpus itself for the
     * oracle-gated key: every 10th document's tokens 11..40 as a
     * 30-token "benchmark passage" — planted leakage whose source

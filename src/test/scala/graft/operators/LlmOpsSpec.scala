@@ -500,6 +500,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(2L) === ((1L, 1L)))
   }
 
+  test("curation report tallies rejects per source and rule") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "short doc", "feedA"),                               // too_short
+      (2L, ("spam " * 30).trim, "feedA"),                       // 3 rules fire
+      (3L, (1 to 40).map("w" + _).mkString(" "), "feedB")       // healthy
+    ).toDF("doc_id", "text", "source")
+    val m = TextPipeline.curationReport(corpus, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(7))).toMap
+    // feedA: 2 docs, 0 accepted, 1 too_short, 2 + 30 tokens
+    assert(m("feedA") === ((2L, 0L, 1L, 32L)))
+    assert(m("feedB") === ((1L, 1L, 0L, 40L)))
+  }
+
   test("decontamination flags exactly the documents containing benchmark grams") {
     import spark.implicits._
     val corpus = Seq(
