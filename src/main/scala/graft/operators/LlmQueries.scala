@@ -408,6 +408,25 @@ object LlmQueries {
 
     // ----- similarity search ---------------------------------------------
 
+    "q_embed_centroids" -> Q(
+      // per-label class prototypes (Similarity.labelCentroids):
+      // fixed-point accumulation makes the float sums exact integer
+      // arithmetic — row-order-, partitioning-, and engine-independent
+      // — with one IEEE-exact division for the mean. floor() is
+      // explicit on both sides (DuckDB CAST(double AS BIGINT) rounds
+      // where Spark's cast truncates).
+      (s, dir) => Similarity.labelCentroids(
+        t(s, dir, "embeddings"), "embedding", "label"),
+      Some("""SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                     count(*) AS n_vecs,
+                     CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                         * 1048576) AS BIGINT)) AS BIGINT) AS sum_fp,
+                     CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                         * 1048576) AS BIGINT)) AS BIGINT)
+                       / (1048576.0 * count(*)) AS mean
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+              GROUP BY label, dim""")),
+
     "q_sim_cosine_topk" -> Q(
       // exact baseline: 5 broadcast query vectors × all embeddings,
       // double-precision cosine, per-query top-10

@@ -395,4 +395,32 @@ object Similarity {
     scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
       .filter(col("rn") <= k)
   }
+
+  /**
+   * Per-label embedding centroids — the class-prototype builder behind
+   * nearest-centroid classification, cluster summarization, and
+   * per-domain embedding drift checks. Accumulation is FIXED-POINT:
+   * each component is floored to 2^-20 resolution and summed as a
+   * long, so the per-(label, dim) sum is exact integer arithmetic —
+   * independent of row order, partitioning, and engine, where a naive
+   * float sum is none of those. The mean divides once at the end
+   * (IEEE-exact both engines). posexplode turns the corpus into thin
+   * (label, dim, component) rows; one map-side-combined aggregate.
+   *
+   * Exactness bound: a float component in [-1, 1] scales to |fp| ≤
+   * 2^20, so the long sum stays below 2^53 (double-exact for the
+   * final division) up to ~2^33 vectors per label — beyond any
+   * realistic per-label corpus; larger magnitudes shrink the bound
+   * proportionally.
+   *
+   * @return (label, dim, n_vecs, sum_fp, mean) — dim 0-based
+   */
+  def labelCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("v").cast("double") * lit(1048576.0)).cast("long")).as("sum_fp"))
+      .select(col("label"), col("dim"), col("n_vecs"), col("sum_fp"),
+        (col("sum_fp").cast("double") / (lit(1048576.0) * col("n_vecs"))).as("mean"))
 }

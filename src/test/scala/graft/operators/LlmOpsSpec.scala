@@ -515,6 +515,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(m("feedB") === ((1L, 1L, 0L, 40L)))
   }
 
+  test("label centroids: exact fixed-point sums, partition-invariant") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f), 0),
+      (2L, Array(0.5f, 0.75f), 0),
+      (3L, Array(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(vecs, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // label 0 dim 0: two components of 0.5 → fp 524288 each
+    assert(got((0, 0)) === ((2L, 1048576L, 0.5)))
+    assert(got((0, 1)) === ((2L, (-262144L) + 786432L, 0.25)))
+    assert(got((1, 0)) === ((1L, 1048576L, 1.0)))
+    // the fixed-point claim: any partitioning yields the identical rows
+    val a = Similarity.labelCentroids(emb, "embedding", "label")
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.labelCentroids(emb.repartition(13), "embedding", "label")
+      .collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("decontamination flags exactly the documents containing benchmark grams") {
     import spark.implicits._
     val corpus = Seq(
