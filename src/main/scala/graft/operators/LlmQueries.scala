@@ -118,6 +118,35 @@ object LlmQueries {
         FROM dw JOIN wc USING (word) GROUP BY doc_id"""
 
   /**
+   * The q_embed_classify oracle, generated per embedding width: the
+   * centroid CTE (same fixed-point arithmetic as q_embed_centroids),
+   * centroid components collected in dimension order, and the
+   * distance written as an EXPLICIT left-associated term sum so its
+   * floating-point association matches the Spark side's ordered fold
+   * exactly (Spark's leading 0D + t1 equals t1 under IEEE — both
+   * operands non-negative).
+   */
+  private def classifyOracleSql(dim: Int): String = {
+    val terms = (1 to dim).map(d =>
+      s"(CAST(embedding[$d] AS DOUBLE) - c[$d]) * (CAST(embedding[$d] AS DOUBLE) - c[$d])")
+      .mkString("\n                   + ")
+    s"""WITH c0 AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                count(*) AS n_vecs,
+                CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                    * 1048576) AS BIGINT)) AS BIGINT) AS sum_fp
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+              GROUP BY label, dim),
+         cent AS (SELECT label AS c_label,
+                list(CAST(sum_fp AS DOUBLE) / (1048576.0 * n_vecs) ORDER BY dim) AS c
+              FROM c0 GROUP BY label),
+         scored AS (SELECT e.vec_id, e.label, cent.c_label,
+                $terms AS dist
+              FROM embeddings e CROSS JOIN cent)
+         SELECT vec_id, label, c_label AS pred_label FROM scored
+         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) = 1"""
+  }
+
+  /**
    * Confirm candidate pairs as EXACT duplicates by content-hash
    * equality — a fixed-width compare instead of shipping full text
    * through the verify join (the md5 collision risk is ~2^-64 at any
@@ -426,6 +455,16 @@ object LlmQueries {
                        / (1048576.0 * count(*)) AS mean
               FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
               GROUP BY label, dim""")),
+
+    "q_embed_classify" -> Q(
+      // nearest-centroid classification
+      // (Similarity.centroidClassify): distances fold the squared
+      // differences in dimension order, so every partial sum is the
+      // same IEEE double on both engines — no rounding anywhere; the
+      // oracle spells the identical left-associated 64-term sum.
+      (s, dir) => Similarity.centroidClassify(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label"),
+      Some(classifyOracleSql(64))),
 
     "q_sim_cosine_topk" -> Q(
       // exact baseline: 5 broadcast query vectors × all embeddings,

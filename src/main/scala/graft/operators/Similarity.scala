@@ -423,4 +423,42 @@ object Similarity {
         sum(floor(col("v").cast("double") * lit(1048576.0)).cast("long")).as("sum_fp"))
       .select(col("label"), col("dim"), col("n_vecs"), col("sum_fp"),
         (col("sum_fp").cast("double") / (lit(1048576.0) * col("n_vecs"))).as("mean"))
+
+  /**
+   * Nearest-centroid classification: every vector assigned to the
+   * [[labelCentroids]] prototype with the smallest squared Euclidean
+   * distance (ties broken by label — total order). The distance is
+   * engine-deterministic without any rounding: centroid components
+   * divide once from the exact fixed-point sums, and the per-vector
+   * distance folds the 64 squared differences IN DIMENSION ORDER
+   * (left-associated), so every term and every partial sum is the
+   * same IEEE double on any engine and any partitioning.
+   *
+   * Scale shape: the centroid table is `labels × dim` — broadcast by
+   * construction; the corpus streams through one zip_with/fold
+   * projection and a per-vector argmin window. No corpus shuffle
+   * beyond the (label, dim) centroid aggregate.
+   *
+   * @return (vec_id, label, pred_label) — the true and predicted
+   *         labels per vector
+   */
+  def centroidClassify(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cents = labelCentroids(df, vecCol, labelCol)
+      .groupBy(col("label").as("c_label"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mean))), x -> x.mean)")
+        .as("c"))
+    val dist = expr(
+      """aggregate(
+           zip_with(emb, c, (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+           0D, (acc, x) -> acc + x)""")
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("c_label").asc)
+    df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        col(vecCol).as("emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("pred_label"))
+  }
 }

@@ -537,6 +537,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a === b && a.nonEmpty)
   }
 
+  test("centroid classify assigns vectors to the nearest prototype") {
+    import spark.implicits._
+    // two tight clusters; a vector near the other cluster's prototype
+    // must cross over
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.05f, 0.95f), 0)   // labeled 0 but sits in cluster 1
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidClassify(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got(1L) === 0 && got(2L) === 0)
+    assert(got(3L) === 1 && got(4L) === 1)
+    assert(got(5L) === 1) // nearer the (0,1)-side prototype despite its label
+    // determinism across partitionings (the ordered-fold guarantee)
+    val a = Similarity.centroidClassify(emb, "vec_id", "embedding", "label")
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.centroidClassify(emb.repartition(17), "vec_id", "embedding", "label")
+      .collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("decontamination flags exactly the documents containing benchmark grams") {
     import spark.implicits._
     val corpus = Seq(
