@@ -255,6 +255,29 @@ object RelationalQueries {
                      round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty
               FROM lineitem GROUP BY l_returnflag""")),
 
+    "q_agg_histogram" -> Q(
+      // CH histogram(bins)(x) re-expressed in its EXACT regime: CH's
+      // adaptive streaming bins are approximation machinery, so the
+      // gate runs the fixed equal-width spelling (bin edges derived
+      // from the data's min/max — a 1-row broadcast) where the bin of
+      // every value is closed-form. The bin arithmetic is spelled
+      // IDENTICALLY on both sides — (x − mn) * bins / (mx − mn),
+      // floored, top edge clamped into the last bin — so each step is
+      // the same IEEE double on each engine. Output is integer-only.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val mm = li.agg(min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
+        li.crossJoin(broadcast(mm))
+          .select(least(floor((col("l_quantity") - col("mn")) * lit(10)
+              / (col("mx") - col("mn"))), lit(9)).cast("int").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      },
+      Some("""WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
+                          FROM lineitem)
+              SELECT CAST(least(floor((l_quantity - mn) * 10 / (mx - mn)), 9) AS INTEGER)
+                       AS bin, count(*) AS cnt
+              FROM lineitem, mm GROUP BY bin""")),
+
     "q_agg_approx_distinct" -> Q(
       // HyperLogLog++-class sketch — the CH uniq() equivalent; mergeable
       // partial+final, the exact-distinct replacement at 100 TB. Raw
