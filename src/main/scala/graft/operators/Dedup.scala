@@ -370,4 +370,64 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /**
+   * EXACT duplicated-span removal (sub-document dedup, the Lee et al.
+   * 2022 "Deduplicating Training Data Makes Language Models Better"
+   * ExactSubstr stage re-expressed relationally): every document is
+   * chunked into consecutive non-overlapping `w`-token segments, and a
+   * segment occurrence survives iff it is the corpus-wide FIRST
+   * occurrence of that token sequence (min (doc_id, seg_idx) order) —
+   * so every span of text appears exactly once in the cleaned corpus,
+   * while document-level dedup (minhashPairs et al.) would keep both
+   * halves of two documents that share only a paragraph.
+   *
+   * Deterministic and integer/string-exact end to end (tokenize, chunk,
+   * min-struct, reassemble), hence SQL-oracle-able with no float
+   * regime. Scale shape: two thin shuffles — (segment → min occurrence)
+   * is a partial-aggregating hash aggregate + equi-join on the segment
+   * text (skew-robust: a mega-frequent span still map-side-combines to
+   * one row per partition), then a (doc_id) aggregate to reassemble.
+   * Nothing touches the driver.
+   *
+   * @param w segment width in tokens; the final partial segment
+   *          (< w tokens) is kept as its own span
+   * @return (doc_id, n_seg, n_kept, cleaned_text) — counts of total and
+   *         surviving segments plus the reassembled text (surviving
+   *         segments in original order, space-joined; "" when every
+   *         segment of the document occurred earlier elsewhere).
+   *         Documents with zero tokens are dropped (no spans to judge).
+   */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    require(w >= 1, s"segment width w=$w must be >= 1")
+    val toks = df.select(col(idCol).as("doc_id"),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "").as("ws"))
+      .filter(size(col("ws")) > 0)
+    // ceil(n/w) segments; slice() is 1-based. sequence() would descend
+    // for an empty range, but size>0 guarantees >= 1 segment. `/` on
+    // integral columns is DOUBLE division in Spark SQL — exact here
+    // (counts << 2^53), floor makes it the integral ceil-divide.
+    val nSeg = floor((size(col("ws")) + lit(w - 1)) / lit(w)).cast("int")
+    val segs = toks
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), nSeg - 1),
+        i => array_join(slice(col("ws"), i * w + 1, lit(w)), " "))))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+    // corpus-wide first occurrence per distinct segment text
+    val firsts = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+    val kept = segs.join(firsts, "seg")
+      .filter(col("doc_id") === col("first.doc_id") &&
+        col("seg_idx") === col("first.seg_idx"))
+    val base = segs.groupBy("doc_id").agg(count(lit(1)).as("n_seg"))
+    val reassembled = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+        s => s.getField("seg")), " ").as("cleaned_text"))
+    base.join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

@@ -327,6 +327,36 @@ object LlmQueries {
       Some(s"""SELECT doc_id, text FROM $dupCorpusSql
                QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)""")),
 
+    "q_dedup_spans" -> Q(
+      // sub-document (span-level) dedup — Dedup.spanDedup: 5-token
+      // segments, corpus-wide first occurrence survives, documents
+      // reassembled from surviving spans. Exact by construction
+      // (tokenize / chunk / min-struct / reassemble are all integer
+      // and string ops), so the oracle restates the same semantics
+      // with window functions — occ = 1 under (doc_id, seg_idx) order
+      // IS the min-struct first-occurrence rule.
+      (s, dir) => Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", w = 5),
+      Some("""WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS ws
+                   FROM documents),
+              nz AS (SELECT * FROM toks WHERE len(ws) > 0),
+              segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+                     array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS seg
+                   FROM nz, unnest(range(0, (len(ws) + 4) // 5)) AS u(i)),
+              marked AS (SELECT doc_id, seg_idx, seg,
+                     row_number() OVER (PARTITION BY seg
+                                        ORDER BY doc_id, seg_idx) AS occ
+                   FROM segs),
+              base AS (SELECT doc_id, count(*) AS n_seg FROM segs GROUP BY doc_id),
+              ka AS (SELECT doc_id, count(*) AS n_kept,
+                     string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned_text
+                   FROM marked WHERE occ = 1 GROUP BY doc_id)
+              SELECT b.doc_id, b.n_seg,
+                     CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+                     COALESCE(ka.cleaned_text, '') AS cleaned_text
+              FROM base b LEFT JOIN ka ON b.doc_id = ka.doc_id""")),
+
     "q_dedup_simhash" -> Q(
       // SimHash bucketing in its exact-duplicate gate: maxHamming = 0
       // means ONE slice = the whole 64-bit fingerprint, i.e. an

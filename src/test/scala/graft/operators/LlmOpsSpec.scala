@@ -117,6 +117,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept === Set((1L, "a"), (4L, "d"), (9L, "e")))
   }
 
+  test("spanDedup: first occurrence survives, later spans removed, partial tail kept") {
+    import spark.implicits._
+    // doc 1: two segments "a b c d e" and "f g h" (partial tail).
+    // doc 2 repeats doc 1's first segment then adds a fresh one —
+    // its copy must be dropped. doc 3 is all-duplicate → empty text.
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e x y z w v"),
+      (3L, "a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((2L, 2L, "a b c d e f g h")))
+    assert(out(2L) === ((2L, 1L, "x y z w v")))
+    assert(out(3L) === ((1L, 0L, "")))
+    // global invariant on the real corpus: every distinct segment
+    // survives exactly once, so sum(n_kept) == count(distinct segment)
+    val real = Dedup.spanDedup(docs, "doc_id", "text", w = 5)
+    val keptTotal = real.agg(sum("n_kept")).head().getLong(0)
+    val segTotal = real.agg(sum("n_seg")).head().getLong(0)
+    assert(keptTotal > 0 && keptTotal < segTotal)
+  }
+
   test("embedding near-dup: LSH pairs == exact all-pairs baseline (seeded copies)") {
     import org.apache.spark.sql.functions.col
     val corpus = emb.select(col("vec_id"), col("embedding"))
