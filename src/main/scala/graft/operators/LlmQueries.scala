@@ -505,6 +505,49 @@ object LlmQueries {
       },
       Some(bruteForceTopKSql)),
 
+    "q_sim_hard_negatives" -> Q(
+      // hard-negative mining (Similarity.hardNegatives): per query,
+      // the 10 most-similar DIFFERENT-label vectors — the contrastive
+      // -training sampler. Same brute-force gate and 4dp rounding as
+      // q_sim_cosine_topk, plus the label predicate.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), k = 10)
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd
+                FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+                FROM embeddings),
+              s AS (SELECT q_id, vec_id,
+                round(list_dot_product(ed, qd) /
+                  (sqrt(list_dot_product(ed, ed)) * sqrt(list_dot_product(qd, qd))), 4) AS sim
+                FROM c, q WHERE c.vec_id != q.q_id AND c.label != q.q_label)
+         SELECT q_id, vec_id, sim,
+                CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
+         FROM s QUALIFY rn <= 10""")),
+
+    "q_quant_int8" -> Q(
+      // int8 scalar quantization (Similarity.scalarQuantize): data-
+      // derived per-dimension min/max, 255-bucket floor assignment —
+      // core IEEE ops only, so the integer codes are engine-exact with
+      // no rounding regime needed.
+      (s, dir) => Similarity.scalarQuantize(
+        t(s, dir, "embeddings"), "vec_id", "embedding", levels = 256),
+      Some("""WITH d AS (SELECT vec_id, CAST(i AS INTEGER) AS pos,
+                     embedding[CAST(i AS INTEGER)] AS x
+                   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+              st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM d GROUP BY pos),
+              codes AS (SELECT vec_id, pos,
+                     CASE WHEN mx = mn THEN 0
+                          ELSE least(255, CAST(floor(
+                            (CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0
+                            / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))) AS INTEGER)) END AS code
+                   FROM d JOIN st USING (pos))
+              SELECT vec_id, list(CAST(code AS INTEGER) ORDER BY pos) AS codes
+              FROM codes GROUP BY vec_id""")),
+
     "q_sim_cosine_pq" -> Q(
       // product quantization (the IVF-PQ memory half) in its LOSSLESS
       // gate: one centroid per distinct subvector ⇒ quantization error

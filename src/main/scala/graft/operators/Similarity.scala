@@ -461,4 +461,65 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("c_label").as("pred_label"))
   }
+
+  /**
+   * Uniform scalar quantization of an embedding column to `levels`
+   * integer codes per dimension (int8 compression at levels = 256 —
+   * the standard 4× memory cut before a vector index is built).
+   * Per-dimension min/max comes from the data in one thin
+   * (dim, component) aggregate; the 2^levels-bucket assignment
+   * `floor((x - mn) * (levels-1) / (mx - mn))` is core-IEEE-op
+   * arithmetic only (subtract, multiply, divide, floor — each exactly
+   * rounded, so bit-identical on any engine), clamped to levels-1 for
+   * the x = mx edge and defined as 0 for constant dimensions (the
+   * divide would otherwise be 0/0, which ANSI mode throws on).
+   *
+   * Scale shape: the stats aggregate map-side-combines to `dim` rows,
+   * broadcasts as one array row; the corpus streams through a single
+   * zip_with projection — no corpus shuffle at all.
+   *
+   * @return (vec_id-named idCol, codes) — codes int array, dimension
+   *         order preserved
+   */
+  def scalarQuantize(df: DataFrame, idCol: String, embCol: String,
+      levels: Int = 256): DataFrame = {
+    require(levels >= 2, s"levels=$levels must be >= 2")
+    val stats = df.select(posexplode(col(embCol)).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+    val statsArr = stats.agg(
+      array_sort(collect_list(struct(col("d"), col("mn"), col("mx")))).as("st"))
+    df.select(col(idCol), col(embCol)).crossJoin(broadcast(statsArr))
+      .select(col(idCol), zip_with(col(embCol), col("st"), (x, s) => {
+        val mn = s.getField("mn").cast("double")
+        val mx = s.getField("mx").cast("double")
+        when(mx === mn, lit(0)).otherwise(least(lit(levels - 1),
+          floor((x.cast("double") - mn) * lit((levels - 1).toDouble) / (mx - mn))
+            .cast("int")))
+      }).as("codes"))
+  }
+
+  /**
+   * Hard-negative mining for contrastive training: for every query
+   * vector, the k most-cosine-similar candidates whose label DIFFERS
+   * from the query's — the near-misses a trained encoder most needs to
+   * push apart. Same scale shape as [[bruteForceTopK]] (small query
+   * set broadcast, corpus streams, ranking window shuffles only thin
+   * score rows); the label filter runs before scoring, so same-label
+   * rows cost one comparison, not a dot product.
+   *
+   * @return (q_id, vec_id, sim, rn) — rn 1..k per query in
+   *         (sim desc, vec_id) order, sim rounded to 4dp
+   */
+  def hardNegatives(candidates: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val scored = candidates.select(col("vec_id"), col("embedding"), col(labelCol))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col(labelCol).as("q_label"))))
+      .filter(col("vec_id") =!= col("q_id") && col(labelCol) =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+  }
 }

@@ -140,6 +140,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(keptTotal > 0 && keptTotal < segTotal)
   }
 
+  test("scalarQuantize: codes in range, reconstruction within one bucket width") {
+    val quant = Similarity.scalarQuantize(emb, "vec_id", "embedding", levels = 256)
+    val joined = emb.join(quant, "vec_id")
+      .select(posexplode(arrays_zip(col("embedding"), col("codes"))))
+      .select(col("pos"), col("col.embedding").as("x"), col("col.codes").as("code"))
+    // every code is a valid bucket
+    assert(joined.filter(col("code") < 0 || col("code") > 255).count() === 0L)
+    // reconstruction error <= bucket width: recompute per-dim range and
+    // check |x - (mn + (code + 0.5) * range / 255)| <= range / 255
+    val stats = emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+    val bad = joined.join(stats, "pos")
+      .withColumn("range", col("mx") - col("mn"))
+      .filter(col("range") > 0)
+      .withColumn("recon",
+        col("mn") + (col("code").cast("double") + 0.5) * col("range") / 255.0)
+      .filter(abs(col("x").cast("double") - col("recon")) > col("range") / 255.0 * 1.0001)
+    assert(bad.count() === 0L)
+  }
+
+  test("hardNegatives: never returns a same-label or self pair, ranks by similarity") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 5)
+    val out = Similarity.hardNegatives(emb, queries, k = 10)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val qLabels = labels.toDF("q_id", "q_label")
+    val joined = out.join(labels, "vec_id").join(qLabels, "q_id")
+    assert(joined.filter(col("label") === col("q_label")).count() === 0L)
+    assert(out.filter(col("q_id") === col("vec_id")).count() === 0L)
+    // rn is dense 1..k per query and sim is non-increasing in rn
+    val perQ = out.groupBy("q_id").agg(count(lit(1)).as("n"),
+      max("rn").as("mx"), min("rn").as("mn")).collect()
+    perQ.foreach { r =>
+      assert(r.getLong(1) === r.getInt(2).toLong && r.getInt(3) === 1)
+    }
+    val inversions: Int = out.as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).values.map { rows =>
+        rows.sortBy(_._4).toSeq.sliding(2).count {
+          case Seq(a, b) => a._3 < b._3
+          case _ => false
+        }
+      }.sum
+    assert(inversions === 0)
+  }
+
   test("embedding near-dup: LSH pairs == exact all-pairs baseline (seeded copies)") {
     import org.apache.spark.sql.functions.col
     val corpus = emb.select(col("vec_id"), col("embedding"))
