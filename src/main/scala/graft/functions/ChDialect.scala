@@ -401,6 +401,25 @@ object ChDialect {
       CaseWhen(Seq((LessThanOrEqual(end, start),
         Cast(Literal.create(Array.empty[Long], ArrayType(LongType)), ArrayType(LongType)))),
         Some(new Sequence(start, new Subtract(end, Literal(1)))))
+    },
+
+    // ----- IPv4 ----------------------------------------------------------
+    // CH stores IPv4 as UInt32; Spark's signed LongType holds the full
+    // 0..2^32-1 range, so the dotted-quad round-trip is lossless.
+    one("IPv4NumToString") { n =>
+      def octet(shift: Int): Expression =
+        Cast(BitwiseAnd(ShiftRightUnsigned(Cast(n, LongType), Literal(shift)),
+          Literal(255L)), StringType)
+      Concat(Seq(octet(24), Literal("."), octet(16), Literal("."),
+        octet(8), Literal("."), octet(0)))
+    },
+    one("IPv4StringToNum") { s =>
+      val parts = StringSplit(s, Literal("\\."), Literal(-1))
+      def part(i: Int): Expression =
+        Cast(GetArrayItem(parts, Literal(i)), LongType)
+      Add(Multiply(part(0), Literal(16777216L)),
+        Add(Multiply(part(1), Literal(65536L)),
+          Add(Multiply(part(2), Literal(256L)), part(3))))
     }
   )
 

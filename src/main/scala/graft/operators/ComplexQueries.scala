@@ -847,6 +847,32 @@ object ComplexQueries {
                      lang AS lang_param
               FROM documents""")),
 
+    "q_fn_ip" -> Q(
+      // The IPv4 function family (CH IPv4NumToString/IPv4StringToNum ⇄
+      // octet arithmetic): UInt32 addresses synthesized from order keys
+      // across the full 32-bit range, rendered dotted-quad and parsed
+      // back — the round-trip pins both directions. The oracle derives
+      // the same octets with plain integer arithmetic.
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_ip")
+        s.sql("""SELECT o_orderkey,
+                        IPv4NumToString(ip) AS ip_str,
+                        IPv4StringToNum(IPv4NumToString(ip)) AS ip_back
+                 FROM (SELECT o_orderkey,
+                              (o_orderkey * 2654435761) % 4294967296 AS ip
+                       FROM orders_ip)""")
+      },
+      Some("""WITH i AS (SELECT o_orderkey,
+                     (o_orderkey * 2654435761) % 4294967296 AS ip
+                   FROM orders)
+              SELECT o_orderkey,
+                     CAST((ip // 16777216) % 256 AS VARCHAR) || '.' ||
+                     CAST((ip // 65536) % 256 AS VARCHAR) || '.' ||
+                     CAST((ip // 256) % 256 AS VARCHAR) || '.' ||
+                     CAST(ip % 256 AS VARCHAR) AS ip_str,
+                     CAST(ip AS BIGINT) AS ip_back
+              FROM i""")),
+
     "q_agg_quantiles" -> Q(
       // Multi-quantile in one pass (CH quantiles(0.25,0.5,0.75)(x)):
       // Spark's exact percentile over an array of levels ≡ DuckDB

@@ -278,6 +278,69 @@ object RelationalQueries {
                        AS bin, count(*) AS cnt
               FROM lineitem, mm GROUP BY bin""")),
 
+    "q_agg_summap" -> Q(
+      // CH sumMap(keys, values): merge per-row (keys[], values[]) map
+      // entries across a group, summing values per key, result as
+      // key-sorted parallel arrays. Re-expressed relationally: explode
+      // the entries to thin (group, key, value) rows, hash-aggregate
+      // (map-side combining — a hot key collapses per partition), then
+      // reassemble sorted arrays per group. Values are integral
+      // quantities summed as longs — exact at any parallelism.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val rows = li.select(col("l_linenumber").as("grp"),
+          array(concat(lit("f_"), col("l_returnflag")),
+            concat(lit("s_"), col("l_linestatus"))).as("ks"),
+          array(col("l_quantity").cast("long"), lit(1L)).as("vs"))
+        rows.select(col("grp"), explode(arrays_zip(col("ks"), col("vs"))).as("e"))
+          .select(col("grp"), col("e.ks").as("k"), col("e.vs").as("v"))
+          .groupBy("grp", "k").agg(sum("v").as("sv"))
+          .groupBy("grp").agg(array_sort(collect_list(struct(col("k"), col("sv")))).as("kv"))
+          .select(col("grp"),
+            transform(col("kv"), x => x.getField("k")).as("keys"),
+            transform(col("kv"), x => x.getField("sv")).as("sums"))
+      },
+      Some("""WITH e AS (
+                SELECT l_linenumber AS grp, 'f_' || l_returnflag AS k,
+                       CAST(l_quantity AS BIGINT) AS v FROM lineitem
+                UNION ALL
+                SELECT l_linenumber, 's_' || l_linestatus, 1 FROM lineitem),
+              g AS (SELECT grp, k, CAST(sum(v) AS BIGINT) AS sv
+                    FROM e GROUP BY grp, k)
+              SELECT grp, list(k ORDER BY k) AS keys,
+                     list(sv ORDER BY k) AS sums
+              FROM g GROUP BY grp""")),
+
+    "q_agg_deltasum" -> Q(
+      // CH deltaSum(x): the sum of positive differences between
+      // consecutive values in order — counter-reset-tolerant rate
+      // accounting. Per-user event series ordered by (ts, event_id)
+      // (a total order — event_id is unique), values in floor-cents so
+      // the windowed lag/diff and the final sum are exact integer
+      // arithmetic at any partitioning.
+      (s, dir) => {
+        val ev = Q.events(s, dir).select(col("user_id"), col("ts"),
+          col("event_id"), floor(col("value") * 100).cast("long").as("cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        ev.withColumn("prev", lag("cents", 1).over(w))
+          .groupBy("user_id").agg(
+            sum(when(col("prev").isNotNull && col("cents") > col("prev"),
+              col("cents") - col("prev")).otherwise(lit(0L))).as("delta_sum_cents"),
+            count(lit(1)).as("n_events"))
+      },
+      Some(s"""WITH d AS (SELECT user_id,
+                     CAST(floor(value * 100) AS BIGINT) AS cents,
+                     lag(CAST(floor(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                   FROM ${Q.eventsOracle})
+               SELECT user_id,
+                      CAST(sum(CASE WHEN prev IS NOT NULL AND cents > prev
+                                    THEN cents - prev ELSE 0 END) AS BIGINT)
+                        AS delta_sum_cents,
+                      count(*) AS n_events
+               FROM d GROUP BY user_id""")),
+
     "q_agg_approx_distinct" -> Q(
       // HyperLogLog++-class sketch — the CH uniq() equivalent; mergeable
       // partial+final, the exact-distinct replacement at 100 TB. Raw

@@ -286,4 +286,13 @@ class ChDialectSpec extends AnyFunSuite {
     assert(q1("range(0)") == Seq())
     assert(q1("range(5, 2)") == Seq())
   }
+
+  test("IPv4 functions") {
+    assert(q1("IPv4NumToString(3232235777)") == "192.168.1.1")
+    assert(q1("IPv4NumToString(0)") == "0.0.0.0")
+    assert(q1("IPv4NumToString(4294967295)") == "255.255.255.255") // full UInt32 range
+    assert(q1("IPv4StringToNum('192.168.1.1')") == 3232235777L)
+    assert(q1("IPv4StringToNum('255.255.255.255')") == 4294967295L)
+    assert(q1("IPv4StringToNum(IPv4NumToString(167772161))") == 167772161L) // round-trip
+  }
 }
