@@ -796,6 +796,34 @@ object LlmQueries {
                        ' {2,}', ' ', 'g'))) AS INTEGER) AS n_chars_removed
               FROM dirty""")),
 
+    "q_mix_epochs" -> Q(
+      // epoch-weighted source mixing (the Llama-recipe counterpart of
+      // temperature sampling: UP-sample scarce sources by integral
+      // epoch replication instead of down-sampling rich ones). The
+      // per-source factor ceil(n_max / n_source), capped at 4, derives
+      // from the data in integer arithmetic; each document expands to
+      // `factor` epoch-tagged rows via an explode — a narrow
+      // transformation, no shuffle beyond the tiny source-count
+      // aggregate that broadcasts back.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        val factors = counts.crossJoin(broadcast(counts.agg(max(col("n")).as("n_max"))))
+          .select(col("source"),
+            least(lit(4L), floor((col("n_max") + col("n") - 1) / col("n")).cast("long"))
+              .as("factor"))
+        docs.join(broadcast(factors), "source")
+          .select(col("doc_id"), col("source"),
+            explode(sequence(lit(1L), col("factor"))).as("epoch"))
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+              f AS (SELECT source,
+                     least(4, CAST(floor(CAST((SELECT max(n) FROM c) + n - 1 AS DOUBLE) / n) AS BIGINT)) AS factor
+                   FROM c)
+              SELECT d.doc_id, d.source, CAST(u.e AS BIGINT) AS epoch
+              FROM documents d JOIN f USING (source),
+                   unnest(range(1, f.factor + 1)) AS u(e)""")),
+
     "q_lang_mix" -> Q(
       // temperature-rebalanced language mixing (τ=0.5 — the XLM-R
       // recipe): over-represented languages are hash-downsampled at

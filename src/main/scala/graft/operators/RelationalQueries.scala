@@ -311,6 +311,39 @@ object RelationalQueries {
                      list(sv ORDER BY k) AS sums
               FROM g GROUP BY grp""")),
 
+    "q_agg_moving_sum" -> Q(
+      // CH groupArrayMovingSum(3)(x): per group, the array of
+      // 3-element moving sums in element order. Relationally: a
+      // ROWS-frame window sum over thin (group, ord, value) rows —
+      // Tungsten's streaming frame, no per-row array slicing — then
+      // one collect per group. (l_orderkey, l_linenumber) is NOT
+      // unique in this data, so the frame orders by (ord, v): rows
+      // still tied agree on v too, and swapping equal values leaves
+      // every moving sum unchanged — the ms multiset per ord is
+      // deterministic, and both sides collect by (ord, ms). Integral
+      // long sums are exact at any parallelism.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_suppkey").as("g"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("ord"),
+          col("l_quantity").cast("long").as("v"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("ord"), col("v")).rowsBetween(-2, 0)
+        li.withColumn("ms", sum("v").over(w))
+          .groupBy("g")
+          .agg(array_sort(collect_list(struct(col("ord"), col("ms")))).as("kv"))
+          .select(col("g"),
+            transform(col("kv"), x => x.getField("ms")).as("moving_sums"))
+      },
+      Some("""WITH r AS (SELECT l_suppkey AS g,
+                     l_orderkey * 10 + l_linenumber AS ord,
+                     CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+              m AS (SELECT g, ord,
+                     CAST(sum(v) OVER (PARTITION BY g ORDER BY ord, v
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS ms
+                   FROM r)
+              SELECT g, list(ms ORDER BY ord, ms) AS moving_sums
+              FROM m GROUP BY g""")),
+
     "q_agg_deltasum" -> Q(
       // CH deltaSum(x): the sum of positive differences between
       // consecutive values in order — counter-reset-tolerant rate
