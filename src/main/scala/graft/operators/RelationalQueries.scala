@@ -185,6 +185,35 @@ object RelationalQueries {
               ASOF JOIN (SELECT * FROM ${Q.eventsOracle} WHERE event_type = 'signup') s
               ON p.user_id = s.user_id AND p.ts >= s.ts""")),
 
+    "q_join_range" -> Q(
+      // Distributed range join (RangeJoin.pointInInterval): lineitem
+      // ship-days against 31-day order windows via bucketed equi-join
+      // + residual BETWEEN — one shuffle per side on the bucket id, NO
+      // BroadcastNestedLoop/cartesian anywhere (plan-guarded in
+      // RangeJoinSpec), each match exactly once by construction. The
+      // oracle states the BETWEEN join directly. Day numbers and
+      // integral quantity sums keep the whole key integer-exact.
+      (s, dir) => {
+        val epoch = lit("1992-01-01").cast("date")
+        val pts = t(s, dir, "lineitem").select(
+          datediff(col("l_shipdate").cast("date"), epoch).as("p_day"),
+          col("l_quantity").cast("long").as("qty"))
+        val iv = t(s, dir, "orders").filter(col("o_orderkey") % 199 === 0)
+          .select(col("o_orderkey"),
+            datediff(col("o_orderdate").cast("date"), epoch).as("s_day"))
+          .withColumn("e_day", col("s_day") + 30)
+        RangeJoin.pointInInterval(pts, "p_day", iv, "s_day", "e_day", bucketWidth = 31)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_pts"), sum("qty").as("qty_sum"))
+      },
+      Some("""SELECT o.o_orderkey, count(*) AS n_pts,
+                     CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+              FROM lineitem l,
+                   (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+                    FROM orders WHERE o_orderkey % 199 = 0) o
+              WHERE CAST(l.l_shipdate AS DATE) BETWEEN o.d AND o.d + 30
+              GROUP BY o.o_orderkey""")),
+
     // ----- §2.4 aggregations ----------------------------------------------
 
     "q_count_star" -> Q(
