@@ -261,4 +261,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming exact dedup: content-hash dropDuplicates keeps first across batches") {
+    // the streaming half of q_dedup_exact: an arriving corpus deduped
+    // on a codegen'd content fingerprint AS IT STREAMS —
+    // dropDuplicatesWithinWatermark bounds the hash state by event
+    // time, so the operator runs forever on unbounded ingest (plain
+    // dropDuplicates would grow state without bound at 100 TB).
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = input.toDF().toDF("doc_id", "arrived", "text")
+      .withColumn("fp", call_function("fnv1a64", col("text")))
+      .withWatermark("arrived", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = deduped.writeStream.format("memory").queryName("sdedup_t")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("00:00"), "alpha beta gamma"),
+        (2L, ts("00:01"), "totally different text"))
+      q.processAllAvailable()
+      // batch 2: doc 3 repeats doc 1's content inside the watermark —
+      // dropped; doc 4 is fresh — kept
+      input.addData(
+        (3L, ts("00:02"), "alpha beta gamma"),
+        (4L, ts("00:03"), "yet another document"))
+      q.processAllAvailable()
+      // advance watermark far ahead to flush append-mode results
+      input.addData((99L, ts("02:00"), "closer"))
+      q.processAllAvailable()
+      val kept = spark.table("sdedup_t").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept.contains(1L) && kept.contains(2L) && kept.contains(4L))
+      assert(!kept.contains(3L), "duplicate content inside the watermark must be dropped")
+    } finally q.stop()
+  }
 }
