@@ -964,6 +964,38 @@ object LlmQueries {
               SELECT word, df, df * 2 > (SELECT count(*) FROM documents) AS is_stopword
               FROM d ORDER BY df DESC, word LIMIT 200""")),
 
+    "q_ngram_lm" -> Q(
+      // bigram language-model counts (the KenLM-style counting stage,
+      // and the statistic behind n-gram contamination overlap):
+      // adjacent-token pairs exploded to thin rows, hash-aggregated
+      // to (w1, w2, cnt) with the bigram-start marginal (w1_cnt)
+      // joined back — cnt/w1_cnt IS the MLE conditional, kept as the
+      // integer pair so the gate stays arithmetic-exact. Min-count 5
+      // mirrors the pruning every n-gram LM applies.
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(
+          filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "").as("ws"))
+          .filter(size(col("ws")) > 1)
+        val pairs = toks.select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
+          .as("p")).select(col("p.w1"), col("p.w2"))
+        val uni = pairs.groupBy("w1").agg(count(lit(1)).as("w1_cnt"))
+        pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+          .join(uni, "w1").filter(col("cnt") >= 5)
+          .select("w1", "w2", "cnt", "w1_cnt")
+      },
+      Some("""WITH toks AS (SELECT list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w <> '') AS ws
+                   FROM documents),
+              nz AS (SELECT ws FROM toks WHERE len(ws) > 1),
+              p AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                   FROM nz, unnest(range(1, len(ws))) AS u(i)),
+              uni AS (SELECT w1, count(*) AS w1_cnt FROM p GROUP BY w1),
+              big AS (SELECT w1, w2, count(*) AS cnt FROM p GROUP BY w1, w2)
+              SELECT b.w1, b.w2, b.cnt, u.w1_cnt
+              FROM big b JOIN uni u USING (w1) WHERE b.cnt >= 5""")),
+
     "q_tfidf_terms" -> Q(
       // per-document distinctive terms (TextPipeline.tfidfTerms):
       // top-3 by tf/df — linear-idf tf·idf, kept as an IEEE integer
