@@ -62,4 +62,36 @@ object RangeJoin {
       .filter(col(pCol) >= col(startCol) && col(pCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /**
+   * Inner-join two interval tables on overlap:
+   * `left.[ls, le]` ∩ `right.[rs, re]` ≠ ∅, i.e.
+   * `ls <= re AND rs <= le` (closed intervals). Same binned equi-join
+   * shape as [[pointInInterval]] — both sides explode their bucket
+   * span, shuffle once on the bucket id.
+   *
+   * Exactly-once without a dedup pass: two overlapping intervals share
+   * every bucket their overlap touches, so the residual keeps only the
+   * FIRST common bucket — the one containing `greatest(ls, rs)`, the
+   * overlap's start, which both sides cover by definition. Every other
+   * shared bucket fails the predicate, so each matching pair survives
+   * in exactly one bucket.
+   *
+   * Degenerate rows (NULL endpoints, end < start) overlap nothing and
+   * are dropped on each side before the explode.
+   */
+  def intervalOverlap(left: DataFrame, lsCol: String, leCol: String,
+      right: DataFrame, rsCol: String, reCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth=$bucketWidth must be >= 1")
+    val bw = lit(bucketWidth.toDouble)
+    def binned(df: DataFrame, s: String, e: String) = df
+      .filter(col(s).isNotNull && col(e).isNotNull && col(e) >= col(s))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(s) / bw).cast("long"), floor(col(e) / bw).cast("long"))))
+    binned(left, lsCol, leCol).join(binned(right, rsCol, reCol), Seq("__bucket"))
+      .filter(col(lsCol) <= col(reCol) && col(rsCol) <= col(leCol) &&
+        col("__bucket") === floor(greatest(col(lsCol), col(rsCol)) / bw).cast("long"))
+      .drop("__bucket")
+  }
 }

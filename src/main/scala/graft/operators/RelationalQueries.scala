@@ -214,6 +214,40 @@ object RelationalQueries {
               WHERE CAST(l.l_shipdate AS DATE) BETWEEN o.d AND o.d + 30
               GROUP BY o.o_orderkey""")),
 
+    "q_join_interval_overlap" -> Q(
+      // Interval×interval overlap join (RangeJoin.intervalOverlap):
+      // 31-day order windows from two disjoint deterministic order
+      // samples, joined on overlap via the same binned equi-join —
+      // each pair emitted exactly once by the first-common-bucket
+      // residual (no dedup pass; fuzz-pinned in RangeJoinSpec). The
+      // oracle states the overlap predicate directly.
+      (s, dir) => {
+        val epoch = lit("1992-01-01").cast("date")
+        def windows(mod: Long, rem: Long, keyName: String) =
+          t(s, dir, "orders").filter(col("o_orderkey") % mod === rem)
+            .select(col("o_orderkey").as(keyName),
+              datediff(col("o_orderdate").cast("date"), epoch).as(s"${keyName}_s"))
+            .withColumn(s"${keyName}_e", col(s"${keyName}_s") + 30)
+        val a = windows(199L, 0L, "key_a")
+        val b = windows(199L, 1L, "key_b")
+        RangeJoin.intervalOverlap(a, "key_a_s", "key_a_e",
+            b, "key_b_s", "key_b_e", bucketWidth = 31)
+          .select(col("key_a"), col("key_b"),
+            (greatest(col("key_a_s"), col("key_b_s")) -
+              least(col("key_a_e"), col("key_b_e"))).cast("long").as("neg_overlap_days"))
+      },
+      Some("""WITH w AS (SELECT o_orderkey,
+                     CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS s
+                   FROM orders),
+              a AS (SELECT o_orderkey AS key_a, s AS a_s, s + 30 AS a_e
+                    FROM w WHERE o_orderkey % 199 = 0),
+              b AS (SELECT o_orderkey AS key_b, s AS b_s, s + 30 AS b_e
+                    FROM w WHERE o_orderkey % 199 = 1)
+              SELECT key_a, key_b,
+                     CAST(greatest(a_s, b_s) - least(a_e, b_e) AS BIGINT)
+                       AS neg_overlap_days
+              FROM a JOIN b ON a_s <= b_e AND b_s <= a_e""")),
+
     // ----- §2.4 aggregations ----------------------------------------------
 
     "q_count_star" -> Q(

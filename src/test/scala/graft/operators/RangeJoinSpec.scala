@@ -39,6 +39,26 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out === Seq(4L))
   }
 
+  test("interval overlap join == naive crossJoin+filter, each pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def ivs(n: Int, pfx: String) = (1 to n).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (i.toLong, s, s + rnd.nextInt(60).toLong)
+    }.toDF(s"${pfx}_id", s"${pfx}_s", s"${pfx}_e")
+    val a = ivs(80, "a")
+    val b = ivs(70, "b")
+    for (bw <- Seq(1L, 13L, 31L, 400L)) {
+      val got = RangeJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", bw)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      val want = a.crossJoin(b)
+        .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === want, s"bucketWidth=$bw")
+      assert(got.distinct.size === got.size, s"duplicate pairs at bucketWidth=$bw")
+    }
+  }
+
   test("plan is a bucket equi-join: no nested loop, no cartesian (scale guard)") {
     import spark.implicits._
     val pts = (1 to 100).map(i => (i.toLong, i.toLong * 3)).toDF("p_id", "p")
