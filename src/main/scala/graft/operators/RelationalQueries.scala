@@ -736,6 +736,56 @@ object RelationalQueries {
                      round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
               FROM lineitem GROUP BY l_linestatus""")),
 
+    "q_unpivot" -> Q(
+      // UNPIVOT (wide → long), the inverse reshaping of q_pivot:
+      // Spark's stack() generator melts two measure columns into
+      // (metric, val) rows; the oracle is the relational core of
+      // UNPIVOT — one UNION ALL branch per measure. Money travels as
+      // floor-cents (floor of the SAME double is engine-identical;
+      // a bare CAST would truncate in Spark but round in DuckDB).
+      (s, dir) => t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("""stack(2,
+          'qty', CAST(l_quantity AS LONG),
+          'price_cents', floor(l_extendedprice * 100)) AS (metric, val)""")),
+      Some("""SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+                     CAST(l_quantity AS BIGINT) AS val FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'price_cents',
+                     CAST(floor(l_extendedprice * 100) AS BIGINT) FROM lineitem""")),
+
+    "q_agg_maxintersections" -> Q(
+      // CH maxIntersections(start, end): the peak number of
+      // simultaneously-open intervals — re-expressed as the classic
+      // sweep-line: ±1 events at start and end+1, running ROWS-frame
+      // sum ordered by (pos, delta) (ends before starts at the same
+      // position — correct for closed intervals), max per group. Tied
+      // events are interchangeable (+1 runs ascend through any
+      // permutation), so the group max is deterministic; all integer.
+      (s, dir) => {
+        val epoch = lit("1992-01-01").cast("date")
+        val iv = t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+          datediff(col("o_orderdate").cast("date"), epoch).as("s"))
+        val ev = iv.select(col("grp"), col("s").as("pos"), lit(1L).as("d"))
+          .unionByName(iv.select(col("grp"), (col("s") + 31).as("pos"),
+            lit(-1L).as("d")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy(col("pos"), col("d"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        ev.withColumn("open", sum("d").over(w))
+          .groupBy("grp").agg(max("open").as("max_open"))
+      },
+      Some("""WITH iv AS (SELECT o_orderpriority AS grp,
+                     CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS s
+                   FROM orders),
+              ev AS (SELECT grp, s AS pos, 1 AS d FROM iv
+                     UNION ALL
+                     SELECT grp, s + 31, -1 FROM iv),
+              r AS (SELECT grp, CAST(sum(d) OVER (PARTITION BY grp
+                     ORDER BY pos, d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open
+                   FROM ev)
+              SELECT grp, max(open) AS max_open FROM r GROUP BY grp""")),
+
     "q_sample_stratified" -> Q(
       // stratified sampling (per-class fractions) — the training-data
       // rebalancing primitive, in its DETERMINISTIC form: membership is
