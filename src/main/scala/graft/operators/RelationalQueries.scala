@@ -754,6 +754,31 @@ object RelationalQueries {
               SELECT l_orderkey, l_linenumber, 'price_cents',
                      CAST(floor(l_extendedprice * 100) AS BIGINT) FROM lineitem""")),
 
+    "q_join_fuzzy" -> Q(
+      // Fuzzy join (FuzzyJoin.editDistance1): part names against
+      // deterministically-misspelled probes (middle character
+      // deleted), matched at levenshtein <= 1 via symmetric-delete
+      // blocking — recall provably 1.0, exact-distance verify, no
+      // cross join (plan-guarded in FuzzyJoinSpec). The oracle brute-
+      // forces levenshtein over the small distinct-name domain.
+      (s, dir) => {
+        val names = t(s, dir, "part").select(col("p_name")).distinct()
+        val probes = names.select(expr(
+          """concat(substr(p_name, 1, CAST(length(p_name) / 2 AS INT) - 1),
+                    substr(p_name, CAST(length(p_name) / 2 AS INT) + 1))""")
+          .as("probe"))
+        FuzzyJoin.editDistance1(probes, "probe", names, "p_name")
+      },
+      Some("""WITH names AS (SELECT DISTINCT p_name FROM part),
+              probes AS (SELECT DISTINCT
+                     substr(p_name, 1, length(p_name) // 2 - 1) ||
+                     substr(p_name, length(p_name) // 2 + 1) AS probe
+                   FROM names)
+              SELECT p.probe AS l_val, n.p_name AS r_val,
+                     CAST(levenshtein(p.probe, n.p_name) AS INTEGER) AS dist
+              FROM probes p, names n
+              WHERE levenshtein(p.probe, n.p_name) <= 1""")),
+
     "q_agg_maxintersections" -> Q(
       // CH maxIntersections(start, end): the peak number of
       // simultaneously-open intervals — re-expressed as the classic
