@@ -914,6 +914,54 @@ object ComplexQueries {
                             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
                             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
                             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
-                     FROM ${Q.eventsOracle} GROUP BY user_id)"""))
+                     FROM ${Q.eventsOracle} GROUP BY user_id)""")),
+
+    "q_graph_pagerank" -> Q(
+      // Fixed-point integer PageRank (Graph.pageRankFixedPoint) over
+      // the supplier-nation → customer-nation trade graph — the
+      // host/domain quality-weighting pass of a crawl corpus. Every
+      // iteration is integer multiply/div/sum, so three rounds are
+      // engine- and partitioning-exact, and the oracle replays them as
+      // unrolled CTEs (the BPE-keys recipe). `div`/`//` agree (values
+      // non-negative).
+      (s, dir) => {
+        val edges = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3)
+      },
+      Some(pageRankOracleSql(3)))
   )
+
+  /** Unrolled fixed-point PageRank oracle — one (c_k, r_k) CTE pair per
+    * iteration, same integer arithmetic as Graph.pageRankFixedPoint. */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS node,
+                CAST(sum(r.rank_fp // od.outdeg) AS BIGINT) AS inbound
+              FROM r${k - 1} r JOIN od ON r.node = od.src
+              JOIN e ON e.src = r.node GROUP BY e.dst),
+          r$k AS MATERIALIZED (SELECT n.node,
+                CAST(150000000 + (85 * COALESCE(c$k.inbound, 0)) // 100 AS BIGINT)
+                  AS rank_fp
+              FROM n LEFT JOIN c$k ON n.node = c$k.node)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE s_nationkey <> c_nationkey),
+         n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         r0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp FROM n),
+         $steps
+         SELECT CAST(node AS BIGINT) AS node, rank_fp FROM r$iterations"""
+  }
 }
