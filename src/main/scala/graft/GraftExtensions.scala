@@ -204,5 +204,69 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunnelAgg(children.head, children(1),
           lit(children(2), "window"), lit(children(3), "steps").toInt)
       }))
+
+    // ----- table-valued functions: the reference's exact call surface ----
+    //
+    // The reference registers `clickhouse_native(path)` and
+    // `clickhouse_scan(query)` as host-SQL TABLE functions
+    // (src/lib.rs:368-373, src/clickhouse_scan.rs) — so a reference
+    // user's `SELECT count(*) FROM clickhouse_native('/f.clickhouse')`
+    // runs VERBATIM here: the builder resolves the literal argument at
+    // analysis time and plants the same DSv2 relation that
+    // `spark.read.format(...)` would, with every pushdown/pruning
+    // capability intact (it IS the same Table object underneath).
+    def stringLit(fn: String,
+        e: org.apache.spark.sql.catalyst.expressions.Expression): String = e match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType == org.apache.spark.sql.types.StringType && l.value != null =>
+        l.value.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn takes a string literal argument, got $other")
+    }
+    def tvfRelation(provider: org.apache.spark.sql.connector.catalog.TableProvider,
+        opts: Map[String, String]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+      import scala.jdk.CollectionConverters._
+      val cim = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts.asJava)
+      val table = provider.getTable(provider.inferSchema(cim),
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform], cim)
+      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        .create(table, None, None, cim)
+    }
+    ext.injectTableFunction((
+      new FunctionIdentifier("clickhouse_native"),
+      new ExpressionInfo(
+        classOf[graft.sources.native.ClickHouseNativeDataSource].getName,
+        "clickhouse_native"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "clickhouse_native takes (path)")
+        tvfRelation(new graft.sources.native.ClickHouseNativeDataSource,
+          Map("path" -> stringLit("clickhouse_native", children.head)))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("clickhouse_scan"),
+      new ExpressionInfo(
+        classOf[graft.sources.remote.ClickHouseRemoteDataSource].getName,
+        "clickhouse_scan"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // reference arity: (query); connection comes from CLICKHOUSE_*
+        // env exactly like src/clickhouse_scan.rs:59-71. An optional
+        // second literal names the endpoint, scheme-routed to the
+        // transport: tcp://host:port (protocol client),
+        // socket://host:port (raw stream), file:///path (recorded
+        // response — the offline harness's server double).
+        require(children.nonEmpty && children.length <= 2,
+          "clickhouse_scan takes (query[, url])")
+        val base = Map("query" -> stringLit("clickhouse_scan", children.head))
+        val opts = if (children.length == 2) {
+          val url = stringLit("clickhouse_scan", children(1))
+          if (url.startsWith("file://"))
+            base + ("transport" -> "file",
+              "responsePath" -> url.stripPrefix("file://"))
+          else if (url.startsWith("socket://"))
+            base + ("transport" -> "socket", "url" -> url)
+          else base + ("url" -> url)
+        } else base
+        tvfRelation(new graft.sources.remote.ClickHouseRemoteDataSource, opts)
+      }))
   }
 }
