@@ -43,6 +43,35 @@ object ScanQueries {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
 
+    "scan_native_tvf" -> Q(
+      // The reference's EXACT SQL syntax — `SELECT … FROM
+      // clickhouse_native('/path')` (src/lib.rs:368-373) — through the
+      // injected table function (GraftExtensions.injectTableFunction),
+      // hash-gated end-to-end like every other key.
+      (s, dir) => {
+        val fx = fixtureDir(dir, "nation_native_tvf")
+        t(s, dir, "nation").write.format("clickhouse_native").mode("overwrite").save(fx)
+        s.sql(s"""SELECT n_nationkey, n_name, n_regionkey
+                  FROM clickhouse_native('$fx') WHERE n_regionkey <> 2""")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+              WHERE n_regionkey <> 2""")),
+
+    "scan_remote_tvf" -> Q(
+      // `clickhouse_scan('SELECT …', url)` as a table function, the
+      // file:// scheme routing to the recorded-response transport —
+      // the same server double scan_remote_query exercises through
+      // the reader API.
+      (s, dir) => {
+        val fx = fixtureDir(dir, "remote_response_tvf")
+        t(s, dir, "region").coalesce(1)
+          .write.format("clickhouse_native").mode("overwrite").save(fx)
+        val part = NativeFixtures.singlePart(fx)
+        s.sql(s"""SELECT r_regionkey, r_name
+                  FROM clickhouse_scan('SELECT * FROM region', 'file://$part')""")
+      },
+      Some("SELECT r_regionkey, r_name FROM region")),
+
     "scan_remote_query" -> Q(
       // the reference's clickhouse_scan() as a Spark source; the
       // "server response" is a recorded Native byte stream produced by
