@@ -996,6 +996,57 @@ object LlmQueries {
               SELECT b.w1, b.w2, b.cnt, u.w1_cnt
               FROM big b JOIN uni u USING (w1) WHERE b.cnt >= 5""")),
 
+    "q_lm_perplexity" -> Q(
+      // CCNet-style LM quality filtering (Wenzek et al., "CCNet", 2019):
+      // score every document by how well a corpus-level bigram LM
+      // predicts it and flag the low-perplexity head — the classic
+      // perplexity gate LLM corpora apply after dedup. The gate stays
+      // arithmetic-exact by quantizing -log2 p(w2|w1) to INTEGER bits
+      // via bit length: bits = len(bin(w1_cnt)) - len(bin(cnt)) is a
+      // floor-log2 of the MLE odds computed identically by Spark and
+      // DuckDB (no libm log anywhere near the hash gate); bigrams the
+      // pruned LM dropped charge a flat 20-bit OOV penalty, the shape a
+      // KenLM backoff penalty takes. At 100 TB the min-count-pruned LM
+      // is a small table broadcast to every executor — exactly how
+      // CCNet ships its KenLM to workers — while the document-bigram
+      // side streams with no shuffle besides the final per-doc agg.
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "").as("ws"))
+          .filter(size(col("ws")) > 1)
+        val pairs = toks.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
+          .as("p")).select(col("doc_id"), col("p.w1"), col("p.w2"))
+        val uni = pairs.groupBy("w1").agg(count(lit(1)).as("w1_cnt"))
+        val lm = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+          .join(uni, "w1").filter(col("cnt") >= 5)
+        val scored = pairs.join(broadcast(lm), Seq("w1", "w2"), "left")
+          .select(col("doc_id"), coalesce(
+            length(bin(col("w1_cnt"))) - length(bin(col("cnt"))), lit(20)).as("bits"))
+        scored.groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"), sum("bits").as("sum_bits"))
+          // keep = mean bits/bigram <= 4.6 — splits this corpus near its
+          // median so both decision classes are exercised by the gate
+          .withColumn("keep", col("sum_bits") * 10 <= col("n_bigrams") * 46)
+      },
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w <> '') AS ws FROM documents),
+              nz AS (SELECT doc_id, ws FROM toks WHERE len(ws) > 1),
+              p AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                   FROM nz, unnest(range(1, len(ws))) AS u(i)),
+              uni AS (SELECT w1, count(*) AS w1_cnt FROM p GROUP BY w1),
+              big AS (SELECT w1, w2, count(*) AS cnt FROM p GROUP BY w1, w2),
+              lm AS (SELECT b.w1, b.w2, b.cnt, u.w1_cnt
+                     FROM big b JOIN uni u USING (w1) WHERE b.cnt >= 5),
+              sc AS (SELECT p.doc_id, coalesce(
+                       length(bin(l.w1_cnt)) - length(bin(l.cnt)), 20) AS bits
+                     FROM p LEFT JOIN lm l ON p.w1 = l.w1 AND p.w2 = l.w2)
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(bits) AS BIGINT) AS sum_bits,
+                     sum(bits) * 10 <= count(*) * 46 AS keep
+              FROM sc GROUP BY doc_id""")),
+
     "q_tfidf_terms" -> Q(
       // per-document distinctive terms (TextPipeline.tfidfTerms):
       // top-3 by tf/df — linear-idf tf·idf, kept as an IEEE integer

@@ -803,4 +803,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(TextHash.rollingFingerprint(a) === TextHash.rollingFingerprint(a))
     assert(TextHash.rollingFingerprint("short") === TextHash.rollingFingerprint("short"))
   }
+
+  test("lm perplexity: query equals brute-force bit-quantized reference; LM broadcasts") {
+    val df = QueryRegistry.queries("q_lm_perplexity")(spark, SparkTestBase.sfDir)
+    // the pruned LM side must reach the doc-bigram stream as a broadcast
+    // (CCNet's ship-the-KenLM-to-workers shape), not a shuffle join
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "pruned-LM join should broadcast")
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+
+    // brute-force reference, straight from the definition
+    def toks(t: String) = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pairs = texts.flatMap { case (id, t) =>
+      val w = toks(t)
+      if (w.length > 1) w.sliding(2).map(a => (id, a(0), a(1))).toSeq else Seq.empty
+    }
+    val uni = pairs.groupBy(_._2).map { case (w1, g) => w1 -> g.size.toLong }
+    val big = pairs.groupBy(p => (p._2, p._3)).view
+      .mapValues(_.size.toLong).filter(_._2 >= 5).toMap
+    def bits(w1: String, w2: String): Long = big.get((w1, w2)) match {
+      case Some(c) =>
+        (java.lang.Long.toBinaryString(uni(w1)).length -
+          java.lang.Long.toBinaryString(c).length).toLong
+      case None => 20L
+    }
+    val expected = pairs.groupBy(_._1).map { case (id, g) =>
+      val s = g.map(p => bits(p._2, p._3)).sum
+      id -> ((g.size.toLong, s, s * 10 <= g.size.toLong * 46))
+    }
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
