@@ -30,6 +30,14 @@ object Bench {
       .config("spark.sql.catalog.graft.warehouse",
         s"${sys.props("java.io.tmpdir")}/graft_bench/warehouse")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // The 162-key sweep accumulates broadcast/shuffle garbage that
+      // ContextCleaner only frees on its periodic GC — default 30min,
+      // which a ~15min session never reaches. Left unset, later
+      // queries' broadcast builds pay full-GC/eviction stalls that
+      // showed up as 2-7x "regressions" on unchanged plans (q_tpch_q3
+      // measured 5.9s mid-sweep vs 1.0s in a fresh session, r5 round
+      // notes). 60s keeps the arena clean so timings measure the plan.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -151,7 +159,13 @@ object Bench {
     // set) get min-of-3: round 3→4 showed ±30-40% swings on sub-second
     // shapes whose builders hadn't changed, so they need one more
     // sample to separate plan regressions from host noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY="q_tpch_q3,q_tpch_q5" restricts the sweep
+    // for local iteration; the driver always runs the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val reps = if (name.startsWith("q_tpch_") || name == "q_union_all") 3 else 2
       name -> (try {
         (1 to reps).map(_ => time(force(fn(spark, sfDir)))).min

@@ -57,6 +57,45 @@ object ScanQueries {
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
               WHERE n_regionkey <> 2""")),
 
+    "scan_matview_rollup" -> Q(
+      // ClickHouse's materialized-view / AggregatingMergeTree pattern
+      // (the -State / -Merge combinator pair) re-expressed Spark-first:
+      // a maintenance pass writes PARTIAL aggregate states into a
+      // small native rollup table keyed by (group, shard) — the
+      // -State half — and the serving query reads ONLY the rollup,
+      // merging states with sum-of-sums / sum-of-counts / max-of-maxes
+      // — the -Merge half. Money flows through floor-cents fixed point
+      // so the merge algebra is associative and the gate stays
+      // arithmetic-exact under ANY sharding. At 100 TB the rollup is
+      // maintained incrementally per ingest batch and is orders of
+      // magnitude smaller than the fact table; serving cost is
+      // O(rollup), the fact table is never rescanned.
+      (s, dir) => {
+        val fx = fixtureDir(dir, "rollup_lineitem")
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            (col("l_orderkey") % 8).as("shard"))
+          .agg(
+            sum(floor(col("l_quantity") * 100)).as("qty_cents_state"),
+            sum(floor(col("l_extendedprice") * 100)).as("price_cents_state"),
+            count(lit(1)).as("cnt_state"),
+            max(col("l_shipdate")).as("max_ship_state"))
+          .write.format("clickhouse_native").mode("overwrite").save(fx)
+        s.read.format("clickhouse_native").load(fx)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("qty_cents_state").as("sum_qty_cents"),
+            sum("price_cents_state").as("sum_price_cents"),
+            sum("cnt_state").as("cnt"),
+            max("max_ship_state").as("max_ship"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_qty_cents,
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_price_cents,
+                count(*) AS cnt, max(l_shipdate) AS max_ship
+              FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
     "scan_remote_tvf" -> Q(
       // `clickhouse_scan('SELECT …', url)` as a table function, the
       // file:// scheme routing to the recorded-response transport —
