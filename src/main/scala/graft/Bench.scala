@@ -218,6 +218,12 @@ object Bench {
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         count(lit(1)).as("cnt"))
+    // NOTE: measured with auto-broadcast OFF (see scalePoints below).
+    // At 1× the orders side (~6 MB) broadcasts but at 10× (~60 MB) it
+    // flips to sort-merge — the 10×/1× ratio would then compare two
+    // STRATEGIES, not one strategy's scaling (observed as a spurious
+    // ratio-20 gate trip, r5). Pinning both points to the shuffle join
+    // makes the ratio measure what the gate watches: shuffle scaling.
     def scaleJoin(copies: Int) = lineitemAt(copies)
       .join(ordersAt(copies), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
@@ -229,12 +235,19 @@ object Bench {
       "scale_agg_1x" -> (() => scaleAgg(1)), "scale_agg_10x" -> (() => scaleAgg(10)),
       "scale_join_1x" -> (() => scaleJoin(1)), "scale_join_10x" -> (() => scaleJoin(10)),
       "scale_dedup_1x" -> (() => scaleDedup(1)), "scale_dedup_10x" -> (() => scaleDedup(10)))
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
-        name -> (try {
-          val t1 = time(force(mk()))
-          val t2 = time(force(mk()))
-          math.min(t1, t2)
-        } catch { case _: Throwable => -1.0 })
+        val pinShuffleJoin = name.startsWith("scale_join")
+        if (pinShuffleJoin)
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          name -> (try {
+            val t1 = time(force(mk()))
+            val t2 = time(force(mk()))
+            math.min(t1, t2)
+          } catch { case _: Throwable => -1.0 })
+        } finally if (pinShuffleJoin)
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
 
     // Second anchor pass, now fully JIT-warm; report the overall min
@@ -260,12 +273,15 @@ object Bench {
     // leaves the measurements on record.
     val byName = all.toMap
     val tripped = Seq("agg", "join", "dedup").flatMap { k =>
+      if (!byName.contains(s"scale_${k}_1x")) None // filtered out (local iteration)
+      else {
       val (t1x, t10x) = (byName(s"scale_${k}_1x"), byName(s"scale_${k}_10x"))
       if (t1x <= 0 || t10x < 0)
         Some(s"scale_$k: missing/failed measurement (1x=$t1x 10x=$t10x)")
       else if (t10x / t1x >= 15.0)
         Some(f"scale_$k: 10x/1x ratio ${t10x / t1x}%.1f >= 15 — super-linear growth")
       else None
+      }
     }
     spark.stop()
     if (tripped.nonEmpty) {
