@@ -754,6 +754,45 @@ object RelationalQueries {
               SELECT l_orderkey, l_linenumber, 'price_cents',
                      CAST(floor(l_extendedprice * 100) AS BIGINT) FROM lineitem""")),
 
+    "q_with_fill" -> Q(
+      // ClickHouse `ORDER BY day WITH FILL` (gap-filled time series)
+      // re-expressed declaratively: per-type daily counts, then every
+      // missing day in each type's own [min_day, max_day] span
+      // materialized with cnt=0. The calendar is generated
+      // DISTRIBUTED — sequence() + explode inside the plan, sized by
+      // the per-type span aggregate — not by a driver loop; observed
+      // counts land via left join. Dates and counts are integers, so
+      // the gate is engine-exact. At 100 TB the span table is
+      // group-cardinality-sized (broadcasts) and the fill output is
+      // bounded by groups × days, both tiny next to the event stream.
+      (s, dir) => {
+        // value > 250 keeps the daily series SPARSE at every SF (7 of
+        // 14 calendar rows filled at sf0.001, 82 of 136 at sf0.01) —
+        // an unfiltered series is gap-free and the fill never fires
+        val daily = Q.events(s, dir).filter(col("value") > 250)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val cal = daily.groupBy("event_type")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("event_type"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        cal.join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+      },
+      Some(s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                       count(*) AS cnt
+                     FROM ${Q.eventsOracle} e WHERE value > 250 GROUP BY 1, 2),
+              spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+                     FROM daily GROUP BY 1),
+              cal AS (SELECT event_type,
+                       CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                         CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+                     FROM spans)
+              SELECT c.event_type, c.day, coalesce(d.cnt, 0) AS cnt
+              FROM cal c LEFT JOIN daily d
+                ON c.event_type = d.event_type AND c.day = d.day""")),
+
     "q_join_fuzzy" -> Q(
       // Fuzzy join (FuzzyJoin.editDistance1): part names against
       // deterministically-misspelled probes (middle character
