@@ -125,6 +125,65 @@ object Dedup {
       .filter(col("est_sim") >= threshold)
   }
 
+  /**
+   * The persisted dedup-index artifact for a corpus snapshot:
+   * (id, fp, sig) — a 64-bit exact-content fingerprint plus the k-slot
+   * MinHash signature per document. At 100 TB this table (tens of
+   * bytes per kilobyte of corpus) is the ONLY thing later snapshots
+   * ever touch: the corpus text itself is never re-read. The MinHash
+   * analog of the `.chidx` sidecar.
+   */
+  def dedupIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 128, shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      call_function("fnv1a64", col(textCol)).as("fp"),
+      minhashSigCol(col(textCol), k, shingleN).as("sig"))
+
+  /**
+   * Incremental (cross-snapshot) dedup: rows of `batch` that survive
+   * against an accumulated corpus represented ONLY by its
+   * [[dedupIndex]] — the production shape for a 100 TB crawl pipeline,
+   * where snapshot N+1 must not re-process snapshots 1..N.
+   *
+   * Two kill stages, both index-only:
+   *  1. exact — semi-join on the 64-bit content fingerprint (the
+   *     deterministic fast path that catches verbatim re-crawls; a
+   *     cross-text fp collision would kill a fresh doc, the standard
+   *     2^-64 trade every content-addressed pipeline makes);
+   *  2. near — LSH band join of batch signatures against index
+   *     signatures (batch×corpus only: batch-internal duplicates are
+   *     [[minhashPairs]]' job), signature-estimate verified at
+   *     >= threshold.
+   * Both stages are bucketed equi-joins on thin fixed-width rows; the
+   * batch is anti-joined against the union of killed ids. Nothing
+   * collects, nothing broadcasts corpus-sized state.
+   */
+  def incrementalSurvivors(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, k: Int = 128, bands: Int = 32,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rows = k / bands
+    val bSig = batch.select(col(idCol).as("bid"),
+      call_function("fnv1a64", col(textCol)).as("bfp"),
+      minhashSigCol(col(textCol), k, shingleN).as("bsig"))
+    val exactDup = bSig.join(index.select(col("fp").as("bfp")),
+      Seq("bfp"), "left_semi").select("bid")
+    val bBuckets = bSig.select(col("bid"),
+      posexplode(split_bands(col("bsig"), bands, rows)).as(Seq("band", "band_hash")))
+    val cBuckets = index.select(col("id").as("cid"),
+      posexplode(split_bands(col("sig"), bands, rows)).as(Seq("band", "band_hash")))
+    val cand = bBuckets.join(cBuckets, Seq("band", "band_hash"))
+      .select("bid", "cid").distinct()
+    val nearDup = cand
+      .join(bSig.select(col("bid"), col("bsig")), "bid")
+      .join(index.select(col("id").as("cid"), col("sig").as("csig")), "cid")
+      .filter(estJaccardCol(col("bsig"), col("csig")) >= threshold)
+      .select("bid").distinct()
+    batch.join(exactDup.union(nearDup).distinct()
+        .withColumnRenamed("bid", idCol),
+      Seq(idCol), "left_anti")
+  }
+
   /** Hash each band's slice of the signature → array<struct<band,hash>> input for posexplode. */
   private def split_bands(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>

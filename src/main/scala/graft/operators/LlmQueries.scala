@@ -327,6 +327,41 @@ object LlmQueries {
       Some(s"""SELECT doc_id, text FROM $dupCorpusSql
                QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)""")),
 
+    "q_dedup_incremental" -> Q(
+      // incremental (cross-snapshot) dedup — Dedup.incrementalSurvivors:
+      // a NEW batch dedups against the accumulated corpus using ONLY
+      // the corpus's persisted (id, fp, sig) dedup index; corpus text
+      // is never re-read. The batch is constructed with three known
+      // classes: verbatim re-crawls (killed by the fp stage), one
+      // appended token pair (near-dups — killed by the LSH stage:
+      // J ≈ (w-2)/(w+2) >> 0.5 for every document length here), and
+      // letter-rotated rewrites (shared shingles ~0 — survive). The
+      // oracle states the survivors by construction class; the gate
+      // thus verifies BOTH kill stages and the survivor path
+      // end-to-end. All decisions are deterministic (seedless codegen
+      // hashes), certified at all three SFs.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.translate
+        val docs = t(s, dir, "documents")
+        val index = Dedup.dedupIndex(docs, "doc_id", "text")
+        val batch =
+          docs.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 7 === 2)
+            .select((col("doc_id") + 20000000L).as("doc_id"),
+              concat(col("text"), lit(" graft extra tail")).as("text")))
+          .unionByName(docs.filter(col("doc_id") % 11 === 5)
+            .select((col("doc_id") + 30000000L).as("doc_id"),
+              translate(col("text"), "abcdefghij", "fghijabcde").as("text")))
+        Dedup.incrementalSurvivors(batch, index, "doc_id", "text")
+          .select(col("doc_id"), length(col("text")).as("n_chars"))
+      },
+      Some("""WITH batch AS (
+                SELECT doc_id + 30000000 AS doc_id,
+                       translate(text, 'abcdefghij', 'fghijabcde') AS text
+                FROM documents WHERE doc_id % 11 = 5)
+              SELECT doc_id, length(text) AS n_chars FROM batch""")),
+
     "q_dedup_spans" -> Q(
       // sub-document (span-level) dedup — Dedup.spanDedup: 5-token
       // segments, corpus-wide first occurrence survives, documents

@@ -804,6 +804,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(TextHash.rollingFingerprint("short") === TextHash.rollingFingerprint("short"))
   }
 
+  test("incremental dedup: index-only kill stages behave per class") {
+    import org.apache.spark.sql.functions.translate
+    val index = Dedup.dedupIndex(docs, "doc_id", "text")
+    val verbatim = docs.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val near = docs.select((col("doc_id") + 2000L).as("doc_id"),
+      concat(col("text"), lit(" graft extra tail")).as("text"))
+    val novel = docs.select((col("doc_id") + 3000L).as("doc_id"),
+      translate(col("text"), "abcdefghij", "fghijabcde").as("text"))
+    val n = docs.count()
+    // verbatim re-crawls all die in the fp stage; near-dups all die in
+    // the LSH stage; letter-rotated rewrites (shared shingles ~0) all
+    // survive — and survivors keep their full row intact
+    assert(Dedup.incrementalSurvivors(verbatim, index, "doc_id", "text").count() === 0L)
+    assert(Dedup.incrementalSurvivors(near, index, "doc_id", "text").count() === 0L)
+    val surv = Dedup.incrementalSurvivors(novel, index, "doc_id", "text")
+    assert(surv.count() === n)
+    assert(surv.columns.toSeq === Seq("doc_id", "text"))
+    // a mixed batch kills exactly the two dup classes
+    val mixed = verbatim.unionByName(near).unionByName(novel)
+    val kept = Dedup.incrementalSurvivors(mixed, index, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === novel.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("lm perplexity: query equals brute-force bit-quantized reference; LM broadcasts") {
     val df = QueryRegistry.queries("q_lm_perplexity")(spark, SparkTestBase.sfDir)
     // the pruned LM side must reach the doc-bigram stream as a broadcast
