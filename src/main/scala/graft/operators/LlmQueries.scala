@@ -631,6 +631,33 @@ object LlmQueries {
       },
       Some(bruteForceTopKSql)),
 
+    "q_sim_index_persist" -> Q(
+      // build-once-serve-many ANN: Similarity.buildIvfIndex writes the
+      // IVF artifact — (vec_id, embedding, cell) assignments plus the
+      // (cell, centroid) routing table — to NATIVE tables, and
+      // Similarity.serveIvfTopK answers queries from the persisted
+      // tables alone: no KMeans, no corpus pass, at serve time. The
+      // 100 TB ANN operating model (index maintenance and query
+      // serving are separate jobs), tied to this library's own
+      // storage format. Oracle-gate regime nprobe = nlist, where IVF
+      // is provably identical to brute force (same argument as
+      // q_sim_cosine_ivf) — which also proves the embeddings survived
+      // the native write→read roundtrip bit-for-bit.
+      (s, dir) => {
+        val fxCells = ScanQueries.fixtureDir(dir, "ivf_cells")
+        val fxCent = ScanQueries.fixtureDir(dir, "ivf_centroids")
+        val emb = t(s, dir, "embeddings")
+        val (cells, centroids) = Similarity.buildIvfIndex(emb, nlist = 16,
+          trainFraction = 0.5)
+        cells.write.format("clickhouse_native").mode("overwrite").save(fxCells)
+        centroids.write.format("clickhouse_native").mode("overwrite").save(fxCent)
+        Similarity.serveIvfTopK(
+          s.read.format("clickhouse_native").load(fxCells),
+          s.read.format("clickhouse_native").load(fxCent),
+          emb.filter(col("vec_id") < 5), k = 10, nprobe = 16)
+      },
+      Some(bruteForceTopKSql)),
+
     "q_sim_cosine_lsh" -> Q(
       // the 100-TB path: sign-random-projection buckets + multi-probe.
       // Oracle-gate configuration probeRadius = planes: every occupied

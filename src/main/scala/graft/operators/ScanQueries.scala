@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object ScanQueries {
 
   /** Deterministic per-sfDir fixture location on the local tmp fs. */
-  private def fixtureDir(dir: String, name: String): String =
+  private[operators] def fixtureDir(dir: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
   object NativeFixtures {

@@ -93,8 +93,17 @@ object Similarity {
   /** The IVF coarse quantizer: KMeans cell per candidate plus the
     * per-query nprobe nearest cells — shared by [[ivfTopK]] (flat
     * scoring) and [[ivfPqTopK]] (ADC scoring). */
-  private def ivfCells(candidates: DataFrame, queries: DataFrame,
-      nlist: Int, nprobe: Int, trainFraction: Double): (DataFrame, DataFrame) = {
+  /**
+   * Build the PERSISTABLE IVF index artifact: (cells, centroids).
+   * `cells` = (vec_id, embedding, cell) — the corpus re-keyed by its
+   * nearest-centroid cell; `centroids` = (cell, centroid) — the
+   * nlist-row routing table. Both are plain DataFrames so a caller can
+   * write them to native tables once and serve forever — at 100 TB the
+   * KMeans fit happens once per index build, never per query (see
+   * [[serveIvfTopK]] and the `q_sim_index_persist` key).
+   */
+  def buildIvfIndex(candidates: DataFrame, nlist: Int,
+      trainFraction: Double = 1.0): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -117,27 +126,29 @@ object Similarity {
       .fit(trainRows.select("features"))
     val cand = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-
-    // nprobe nearest cells per query, via the broadcast centroid table
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }
-    val centroidDf = queries.sparkSession.createDataFrame(centroids.toSeq)
+    val centroidDf = candidates.sparkSession.createDataFrame(centroids.toSeq)
       .toDF("cell", "centroid")
+    (cand, centroidDf)
+  }
+
+  /** nprobe nearest cells per query against a (cell, centroid) routing
+    * table — broadcast-joined; nlist rows regardless of corpus size. */
+  private def probeCells(queries: DataFrame, centroidDf: DataFrame,
+      nprobe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probes = q.crossJoin(broadcast(centroidDf))
+    q.crossJoin(broadcast(centroidDf))
       .withColumn("dist", -cosine(col("q_emb"), col("centroid")))
       .withColumn("cell_rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
       .filter(col("cell_rank") <= nprobe)
       .select("q_id", "q_emb", "cell")
-    (cand, probes)
   }
 
-  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, trainFraction: Double = 1.0): DataFrame = {
-    val (cand, probes) = ivfCells(candidates, queries, nlist, nprobe, trainFraction)
-
+  /** Flat (exact-cosine) scoring of probed cells → per-query top-k. */
+  private def flatTopK(cand: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val scored = cand.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -145,6 +156,29 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
       .filter(col("rn") <= k)
+  }
+
+  /**
+   * Serve IVF top-k from a PERSISTED index: `cells` and `centroids`
+   * are the two tables [[buildIvfIndex]] produced (typically read back
+   * from native/parquet storage) — no KMeans, no corpus pass, at serve
+   * time. Build once, serve many: the per-query cost is nprobe/nlist
+   * of the corpus plus an nlist-row broadcast.
+   */
+  def serveIvfTopK(cells: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame =
+    flatTopK(cells, probeCells(queries, centroids, nprobe), k)
+
+  private def ivfCells(candidates: DataFrame, queries: DataFrame,
+      nlist: Int, nprobe: Int, trainFraction: Double): (DataFrame, DataFrame) = {
+    val (cand, centroidDf) = buildIvfIndex(candidates, nlist, trainFraction)
+    (cand, probeCells(queries, centroidDf, nprobe))
+  }
+
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, trainFraction: Double = 1.0): DataFrame = {
+    val (cand, probes) = ivfCells(candidates, queries, nlist, nprobe, trainFraction)
+    flatTopK(cand, probes, k)
   }
 
   /**
