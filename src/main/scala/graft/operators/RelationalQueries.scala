@@ -1234,6 +1234,100 @@ object RelationalQueries {
                      xor(l_orderkey, l_partkey) AS xor_pk,
                      l_linenumber << 4 AS shl4,
                      l_orderkey >> 3 AS shr3
-              FROM lineitem"""))
+              FROM lineitem""")),
+
+    "q_limit_by" -> Q(
+      // ClickHouse `LIMIT 3 BY o_orderpriority` (top-N rows per group,
+      // distinct from global LIMIT): re-expressed as a ranked window +
+      // filter, which is exactly the partial-TopK plan Spark runs for
+      // it (rank inside each hash partition, no global sort). Ties are
+      // broken on o_orderkey so the selected rows are deterministic.
+      // At 100 TB this is one shuffle on the BY key with per-group
+      // state bounded by N — the same cost model as CH's LIMIT BY.
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice
+              FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                           row_number() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                    FROM orders)
+              WHERE rn <= 3""")),
+
+    "q_with_totals" -> Q(
+      // ClickHouse `GROUP BY ... WITH TOTALS` (per-group rows plus one
+      // grand-total row in the same result): re-expressed as
+      // rollup(flag), which Catalyst plans as a single expanded
+      // aggregate — one pass over the fact table, partial aggregation
+      // on both grouping sets, no second scan for the totals row. The
+      // null rollup key is renamed 'TOTAL' (l_returnflag is never null
+      // in this schema, so the sentinel cannot collide). All-integer
+      // outputs keep the gate engine-exact.
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag")
+        .agg(sum(col("l_quantity").cast("long")).as("qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("TOTAL")).as("flag"),
+          col("qty"), col("n")),
+      Some("""SELECT coalesce(l_returnflag, 'TOTAL') AS flag,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                     count(*) AS n
+              FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), ())""")),
+
+    "q_agg_group_uniq_array" -> Q(
+      // CH groupUniqArray(x): the distinct-set-per-group aggregate.
+      // collect_set is a mergeable partial aggregate (distributes like
+      // any hash agg); sorted + serialized for the driver's comparator
+      // exactly as q_agg_collect does. Set size is bounded by the
+      // column's domain (5 priorities), so per-group state is O(1)
+      // regardless of fact-table size.
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), "|")
+          .as("prios"),
+          countDistinct(col("o_orderpriority")).as("n_uniq")),
+      Some("""SELECT o_orderstatus,
+                     array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS prios,
+                     count(DISTINCT o_orderpriority) AS n_uniq
+              FROM orders GROUP BY o_orderstatus""")),
+
+    "q_agg_quantile_weighted" -> Q(
+      // CH quantileExactWeighted(0.5)(x, w): exact weighted median.
+      // Re-expressed as the definitional two-window plan — collapse to
+      // per-(group, value) weight sums (one hash agg, map-side
+      // combinable), cumulative weight ordered by value, then the
+      // smallest value whose cumulative weight reaches half the total.
+      // Both engines run the IDENTICAL integer cumsum over identically
+      // ordered doubles, so the gate is exact — no quantile
+      // interpolation regime involved. The window partition carries
+      // one row per DISTINCT value per group (not per fact row), which
+      // is what keeps the sort tractable at 100 TB.
+      (s, dir) => {
+        val perValue = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            col("l_extendedprice").as("v"),
+            col("l_quantity").cast("long").as("wt"))
+          .groupBy("flag", "v").agg(sum("wt").as("wt"))
+        val win = Window.partitionBy("flag").orderBy("v")
+        perValue
+          .withColumn("cum", sum("wt").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum("wt").over(Window.partitionBy("flag")))
+          .filter(col("cum") >= col("tot") * 0.5)
+          .groupBy("flag").agg(min("v").as("wmedian"))
+      },
+      Some("""WITH c AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+                     sum(CAST(l_quantity AS BIGINT)) AS wt
+                   FROM lineitem GROUP BY 1, 2),
+              r AS (SELECT flag, v,
+                     sum(wt) OVER (PARTITION BY flag ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(wt) OVER (PARTITION BY flag) AS tot
+                   FROM c)
+              SELECT flag, min(v) AS wmedian
+              FROM r WHERE cum >= tot * 0.5 GROUP BY flag"""))
   )
 }

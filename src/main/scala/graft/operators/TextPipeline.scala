@@ -241,6 +241,32 @@ object TextPipeline {
   }
 
   /**
+   * Crawl-style URL canonicalization, the key function under
+   * canonical-URL dedup (the cheapest dedup pass a web corpus runs,
+   * before any content hashing): strip scheme and fragment, lowercase
+   * the host and drop default ports, strip trailing path slashes,
+   * drop `utm_*` tracking parameters and sort the survivors so
+   * parameter order cannot split a group. Pure per-row regex/array
+   * arithmetic — codegen-friendly, no UDF, no shuffle — so at 100 TB
+   * this runs entirely map-side ahead of the one dedup shuffle on the
+   * canonical key.
+   */
+  def canonicalizeUrl(u: Column): Column = {
+    val noScheme = regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val noFrag = regexp_replace(noScheme, "#.*$", "")
+    val host = lower(regexp_replace(
+      regexp_extract(noFrag, "^([^/?]+)", 1), ":(80|443)$", ""))
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[^/?]+([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => !p.startsWith("utm_") && p =!= "")
+    val sortedQ = array_join(sort_array(params), "&")
+    concat(host, path,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
+  /**
    * C4-style text normalization, the cleaning stage ahead of dedup
    * and filtering: strip control characters, collapse whitespace runs
    * to single spaces, trim. Pure per-row regex arithmetic (Java and
