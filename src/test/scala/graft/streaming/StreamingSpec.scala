@@ -210,7 +210,9 @@ class StreamingSpec extends AnyFunSuite {
     val q = stream
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("w.start").as("wstart"), col("cnt"))
+      // driver-generated parquet may carry ts as TIMESTAMP_NTZ, whose
+      // window bounds surface as LocalDateTime — normalize both sides
+      .select(col("w.start").cast("timestamp").as("wstart"), col("cnt"))
       .writeStream.format("memory").queryName("file_t").outputMode("complete").start()
     try {
       q.processAllAvailable()
