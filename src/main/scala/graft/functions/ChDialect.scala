@@ -420,6 +420,46 @@ object ChDialect {
       Add(Multiply(part(0), Literal(16777216L)),
         Add(Multiply(part(1), Literal(65536L)),
           Add(Multiply(part(2), Literal(256L)), part(3))))
+    },
+
+    // ----- round-6 widening: statistical moments, geo --------------------
+    // CH skewPop = m3/m2^1.5 over population central moments — exactly
+    // Spark's Skewness; CH kurtPop = m4/m2^2 while Spark's Kurtosis is
+    // the EXCESS form m4/m2^2 − 3, hence the +3. The Samp variants use
+    // (n−1)-denominator moments; algebra against the Pop forms gives
+    // skewSamp = skewPop·sqrt((n−1)/n) and kurtSamp = kurtPop·(n−1)/n
+    // (each occurrence of a nested aggregate needs its own explicit
+    // AggregateExpression wrap — the analyzer only auto-wraps a BARE
+    // top-level AggregateFunction).
+    one("skewPop")(Skewness(_)),
+    one("kurtPop")(x => Add(Kurtosis(x).toAggregateExpression(), Literal(3.0d))),
+    one("skewSamp") { x =>
+      val n = Cast(Count(x).toAggregateExpression(), DoubleType)
+      Multiply(Skewness(x).toAggregateExpression(),
+        Sqrt(new Divide(Subtract(n, Literal(1.0d)), n)))
+    },
+    one("kurtSamp") { x =>
+      val n = Cast(Count(x).toAggregateExpression(), DoubleType)
+      Multiply(Add(Kurtosis(x).toAggregateExpression(), Literal(3.0d)),
+        new Divide(Subtract(n, Literal(1.0d)), n))
+    },
+    // Haversine great-circle distance in meters on the mean-radius
+    // sphere (R = 6 371 000 m). Divergence note: ClickHouse's own
+    // greatCircleDistance evaluates a lookup-table/polynomial
+    // approximation of the same metric (documented as accurate to
+    // fractions of a percent); this is the closed form it approximates.
+    // The Least guard clamps h against >1 from floating-point rounding
+    // on antipodal points (asin would return NaN).
+    "greatCircleDistance" -> { args: Seq[Expression] =>
+      require(args.length == 4, "greatCircleDistance takes (lon1, lat1, lon2, lat2)")
+      val rad = args.map(a => ToRadians(Cast(a, DoubleType)))
+      val (lon1, lat1, lon2, lat2) = (rad(0), rad(1), rad(2), rad(3))
+      def sin2half(d: Expression): Expression = {
+        val s = Sin(Multiply(d, Literal(0.5d))); Multiply(s, s)
+      }
+      val h = Add(sin2half(Subtract(lat2, lat1)),
+        Multiply(Multiply(Cos(lat1), Cos(lat2)), sin2half(Subtract(lon2, lon1))))
+      Multiply(Literal(2.0d * 6371000.0d), Asin(Sqrt(Least(Seq(h, Literal(1.0d))))))
     }
   )
 

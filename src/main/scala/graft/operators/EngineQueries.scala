@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.operators.Q.t
+
+import org.apache.spark.sql.functions._
+
+/**
+ * MergeTree table-engine FINAL semantics ([[MergeTree]]), dictionary
+ * enrichment, and the round-6 dialect widening (statistical moments,
+ * geo distance) exercised end-to-end over the harness tables.
+ *
+ * Scale notes per key are on the operators; the common thread is that
+ * every FINAL fold is a single hash aggregate (map-side partials — the
+ * shuffle carries at most one row per key per input partition, not the
+ * raw log), and the dictionary join broadcasts the dictionary side the
+ * way ClickHouse keeps dictionaries RAM-resident on every node.
+ */
+object EngineQueries {
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "q_engine_replacing" -> Q(
+      // ReplacingMergeTree FINAL: latest version per (user_id,
+      // event_type) — the deduplicated "current state" view of an
+      // append-only event export. Version = ts (unique per user in the
+      // harness data, so the fold is deterministic). One hash
+      // aggregate; the oracle spells the same fold as a window.
+      (s, dir) => MergeTree.replacingFinal(
+        Q.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"), col("value")),
+        Seq("user_id", "event_type"), "ts"),
+      Some(s"""SELECT user_id, event_type, ts, event_id, value
+               FROM ${Q.eventsOracle} events
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC) = 1""")),
+
+    "q_engine_collapsing" -> Q(
+      // CollapsingMergeTree FINAL over a versioned sign stream: signup
+      // opens (+1), error cancels (-1); per user the LATEST row decides
+      // whether the key survives in its +1 state. Deterministic
+      // versioned reading (= VersionedCollapsingMergeTree) — see
+      // MergeTree.collapsingFinal's doc for the malformed-stream note.
+      (s, dir) => MergeTree.collapsingFinal(
+        Q.events(s, dir)
+          .filter(col("event_type").isin("signup", "error"))
+          .select(col("user_id"), col("ts"),
+            when(col("event_type") === "signup", 1).otherwise(-1).as("sign"),
+            col("value")),
+        Seq("user_id"), "sign", "ts"),
+      Some(s"""SELECT user_id, ts, sign, value FROM (
+                 SELECT user_id, ts,
+                        CASE WHEN event_type = 'signup' THEN 1 ELSE -1 END AS sign,
+                        value
+                 FROM ${Q.eventsOracle} events
+                 WHERE event_type IN ('signup', 'error'))
+               QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1
+                 AND sign = 1""")),
+
+    "q_engine_summing" -> Q(
+      // SummingMergeTree FINAL: numeric columns pre-summed per key —
+      // the rollup a CH export of such a table has already half-applied
+      // (partially-merged parts sum per-part; the read must finish the
+      // fold). value sums are rounded for the cross-engine gate; hits
+      // is an exact integer sum.
+      (s, dir) => MergeTree.summingFinal(
+        Q.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("value"),
+            lit(1L).as("hits")),
+        Seq("user_id", "event_type"), Seq("value", "hits"))
+        .select(col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value_sum"), col("hits")),
+      Some(s"""SELECT user_id, event_type,
+                      round(sum(value), 2) AS value_sum,
+                      count(*) AS hits
+               FROM ${Q.eventsOracle} events
+               GROUP BY user_id, event_type""")),
+
+    "q_join_dict" -> Q(
+      // dictGetOrDefault semantics: a PARTIAL dictionary (nations with
+      // key < 10) enriches every customer row, misses filled with the
+      // default — ClickHouse dictionaries are RAM-resident lookup
+      // tables on every server; the Spark-native equivalent is a
+      // broadcast left join + coalesce, which keeps the fact side
+      // shuffle-free at any scale.
+      (s, dir) => {
+        val dict = t(s, dir, "nation").filter(col("n_nationkey") < 10)
+          .select(col("n_nationkey").as("dict_k"), col("n_name").as("dict_v"))
+        t(s, dir, "customer")
+          .join(broadcast(dict), col("c_nationkey") === col("dict_k"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("dict_v"), lit("UNKNOWN")).as("nation_name"))
+      },
+      Some("""SELECT c_custkey,
+                     COALESCE(n_name, 'UNKNOWN') AS nation_name
+              FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 10) n
+                ON c_nationkey = n_nationkey""")),
+
+    "q_agg_entropy" -> Q(
+      // CH entropy(x): Shannon entropy (log2) of the value distribution
+      // per group. Spelled as two hash aggregates on the algebraic form
+      // H = log2(S) − Σ c·log2(c) / S (S = Σ c) — both engines sum the
+      // same five per-type counts per user, so the only float work is
+      // the final expression; no per-row log2 ever runs (the inner
+      // aggregate collapses to |group|·|distinct values| rows).
+      (s, dir) => Q.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(round(
+          log2(sum(col("c"))) -
+            sum(col("c") * log2(col("c"))) / sum(col("c")), 4).as("entropy")),
+      Some(s"""WITH c AS (SELECT user_id, event_type, count(*) AS c
+                          FROM ${Q.eventsOracle} events
+                          GROUP BY user_id, event_type)
+               SELECT user_id,
+                      round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+               FROM c GROUP BY user_id""")),
+
+    "q_agg_moments" -> Q(
+      // CH skewPop/skewSamp/kurtPop/kurtSamp through the dialect
+      // registration (ChDialect round-6), single-pass streaming central
+      // moments on the Spark side; the oracle recomputes them two-pass
+      // (exact mean, then centered power sums) — an independent
+      // numeric path, so agreement at 4 dp is a real differential test
+      // of the moment algebra, not a shared rounding artifact.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_moments")
+        s.sql("""SELECT l_returnflag,
+                        round(skewPop(l_quantity), 4)  AS skew_pop,
+                        round(skewSamp(l_quantity), 4) AS skew_samp,
+                        round(kurtPop(l_quantity), 4)  AS kurt_pop,
+                        round(kurtSamp(l_quantity), 4) AS kurt_samp
+                 FROM li_moments GROUP BY l_returnflag""")
+      },
+      Some("""WITH mu AS (SELECT l_returnflag, avg(l_quantity) AS mu
+                          FROM lineitem GROUP BY l_returnflag),
+                   d AS (SELECT l.l_returnflag, l.l_quantity - mu.mu AS d
+                         FROM lineitem l JOIN mu USING (l_returnflag)),
+                   m AS (SELECT l_returnflag, count(*) AS n,
+                                sum(d*d)/count(*) AS m2,
+                                sum(d*d*d)/count(*) AS m3,
+                                sum(d*d*d*d)/count(*) AS m4
+                         FROM d GROUP BY l_returnflag)
+              SELECT l_returnflag,
+                     round(m3/pow(m2, 1.5), 4)                     AS skew_pop,
+                     round(m3/pow(m2, 1.5)*sqrt((n-1.0)/n), 4)     AS skew_samp,
+                     round(m4/(m2*m2), 4)                          AS kurt_pop,
+                     round(m4/(m2*m2)*(n-1.0)/n, 4)                AS kurt_samp
+              FROM m""")),
+
+    "q_fn_geo" -> Q(
+      // greatCircleDistance through the dialect: synthetic coordinates
+      // derived from the customer key (pure integer-mod arithmetic —
+      // identical on both engines), distance to a fixed point. Rounded
+      // to whole meters: both sides evaluate the same closed-form
+      // haversine; only libm ulp differences separate them, far inside
+      // the 1 m grid.
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("cust_geo")
+        s.sql("""SELECT c_custkey,
+                        round(greatCircleDistance(lon, lat, 2.349014, 48.864716), 0)
+                          AS dist_m
+                 FROM (SELECT c_custkey,
+                              (c_custkey % 360) - 180 + 0.5 AS lon,
+                              (c_custkey % 170) - 85 + 0.5  AS lat
+                       FROM cust_geo)""")
+      },
+      Some("""WITH pts AS (SELECT c_custkey,
+                                  (c_custkey % 360) - 180 + 0.5 AS lon,
+                                  (c_custkey % 170) - 85 + 0.5  AS lat
+                           FROM customer)
+              SELECT c_custkey,
+                     round(2.0 * 6371000.0 * asin(sqrt(least(
+                       pow(sin(radians(48.864716 - lat) * 0.5), 2) +
+                       cos(radians(lat)) * cos(radians(48.864716)) *
+                       pow(sin(radians(2.349014 - lon) * 0.5), 2), 1.0))), 0)
+                       AS dist_m
+              FROM pts"""))
+  )
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * ClickHouse MergeTree table-engine FINAL semantics, re-expressed as
+ * declarative Spark aggregations.
+ *
+ * A user of the reference stack (reference README.md:63-75 — scans
+ * consumed by host-engine SQL) typically exported the data FROM
+ * ClickHouse tables whose engines fold rows at merge time:
+ * ReplacingMergeTree keeps the newest version per key,
+ * CollapsingMergeTree cancels +1/-1 row pairs, SummingMergeTree
+ * pre-sums numeric columns per key. Reading such an export without
+ * applying the fold (what `SELECT ... FINAL` does server-side) double
+ * counts. These operators ARE the fold, so an exported raw row stream
+ * queries like the server's FINAL view.
+ *
+ * All three compile to a single hash aggregate over the key columns —
+ * one shuffle, with map-side partial aggregation (`max_by`/`sum`
+ * partials collapse duplicates per input partition before anything
+ * crosses the wire). None of them uses a window: a window spelling
+ * (`row_number() OVER (PARTITION BY key ORDER BY version DESC)`) sorts
+ * every partition and shuffles FULL rows; the `max_by(struct(...))`
+ * aggregate ships at most one surviving row per key per input
+ * partition — the difference between O(data) and O(keys) shuffle
+ * traffic on a 100 TB append log where most keys repeat.
+ *
+ * (AggregatingMergeTree — the fourth folding engine — is covered by the
+ * -State/-Merge rollup in `scan_matview_rollup`.)
+ */
+object MergeTree {
+
+  private def payload(df: DataFrame, exclude: Seq[String]): Seq[String] =
+    df.columns.filterNot(exclude.contains(_)).toSeq
+
+  /**
+   * ReplacingMergeTree FINAL: the row with the greatest `versionCol`
+   * per `keyCols` group survives. Versions must be distinct within a
+   * key (ClickHouse itself keeps an arbitrary one of several equal
+   * versions — the last in insertion order, which a distributed read
+   * cannot reproduce deterministically; callers with tie-able versions
+   * should extend the version with a tiebreaker column via struct).
+   *
+   * Output columns: keyCols ++ versionCol ++ (remaining columns in
+   * input order).
+   */
+  def replacingFinal(df: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame = {
+    val rest = payload(df, keyCols :+ versionCol)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        max(col(versionCol)).as(versionCol),
+        rest.map(c => max_by(col(c), col(versionCol)).as(c)): _*)
+      .select(((keyCols :+ versionCol) ++ rest).map(col): _*)
+  }
+
+  /**
+   * CollapsingMergeTree FINAL over a versioned sign stream: per key,
+   * the latest row (by `versionCol`) decides — if its sign is +1 the
+   * key exists in that state; if -1 the key has been cancelled and
+   * emits nothing. This is the well-formed-stream semantics (each -1
+   * cancels the preceding +1); ClickHouse's own FINAL resolves the
+   * same way when signs alternate, and its behavior on malformed
+   * streams (two consecutive +1s) is explicitly undefined, so the
+   * versioned reading is the deterministic one (it matches
+   * VersionedCollapsingMergeTree exactly).
+   */
+  def collapsingFinal(df: DataFrame, keyCols: Seq[String], signCol: String,
+      versionCol: String): DataFrame = {
+    val rest = payload(df, keyCols ++ Seq(signCol, versionCol))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        max(col(versionCol)).as(versionCol),
+        (max_by(col(signCol), col(versionCol)).as(signCol) +:
+          rest.map(c => max_by(col(c), col(versionCol)).as(c))): _*)
+      .filter(col(signCol) === 1)
+      .select(((keyCols ++ Seq(versionCol, signCol)) ++ rest).map(col): _*)
+  }
+
+  /**
+   * SummingMergeTree FINAL: per key, the given numeric columns are
+   * summed; all other non-key columns are dropped (ClickHouse keeps an
+   * arbitrary value for them — not reproducible, so not offered).
+   */
+  def summingFinal(df: DataFrame, keyCols: Seq[String], sumCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+
+  /** Column helper: a version extended with a tiebreaker, for
+    * [[replacingFinal]]/[[collapsingFinal]] callers whose version
+    * column alone can tie (struct ordering is lexicographic). */
+  def versionWithTiebreak(version: Column, tiebreak: Column): Column =
+    struct(version, tiebreak)
+}

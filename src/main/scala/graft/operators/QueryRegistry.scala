@@ -125,7 +125,8 @@ object Q {
 /** Every declared query key, in SURVEY §2 order. */
 object QueryRegistry {
   val all: Seq[(String, Q)] =
-    ScanQueries.all ++ RelationalQueries.all ++ ComplexQueries.all ++ LlmQueries.all
+    ScanQueries.all ++ RelationalQueries.all ++ ComplexQueries.all ++
+      LlmQueries.all ++ EngineQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }.toMap
