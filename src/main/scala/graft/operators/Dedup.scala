@@ -489,4 +489,85 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+   * deduplication by cluster-then-prune. The corpus is partitioned by
+   * a coarse quantizer; WITHIN each cluster, rows are ranked by
+   * cosine-to-cluster-centroid ascending (the paper keeps the LEAST
+   * prototypical member of a duplicate group — it carries the most
+   * diversity into training), ties by id; a row is dropped iff ANY
+   * earlier-ranked row of its cluster is >= eps cosine-similar (the
+   * paper's upper-triangular max-similarity rule — the earlier row
+   * need not itself survive).
+   *
+   * The clustering is the whole scale story: the quadratic compare is
+   * bounded to O(Σ cᵢ²) instead of O(N²), and at 100 TB you pick
+   * nlist so cᵢ ≈ N/nlist keeps each cluster's pair count tractable
+   * (the paper runs 50k clusters over LAION-440M). Plan shape: one
+   * broadcast of the (cluster → centroid) table, one shuffle of the
+   * corpus on the cluster key for the self-join, hash-agg collapse of
+   * dropped ids — no crossJoin, no driver collect.
+   *
+   * The quantizer is pluggable via `clusterCol`: a provided column
+   * (deterministic — the oracle gate uses the harness label, mirroring
+   * the paper's "pre-assigned clusters" ablation) or
+   * [[semDeDupKMeans]] (the learned coarse quantizer, spec-tested —
+   * cross-engine KMeans is not oracle-able). Per-cluster centroids use
+   * the [[Similarity.labelCentroids]] fixed-point regime: exact
+   * integer accumulation + one IEEE division, so cent_sim is engine-
+   * and partitioning-independent before the 4dp output rounding.
+   *
+   * @return (id, cluster, cent_sim, kept) — one row per input row;
+   *         kept=false means an earlier-ranked >= eps neighbour exists
+   */
+  def semDeDup(df: DataFrame, idCol: String, embCol: String,
+      clusterCol: String, eps: Double): DataFrame = {
+    require(eps > 0.0 && eps <= 1.0, s"eps=$eps outside (0, 1]")
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      col(clusterCol).as("cluster"))
+    val cents = Similarity.labelCentroids(base, "emb", "cluster")
+      .groupBy(col("label").as("c_cluster"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mean))), x -> x.mean)")
+        .as("cent"))
+    // 4dp rounding BEFORE the rank compare: the rank must be a total
+    // order both engines agree on, and raw last-ulp differences in the
+    // centroid dot product would make "cs_b < cs_a" flip between
+    // engines; at 4dp the compare is exact (same regime as every other
+    // embedding oracle here), ties broken by id
+    val withSim = base.join(broadcast(cents), col("cluster") === col("c_cluster"))
+      .withColumn("cent_sim",
+        round(Similarity.cosine(col("emb"), col("cent")), 4))
+      .select(col("id"), col("emb"), col("cluster"), col("cent_sim"))
+    val l = withSim.select(col("cluster").as("cl_a"), col("id").as("id_a"),
+      col("emb").as("emb_a"), col("cent_sim").as("cs_a"))
+    val r = withSim.select(col("cluster").as("cl_b"), col("id").as("id_b"),
+      col("emb").as("emb_b"), col("cent_sim").as("cs_b"))
+    val dropped = l.join(r, col("cl_a") === col("cl_b") &&
+        (col("cs_b") < col("cs_a") ||
+          (col("cs_b") === col("cs_a") && col("id_b") < col("id_a"))))
+      .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4) >= eps)
+      .select(col("id_a").as("id")).distinct()
+    withSim.join(dropped.withColumn("hit", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("cent_sim"),
+        col("hit").isNull.as("kept"))
+  }
+
+  /**
+   * [[semDeDup]] with a learned coarse quantizer: cluster assignment
+   * from [[Similarity.buildIvfIndex]]'s seeded KMeans (the same index
+   * artifact the ANN path persists — one fit serves both dedup and
+   * search), then the identical rank-and-prune. Exact duplicates
+   * always land in the same cell (assignment is a deterministic
+   * function of the vector), so duplicate recall is 1.0 regardless of
+   * fit quality; only the cluster BOUNDARIES are fit-dependent, which
+   * is why this variant is spec-tested rather than SQL-oracled.
+   */
+  def semDeDupKMeans(df: DataFrame, idCol: String, embCol: String,
+      nlist: Int, eps: Double, trainFraction: Double = 1.0): DataFrame = {
+    val (cells, _) = Similarity.buildIvfIndex(
+      df.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+      nlist, trainFraction)
+    semDeDup(cells, "vec_id", "embedding", "cell", eps)
+  }
 }

@@ -500,6 +500,56 @@ object LlmQueries {
               WHERE round(list_dot_product(a.ed, b.ed) /
                       (sqrt(list_dot_product(a.ed, a.ed)) * sqrt(list_dot_product(b.ed, b.ed))), 4) >= 0.95""")),
 
+    "q_dedup_semdedup" -> Q(
+      // SemDeDup (Dedup.semDeDup): cluster-then-prune semantic dedup.
+      // Oracle gate: the harness `label` is the quantizer output (the
+      // paper's pre-assigned-clusters ablation — deterministic, unlike
+      // a cross-engine KMeans fit, which is the spec-tested
+      // semDeDupKMeans path), over the planted-duplicate corpus.
+      // Identical vectors share a cluster and tie on cent_sim, so the
+      // id tie-break keeps the original and drops the copy; background
+      // pairs (max cosine ≈ 0.51) never reach eps=0.95.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.select(col("vec_id"), col("label"), col("embedding"))
+          .unionByName(emb.filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+              col("embedding")))
+        Dedup.semDeDup(corpus, "vec_id", "embedding", "label", eps = 0.95)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some("""WITH corpus AS (
+                SELECT vec_id, label, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, label, embedding
+                FROM embeddings WHERE vec_id % 10 = 0),
+              centd AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                     CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                         * 1048576) AS BIGINT)) AS BIGINT)
+                       / (1048576.0 * count(*)) AS mean
+                   FROM corpus, unnest(range(1, len(embedding) + 1)) AS u(i)
+                   GROUP BY label, dim),
+              cl AS (SELECT label, list(mean ORDER BY dim) AS cent
+                     FROM centd GROUP BY label),
+              d AS (SELECT vec_id, c.label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+                    FROM corpus c),
+              w AS (SELECT d.vec_id, d.label, d.ed,
+                      round(list_dot_product(d.ed, cent) /
+                        (sqrt(list_dot_product(d.ed, d.ed)) *
+                         sqrt(list_dot_product(cent, cent))), 4) AS cent_sim
+                    FROM d JOIN cl ON d.label = cl.label),
+              drp AS (SELECT DISTINCT a.vec_id
+                      FROM w a JOIN w b ON a.label = b.label
+                        AND (b.cent_sim < a.cent_sim OR
+                             (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+                      WHERE round(list_dot_product(a.ed, b.ed) /
+                              (sqrt(list_dot_product(a.ed, a.ed)) *
+                               sqrt(list_dot_product(b.ed, b.ed))), 4) >= 0.95)
+              SELECT w.vec_id, w.label AS cluster, w.cent_sim,
+                     w.vec_id NOT IN (SELECT vec_id FROM drp) AS kept
+              FROM w""")),
+
     // ----- similarity search ---------------------------------------------
 
     "q_embed_centroids" -> Q(

@@ -203,6 +203,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesian"), plan.take(2000))
   }
 
+  test("semDeDup: planted duplicates dropped, originals kept, KMeans path agrees") {
+    import org.apache.spark.sql.functions.col
+    val corpus = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+          col("embedding")))
+    val nOrig = emb.count()
+    val byLabel = Dedup.semDeDup(corpus, "vec_id", "embedding", "label", 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(byLabel.size === corpus.count().toInt) // one verdict per row
+    // every planted copy (id >= 1000000) is a later-ranked exact dup → dropped
+    val (copies, origs) = byLabel.partition(_._1 >= 1000000L)
+    assert(copies.nonEmpty && copies.values.forall(_ == false))
+    // originals survive: the copy ties on cent_sim but loses the id tie-break,
+    // and background cosine never reaches 0.95
+    assert(origs.values.forall(_ == true))
+    assert(origs.size.toLong === nOrig)
+    // the learned-quantizer path reaches the same verdicts: identical
+    // vectors share a cell deterministically, so dup recall stays 1.0
+    val km = Dedup.semDeDupKMeans(corpus, "vec_id", "embedding",
+        nlist = 4, eps = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(km.view.filterKeys(_ >= 1000000L).values.forall(_ == false))
+    assert(km.view.filterKeys(_ < 1000000L).values.forall(_ == true))
+    // scale guard: no cartesian product anywhere in the prune plan
+    val plan = Dedup.semDeDup(corpus, "vec_id", "embedding", "label", 0.95)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan.take(2000))
+  }
+
   test("verifiedPairs jaccard matches driver-side exactJaccard") {
     val cands = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.2)
     val verified = Dedup.verifiedPairs(docs, "doc_id", "text", cands, minJaccard = 0.2)
