@@ -205,6 +205,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           lit(children(2), "window"), lit(children(3), "steps").toInt)
       }))
 
+    // Spark's own runtime-filter bloom expressions (catalyst classes
+    // used by InjectRuntimeFilter but absent from the public function
+    // registry): exposed as session functions so operators/BloomJoin
+    // can build a distributed mergeable bloom sketch and apply it as a
+    // codegen'd scan-side pre-filter. Not re-implemented — the whole
+    // point is to reuse the engine's own sketch (mergeable partials,
+    // versioned serialization) rather than shipping a second bloom.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          "bloom_filter_agg takes (xxhash64(key), estItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "bloom_might_contain takes (bloom binary, xxhash64(key))")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
+
     // ----- table-valued functions: the reference's exact call surface ----
     //
     // The reference registers `clickhouse_native(path)` and

@@ -139,6 +139,21 @@ object RelationalQueries {
       Some("""SELECT c_custkey, n_name
               FROM customer JOIN nation ON c_nationkey = n_nationkey""")),
 
+    "q_join_bloom" -> Q(
+      // bloom-filter pre-filtered semi join (BloomJoin.bloomSemiJoin):
+      // the dim keys aggregate into Spark's own mergeable bloom sketch,
+      // probed as a codegen'd predicate at the fact scan BEFORE any
+      // shuffle. False positives are removed by the exact semi join, so
+      // the result — and the oracle — is the plain semi join.
+      (s, dir) => BloomJoin.bloomSemiJoin(
+          t(s, dir, "lineitem"),
+          t(s, dir, "part").filter(col("p_size") === 1),
+          "l_partkey", "p_partkey",
+          expectedItems = 10000L, numBits = 131072L)
+        .select("l_orderkey", "l_partkey", "l_quantity"),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)""")),
+
     "q_join_asof" -> Q(
       // ASOF: for each purchase event, the latest signup by the same
       // user at-or-before it. Spark has no native asof join; the
@@ -875,6 +890,20 @@ object RelationalQueries {
                     CASE o_orderpriority WHEN '1-URGENT' THEN 500
                                          WHEN '2-HIGH' THEN 250
                                          ELSE 100 END""")),
+
+    "q_sample_weighted" -> Q(
+      // Efraimidis–Spirakis weighted sampling without replacement
+      // (TextPipeline.weightedSample): top-k by ln(u)/w with the
+      // deterministic hash uniform — inclusion probability ∝ weight,
+      // reproducible across engines. 6dp key rounding before the rank
+      // makes the top-100 cut engine-exact (ties by id).
+      (s, dir) => TextPipeline.weightedSample(
+        t(s, dir, "orders"), "o_orderkey", "o_totalprice", k = 100),
+      Some("""SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS w,
+                     round(ln((CAST(((o_orderkey % 1000003) * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+                              / 4294967296.0) / CAST(o_totalprice AS DOUBLE), 6) AS skey
+              FROM orders WHERE o_totalprice > 0
+              ORDER BY skey DESC, id LIMIT 100""")),
 
     // ----- §2.5 window functions ------------------------------------------
 

@@ -187,6 +187,43 @@ object TextPipeline {
   }
 
   /**
+   * Efraimidis–Spirakis weighted sampling without replacement (A-ES,
+   * Inf. Process. Lett. 97(5) 2006): each row draws key = u^(1/w) for
+   * uniform u, and the k LARGEST keys are the sample — inclusion
+   * probability ∝ weight, exactly, without replacement. The training-
+   * data use: "sample k documents ∝ quality/source weight" with a
+   * result that is REPRODUCIBLE, because u is the repo's standard
+   * deterministic multiplicative-hash uniform, not a seeded RNG — at
+   * 100 TB the same pipeline rerun must select the same rows on any
+   * engine and any partitioning.
+   *
+   * Ranking uses ln(u)/w — the monotone log transform of u^(1/w)
+   * (same order, no pow), rounded to 6dp BEFORE ranking so the total
+   * order is engine-exact (ties broken by id; the raw ln differs
+   * across libm implementations only in the last ulp, far inside the
+   * rounding step).
+   *
+   * Plan shape: map-side key computation + `orderBy(...).limit(k)` =
+   * TakeOrderedAndProject — per-partition top-k, only k rows per
+   * partition travel; the corpus itself never shuffles.
+   *
+   * @return (id, w, skey) — the k sampled rows, largest keys first by
+   *         construction of the limit; rows with w <= 0 are never
+   *         sampled (zero weight = zero inclusion probability)
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"sample size k=$k must be > 0")
+    val u = (pmod((col(idCol) % lit(1000003L)) * lit(2654435761L),
+      lit(4294967296L)).cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol).as("id"), col(weightCol).cast("double").as("w"),
+        round(log(u) / col(weightCol).cast("double"), 6).as("skey"))
+      .orderBy(col("skey").desc, col("id"))
+      .limit(k)
+  }
+
+  /**
    * Sequence packing: assign documents to fixed-capacity token bins —
    * the packing step that turns variable-length documents into dense
    * fixed-length training sequences. Documents are hashed into

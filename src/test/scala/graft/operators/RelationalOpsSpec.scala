@@ -133,6 +133,52 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("bloom semi join == plain semi join; bloom predicate sits at the fact side") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val dim = spark.read.parquet(s"$dir/part.parquet").filter(col("p_size") === 1)
+    val bloomed = BloomJoin.bloomSemiJoin(li, dim, "l_partkey", "p_partkey",
+      expectedItems = 10000L, numBits = 131072L)
+    val plain = li.join(dim.select("p_partkey").distinct(),
+      col("l_partkey") === col("p_partkey"), "left_semi")
+    assert(bloomed.count() === plain.count())
+    assert(bloomed.select("l_orderkey", "l_linenumber").collect().toSet ===
+      plain.select("l_orderkey", "l_linenumber").collect().toSet)
+    // the probe is a plain Filter (pre-join, codegen'd predicate) in the plan
+    val phys = bloomed.queryExecution.executedPlan.toString
+    assert(phys.contains("might_contain"), phys.take(2000))
+    // empty dim side → empty result, no null-literal probe
+    val none = BloomJoin.bloomSemiJoin(li, dim.filter(lit(false)),
+      "l_partkey", "p_partkey")
+    assert(none.count() === 0L)
+  }
+
+  test("weighted sample: matches driver-side A-ES recompute, favors heavy rows") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val got = TextPipeline.weightedSample(orders, "o_orderkey", "o_totalprice", k = 200)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length === 200)
+    // driver-side recompute of the exact same deterministic keys
+    val all = orders.select("o_orderkey", "o_totalprice").collect().map { r =>
+      val id = r.getLong(0); val w = r.getDouble(1)
+      val bucket = java.lang.Math.floorMod((id % 1000003L) * 2654435761L, 4294967296L)
+      val u = (bucket.toDouble + 0.5) / 4294967296.0
+      (id, BigDecimal(math.log(u) / w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter { case (_, _) => true }
+    val expect = all.sortBy { case (id, k) => (-k, id) }.take(200).map(_._1).toSet
+    assert(got.map(_._1).toSet === expect)
+    // inclusion tracks weight: sampled orders skew to higher o_totalprice
+    val sampledMean = orders.filter(col("o_orderkey")
+        .isin(got.map(_._1).toSeq: _*))
+      .agg(avg("o_totalprice")).head().getDouble(0)
+    val corpusMean = orders.agg(avg("o_totalprice")).head().getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"weighted sample mean $sampledMean should exceed corpus mean $corpusMean")
+    // scale guard: top-k compiles to TakeOrderedAndProject, not a global sort
+    val plan = TextPipeline.weightedSample(orders, "o_orderkey", "o_totalprice", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
   test("q_agg_collect array form: per-region sorted name lists (CH groupArray)") {
     // The registry key serializes to a '|'-joined string for the driver's
     // comparator; this pins the underlying array semantics.
