@@ -35,6 +35,32 @@ object EngineQueries {
                QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                                           ORDER BY ts DESC) = 1""")),
 
+    "q_engine_optimize" -> Q(
+      // OPTIMIZE TABLE ... FINAL end-to-end over this library's OWN
+      // storage: the versioned event export lands as an 8-part native
+      // table (accumulate-only, one part per INSERT batch — exactly
+      // how the reference's export grows), MergeTree.optimizeReplacing
+      // forces the merge into 2 key-clustered compacted parts, and the
+      // result is read back from the compacted files — fold + native
+      // write + read round-trip proven in one key. Oracle = the same
+      // replacing fold the server's FINAL view computes, which also
+      // proves no rows were lost or duplicated by compaction.
+      (s, dir) => {
+        val src = ScanQueries.fixtureDir(dir, "optimize_src")
+        val dst = ScanQueries.fixtureDir(dir, "optimize_dst")
+        Q.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"), col("value"))
+          .repartition(8)
+          .write.format("clickhouse_native").mode("overwrite").save(src)
+        MergeTree.optimizeReplacing(s, src, dst,
+          Seq("user_id", "event_type"), "ts", parts = 2)
+      },
+      Some(s"""SELECT user_id, event_type, ts, event_id, value
+               FROM ${Q.eventsOracle} events
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC) = 1""")),
+
     "q_engine_collapsing" -> Q(
       // CollapsingMergeTree FINAL over a versioned sign stream: signup
       // opens (+1), error cancels (-1); per user the LATEST row decides

@@ -93,4 +93,37 @@ object MergeTree {
     * column alone can tie (struct ordering is lexicographic). */
   def versionWithTiebreak(version: Column, tiebreak: Column): Column =
     struct(version, tiebreak)
+
+  /**
+   * `OPTIMIZE TABLE ... FINAL` for a native-format directory.
+   * ClickHouse folds ReplacingMergeTree duplicates during background
+   * part merges and OPTIMIZE forces the merge to completion; a
+   * Spark-written native table accumulates part files per INSERT the
+   * same way and nothing ever merges them. This operator IS the
+   * forced merge: read every part, apply [[replacingFinal]], rewrite
+   * as `parts` compacted part files into `dstDir`.
+   *
+   * Compaction writes BESIDE the live table (a new directory), never
+   * in place: rewriting a directory that a lazy plan is concurrently
+   * reading is a lost-update/torn-read hazard in any engine, and at
+   * 100 TB the atomic swap (rename or catalog pointer flip) belongs
+   * to the table catalog / orchestration layer, not inside a bulk
+   * job. Cost shape: one hash aggregate (map-side partials collapse
+   * per-part duplicates before the shuffle — the whole point of
+   * merging an append log) + one clustered write; the write shuffles
+   * on the key columns so each output part covers a key range and
+   * later key-filtered reads prune parts via the zone-map sidecars.
+   *
+   * @return the compacted table, re-read from `dstDir`
+   */
+  def optimizeReplacing(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, dstDir: String, keyCols: Seq[String],
+      versionCol: String, parts: Int = 1): DataFrame = {
+    require(parts > 0, s"parts=$parts must be > 0")
+    val folded = replacingFinal(
+      spark.read.format("clickhouse_native").load(srcDir), keyCols, versionCol)
+    folded.repartition(parts, keyCols.map(col): _*)
+      .write.format("clickhouse_native").mode("overwrite").save(dstDir)
+    spark.read.format("clickhouse_native").load(dstDir)
+  }
 }
