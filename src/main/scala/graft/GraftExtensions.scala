@@ -272,6 +272,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         tvfRelation(new graft.sources.native.ClickHouseNativeDataSource,
           Map("path" -> stringLit("clickhouse_native", children.head)))
       }))
+    // ClickHouse's numbers([offset,] limit) table function — the
+    // canonical quick generator (the reference's only fixture IS a
+    // numbers table: numbers.clickhouse, SURVEY §1.1; the README's
+    // smoke query is `SELECT count(*), max(number) FROM ...`). Maps
+    // straight onto Spark's Range node: distributed, splittable,
+    // nothing materialized — aliased to CH's column name `number`.
+    ext.injectTableFunction((
+      new FunctionIdentifier("numbers"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.plans.logical.Range].getName,
+        "numbers"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def longLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+          e match {
+            case l if l.foldable &&
+                (l.dataType == org.apache.spark.sql.types.IntegerType ||
+                 l.dataType == org.apache.spark.sql.types.LongType) =>
+              l.eval().asInstanceOf[Number].longValue()
+            case other => throw new IllegalArgumentException(
+              s"numbers takes integer literal arguments, got $other")
+          }
+        require(children.nonEmpty && children.length <= 2,
+          "numbers takes (limit) or (offset, limit)")
+        val (start, limit) =
+          if (children.length == 1) (0L, longLit(children.head))
+          else (longLit(children.head), longLit(children(1)))
+        val range = org.apache.spark.sql.catalyst.plans.logical.Range(
+          start, start + limit, 1L, None)
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          Seq(org.apache.spark.sql.catalyst.expressions.Alias(
+            range.output.head, "number")()),
+          range)
+      }))
     ext.injectTableFunction((
       new FunctionIdentifier("clickhouse_scan"),
       new ExpressionInfo(

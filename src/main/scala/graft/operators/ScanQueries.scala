@@ -57,6 +57,19 @@ object ScanQueries {
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
               WHERE n_regionkey <> 2""")),
 
+    "scan_numbers_tvf" -> Q(
+      // ClickHouse's numbers() generator TVF over Spark's Range node
+      // (GraftExtensions) — exercised with the reference README's own
+      // smoke-query shape (README.md:63: count(*)+max over a numbers
+      // table; the reference's only fixture IS a numbers table).
+      (s, _) => s.sql(
+        """SELECT count(*) AS n, min(number) AS mn, max(number) AS mx,
+                  sum(number) AS total
+           FROM numbers(1000000)"""),
+      Some("""SELECT count(*) AS n, min(number) AS mn, max(number) AS mx,
+                     CAST(sum(number) AS BIGINT) AS total
+              FROM range(1000000) t(number)""")),
+
     "scan_matview_rollup" -> Q(
       // ClickHouse's materialized-view / AggregatingMergeTree pattern
       // (the -State / -Merge combinator pair) re-expressed Spark-first:

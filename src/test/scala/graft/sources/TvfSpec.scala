@@ -45,6 +45,21 @@ class TvfSpec extends AnyFunSuite {
       || plan.contains("BatchScan"), plan)
   }
 
+  test("numbers() TVF: limit and (offset, limit) forms on a Range plan") {
+    val r = spark.sql(
+      "SELECT count(*) AS n, min(number) AS mn, max(number) AS mx FROM numbers(1000)")
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1000L, 0L, 999L)))
+    val off = spark.sql(
+      "SELECT count(*) AS n, min(number) AS mn, max(number) AS mx FROM numbers(10, 5)")
+      .head()
+    assert((off.getLong(0), off.getLong(1), off.getLong(2)) === ((5L, 10L, 14L)))
+    // generator, not data: the plan is Spark's Range node
+    val plan = spark.sql("SELECT number FROM numbers(100)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Range"), plan.take(500))
+  }
+
   test("clickhouse_scan(query, file://...) reads a recorded server response") {
     val fx = s"${sys.props("java.io.tmpdir")}/graft_tvf/remote_response"
     spark.read.parquet(s"${SparkTestBase.sfDir}/region.parquet").coalesce(1)
