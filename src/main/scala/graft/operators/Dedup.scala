@@ -570,4 +570,80 @@ object Dedup {
       nlist, trainFraction)
     semDeDup(cells, "vec_id", "embedding", "cell", eps)
   }
+
+  /**
+   * Persistable SemDeDup index: the surviving representatives with
+   * their cluster, centroid similarity and EMBEDDING, plus the
+   * fixed-point centroid routing table — everything a later batch
+   * needs to dedup against the accumulated corpus without re-reading
+   * it (the semantic counterpart of [[dedupIndex]]; both are plain
+   * DataFrames, so a pipeline writes them to native tables once per
+   * snapshot and serves forever).
+   *
+   * @return (reps, cents): reps = (id, emb, cluster, cent_sim) of
+   *         KEPT rows only; cents = (cluster, cent)
+   */
+  def semDeDupIndex(df: DataFrame, idCol: String, embCol: String,
+      clusterCol: String, eps: Double): (DataFrame, DataFrame) = {
+    val reps = semDeDup(df, idCol, embCol, clusterCol, eps)
+      .filter(col("kept"))
+      .join(df.select(col(idCol).as("id"), col(embCol).as("emb")), "id")
+      .select("id", "emb", "cluster", "cent_sim")
+    val cents = Similarity.labelCentroids(
+        df.select(col(idCol).as("id"), col(embCol).as("emb"),
+          col(clusterCol).as("cluster")), "emb", "cluster")
+      .groupBy(col("label").as("cluster"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mean))), x -> x.mean)")
+        .as("cent"))
+    (reps, cents)
+  }
+
+  /**
+   * Incremental SemDeDup: a NEW batch dedups against the accumulated
+   * corpus through its persisted [[semDeDupIndex]] alone — the corpus
+   * embeddings are never re-read beyond the kept representatives, and
+   * the centroids are NOT refit (batch cent_sim is measured against
+   * the index's routing table, so verdicts are stable as the corpus
+   * grows). A batch row dies iff a kept representative of its cluster
+   * is >= eps similar (every index row ranks before every batch row),
+   * or an earlier-ranked batch row is ([[semDeDup]]'s within-set
+   * rule). Versus a full recompute this is the standard incremental
+   * approximation: rows the index build DROPPED can no longer kill —
+   * only representatives do.
+   *
+   * Same scale shape as the batch form: centroids broadcast, one
+   * shuffle of (batch ∪ reps) on the cluster key, verdicts as thin
+   * id rows.
+   *
+   * @return (id, cluster, cent_sim, kept) — one row per batch row
+   */
+  def semDeDupSurvivors(reps: DataFrame, cents: DataFrame,
+      batch: DataFrame, idCol: String, embCol: String,
+      clusterCol: String, eps: Double): DataFrame = {
+    require(eps > 0.0 && eps <= 1.0, s"eps=$eps outside (0, 1]")
+    val withSim = batch
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
+        col(clusterCol).as("cluster"))
+      .join(broadcast(cents), Seq("cluster"))
+      .withColumn("cent_sim",
+        round(Similarity.cosine(col("emb"), col("cent")), 4))
+      .select(col("id"), col("emb"), col("cluster"), col("cent_sim"))
+    val repHit = withSim
+      .join(reps.select(col("cluster"), col("emb").as("emb_r")), Seq("cluster"))
+      .filter(round(Similarity.cosine(col("emb"), col("emb_r")), 4) >= eps)
+      .select("id")
+    val l = withSim.select(col("cluster").as("cl_a"), col("id").as("id_a"),
+      col("emb").as("emb_a"), col("cent_sim").as("cs_a"))
+    val r = withSim.select(col("cluster").as("cl_b"), col("id").as("id_b"),
+      col("emb").as("emb_b"), col("cent_sim").as("cs_b"))
+    val batchHit = l.join(r, col("cl_a") === col("cl_b") &&
+        (col("cs_b") < col("cs_a") ||
+          (col("cs_b") === col("cs_a") && col("id_b") < col("id_a"))))
+      .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4) >= eps)
+      .select(col("id_a").as("id"))
+    val dropped = repHit.union(batchHit).distinct().withColumn("hit", lit(true))
+    withSim.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("cent_sim"),
+        col("hit").isNull.as("kept"))
+  }
 }

@@ -550,6 +550,84 @@ object LlmQueries {
                      w.vec_id NOT IN (SELECT vec_id FROM drp) AS kept
               FROM w""")),
 
+    "q_dedup_semdedup_incremental" -> Q(
+      // incremental SemDeDup (Dedup.semDeDupIndex + semDeDupSurvivors):
+      // a new batch dedups against the corpus via its persisted
+      // representative index alone — centroids NOT refit, corpus never
+      // re-read. Batch construction: exact re-crawls of every 10th
+      // vector (killed by a kept representative at cos 1) and negated
+      // copies (novel by construction: cosine vs every corpus/batch
+      // vector is the negation of a background similarity — survive).
+      // The oracle spells the FULL rule (index build + rep kill +
+      // within-batch rank kill), not the construction classes.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val (reps, cents) =
+          Dedup.semDeDupIndex(emb, "vec_id", "embedding", "label", eps = 0.95)
+        val tenth = emb.filter(col("vec_id") % 10 === 0)
+        val batch = tenth.select((col("vec_id") + 1000000).as("vec_id"),
+            col("label"), col("embedding"))
+          .unionByName(tenth.select((col("vec_id") + 2000000).as("vec_id"),
+            col("label"),
+            transform(col("embedding"), x => -x).as("embedding")))
+        Dedup.semDeDupSurvivors(reps, cents, batch,
+            "vec_id", "embedding", "label", eps = 0.95)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some("""WITH centd AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                     CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                         * 1048576) AS BIGINT)) AS BIGINT)
+                       / (1048576.0 * count(*)) AS mean
+                   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+                   GROUP BY label, dim),
+              cl AS (SELECT label, list(mean ORDER BY dim) AS cent
+                     FROM centd GROUP BY label),
+              w AS (SELECT e.vec_id, e.label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+                      round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), cent) /
+                        (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                               list_transform(embedding, x -> CAST(x AS DOUBLE)))) *
+                         sqrt(list_dot_product(cent, cent))), 4) AS cent_sim
+                    FROM embeddings e JOIN cl ON e.label = cl.label),
+              cdrp AS (SELECT DISTINCT a.vec_id
+                       FROM w a JOIN w b ON a.label = b.label
+                         AND (b.cent_sim < a.cent_sim OR
+                              (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+                       WHERE round(list_dot_product(a.ed, b.ed) /
+                               (sqrt(list_dot_product(a.ed, a.ed)) *
+                                sqrt(list_dot_product(b.ed, b.ed))), 4) >= 0.95),
+              reps AS (SELECT * FROM w
+                       WHERE vec_id NOT IN (SELECT vec_id FROM cdrp)),
+              batch AS (
+                SELECT vec_id + 1000000 AS vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+                FROM embeddings WHERE vec_id % 10 = 0
+                UNION ALL
+                SELECT vec_id + 2000000 AS vec_id, label,
+                       list_transform(embedding, x -> -CAST(x AS DOUBLE)) AS ed
+                FROM embeddings WHERE vec_id % 10 = 0),
+              bw AS (SELECT b.vec_id, b.label, b.ed,
+                       round(list_dot_product(b.ed, cent) /
+                         (sqrt(list_dot_product(b.ed, b.ed)) *
+                          sqrt(list_dot_product(cent, cent))), 4) AS cent_sim
+                     FROM batch b JOIN cl ON b.label = cl.label),
+              rhit AS (SELECT DISTINCT bw.vec_id
+                       FROM bw JOIN reps r ON bw.label = r.label
+                       WHERE round(list_dot_product(bw.ed, r.ed) /
+                               (sqrt(list_dot_product(bw.ed, bw.ed)) *
+                                sqrt(list_dot_product(r.ed, r.ed))), 4) >= 0.95),
+              bhit AS (SELECT DISTINCT a.vec_id
+                       FROM bw a JOIN bw b ON a.label = b.label
+                         AND (b.cent_sim < a.cent_sim OR
+                              (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+                       WHERE round(list_dot_product(a.ed, b.ed) /
+                               (sqrt(list_dot_product(a.ed, a.ed)) *
+                                sqrt(list_dot_product(b.ed, b.ed))), 4) >= 0.95)
+              SELECT bw.vec_id, bw.label AS cluster, bw.cent_sim,
+                     bw.vec_id NOT IN (SELECT vec_id FROM rhit
+                                       UNION SELECT vec_id FROM bhit) AS kept
+              FROM bw""")),
+
     // ----- similarity search ---------------------------------------------
 
     "q_embed_centroids" -> Q(

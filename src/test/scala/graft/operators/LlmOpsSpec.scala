@@ -233,6 +233,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesian"), plan.take(2000))
   }
 
+  test("incremental semDeDup: rep kills, novel survivors, index survives native storage") {
+    import org.apache.spark.sql.functions.{col, transform}
+    val (reps, cents) = Dedup.semDeDupIndex(emb, "vec_id", "embedding", "label", 0.95)
+    // background similarity never reaches eps → every corpus row is a rep
+    assert(reps.count() === emb.count())
+    val tenth = emb.filter(col("vec_id") % 10 === 0)
+    val batch = tenth.select((col("vec_id") + 1000000).as("vec_id"),
+        col("label"), col("embedding"))
+      .unionByName(tenth.select((col("vec_id") + 2000000).as("vec_id"),
+        col("label"), transform(col("embedding"), x => -x).as("embedding")))
+    val verdicts = Dedup.semDeDupSurvivors(reps, cents, batch,
+        "vec_id", "embedding", "label", 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // exact re-crawls die on their kept representative; negated are novel
+    assert(verdicts.view.filterKeys(_ < 2000000L).values.forall(_ == false))
+    assert(verdicts.view.filterKeys(_ >= 2000000L).values.forall(_ == true))
+    // the index is a persistable artifact: verdicts from native-stored
+    // reps/cents are identical (serving job never touches the corpus)
+    val base = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    reps.write.format("clickhouse_native").mode("overwrite").save(s"$base/reps")
+    cents.write.format("clickhouse_native").mode("overwrite").save(s"$base/cents")
+    val served = Dedup.semDeDupSurvivors(
+        spark.read.format("clickhouse_native").load(s"$base/reps"),
+        spark.read.format("clickhouse_native").load(s"$base/cents"),
+        batch, "vec_id", "embedding", "label", 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(served === verdicts)
+  }
+
   test("verifiedPairs jaccard matches driver-side exactJaccard") {
     val cands = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.2)
     val verified = Dedup.verifiedPairs(docs, "doc_id", "text", cands, minJaccard = 0.2)
