@@ -231,10 +231,33 @@ object Bench {
         .as("revenue"))
     def scaleDedup(copies: Int) = graft.operators.Dedup.minhashPairs(
       docsAt(copies), "doc_id", "text", threshold = 0.5)
+    // SemDeDup scaling: cluster COUNT scales with the data (cluster =
+    // (label, copy)) — the paper's own scale knob (nlist ∝ N keeps
+    // per-cluster size, hence the by-design quadratic, constant), so
+    // the ratio gate measures the plan's scaling, not the algorithm's
+    // intentional within-cluster pair cost. Copies rotate the vector
+    // by i dims: copies of one source are mutually background-similar
+    // (never manufactured near-dups), each copy preserves the 1×
+    // intra-copy structure verbatim.
+    def embAt(copies: Int) = {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      (0 until copies).map { i =>
+        val emb = if (i == 0) col("embedding")
+          else concat(slice(col("embedding"), i + 1, 64 - i),
+            slice(col("embedding"), 1, i))
+        e.select((col("vec_id") + lit(i * keyShift)).as("vec_id"),
+          concat_ws("_", col("label").cast("string"), lit(i)).as("cluster"),
+          emb.as("embedding"))
+      }.reduce(_ unionByName _)
+    }
+    def scaleSemdedup(copies: Int) = graft.operators.Dedup.semDeDup(
+      embAt(copies), "vec_id", "embedding", "cluster", eps = 0.95)
     val scalePoints = Seq(
       "scale_agg_1x" -> (() => scaleAgg(1)), "scale_agg_10x" -> (() => scaleAgg(10)),
       "scale_join_1x" -> (() => scaleJoin(1)), "scale_join_10x" -> (() => scaleJoin(10)),
-      "scale_dedup_1x" -> (() => scaleDedup(1)), "scale_dedup_10x" -> (() => scaleDedup(10)))
+      "scale_dedup_1x" -> (() => scaleDedup(1)), "scale_dedup_10x" -> (() => scaleDedup(10)),
+      "scale_semdedup_1x" -> (() => scaleSemdedup(1)),
+      "scale_semdedup_10x" -> (() => scaleSemdedup(10)))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
         val pinShuffleJoin = name.startsWith("scale_join")
@@ -272,7 +295,7 @@ object Bench {
     // explosion. Checked after the JSON line so a tripped gate still
     // leaves the measurements on record.
     val byName = all.toMap
-    val tripped = Seq("agg", "join", "dedup").flatMap { k =>
+    val tripped = Seq("agg", "join", "dedup", "semdedup").flatMap { k =>
       if (!byName.contains(s"scale_${k}_1x")) None // filtered out (local iteration)
       else {
       val (t1x, t10x) = (byName(s"scale_${k}_1x"), byName(s"scale_${k}_10x"))
