@@ -1437,6 +1437,22 @@ object LlmQueries {
       Some("""SELECT doc_id, n_chars % 640 + 1 AS width, n_chars % 480 + 1 AS height
               FROM documents""")),
 
+    "q_multimodal_audio" -> Q(
+      // REAL audio-container metadata decode: each doc gets a valid
+      // RIFF/WAVE PCM header parameterized from its metadata;
+      // Multimodal.wavInfo recovers (rate, channels, samples) by
+      // walking the chunk list. Duration in exact integer ms. The
+      // oracle recomputes every field arithmetically — same
+      // synth-then-parse contract as q_multimodal_dims.
+      (s, dir) => Multimodal.audioPipeline(s, t(s, dir, "documents")),
+      Some("""SELECT doc_id,
+                     8000 + (n_chars % 3) * 4000 AS sample_rate,
+                     1 + (n_chars % 2) AS channels,
+                     n_chars % 100000 + 1 AS n_samples,
+                     (n_chars % 100000 + 1) * 1000
+                       // (8000 + (n_chars % 3) * 4000) AS duration_ms
+              FROM documents""")),
+
     "q_multimodal_schema" -> Q(
       // binary payload + typed metadata struct → typed mapPartitions
       // feature extraction (decode stubbed — see Multimodal scaladoc)

@@ -158,6 +158,101 @@ object Multimodal {
       .toDF()
   }
 
+  /**
+   * Minimal canonical RIFF/WAVE container (44-byte PCM header: RIFF
+   * size + fmt chunk + data chunk declaration) — the audio counterpart
+   * of [[pngHeaderBytes]]. All multi-byte fields little-endian per the
+   * RIFF spec.
+   */
+  def wavHeaderBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = nSamples * blockAlign
+    val out = new Array[Byte](44)
+    def putTag(i: Int, s: String): Unit =
+      s.indices.foreach(j => out(i + j) = s.charAt(j).toByte)
+    def putLe32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+      out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+    }
+    def putLe16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+    }
+    putTag(0, "RIFF"); putLe32(4, 36 + dataSize); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16)
+    putLe16(20, 1) // PCM
+    putLe16(22, channels); putLe32(24, sampleRate)
+    putLe32(28, sampleRate * blockAlign); putLe16(32, blockAlign)
+    putLe16(34, bitsPerSample)
+    putTag(36, "data"); putLe32(40, dataSize)
+    out
+  }
+
+  /**
+   * Parse (sampleRate, channels, bitsPerSample, nSamples) from
+   * RIFF/WAVE bytes by WALKING THE CHUNK LIST (not fixed offsets — a
+   * real WAV may carry LIST/INFO/fact chunks before data; chunk sizes
+   * pad to even per the spec). Returns None on anything that is not a
+   * plausible PCM WAVE.
+   */
+  def wavInfo(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int): String =
+      if (i + 4 <= payload.length) new String(payload, i, 4, "US-ASCII") else ""
+    if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // (sampleRate, channels, bits)
+    var dataSize = -1L
+    while (i + 8 <= payload.length && (fmt.isEmpty || dataSize < 0)) {
+      val id = tag(i); val size = le32(i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= payload.length) {
+        val channels = le16(i + 10)
+        val rate = le32(i + 12)
+        val bits = le16(i + 22)
+        if (channels < 1 || rate < 1 || rate > Int.MaxValue || bits < 1) return None
+        fmt = Some((rate.toInt, channels, bits))
+      } else if (id == "data") {
+        dataSize = size
+      }
+      // chunk sizes pad to even; a data chunk's payload may be absent
+      // in a header-only capture — the declared size still counts
+      i += 8 + (size + (size & 1L)).toInt
+    }
+    fmt.flatMap { case (rate, channels, bits) =>
+      val blockAlign = channels * bits / 8
+      if (dataSize < 0 || blockAlign <= 0) None
+      else Some((rate, channels, bits, dataSize / blockAlign))
+    }
+  }
+
+  final case class AudioInfo(doc_id: Long, sample_rate: Long,
+      channels: Long, n_samples: Long, duration_ms: Long)
+
+  /**
+   * Synth-then-parse audio pipeline over the documents table: every
+   * doc gets a valid RIFF/WAVE header parameterized from its metadata,
+   * and [[wavInfo]] recovers rate/channels/sample-count from the BYTES
+   * alone (duration derives in exact integer arithmetic). Same
+   * contract as [[dimsPipeline]]: the oracle recomputes the fields
+   * arithmetically, so a chunk-walk offset slip fails the hash.
+   */
+  def audioPipeline(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val rate = 8000 + (nChars % 3).toInt * 4000
+        val channels = 1 + (nChars % 2).toInt
+        val nSamples = (nChars % 100000).toInt + 1
+        val bytes = wavHeaderBytes(rate, channels, 16, nSamples)
+        val Some((r, c, _, n)) = wavInfo(bytes)
+        AudioInfo(id, r.toLong, c.toLong, n, n * 1000L / r)
+      })
+      .toDF()
+  }
+
   def frameSample(docs: DataFrame, frameBytes: Int, step: Int): DataFrame = {
     require(frameBytes > 0 && step > 0, s"frameBytes=$frameBytes step=$step must be > 0")
     val nBytes = octet_length(col("text")) // payload = encode(text) (see pipeline)

@@ -845,6 +845,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.imageDims(Array(0xff, 0xd8, 0x00).map(_.toByte)) === None)
   }
 
+  test("wav header info: chunk walk, interleaved chunks, padding, junk rejects") {
+    // synth-then-parse roundtrip across rates/channels/bit depths
+    for ((rate, ch, bits, n) <- Seq((8000, 1, 16, 1), (44100, 2, 16, 100000),
+        (16000, 1, 8, 12345), (48000, 2, 24, 7)))
+      assert(Multimodal.wavInfo(Multimodal.wavHeaderBytes(rate, ch, bits, n))
+        === Some((rate, ch, bits, n.toLong)))
+
+    // a LIST chunk (odd size → even padding) between fmt and data must
+    // be skipped by the walk, not break it
+    val base = Multimodal.wavHeaderBytes(22050, 1, 16, 500)
+    val list = "LIST".getBytes("ASCII") ++
+      Array[Byte](3, 0, 0, 0, 'I', 'N', 'F', 0) // size 3, padded to 4
+    val interleaved = base.take(36) ++ list ++ base.drop(36)
+    // RIFF size field is now stale — the walk must not depend on it
+    assert(Multimodal.wavInfo(interleaved) === Some((22050, 1, 16, 500L)))
+
+    // junk, truncation, zero-channel corruption
+    assert(Multimodal.wavInfo(Array.empty[Byte]) === None)
+    assert(Multimodal.wavInfo("RIFFxxxxNOPE".getBytes("ASCII")) === None)
+    assert(Multimodal.wavInfo(base.take(11)) === None)
+    val zeroCh = base.clone(); zeroCh(22) = 0; zeroCh(23) = 0
+    assert(Multimodal.wavInfo(zeroCh) === None)
+  }
+
   test("dims pipeline recovers synthesized dimensions from bytes alone") {
     val out = Multimodal.dimsPipeline(spark, docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
