@@ -1453,6 +1453,20 @@ object LlmQueries {
                        // (8000 + (n_chars % 3) * 4000) AS duration_ms
               FROM documents""")),
 
+    "q_multimodal_video" -> Q(
+      // REAL video-container metadata decode: valid ISO BMFF
+      // ftyp+moov/mvhd per doc; Multimodal.mp4Info recovers
+      // (timescale, duration) by the box walk. Completes the
+      // image/audio/video synth-then-parse triad; same arithmetic
+      // oracle contract.
+      (s, dir) => Multimodal.videoPipeline(s, t(s, dir, "documents")),
+      Some("""SELECT doc_id,
+                     CAST(CASE WHEN n_chars % 2 = 0 THEN 90000 ELSE 1000 END AS BIGINT) AS timescale,
+                     n_chars * 37 + 1 AS duration_ticks,
+                     (n_chars * 37 + 1) * 1000
+                       // (CASE WHEN n_chars % 2 = 0 THEN 90000 ELSE 1000 END) AS duration_ms
+              FROM documents""")),
+
     "q_multimodal_schema" -> Q(
       // binary payload + typed metadata struct → typed mapPartitions
       // feature extraction (decode stubbed — see Multimodal scaladoc)

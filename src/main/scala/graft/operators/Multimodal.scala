@@ -228,6 +228,94 @@ object Multimodal {
     }
   }
 
+  /**
+   * Minimal ISO BMFF (MP4) container: `ftyp` box + `moov` box holding
+   * one `mvhd` (version 0) — the video counterpart of
+   * [[pngHeaderBytes]]/[[wavHeaderBytes]]. Box sizes/fields big-endian
+   * per ISO 14496-12.
+   */
+  def mp4HeaderBytes(timescale: Int, duration: Long): Array[Byte] = {
+    val ftyp = 16; val mvhdLen = 8 + 100; val moovLen = 8 + mvhdLen
+    val out = new Array[Byte](ftyp + moovLen)
+    def putTag(i: Int, s: String): Unit =
+      s.indices.foreach(j => out(i + j) = s.charAt(j).toByte)
+    def putBe32(i: Int, v: Long): Unit = {
+      out(i) = (v >>> 24).toByte; out(i + 1) = (v >>> 16).toByte
+      out(i + 2) = (v >>> 8).toByte; out(i + 3) = v.toByte
+    }
+    putBe32(0, ftyp); putTag(4, "ftyp"); putTag(8, "isom"); putBe32(12, 512)
+    putBe32(16, moovLen); putTag(20, "moov")
+    putBe32(24, mvhdLen); putTag(28, "mvhd")
+    // version 0 mvhd: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+    putBe32(32, 0); putBe32(36, 0); putBe32(40, 0)
+    putBe32(44, timescale); putBe32(48, duration)
+    out
+  }
+
+  /**
+   * Parse (timescale, duration) from ISO BMFF bytes by walking the
+   * top-level box list to `moov`, then its children to `mvhd`
+   * (version 0: 32-bit fields; version 1: 64-bit ctime/mtime/duration
+   * — both handled). Returns None for anything that is not a
+   * plausible MP4.
+   */
+  def mp4Info(payload: Array[Byte]): Option[(Long, Long)] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int): String =
+      if (i + 4 <= payload.length) new String(payload, i, 4, "US-ASCII") else ""
+    def walk(from: Int, to: Int, want: String): Option[Int] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = be32(i)
+        if (size < 8) return None // size64/size0 boxes not emitted here
+        if (tag(i + 4) == want) return Some(i)
+        i += size.toInt
+      }
+      None
+    }
+    if (payload.length < 12 || tag(4) != "ftyp") return None
+    for {
+      moov <- walk(0, payload.length, "moov")
+      mvhd <- walk(moov + 8, math.min(payload.length, (moov + be32(moov)).toInt), "mvhd")
+      if mvhd + 12 <= payload.length
+      version = u8(mvhd + 8)
+      info <- version match {
+        // v0 duration ends at mvhd+28; v1 (64-bit ctime/mtime/duration)
+        // at mvhd+40
+        case 0 if mvhd + 28 <= payload.length =>
+          Some((be32(mvhd + 20), be32(mvhd + 24)))
+        case 1 if mvhd + 40 <= payload.length =>
+          Some((be32(mvhd + 28), be64(mvhd + 32)))
+        case _ => None
+      }
+    } yield info
+  }
+
+  final case class VideoInfo(doc_id: Long, timescale: Long,
+      duration_ticks: Long, duration_ms: Long)
+
+  /**
+   * Synth-then-parse video pipeline: every doc gets a valid MP4
+   * ftyp+moov/mvhd header parameterized from its metadata; [[mp4Info]]
+   * recovers (timescale, duration) from the BYTES alone. Same oracle
+   * contract as [[dimsPipeline]]/[[audioPipeline]].
+   */
+  def videoPipeline(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val timescale = if (nChars % 2 == 0) 90000 else 1000
+        val ticks = nChars * 37 + 1
+        val bytes = mp4HeaderBytes(timescale, ticks)
+        val Some((ts, d)) = mp4Info(bytes)
+        VideoInfo(id, ts, d, d * 1000L / ts)
+      })
+      .toDF()
+  }
+
   final case class AudioInfo(doc_id: Long, sample_rate: Long,
       channels: Long, n_samples: Long, duration_ms: Long)
 

@@ -869,6 +869,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.wavInfo(zeroCh) === None)
   }
 
+  test("mp4 box walk: mvhd v0/v1, preceding boxes skipped, junk rejects") {
+    // synth-then-parse roundtrip (v0 path)
+    for ((ts, d) <- Seq((1000, 1L), (90000, 123456789L), (600, 0xffffffffL)))
+      assert(Multimodal.mp4Info(Multimodal.mp4HeaderBytes(ts, d)) === Some((ts.toLong, d)))
+
+    // a free box between ftyp and moov must be skipped by the walk
+    val base = Multimodal.mp4HeaderBytes(1000, 42L)
+    val free = Array[Byte](0, 0, 0, 12, 'f', 'r', 'e', 'e', 1, 2, 3, 4)
+    val shifted = base.take(16) ++ free ++ base.drop(16)
+    assert(Multimodal.mp4Info(shifted) === Some((1000L, 42L)))
+
+    // version-1 mvhd: 64-bit ctime/mtime/duration layout
+    val v1 = {
+      val mvhdLen = 8 + 4 + 8 + 8 + 4 + 8 // hdr, ver, ctime64, mtime64, ts, dur64
+      val out = new Array[Byte](16 + 8 + mvhdLen)
+      def be32(i: Int, v: Long): Unit = { out(i) = (v >>> 24).toByte
+        out(i+1) = (v >>> 16).toByte; out(i+2) = (v >>> 8).toByte; out(i+3) = v.toByte }
+      def tag(i: Int, s: String): Unit = s.indices.foreach(j => out(i+j) = s.charAt(j).toByte)
+      be32(0, 16); tag(4, "ftyp"); tag(8, "isom"); be32(12, 0)
+      be32(16, 8 + mvhdLen); tag(20, "moov")
+      be32(24, mvhdLen); tag(28, "mvhd")
+      out(32) = 1 // version 1
+      be32(52, 48000) // timescale at mvhd+28
+      be32(56, 0); be32(60, 5000000L) // duration64 at mvhd+32
+      out
+    }
+    assert(Multimodal.mp4Info(v1) === Some((48000L, 5000000L)))
+
+    // junk, wrong magic, truncation
+    assert(Multimodal.mp4Info(Array.empty[Byte]) === None)
+    assert(Multimodal.mp4Info("not a video container".getBytes) === None)
+    assert(Multimodal.mp4Info(base.take(20)) === None)
+  }
+
   test("dims pipeline recovers synthesized dimensions from bytes alone") {
     val out = Multimodal.dimsPipeline(spark, docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
