@@ -260,6 +260,12 @@ class LlmOpsSpec extends AnyFunSuite {
         batch, "vec_id", "embedding", "label", 0.95)
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(served === verdicts)
+    // scale guard: the serve path joins on the cluster key only — no
+    // cartesian product anywhere
+    val plan = Dedup.semDeDupSurvivors(reps, cents, batch,
+        "vec_id", "embedding", "label", 0.95)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan.take(2000))
   }
 
   test("verifiedPairs jaccard matches driver-side exactJaccard") {
