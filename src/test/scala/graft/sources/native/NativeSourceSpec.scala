@@ -88,6 +88,27 @@ class NativeSourceSpec extends AnyFunSuite {
     assert(back.collect().toSet === src.collect().toSet)
   }
 
+  test("the reference repo's own fixture decodes (foreign-file interop anchor)") {
+    // /root/reference/numbers.clickhouse is the ONLY native-format file
+    // in this sandbox not produced by our writer — emitted by real
+    // `clickhouse-local ... FORMAT Native` (reference README.md:97-99):
+    // 2 cols × 1 row, `version() String "24.12.1.1273"` + `number
+    // UInt64 0` (SURVEY §1.1). Decoding it pins schema inference, the
+    // String/UInt64 codecs and the foreign-file (no sidecar) read path
+    // against independently produced bytes.
+    val fx = "/root/reference/numbers.clickhouse"
+    assume(new java.io.File(fx).canRead, s"$fx absent in this environment")
+    val df = spark.read.format("clickhouse_native").load(fx)
+    assert(df.schema.fieldNames.toSeq === Seq("version()", "number"))
+    val row = df.head()
+    assert(row.getString(0) === "24.12.1.1273")
+    assert(row.getLong(1) === 0L)
+    assert(df.count() === 1L)
+    // and through the reference's exact SQL call surface
+    val tvf = spark.sql(s"SELECT * FROM clickhouse_native('$fx')").collect()
+    assert(tvf.length === 1 && tvf(0).getString(0) === "24.12.1.1273")
+  }
+
   test("multi-block multi-column interleaving (reference's bug class, SURVEY §1.1)") {
     // Hand-write 3 blocks × 2 columns with the block writer, read via DSv2.
     val dir = Files.createTempDirectory("graft-native-mb")
