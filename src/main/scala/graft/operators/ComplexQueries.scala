@@ -936,7 +936,40 @@ object ComplexQueries {
           .filter(col("src") =!= col("dst"))
         Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3)
       },
-      Some(pageRankOracleSql(3)))
+      Some(pageRankOracleSql(3))),
+
+    "q_graph_triangles" -> Q(
+      // exact distributed triangle count (Graph.triangleCount —
+      // degree-ordered orientation, Suri & Vassilvitskii WWW'11) over
+      // the undirected nation co-trade graph: the clustering-
+      // coefficient / link-farm signal of crawl-graph curation. The
+      // count is orientation-independent, so the oracle is a plain
+      // ordered 3-way self-join over the canonical lo<hi edge set.
+      (s, dir) => {
+        val edges = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("s_nationkey").as("a"), col("c_nationkey").as("b"))
+        Graph.triangleCount(edges, "a", "b")
+      },
+      Some("""WITH raw AS (SELECT DISTINCT
+                     least(s_nationkey, c_nationkey) AS lo,
+                     greatest(s_nationkey, c_nationkey) AS hi
+                   FROM lineitem
+                   JOIN supplier ON l_suppkey = s_suppkey
+                   JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+                   WHERE s_nationkey <> c_nationkey)
+              SELECT (SELECT count(*) FROM
+                        (SELECT lo AS v FROM raw UNION SELECT hi FROM raw)) AS n_vertices,
+                     (SELECT count(*) FROM raw) AS n_edges,
+                     (SELECT count(*) FROM raw a
+                        JOIN raw b ON a.hi = b.lo
+                        JOIN raw c ON c.lo = a.lo AND c.hi = b.hi) AS n_triangles"""))
   )
 
   /** Unrolled fixed-point PageRank oracle — one (c_k, r_k) CTE pair per

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.Random
+
 import graft.SparkTestBase
 
 import org.apache.spark.sql.functions._
@@ -32,6 +34,31 @@ class GraphSpec extends AnyFunSuite {
       edges.repartition(parts), "src", "dst", 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(run(1) === run(13))
+  }
+
+  test("triangle count matches brute force on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    for (trial <- 0 until 3) {
+      val n = 30
+      val raw = (0 until 200).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // brute force over the canonical simple graph
+      val simple = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val verts = simple.flatMap(e => Seq(e._1, e._2))
+      val expect = verts.toSeq.sorted.combinations(3).count { case Seq(x, y, z) =>
+        simple((x, y)) && simple((y, z)) && simple((x, z))
+      }
+      val got = Graph.triangleCount(raw.toDF("a", "b"), "a", "b").head()
+      assert(got.getAs[Long]("n_vertices") === verts.size.toLong, s"trial $trial")
+      assert(got.getAs[Long]("n_edges") === simple.size.toLong, s"trial $trial")
+      assert(got.getAs[Long]("n_triangles") === expect.toLong, s"trial $trial")
+    }
+    // known shapes: a 4-clique has 4 triangles, a 4-cycle none
+    val k4 = Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L)).toDF("a","b")
+    assert(Graph.triangleCount(k4, "a", "b").head().getAs[Long]("n_triangles") === 4L)
+    val c4 = Seq((0L,1L),(1L,2L),(2L,3L),(3L,0L)).toDF("a","b")
+    assert(Graph.triangleCount(c4, "a", "b").head().getAs[Long]("n_triangles") === 0L)
   }
 
   test("higher in-degree hubs outrank leaves after convergence rounds") {
