@@ -175,6 +175,144 @@ object EngineQueries {
                      round(m4/(m2*m2)*(n-1.0)/n, 4)                AS kurt_samp
               FROM m""")),
 
+    "q_agg_regression" -> Q(
+      // CH simpleLinearRegression(x, y) → (slope, intercept), plus the
+      // fit quality CH exposes as corr²: Spark's regr_* aggregates are
+      // the same single-pass Welford-style machinery (partial+final
+      // mergeable, one hash aggregate — distributes like any sum).
+      // Rounded to 6 dp: both engines fold the identical co-moment
+      // algebra; only summation order separates them.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("intercept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2")),
+      Some("""SELECT l_returnflag,
+                     round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                     round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+                     round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    "q_agg_avg_weighted" -> Q(
+      // CH avgWeighted(v, w) = Σv·w / Σw — spelled on the algebraic
+      // form (two plain sums) rather than a custom aggregate, so the
+      // partial/final split is Spark's own codegen'd sum. Weight =
+      // quantity, value = extendedprice: the per-unit average price.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(
+          sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")),
+          4).as("avg_weighted")),
+      Some("""SELECT l_returnflag,
+                     round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                       AS avg_weighted
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    "q_agg_uniq_upto" -> Q(
+      // CH uniqUpTo(N)(x): exact distinct count while ≤ N, pinned to
+      // N+1 beyond — the "is this column low-cardinality?" probe used
+      // before choosing a dictionary encoding. The relational spelling
+      // (least over countDistinct) keeps the semantics while letting
+      // Spark's distinct-aggregate machinery (partial sets, one
+      // shuffle) do the work; a 100-TB deployment would swap the inner
+      // exact distinct for the HLL sketch once over the N+1 clamp.
+      // N=50: suppliers-per-returnflag exceeds it (clamp branch fires),
+      // linenumbers-per-returnflag stay ≤ 7 (exact branch) — both
+      // branches of the clamp are exercised.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          least(countDistinct(col("l_suppkey")), lit(51L)).as("uniq_supp_upto50"),
+          least(countDistinct(col("l_linenumber")), lit(51L)).as("uniq_ln_upto50")),
+      Some("""SELECT l_returnflag,
+                     least(count(DISTINCT l_suppkey), 51) AS uniq_supp_upto50,
+                     least(count(DISTINCT l_linenumber), 51) AS uniq_ln_upto50
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    "q_agg_bit" -> Q(
+      // CH groupBitAnd/groupBitOr/groupBitXor — bitwise fold aggregates
+      // (flag-mask accumulation). All three are associative+commutative,
+      // so the map-side partial folds whole partitions to one word
+      // before the shuffle — the cheapest possible aggregate at scale.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("bit_and(l_linenumber)").as("mask_and"),
+          expr("bit_or(l_linenumber)").as("mask_or"),
+          expr("bit_xor(l_orderkey)").as("mask_xor")),
+      Some("""SELECT l_returnflag,
+                     bit_and(l_linenumber) AS mask_and,
+                     bit_or(l_linenumber) AS mask_or,
+                     bit_xor(l_orderkey) AS mask_xor
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    "q_fn_encoding" -> Q(
+      // CH hex / MD5 / SHA256 / base64Encode / base64Decode family:
+      // byte-level codecs as codegen'd column expressions, with the
+      // decode(encode(x)) round-trip pinned back to the original so a
+      // broken decoder can't hide behind a broken encoder.
+      (s, dir) => t(s, dir, "nation").select(
+        col("n_nationkey"),
+        hex(col("n_name").cast("binary")).as("hex_name"),
+        md5(col("n_name").cast("binary")).as("md5_name"),
+        sha2(col("n_name").cast("binary"), 256).as("sha256_name"),
+        base64(col("n_name").cast("binary")).as("b64_name"),
+        unbase64(base64(col("n_name").cast("binary"))).cast("string").as("rt_name")),
+      Some("""SELECT n_nationkey,
+                     hex(n_name) AS hex_name,
+                     md5(n_name) AS md5_name,
+                     sha256(n_name) AS sha256_name,
+                     to_base64(CAST(n_name AS BLOB)) AS b64_name,
+                     CAST(from_base64(to_base64(CAST(n_name AS BLOB))) AS VARCHAR)
+                       AS rt_name
+              FROM nation""")),
+
+    "q_fn_datetime_extra" -> Q(
+      // CH toISOWeek / toDayOfYear / toQuarter / toLastDayOfMonth /
+      // addMonths family beyond q_fn_date's basics. End-of-month
+      // clamping (Jan 31 + 1 month → Feb 29) is exercised by real
+      // orderdates; months_from_1996 pins interval arithmetic to the
+      // month-boundary-crossing count both engines agree on.
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        quarter(col("o_orderdate")).as("qtr"),
+        last_day(col("o_orderdate")).as("month_end"),
+        add_months(col("o_orderdate"), 2).as("plus2m"),
+        months_between(date_trunc("month", col("o_orderdate")),
+          lit("1996-01-01").cast("date")).cast("int").as("months_from_1996")),
+      Some("""SELECT o_orderkey,
+                     CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+                     CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+                     CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+                     last_day(o_orderdate) AS month_end,
+                     CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+                     CAST(datediff('month', DATE '1996-01-01',
+                                   date_trunc('month', o_orderdate)) AS INTEGER)
+                       AS months_from_1996
+              FROM orders""")),
+
+    "q_fn_array_sort" -> Q(
+      // CH arraySort / arrayReverseSort / arrayDistinct / arrayFlatten /
+      // arraySlice over the embeddings vectors. Pure per-row expressions
+      // (no shuffle, fully codegen-able); float elements pass through
+      // both engines untouched — no arithmetic, so exact equality holds.
+      (s, dir) => t(s, dir, "embeddings").select(
+        col("vec_id"),
+        sort_array(slice(col("embedding"), 1, 6)).as("sorted6"),
+        sort_array(slice(col("embedding"), 1, 6), asc = false).as("rsorted6"),
+        sort_array(array_distinct(slice(col("embedding"), 1, 6))).as("distinct6"),
+        flatten(array(slice(col("embedding"), 1, 3),
+          slice(col("embedding"), 4, 3))).as("flat6")),
+      Some("""SELECT vec_id,
+                     list_sort(embedding[1:6]) AS sorted6,
+                     list_reverse_sort(embedding[1:6]) AS rsorted6,
+                     list_sort(list_distinct(embedding[1:6])) AS distinct6,
+                     flatten([embedding[1:3], embedding[4:6]]) AS flat6
+              FROM embeddings""")),
+
     "q_fn_geo" -> Q(
       // greatCircleDistance through the dialect: synthetic coordinates
       // derived from the customer key (pure integer-mod arithmetic —

@@ -256,6 +256,49 @@ object LlmQueries {
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
               FROM documents GROUP BY text""")),
 
+    "q_dedup_url" -> Q(
+      // URL-canonicalization dedup — the crawl-pipeline stage that runs
+      // BEFORE any content dedup: normalize each document's URL
+      // (lowercase, strip scheme + www, drop query/fragment, trim
+      // trailing slashes) and keep the lowest doc_id per canonical URL.
+      // The URL is derived deterministically from harness columns
+      // (source + doc_id bucket + lang), giving real collision groups;
+      // canonicalization is three codegen'd regexp_replace passes and
+      // the dedup is one hash aggregate on the canonical key — the same
+      // single-shuffle shape as q_dedup_exact, so it holds at crawl
+      // scale (the canonical key is short, unlike document text).
+      (s, dir) => {
+        val withUrl = t(s, dir, "documents").withColumn("url",
+          concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM/docs/"),
+            (col("doc_id") % 40).cast("string"),
+            lit("/?utm_source=feed&ref="), col("lang")))
+        withUrl
+          .withColumn("canonical",
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(lower(col("url")), "^https?://(www\\.)?", ""),
+                "[?#].*$", ""),
+              "/+$", ""))
+          .groupBy("canonical")
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_dups"))
+      },
+      Some("""WITH u AS (
+                SELECT doc_id,
+                       'HTTPS://WWW.' || source || '.Example.COM/docs/' ||
+                       CAST(doc_id % 40 AS VARCHAR) ||
+                       '/?utm_source=feed&ref=' || lang AS url
+                FROM documents),
+              c AS (
+                SELECT doc_id,
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(lower(url), '^https?://(www\.)?', ''),
+                           '[?#].*$', ''),
+                         '/+$', '') AS canonical
+                FROM u)
+              SELECT canonical, min(doc_id) AS keeper_id, count(*) AS n_dups
+              FROM c GROUP BY canonical""")),
+
     "q_dedup_minhash" -> Q(
       // per-row MinHash signatures (pure map, NO shuffle) + LSH band
       // equi-join — never an all-pairs crossJoin. Oracle-gate form:
@@ -1090,6 +1133,73 @@ object LlmQueries {
                                  x -> x IS NOT NULL) AS reasons
                    FROM sig)
               SELECT doc_id, len(reasons) = 0 AS accepted, reasons FROM dec""")),
+
+    "q_outlier_zscore" -> Q(
+      // per-group z-score outlier flagging — the numeric-column cousin
+      // of the quality filter (drop events whose value is >2σ from its
+      // event_type's mean). Exact-regime spelling: values quantize to
+      // integer cents, the group statistics are exact integer sums
+      // (n, Σc, Σc²), and both engines then evaluate the IDENTICAL
+      // closed-form double expression from those integers — so the
+      // 4-dp gate compares deterministic arithmetic, not accumulation
+      // order. Plan: one tiny hash aggregate (5 event types) broadcast
+      // back onto the stream — the fact side never shuffles, which is
+      // the only layout that survives a 100-TB event log.
+      (s, dir) => {
+        val cents = Q.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100).cast("long").as("c"))
+        val stats = cents.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+            sum(col("c") * col("c")).as("sq"))
+        val mu = col("s").cast("double") / col("n")
+        val sd = sqrt(col("sq").cast("double") / col("n") - mu * mu)
+        cents.join(broadcast(stats), Seq("event_type"))
+          .select(col("event_id"), col("event_type"),
+            round((col("c") - mu) / sd, 4).as("z"),
+            (abs(col("c") - mu) > sd * 2.0).as("is_outlier"))
+      },
+      Some(s"""WITH cents AS (
+                 SELECT event_id, event_type,
+                        CAST(floor(value * 100) AS BIGINT) AS c
+                 FROM ${Q.eventsOracle}),
+               st AS (
+                 SELECT event_type, count(*) AS n, sum(c) AS s,
+                        sum(c * c) AS sq
+                 FROM cents GROUP BY event_type)
+               SELECT event_id, cents.event_type,
+                      round((c - CAST(s AS DOUBLE) / n) /
+                            sqrt(CAST(sq AS DOUBLE) / n -
+                                 (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+                            4) AS z,
+                      abs(c - CAST(s AS DOUBLE) / n) >
+                        sqrt(CAST(sq AS DOUBLE) / n -
+                             (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) * 2.0
+                        AS is_outlier
+               FROM cents JOIN st ON cents.event_type = st.event_type""")),
+
+    "q_agg_array_sum" -> Q(
+      // CH sumArray/-Array combinator: aggregate over every ELEMENT of
+      // an array column per group (here: per-label mass of the
+      // embedding vectors). The per-row reduce is a codegen'd
+      // higher-order aggregate (no explode — the rows never widen), the
+      // group fold is a plain sum. Exact-regime: elements quantize to
+      // integer milli-units first, so the nested sums are integer math
+      // on both engines.
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("label"),
+          aggregate(
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 1000).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("row_milli"))
+        .groupBy("label")
+        .agg(sum(col("row_milli")).as("sum_milli"), count(lit(1)).as("n_vecs")),
+      Some("""SELECT label,
+                     sum(list_sum(list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))))
+                       AS sum_milli,
+                     count(*) AS n_vecs
+              FROM embeddings GROUP BY label""")),
 
     "q_bpe_merges" -> Q(
       // BPE tokenizer training, first 3 merge rules

@@ -154,6 +154,41 @@ object RelationalQueries {
       Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
               WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)""")),
 
+    "q_join_any" -> Q(
+      // CH ANY LEFT JOIN: each left row pairs with AT MOST ONE right
+      // row — ClickHouse keeps one arbitrary row per key in the hash
+      // table. The deterministic (and scale-correct) spelling reduces
+      // the right side to one representative per key BEFORE the join:
+      // min_by picks the first lineitem by linenumber, the aggregate is
+      // mergeable (partial+final), and the join then carries one row
+      // per key instead of the full fact fan-out — exactly the
+      // hash-table collapse CH's ANY modifier buys, made explicit.
+      // The pick-order must be TOTAL for the cross-engine gate: harness
+      // linenumbers repeat within an order, so min_by on linenumber
+      // alone would tie-break engine-arbitrarily; (linenumber, quantity)
+      // packed into one integer key makes ties value-identical.
+      (s, dir) => {
+        val pick = col("l_linenumber").cast("long") * 1000000L +
+          (col("l_quantity") * 100).cast("long")
+        val anyLine = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(
+            min(col("l_linenumber")).as("any_linenumber"),
+            min_by(col("l_quantity"), pick).as("any_quantity"))
+        t(s, dir, "orders")
+          .join(anyLine, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("any_linenumber"), col("any_quantity"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, any_linenumber, any_quantity
+              FROM orders LEFT JOIN (
+                SELECT l_orderkey,
+                       CAST(min(l_linenumber) AS INTEGER) AS any_linenumber,
+                       min_by(l_quantity, CAST(l_linenumber AS BIGINT) * 1000000 +
+                                          CAST(l_quantity * 100 AS BIGINT)) AS any_quantity
+                FROM lineitem GROUP BY l_orderkey) a
+                ON o_orderkey = l_orderkey""")),
+
     "q_join_asof" -> Q(
       // ASOF: for each purchase event, the latest signup by the same
       // user at-or-before it. Spark has no native asof join; the

