@@ -802,6 +802,29 @@ object LlmQueries {
       },
       Some(bruteForceTopKSql)),
 
+    "q_knn_graph" -> Q(
+      // kNN graph over the corpus (Similarity.knnGraph): every vector's
+      // top-3 neighbours via the IVF cell layout — probes equi-join the
+      // cell assignments (co-partitioned, nothing corpus-sized
+      // broadcasts — the difference from the query-set keys). Oracle
+      // gate nprobe = nlist ⇒ graph ≡ brute force; partial-probe
+      // recall in LlmOpsSpec.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnGraph(emb, k = 3, nlist = 16, nprobe = 16,
+          trainFraction = 0.5)
+      },
+      Some("""WITH c AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+                FROM embeddings),
+              s AS (SELECT q.vec_id AS q_id, c.vec_id,
+                round(list_dot_product(c.ed, q.ed) /
+                  (sqrt(list_dot_product(c.ed, c.ed)) * sqrt(list_dot_product(q.ed, q.ed))), 4) AS sim
+                FROM c, c q WHERE c.vec_id != q.vec_id)
+         SELECT q_id, vec_id, sim,
+                CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
+         FROM s QUALIFY rn <= 3""")),
+
     "q_sim_index_persist" -> Q(
       // build-once-serve-many ANN: Similarity.buildIvfIndex writes the
       // IVF artifact — (vec_id, embedding, cell) assignments plus the

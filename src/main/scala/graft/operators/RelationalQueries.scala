@@ -843,6 +843,47 @@ object RelationalQueries {
               FROM cal c LEFT JOIN daily d
                 ON c.event_type = d.event_type AND c.day = d.day""")),
 
+    "q_with_fill_interpolate" -> Q(
+      // ClickHouse `WITH FILL ... INTERPOLATE (x AS x)` — gap rows
+      // carry the PREVIOUS observed value forward instead of a
+      // constant: same distributed spine as q_with_fill, then a
+      // last-ignoring-nulls frame window per group (sorted once within
+      // the group partition — no extra shuffle over the fill join).
+      // Value = daily event count in exact integers; days before the
+      // first observation of a group can't occur (spine starts at the
+      // group's min day), so the carry is total.
+      (s, dir) => {
+        val daily = Q.events(s, dir).filter(col("value") > 250)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val cal = daily.groupBy("event_type")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("event_type"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cal.join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            col("cnt").isNotNull.as("observed"),
+            last(col("cnt"), ignoreNulls = true).over(w).as("cnt_ff"))
+      },
+      Some(s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                       count(*) AS cnt
+                     FROM ${Q.eventsOracle} e WHERE value > 250 GROUP BY 1, 2),
+              spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+                     FROM daily GROUP BY 1),
+              cal AS (SELECT event_type,
+                       CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                         CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+                     FROM spans)
+              SELECT c.event_type, c.day,
+                     d.cnt IS NOT NULL AS observed,
+                     last_value(d.cnt IGNORE NULLS) OVER (
+                       PARTITION BY c.event_type ORDER BY c.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_ff
+              FROM cal c LEFT JOIN daily d
+                ON c.event_type = d.event_type AND c.day = d.day""")),
+
     "q_join_fuzzy" -> Q(
       // Fuzzy join (FuzzyJoin.editDistance1): part names against
       // deterministically-misspelled probes (middle character

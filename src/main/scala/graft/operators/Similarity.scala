@@ -182,6 +182,36 @@ object Similarity {
   }
 
   /**
+   * kNN GRAPH build: every corpus vector's top-k nearest neighbours —
+   * the precursor of SemDeDup clustering, graph-based label
+   * propagation, and hard-negative mining at corpus scale. Unlike
+   * [[ivfTopK]] the "query" side IS the corpus, so nothing here may
+   * broadcast it: probes (corpus × nprobe thin rows) meet the cell
+   * assignments in a plain equi-join co-partitioned on the cell id,
+   * and candidate pairs are bounded by per-cell products — the
+   * canonical IVF kNN-graph layout (each vector scores only its
+   * nprobe cells' members, never the whole corpus).
+   *
+   * Exact gate: nprobe = nlist scores every (v, u) pair exactly once,
+   * so the graph equals brute force regardless of the learned cell
+   * layout — which is what lets the full machinery run under a SQL
+   * oracle; the approximate nprobe < nlist regime is recall-tested in
+   * LlmOpsSpec.
+   */
+  def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, trainFraction: Double = 1.0): DataFrame = {
+    val (cand, centroidDf) = buildIvfIndex(corpus, nlist, trainFraction)
+    val probes = probeCells(corpus, centroidDf, nprobe)
+    val scored = cand.join(probes, "cell") // both sides corpus-scale: shuffle on cell, no broadcast
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+  }
+
+  /**
    * Product-quantization codebooks as a DATAFRAME (s, code, centroid):
    * nothing is collected to the driver — codebooks are relations and
    * every PQ stage below is a join, which is what makes the layout

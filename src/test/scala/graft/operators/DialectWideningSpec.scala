@@ -100,6 +100,34 @@ class DialectWideningSpec extends AnyFunSuite {
     }
   }
 
+  test("knnGraph: no corpus-sized broadcast, no cartesian; partial-probe recall holds") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val partial = Similarity.knnGraph(emb, k = 3, nlist = 16, nprobe = 4,
+      trainFraction = 0.5)
+    val plan = partial.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan.take(2000))
+    val exact = Similarity.knnGraph(emb, k = 3, nlist = 16, nprobe = 16,
+      trainFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = partial.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall") // 4/16 cells probed
+    // every vector has a complete neighbour list in the exact regime
+    assert(exact.size === emb.count() * 3)
+  }
+
+  test("with-fill interpolate: observed rows keep their value, gaps carry the previous one") {
+    val rows = run("q_with_fill_interpolate")
+      .orderBy("event_type", "day").collect()
+    assert(rows.exists(!_.getBoolean(2)), "fixture should contain gap rows")
+    var prev = Map.empty[String, Long]
+    rows.foreach { r =>
+      val (et, obs, ff) = (r.getString(0), r.getBoolean(2), r.getLong(3))
+      if (!obs) assert(ff === prev(et), s"gap row drifted for $et")
+      prev += et -> ff
+    }
+  }
+
   test("uniq_upto clamps at N+1 and never exceeds it") {
     run("q_agg_uniq_upto").collect().foreach { r =>
       assert(r.getLong(1) <= 51L)
