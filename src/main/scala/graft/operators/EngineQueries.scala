@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.operators.Q.t
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -174,6 +175,215 @@ object EngineQueries {
                      round(m4/(m2*m2), 4)                          AS kurt_pop,
                      round(m4/(m2*m2)*(n-1.0)/n, 4)                AS kurt_samp
               FROM m""")),
+
+    "q_agg_ttest" -> Q(
+      // CH welchTTest(v, group): two-sample Welch t statistic + df —
+      // the A/B-test primitive. Exact-regime: values quantize to
+      // integer cents; ONE conditional-aggregation pass produces the
+      // six exact integer sums (n, Σ, Σ² per arm), and both engines
+      // evaluate the identical closed form from them — no accumulation
+      // order in the float path. Single hash aggregate; at any scale
+      // the output is one row.
+      (s, dir) => {
+        val e = Q.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("c"))
+        val a = col("event_type") === "click"
+        val agg = e.agg(
+          count(when(a, 1)).as("n1"), sum(when(a, col("c"))).as("s1"),
+          sum(when(a, col("c") * col("c"))).as("sq1"),
+          count(when(!a, 1)).as("n2"), sum(when(!a, col("c"))).as("s2"),
+          sum(when(!a, col("c") * col("c"))).as("sq2"))
+        val (n1, s1, sq1) = (col("n1").cast("double"), col("s1").cast("double"), col("sq1").cast("double"))
+        val (n2, s2, sq2) = (col("n2").cast("double"), col("s2").cast("double"), col("sq2").cast("double"))
+        val m1 = s1 / n1; val m2 = s2 / n2
+        val v1 = (sq1 / n1 - m1 * m1) * (n1 / (n1 - 1.0))
+        val v2 = (sq2 / n2 - m2 * m2) * (n2 / (n2 - 1.0))
+        val se1 = v1 / n1; val se2 = v2 / n2
+        agg.select(
+          round((m1 - m2) / sqrt(se1 + se2), 4).as("t_stat"),
+          round((se1 + se2) * (se1 + se2) /
+            (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)), 2).as("welch_df"))
+      },
+      Some(s"""WITH c AS (SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS c
+                     FROM ${Q.eventsOracle} e
+                     WHERE event_type IN ('click', 'purchase')),
+              sums AS (SELECT
+                       count(*) FILTER (event_type = 'click') AS n1,
+                       sum(c)   FILTER (event_type = 'click') AS s1,
+                       sum(c*c) FILTER (event_type = 'click') AS sq1,
+                       count(*) FILTER (event_type = 'purchase') AS n2,
+                       sum(c)   FILTER (event_type = 'purchase') AS s2,
+                       sum(c*c) FILTER (event_type = 'purchase') AS sq2
+                     FROM c),
+              f AS (SELECT CAST(n1 AS DOUBLE) AS n1, CAST(s1 AS DOUBLE) AS s1,
+                           CAST(sq1 AS DOUBLE) AS sq1, CAST(n2 AS DOUBLE) AS n2,
+                           CAST(s2 AS DOUBLE) AS s2, CAST(sq2 AS DOUBLE) AS sq2
+                     FROM sums),
+              m AS (SELECT n1, n2,
+                           (sq1/n1 - (s1/n1)*(s1/n1)) * (n1/(n1-1.0)) / n1 AS se1,
+                           (sq2/n2 - (s2/n2)*(s2/n2)) * (n2/(n2-1.0)) / n2 AS se2,
+                           s1/n1 - s2/n2 AS dm
+                     FROM f)
+              SELECT round(dm / sqrt(se1 + se2), 4) AS t_stat,
+                     round((se1 + se2) * (se1 + se2) /
+                           (se1*se1/(n1-1.0) + se2*se2/(n2-1.0)), 2) AS welch_df
+              FROM m""")),
+
+    "q_agg_mannwhitney" -> Q(
+      // CH mannWhitneyUTest: rank-sum statistic between two arms,
+      // INTEGER-EXACT — tie-averaged ranks are carried doubled
+      // (rank_min + rank_max stays integral), so the gate compares
+      // integers. The rank machinery runs on the DISTINCT-value table
+      // (bounded domain after cents quantization), not the event
+      // stream: per-value counts hash-aggregate first, the cumulative
+      // rank window runs over that small table, and the final fold is
+      // one more aggregate — the standard scalable rank-statistic
+      // layout.
+      (s, dir) => {
+        val e = Q.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("c"))
+        val byVal = e.groupBy("c").agg(
+          count(lit(1)).as("cnt"),
+          count(when(col("event_type") === "click", 1)).as("cnt_a"))
+        val wBelow = Window.orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = byVal.withColumn("below",
+          coalesce(sum(col("cnt")).over(wBelow), lit(0L)))
+        // doubled tie-averaged rank of value v = 2*below + cnt + 1
+        ranked.agg(
+          sum(col("cnt_a") * (col("below") * 2 + col("cnt") + 1)).as("two_r_a"),
+          sum(col("cnt_a")).as("n_a"),
+          sum(col("cnt") - col("cnt_a")).as("n_b"))
+          .select(col("two_r_a"), col("n_a"), col("n_b"),
+            (col("two_r_a") - col("n_a") * (col("n_a") + 1)).as("two_u_a"))
+      },
+      Some(s"""WITH c AS (SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS c
+                     FROM ${Q.eventsOracle} e
+                     WHERE event_type IN ('click', 'purchase')),
+              bv AS (SELECT c,
+                       count(*) AS cnt,
+                       count(*) FILTER (WHERE event_type = 'click') AS cnt_a
+                     FROM c GROUP BY c),
+              r AS (SELECT cnt, cnt_a,
+                       coalesce(sum(cnt) OVER (ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+                     FROM bv)
+              SELECT CAST(sum(cnt_a * (below * 2 + cnt + 1)) AS BIGINT) AS two_r_a,
+                     CAST(sum(cnt_a) AS BIGINT) AS n_a,
+                     CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,
+                     CAST(sum(cnt_a * (below * 2 + cnt + 1)) -
+                       sum(cnt_a) * (sum(cnt_a) + 1) AS BIGINT) AS two_u_a
+              FROM r""")),
+
+    "q_agg_cramers_v" -> Q(
+      // CH cramersV(a, b): association strength between two categorical
+      // columns via the chi² contingency fold. Counts are exact
+      // integers (event_type × value-centile bucket); chi² sums
+      // (obs−exp)²/exp over the R×C cell table — a tiny aggregate after
+      // the one contingency hash-agg, rounded to 4 dp to absorb
+      // cell-order summation ulps.
+      (s, dir) => {
+        val e = Q.events(s, dir).select(col("event_type"),
+          floor(floor(col("value") * 100) / 10000.0).cast("long").as("bucket"))
+        val cells = e.groupBy("event_type", "bucket").agg(count(lit(1)).as("o"))
+        val rowT = cells.groupBy("event_type").agg(sum("o").as("rt"))
+        val colT = cells.groupBy("bucket").agg(sum("o").as("ct"))
+        val n = cells.agg(sum("o").as("n"))
+        // dimension-scalar probes (R×C of the contingency table) —
+        // bounded by category cardinality, legitimate at any scale
+        val r = cells.select(countDistinct("event_type")).head().getLong(0)
+        val c = cells.select(countDistinct("bucket")).head().getLong(0)
+        val exp = col("rt") * col("ct") / col("n")
+        cells.join(rowT, "event_type").join(colT, "bucket").crossJoin(broadcast(n))
+          .select(((col("o") - exp) * (col("o") - exp) / exp).as("term"), col("n"))
+          .agg(sum(col("term")).as("chi2"), first(col("n")).as("n"))
+          .select(round(
+            sqrt(col("chi2") / (col("n") * math.min(r - 1, c - 1).toDouble)), 4)
+            .as("cramers_v"))
+      },
+      Some(s"""WITH e AS (SELECT event_type,
+                       CAST(floor(CAST(floor(value * 100) AS BIGINT) / 10000.0) AS BIGINT) AS bucket
+                     FROM ${Q.eventsOracle} ev),
+              cells AS (SELECT event_type, bucket, count(*) AS o
+                     FROM e GROUP BY 1, 2),
+              rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+              ct AS (SELECT bucket, sum(o) AS ct FROM cells GROUP BY 1),
+              n AS (SELECT sum(o) AS n FROM cells),
+              dims AS (SELECT count(DISTINCT event_type) AS r,
+                              count(DISTINCT bucket) AS c FROM cells),
+              chi AS (SELECT sum((o - rt.rt * ct.ct / n.n) *
+                                 (o - rt.rt * ct.ct / n.n) /
+                                 (rt.rt * ct.ct / n.n)) AS chi2,
+                             first(n.n) AS n
+                     FROM cells JOIN rt USING (event_type)
+                                JOIN ct USING (bucket), n)
+              SELECT round(sqrt(chi2 / (n * least(dims.r - 1, dims.c - 1))), 4)
+                       AS cramers_v
+              FROM chi, dims""")),
+
+    "q_agg_interval_sum" -> Q(
+      // CH intervalLengthSum(start, end): total length of the UNION of
+      // (possibly overlapping) intervals per group — the coverage
+      // primitive behind span-dedup accounting and SLA uptime. Classic
+      // sweep: a segment opens where start exceeds the running max end
+      // of everything earlier; (group, segment) aggregates give union
+      // segments; integer day arithmetic end to end. Two window passes
+      // + two hash aggregates, all keyed by the group — one shuffle.
+      (s, dir) => {
+        // duplicate intervals collapse FIRST: coverage is a set
+        // property, and distinct (s0, e0) rows give the sweep windows a
+        // TOTAL order — without it, tied rows can land in different
+        // orders across the two window passes (observed in DuckDB:
+        // new_seg computed under one tie order, summed under another,
+        // misattributing segment boundaries)
+        val iv = t(s, dir, "orders").select(
+          col("o_orderpriority").as("grp"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).as("s0"))
+          .withColumn("e0", col("s0") + (col("s0") % 5) + 1) // end exclusive
+          .distinct()
+        val wPrev = Window.partitionBy("grp").orderBy(col("s0"), col("e0"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy("grp").orderBy(col("s0"), col("e0"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val seg = iv
+          .withColumn("prev_max", max(col("e0")).over(wPrev))
+          .withColumn("new_seg",
+            when(col("prev_max").isNull || col("s0") > col("prev_max"), 1L)
+              .otherwise(0L))
+          .withColumn("seg_id", sum(col("new_seg")).over(wRun))
+        seg.groupBy("grp", "seg_id")
+          .agg(min("s0").as("seg_s"), max("e0").as("seg_e"))
+          .groupBy("grp")
+          .agg(sum(col("seg_e") - col("seg_s")).as("covered_days"),
+            count(lit(1)).as("n_segments"))
+      },
+      Some("""WITH iv AS (SELECT DISTINCT o_orderpriority AS grp,
+                       datediff('day', DATE '1992-01-01', o_orderdate) AS s0,
+                       datediff('day', DATE '1992-01-01', o_orderdate) +
+                         (datediff('day', DATE '1992-01-01', o_orderdate) % 5) + 1 AS e0
+                     FROM orders),
+              seg AS (SELECT grp, s0, e0,
+                       CASE WHEN max(e0) OVER (PARTITION BY grp ORDER BY s0, e0
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                              OR s0 > max(e0) OVER (PARTITION BY grp ORDER BY s0, e0
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS new_seg
+                     FROM iv),
+              segid AS (SELECT grp, s0, e0,
+                       sum(new_seg) OVER (PARTITION BY grp ORDER BY s0, e0
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+                     FROM seg),
+              segs AS (SELECT grp, seg_id, min(s0) AS seg_s, max(e0) AS seg_e
+                     FROM segid GROUP BY 1, 2)
+              SELECT grp, CAST(sum(seg_e - seg_s) AS BIGINT) AS covered_days,
+                     count(*) AS n_segments
+              FROM segs GROUP BY grp""")),
 
     "q_agg_regression" -> Q(
       // CH simpleLinearRegression(x, y) → (slope, intercept), plus the

@@ -1218,9 +1218,9 @@ object LlmQueries {
         .groupBy("label")
         .agg(sum(col("row_milli")).as("sum_milli"), count(lit(1)).as("n_vecs")),
       Some("""SELECT label,
-                     sum(list_sum(list_transform(embedding,
+                     CAST(sum(list_sum(list_transform(embedding,
                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))))
-                       AS sum_milli,
+                       AS BIGINT) AS sum_milli,
                      count(*) AS n_vecs
               FROM embeddings GROUP BY label""")),
 

@@ -213,6 +213,38 @@ object RelationalQueries {
               ASOF JOIN (SELECT * FROM ${Q.eventsOracle} WHERE event_type = 'signup') s
               ON p.user_id = s.user_id AND p.ts >= s.ts""")),
 
+    "q_join_asof_tolerance" -> Q(
+      // ASOF with a MAX-STALENESS bound (pandas merge_asof tolerance /
+      // QuestDB ASOF ... TOLERANCE): the latest signup at-or-before
+      // each purchase counts only within 7 days — older matches null
+      // out instead of silently pairing stale state. Same single
+      // window shuffle as q_join_asof (the bound is a post-window
+      // filter, not a join-shape change); LEFT semantics keep every
+      // purchase row. The oracle composes DuckDB's native ASOF LEFT
+      // JOIN with the same staleness CASE.
+      (s, dir) => {
+        val tolSec = 7L * 24 * 3600
+        val e = Q.events(s, dir).filter(col("event_type").isin("purchase", "signup"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), when(col("event_type") === "signup", 0).otherwise(1))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("last_signup_ts",
+            last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"),
+            when(col("last_signup_ts").isNotNull &&
+              col("ts").cast("timestamp").cast("long") -
+                col("last_signup_ts").cast("timestamp").cast("long") <= tolSec,
+              col("last_signup_ts")).as("recent_signup_ts"))
+      },
+      Some(s"""SELECT p.event_id,
+                     CASE WHEN s.ts IS NOT NULL
+                            AND epoch(p.ts) - epoch(s.ts) <= 7 * 24 * 3600
+                          THEN s.ts END AS recent_signup_ts
+              FROM (SELECT * FROM ${Q.eventsOracle} WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT * FROM ${Q.eventsOracle} WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id AND p.ts >= s.ts""")),
+
     "q_join_asof_exec" -> Q(
       // The same ASOF semantics through the CUSTOM OPERATOR
       // (graft.plans.AsofJoin: logical node -> strategy -> sorted merge
@@ -1194,6 +1226,29 @@ object RelationalQueries {
                      trim(p_name) AS trimmed,
                      p_name LIKE '%al%' AS has_al,
                      regexp_matches(p_name, '^[a-m]') AS starts_low
+              FROM part""")),
+
+    "q_fn_string_search" -> Q(
+      // CH position / countSubstrings / multiSearchAny / startsWith /
+      // endsWith: substring search as codegen'd column expressions.
+      // countSubstrings spelled on the length-difference identity
+      // (non-overlapping occurrences, same as CH); multiSearchAny as a
+      // single alternation regex — one scan per row either way.
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        locate("al", col("p_name")).as("pos_al"),
+        ((length(col("p_name")) - length(regexp_replace(col("p_name"), "an", ""))) / 2)
+          .cast("int").as("cnt_an"),
+        col("p_name").rlike("red|blue|green").as("any_color"),
+        col("p_name").startsWith("a").as("starts_a"),
+        col("p_name").endsWith("e").as("ends_e")),
+      Some("""SELECT p_partkey,
+                     CAST(position('al' IN p_name) AS INTEGER) AS pos_al,
+                     CAST((length(p_name) - length(replace(p_name, 'an', ''))) / 2
+                       AS INTEGER) AS cnt_an,
+                     regexp_matches(p_name, 'red|blue|green') AS any_color,
+                     starts_with(p_name, 'a') AS starts_a,
+                     ends_with(p_name, 'e') AS ends_e
               FROM part""")),
 
     "q_fn_date" -> Q(

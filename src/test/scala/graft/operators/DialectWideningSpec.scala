@@ -128,6 +128,61 @@ class DialectWideningSpec extends AnyFunSuite {
     }
   }
 
+  test("mann-whitney invariants: 0 <= U_A <= n_A*n_B and U_A + U_B = n_A*n_B") {
+    val r = run("q_agg_mannwhitney").collect()(0)
+    val (twoRA, nA, nB, twoUA) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(twoUA >= 0 && twoUA <= 2 * nA * nB, s"2U_A=$twoUA out of range")
+    // rank-sum lower bound: R_A >= n_A(n_A+1)/2
+    assert(twoRA >= nA * (nA + 1))
+  }
+
+  test("welch t-test matches a driver-side recomputation from raw values") {
+    val r = run("q_agg_ttest").collect()(0)
+    val cents = graft.operators.Q.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    def stats(t: String) = {
+      val v = cents.filter(_._1 == t).map(_._2.toDouble)
+      val n = v.length.toDouble; val m = v.sum / n
+      val s2 = v.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, s2)
+    }
+    val (n1, m1, v1) = stats("click"); val (n2, m2, v2) = stats("purchase")
+    val t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    assert(math.abs(r.getDouble(0) - t) < 1e-3, s"key=${r.getDouble(0)} ref=$t")
+  }
+
+  test("interval union length matches brute-force day expansion") {
+    val truth = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority").as("grp"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).as("s0"))
+      .withColumn("e0", col("s0") + (col("s0") % 5) + 1)
+      .withColumn("d", explode(expr("sequence(s0, e0 - 1)")))
+      .groupBy("grp").agg(countDistinct("d").as("covered"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    run("q_agg_interval_sum").collect().foreach { r =>
+      assert(r.getLong(1) === truth(r.getString(0)),
+        s"${r.getString(0)}: sweep=${r.getLong(1)} truth=${truth(r.getString(0))}")
+    }
+  }
+
+  test("asof tolerance: matches are within bound, row set = purchases") {
+    val purchases = graft.operators.Q.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    val df = run("q_join_asof_tolerance")
+    assert(df.count() === purchases)
+    val unbounded = run("q_join_asof").count()
+    val bounded = df.filter(col("recent_signup_ts").isNotNull).count()
+    assert(bounded <= unbounded, "tolerance cannot add matches")
+  }
+
+  test("cramers V lands in [0, 1]") {
+    val v = run("q_agg_cramers_v").collect()(0).getDouble(0)
+    assert(v >= 0.0 && v <= 1.0, s"v=$v")
+  }
+
   test("uniq_upto clamps at N+1 and never exceeds it") {
     run("q_agg_uniq_upto").collect().foreach { r =>
       assert(r.getLong(1) <= 51L)
