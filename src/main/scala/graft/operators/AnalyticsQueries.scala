@@ -1,0 +1,292 @@
+package graft.operators
+
+import graft.operators.Q.t
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-8 dialect widening: the remaining ClickHouse statistical-test
+ * aggregates (kolmogorovSmirnovTest, rankCorr, theilsU), the
+ * minMap/maxMap combinator family, the arrayCumSum /
+ * arrayDifference / arrayCompact higher-order trio, and `LIMIT n
+ * WITH TIES` — every key oracle-gated in an exact regime.
+ *
+ * Shared scale discipline with the round-7 stats pack
+ * (EngineQueries): rank/CDF machinery runs on the BOUNDED
+ * distinct-value table after cents quantization (one hash aggregate
+ * collapses the event stream first; the windowed cumulative pass
+ * touches only distinct values), never on the raw stream; closed
+ * forms evaluate from exact integer sums so both engines compute
+ * identical IEEE doubles.
+ */
+object AnalyticsQueries {
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "q_agg_kstest" -> Q(
+      // CH kolmogorovSmirnovTest(value, group): two-sample KS D
+      // statistic — the distribution-shift detector. INTEGER-EXACT:
+      // D = max_x |F_a(x) − F_b(x)| is carried as the integer
+      // numerator max |cum_a(x)·n_b − cum_b(x)·n_a| over the common
+      // denominator n_a·n_b, so the gate compares integers; the
+      // rounded quotient is derived from them identically in both
+      // engines. The cumulative pass runs on the distinct-value
+      // table (≤ ~50k cents values — bounded by the value domain,
+      // not the event count), the standard scalable CDF layout.
+      (s, dir) => {
+        val e = Q.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("c"))
+        val a = col("event_type") === "click"
+        val bv = e.groupBy("c").agg(
+          count(when(a, 1)).as("ca"), count(when(!a, 1)).as("cb"))
+        val w = Window.orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bv.select(
+          sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
+        val tot = bv.agg(sum("ca").as("na"), sum("cb").as("nb"))
+        cum.crossJoin(broadcast(tot))
+          .groupBy("na", "nb")
+          .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+            .as("d_num"))
+          .select(col("na"), col("nb"), col("d_num"),
+            round(col("d_num").cast("double") / (col("na") * col("nb")), 6)
+              .as("ks_d"))
+      },
+      Some(s"""WITH c AS (SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS c
+                     FROM ${Q.eventsOracle} e
+                     WHERE event_type IN ('click', 'purchase')),
+              bv AS (SELECT c,
+                       count(*) FILTER (WHERE event_type = 'click') AS ca,
+                       count(*) FILTER (WHERE event_type = 'purchase') AS cb
+                     FROM c GROUP BY c),
+              cum AS (SELECT
+                       sum(ca) OVER (ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+                       sum(cb) OVER (ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+                     FROM bv),
+              tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                             CAST(sum(cb) AS BIGINT) AS nb FROM bv)
+              SELECT na, nb,
+                     CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+                     round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+                           / (na * nb), 6) AS ks_d
+              FROM cum, tot GROUP BY na, nb""")),
+
+    "q_agg_rank_corr" -> Q(
+      // CH rankCorr(x, y): Spearman rank correlation = Pearson over
+      // tie-averaged ranks. Ranks are carried DOUBLED (2·below +
+      // cnt + 1 stays integral under ties, the mannWhitney trick —
+      // Pearson is scale-invariant so doubling cancels); the five
+      // rank-product sums accumulate as decimal(38,0) (exact at any
+      // row count — a long would wrap near n≈3e6), and both engines
+      // evaluate the same closed form over the same exact integers.
+      // Rank tables are per-distinct-value (one hash agg + a bounded
+      // window), the fact stream joins them by value — two bounded
+      // equi-joins, no O(n log n) global sort of the facts.
+      (s, dir) => {
+        val rows = t(s, dir, "lineitem").select(
+          floor(col("l_quantity") * 100).cast("long").as("x"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        def ranks(c: String, out: String) = {
+          val bv = rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+          val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+          bv.withColumn("below", coalesce(sum("cnt").over(w), lit(0L)))
+            .select(col("v").as(c), (col("below") * 2 + col("cnt") + 1).as(out))
+        }
+        val j = rows.join(ranks("x", "rx"), "x").join(ranks("y", "ry"), "y")
+        val sums = j.agg(
+          count(lit(1)).as("n"),
+          sum(col("rx").cast("decimal(38,0)")).as("su"),
+          sum(col("ry").cast("decimal(38,0)")).as("sv"),
+          sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("suu"),
+          sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("svv"),
+          sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("suv"))
+        val n = col("n").cast("double")
+        def d(c: String) = col(c).cast("double")
+        val num = d("suv") / n - (d("su") / n) * (d("sv") / n)
+        val den = sqrt(d("suu") / n - (d("su") / n) * (d("su") / n)) *
+          sqrt(d("svv") / n - (d("sv") / n) * (d("sv") / n))
+        sums.select(col("n"), round(num / den, 4).as("rank_corr"))
+      },
+      Some("""WITH rows_ AS (SELECT
+                       CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+                     FROM lineitem),
+              bx AS (SELECT x AS v, count(*) AS cnt FROM rows_ GROUP BY x),
+              rx AS (SELECT v AS x,
+                       coalesce(sum(cnt) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         * 2 + cnt + 1 AS rx
+                     FROM bx),
+              by_ AS (SELECT y AS v, count(*) AS cnt FROM rows_ GROUP BY y),
+              ry AS (SELECT v AS y,
+                       coalesce(sum(cnt) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         * 2 + cnt + 1 AS ry
+                     FROM by_),
+              j AS (SELECT rx.rx, ry.ry FROM rows_
+                     JOIN rx USING (x) JOIN ry USING (y)),
+              sums AS (SELECT count(*) AS n,
+                       sum(rx) AS su, sum(ry) AS sv,
+                       sum(rx * rx) AS suu, sum(ry * ry) AS svv,
+                       sum(rx * ry) AS suv FROM j),
+              f AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+                       CAST(su AS DOUBLE) AS su, CAST(sv AS DOUBLE) AS sv,
+                       CAST(suu AS DOUBLE) AS suu, CAST(svv AS DOUBLE) AS svv,
+                       CAST(suv AS DOUBLE) AS suv FROM sums)
+              SELECT n,
+                     round((suv / nd - (su / nd) * (sv / nd)) /
+                           (sqrt(suu / nd - (su / nd) * (su / nd)) *
+                            sqrt(svv / nd - (sv / nd) * (sv / nd))), 4)
+                       AS rank_corr
+              FROM f""")),
+
+    "q_agg_theils_u" -> Q(
+      // CH theilsU(x, y): ASYMMETRIC categorical association — the
+      // fraction of X's entropy explained by knowing Y, U(X|Y) =
+      // (H(X) − H(X|Y)) / H(X). Same contingency layout as
+      // q_agg_cramers_v: one hash aggregate to exact integer cell
+      // counts, entropy folds over the tiny R×C cell table (≤ ~30
+      // cells), 4 dp rounding absorbs cell-order summation ulps (the
+      // q_agg_entropy precedent for cross-engine ln determinism).
+      (s, dir) => {
+        val e = Q.events(s, dir).select(col("event_type"),
+          floor(floor(col("value") * 100) / 10000.0).cast("long").as("bucket"))
+        val cells = e.groupBy("event_type", "bucket").agg(count(lit(1)).as("o"))
+        val rowT = cells.groupBy("event_type").agg(sum("o").as("nx"))
+        val colT = cells.groupBy("bucket").agg(sum("o").as("ny"))
+        val n = cells.agg(sum("o").as("n"))
+        val hx = rowT.crossJoin(broadcast(n))
+          .select((-(col("nx") / col("n")) * log(col("nx") / col("n"))).as("h"))
+          .agg(sum("h").as("hx"))
+        val hxy = cells.join(colT, "bucket").crossJoin(broadcast(n))
+          .select((-(col("o") / col("n")) * log(col("o") / col("ny"))).as("h"))
+          .agg(sum("h").as("hxy"))
+        hx.crossJoin(hxy)
+          .select(round((col("hx") - col("hxy")) / col("hx"), 4).as("theils_u"))
+      },
+      Some(s"""WITH e AS (SELECT event_type,
+                       CAST(floor(CAST(floor(value * 100) AS BIGINT) / 10000.0)
+                         AS BIGINT) AS bucket
+                     FROM ${Q.eventsOracle} ev),
+              cells AS (SELECT event_type, bucket, count(*) AS o
+                     FROM e GROUP BY 1, 2),
+              rt AS (SELECT event_type, sum(o) AS nx FROM cells GROUP BY 1),
+              ct AS (SELECT bucket, sum(o) AS ny FROM cells GROUP BY 1),
+              n AS (SELECT sum(o) AS n FROM cells),
+              hx AS (SELECT sum(-(nx / n.n) * ln(nx / n.n)) AS hx FROM rt, n),
+              hxy AS (SELECT sum(-(o / n.n) * ln(o / ct.ny)) AS hxy
+                     FROM cells JOIN ct USING (bucket), n)
+              SELECT round((hx - hxy) / hx, 4) AS theils_u FROM hx, hxy""")),
+
+    "q_agg_minmap" -> Q(
+      // CH minMap/maxMap(keys, values): per-key min and max across a
+      // group's map entries, result as key-sorted parallel arrays —
+      // the companion of q_agg_summap (same explode → thin rows →
+      // hash aggregate → reassemble layout; min/max partials collapse
+      // map-side, so the shuffle carries one row per (group, key)).
+      // Values are exact cents longs.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val rows = li.select(col("l_linenumber").as("grp"),
+          array(concat(lit("f_"), col("l_returnflag")),
+            concat(lit("s_"), col("l_linestatus"))).as("ks"),
+          array(floor(col("l_quantity") * 100).cast("long"),
+            floor(col("l_extendedprice") * 100).cast("long")).as("vs"))
+        rows.select(col("grp"), explode(arrays_zip(col("ks"), col("vs"))).as("e"))
+          .select(col("grp"), col("e.ks").as("k"), col("e.vs").as("v"))
+          .groupBy("grp", "k").agg(min("v").as("mn"), max("v").as("mx"))
+          .groupBy("grp")
+          .agg(array_sort(collect_list(struct(col("k"), col("mn"), col("mx"))))
+            .as("kv"))
+          .select(col("grp"),
+            transform(col("kv"), x => x.getField("k")).as("keys"),
+            transform(col("kv"), x => x.getField("mn")).as("mins"),
+            transform(col("kv"), x => x.getField("mx")).as("maxs"))
+      },
+      Some("""WITH e AS (
+                SELECT l_linenumber AS grp, 'f_' || l_returnflag AS k,
+                       CAST(floor(l_quantity * 100) AS BIGINT) AS v FROM lineitem
+                UNION ALL
+                SELECT l_linenumber, 's_' || l_linestatus,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) FROM lineitem),
+              g AS (SELECT grp, k, min(v) AS mn, max(v) AS mx
+                    FROM e GROUP BY grp, k)
+              SELECT grp, list(k ORDER BY k) AS keys,
+                     list(mn ORDER BY k) AS mins,
+                     list(mx ORDER BY k) AS maxs
+              FROM g GROUP BY grp""")),
+
+    "q_fn_array_transform" -> Q(
+      // CH arrayCumSum / arrayDifference / arrayCompact as Spark
+      // higher-order functions — per-row, codegen-friendly, no
+      // explode, no shuffle beyond the scan. arrayCumSum is a single
+      // aggregate() pass with an array accumulator (not the O(len²)
+      // slice-and-sum spelling); arrayDifference keeps CH's leading-0
+      // convention; arrayCompact collapses CONSECUTIVE duplicates
+      // only (1-based element_at(arr, i) under a 0-based lambda index
+      // i reads the previous element). The oracle recomputes all
+      // three index-wise over the same derived 5-element arrays.
+      (s, dir) => {
+        val src = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+          array(col("o_orderkey") % 7 - 3, col("o_orderkey") % 5 - 2,
+            col("o_orderkey") % 5 - 2, col("o_orderkey") % 3,
+            lit(0L)).as("arr"))
+        src.select(col("k"), col("arr"),
+          expr("""aggregate(arr, cast(array() as array<bigint>),
+                    (acc, x) -> concat(acc,
+                      array(coalesce(try_element_at(acc, -1), 0L) + x)))""")
+            .as("cum"),
+          expr("transform(arr, (x, i) -> IF(i = 0, 0L, x - element_at(arr, i)))")
+            .as("diff"),
+          expr("filter(arr, (x, i) -> i = 0 OR x != element_at(arr, i))")
+            .as("compacted"))
+      },
+      Some("""WITH a AS (SELECT o_orderkey AS k,
+                       [o_orderkey % 7 - 3, o_orderkey % 5 - 2,
+                        o_orderkey % 5 - 2, o_orderkey % 3,
+                        CAST(0 AS BIGINT)] AS arr
+                     FROM orders)
+              SELECT k, arr,
+                     list_transform(range(1, 6),
+                       i -> CAST(list_sum(arr[1:i]) AS BIGINT)) AS cum,
+                     list_transform(range(1, 6),
+                       i -> CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+                                 ELSE arr[i] - arr[i - 1] END) AS diff,
+                     list_transform(
+                       list_filter(range(1, 6),
+                         i -> i = 1 OR arr[i] <> arr[i - 1]),
+                       i -> arr[i]) AS compacted
+              FROM a""")),
+
+    "q_limit_ties" -> Q(
+      // CH `ORDER BY ... LIMIT n WITH TIES`: the top n rows PLUS
+      // every row tying the n-th sort key. Spelled scalably as
+      // cutoff-then-filter: TakeOrdered produces the n-th highest
+      // value (counting duplicates) as a 1-row broadcast, the fact
+      // table filters against it — no global sort of the fact side,
+      // no rank() window over a single partition. Equivalent to
+      // rank() <= n (the oracle's spelling) because `p >= cutoff`
+      // admits exactly the rows ranked ahead of or tying row n.
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("p"))
+        val cutoff = o.select(col("p")).orderBy(col("p").desc).limit(100)
+          .agg(min("p").as("cut"))
+        o.crossJoin(broadcast(cutoff)).filter(col("p") >= col("cut"))
+          .select(col("o_orderkey"), col("p"))
+      },
+      Some("""SELECT o_orderkey, p FROM (
+                SELECT o_orderkey,
+                       CAST(floor(o_totalprice * 100) AS BIGINT) AS p,
+                       rank() OVER (ORDER BY CAST(floor(o_totalprice * 100)
+                         AS BIGINT) DESC) AS rnk
+                FROM orders)
+              WHERE rnk <= 100"""))
+  )
+}

@@ -126,7 +126,7 @@ object Q {
 object QueryRegistry {
   val all: Seq[(String, Q)] =
     ScanQueries.all ++ RelationalQueries.all ++ ComplexQueries.all ++
-      LlmQueries.all ++ EngineQueries.all
+      LlmQueries.all ++ EngineQueries.all ++ AnalyticsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }.toMap
