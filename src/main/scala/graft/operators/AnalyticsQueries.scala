@@ -264,6 +264,69 @@ object AnalyticsQueries {
                        i -> arr[i]) AS compacted
               FROM a""")),
 
+    "q_engine_mutate" -> Q(
+      // ClickHouse mutations over this library's OWN storage:
+      // `ALTER TABLE orders DELETE WHERE status='F' AND price<100k`
+      // then `ALTER TABLE ... UPDATE custkey=-1, priority='X-'||priority
+      // WHERE priority='1-URGENT'`, chained copy-on-write
+      // (NativeTableOps.mutate* — parts the predicate provably cannot
+      // touch are copied through byte-identical via zone-map sidecar
+      // checks; only affected parts are read and rewritten, CH's own
+      // mutation execution model). The gate reads the final mutated
+      // table and compares against the oracle's relational spelling
+      // of both mutations over the parquet original.
+      (s, dir) => {
+        import graft.sources.native.NativeTableOps
+        val base = ScanQueries.fixtureDir(dir, "orders_mutate_base")
+        val afterDel = ScanQueries.fixtureDir(dir, "orders_mutate_del")
+        val afterUpd = ScanQueries.fixtureDir(dir, "orders_mutate_upd")
+        val conf = s.sessionState.newHadoopConf()
+        Seq(afterDel, afterUpd).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf).delete(p, true)
+        }
+        t(s, dir, "orders").write.format("clickhouse_native")
+          .mode("overwrite").save(base)
+        NativeTableOps.mutateDelete(s, base, afterDel,
+          col("o_orderstatus") === "F" && col("o_totalprice") < 100000)
+        NativeTableOps.mutateUpdate(s, afterDel, afterUpd,
+          col("o_orderpriority") === "1-URGENT",
+          Map("o_custkey" -> lit(-1L),
+            "o_orderpriority" -> concat(lit("X-"), col("o_orderpriority"))))
+      },
+      Some("""SELECT o_orderkey,
+                     CASE WHEN o_orderpriority = '1-URGENT' THEN -1
+                          ELSE o_custkey END AS o_custkey,
+                     o_orderstatus, o_totalprice, o_orderdate,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 'X-' || o_orderpriority
+                          ELSE o_orderpriority END AS o_orderpriority
+              FROM orders
+              WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)""")),
+
+    "scan_parts_meta" -> Q(
+      // CH `system.parts` over a native directory: per-part rows /
+      // bytes / block counts / compression / indexed flag, answered
+      // from sidecar METADATA (indexed parts never open the data
+      // file). The gate pins the metadata against ground truth: the
+      // sum of per-part row counts must equal the table's true
+      // cardinality, across exactly the 3 parts the write produced,
+      // all sidecar-indexed.
+      (s, dir) => {
+        import graft.sources.native.NativeTableOps
+        val fx = ScanQueries.fixtureDir(dir, "supplier_parts_meta")
+        t(s, dir, "supplier").repartition(3).write
+          .format("clickhouse_native").mode("overwrite").save(fx)
+        NativeTableOps.partsMeta(s, fx).agg(
+          sum("rows").as("total_rows"),
+          count(lit(1)).as("n_parts"),
+          bool_and(col("indexed")).as("all_indexed"),
+          bool_and(col("blocks") >= 1).as("has_blocks"))
+      },
+      Some("""SELECT count(*) AS total_rows, CAST(3 AS BIGINT) AS n_parts,
+                     TRUE AS all_indexed, TRUE AS has_blocks
+              FROM supplier""")),
+
     "q_limit_ties" -> Q(
       // CH `ORDER BY ... LIMIT n WITH TIES`: the top n rows PLUS
       // every row tying the n-th sort key. Spelled scalably as

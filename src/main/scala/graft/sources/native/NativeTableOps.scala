@@ -1,0 +1,214 @@
+package graft.sources.native
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Table-maintenance operations over native-format directories: the
+ * ClickHouse mutation surface (`ALTER TABLE ... DELETE WHERE` /
+ * `ALTER TABLE ... UPDATE ... WHERE`) and the `system.parts`
+ * introspection table.
+ *
+ * Mutations follow ClickHouse's own execution model (rewrite whole
+ * parts, skip parts the predicate provably cannot touch) re-expressed
+ * on this library's storage:
+ *
+ *  1. the mutation predicate is translated to data-source filters and
+ *     evaluated against each part's ZONE MAPS on the driver — a pure
+ *     sidecar-metadata pass, no data IO. A part whose every block's
+ *     min/max excludes the predicate is UNTOUCHED: its data file and
+ *     sidecar are copied through byte-identical (at deployment scale
+ *     the copy is a catalog pointer flip / hardlink; a filesystem copy
+ *     is the portable spelling of the same contract). Translation is
+ *     conservative per conjunct — an untranslatable conjunct simply
+ *     drops out of pruning, never out of the mutation itself.
+ *  2. only the affected parts are read (multi-path load of exactly
+ *     those files), mutated declaratively, and rewritten — one
+ *     distributed job over the affected fraction, which for the
+ *     selective predicates mutations are used for is a tiny slice of
+ *     the table.
+ *  3. like [[graft.operators.MergeTree.optimizeReplacing]], the
+ *     result lands BESIDE the live table (fresh directory): in-place
+ *     rewrite under a concurrent lazy reader is a torn-read hazard;
+ *     the atomic swap belongs to the catalog layer.
+ *
+ * Reference scope anchor: the reference engine exposes raw scans only
+ * (src/lib.rs:240-366) — mutation semantics are part of the
+ * host-ClickHouse surface its users query through, re-expressed here
+ * over the library's own storage.
+ */
+object NativeTableOps {
+
+  /** One row per part file: the `system.parts` columns that have a
+    * meaning for this storage layout. */
+  final case class PartMeta(part: String, bytes: Long, rows: Long,
+      blocks: Int, compression: String, indexed: Boolean)
+
+  /**
+   * `system.parts` for a native directory. Metadata-only: indexed
+   * parts answer from the sidecar without opening the data file;
+   * unindexed parts fall back to a block-header walk (row counts sit
+   * in every block header — no value decode). Driver-side by design:
+   * parts are metadata-scale (CH's system.parts is likewise a
+   * metadata table), and the result is a small DataFrame for joining
+   * or reporting.
+   */
+  def partsMeta(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metas = NativeIO.resolveFileStatuses(Seq(dir), conf).map { st =>
+      val p = st.getPath
+      val fs = p.getFileSystem(conf)
+      NativeIndex.readWithMeta(fs, p, st.getLen) match {
+        case Some((entries, meta)) =>
+          PartMeta(p.getName, st.getLen, entries.map(_.rows).sum,
+            entries.length, meta.getOrElse("compression", "none"),
+            indexed = true)
+        case None =>
+          var rows = 0L
+          var blocks = 0
+          val rd = new NativeBlockReader(
+            NativeCompression.maybeWrapRead(fs.open(p), conf), Some(Set.empty))
+          try while (rd.hasNext) { rows += rd.next().numRows; blocks += 1 }
+          finally rd.close()
+          PartMeta(p.getName, st.getLen, rows, blocks, "none", indexed = false)
+      }
+    }
+    spark.createDataFrame(metas)
+  }
+
+  /** `ALTER TABLE ... DELETE WHERE pred`: rows satisfying `pred` are
+    * removed; rows where `pred` is false OR NULL survive (the SQL
+    * WHERE contract). Result lands in `dstDir`. */
+  def mutateDelete(spark: SparkSession, srcDir: String, dstDir: String,
+      pred: Column): DataFrame =
+    mutate(spark, srcDir, dstDir, pred, Map.empty, delete = true)
+
+  /** `ALTER TABLE ... UPDATE c = expr, ... WHERE pred`: assignment
+    * expressions apply to rows satisfying `pred`; other rows (and all
+    * other columns) pass through unchanged. Assigned expressions are
+    * cast back to the column's declared type. */
+  def mutateUpdate(spark: SparkSession, srcDir: String, dstDir: String,
+      pred: Column, set: Map[String, Column]): DataFrame = {
+    require(set.nonEmpty, "UPDATE mutation needs at least one assignment")
+    mutate(spark, srcDir, dstDir, pred, set, delete = false)
+  }
+
+  private def mutate(spark: SparkSession, srcDir: String, dstDir: String,
+      pred: Column, set: Map[String, Column], delete: Boolean): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dst = new Path(dstDir)
+    val dstFs = dst.getFileSystem(conf)
+    require(!dstFs.exists(dst) || dstFs.listStatus(dst).isEmpty,
+      s"mutation target $dstDir must be empty — mutations write beside " +
+        "the live table; swapping the result in is the catalog's job")
+    dstFs.mkdirs(dst)
+
+    val src = spark.read.format("clickhouse_native").load(srcDir)
+    set.keys.foreach(c => require(src.columns.contains(c),
+      s"UPDATE assigns unknown column '$c' (table has ${src.columns.mkString(", ")})"))
+    val filters = pruningFilters(src, pred)
+
+    val (affected, untouched) =
+      NativeIO.resolveFileStatuses(Seq(srcDir), conf).partition { st =>
+        val fs = st.getPath.getFileSystem(conf)
+        filters.isEmpty || // nothing translated → no pruning, rewrite all
+          (NativeIndex.read(fs, st.getPath, st.getLen) match {
+            case Some(entries) =>
+              entries.exists(e => NativeIndex.blockMayMatch(e.stats, filters))
+            case None => true // unindexed part: can't prove absence
+          })
+      }
+
+    untouched.foreach { st =>
+      val fs = st.getPath.getFileSystem(conf)
+      FileUtil.copy(fs, st.getPath, dstFs, new Path(dst, st.getPath.getName),
+        false, conf)
+      val sidecar = NativeIndex.sidecarPath(st.getPath)
+      if (fs.exists(sidecar))
+        FileUtil.copy(fs, sidecar, dstFs, new Path(dst, sidecar.getName),
+          false, conf)
+    }
+
+    if (affected.nonEmpty) {
+      val adf = spark.read.format("clickhouse_native")
+        .load(affected.map(_.getPath.toString): _*)
+      val hit = coalesce(pred, lit(false))
+      val out =
+        if (delete) adf.filter(!hit)
+        else {
+          // one select so every assignment AND the predicate see the
+          // ORIGINAL row (SQL UPDATE semantics) — a column-by-column
+          // fold would let later assignments read earlier ones
+          val cols = adf.columns.map { c =>
+            set.get(c) match {
+              case Some(e) =>
+                when(hit, e.cast(adf.schema(c).dataType)).otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }
+          adf.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*)
+        }
+      out.write.format("clickhouse_native").mode("append").save(dstDir)
+    }
+    spark.read.format("clickhouse_native").load(dstDir)
+  }
+
+  /**
+   * Best-effort translation of `pred`'s conjuncts to v1 source
+   * filters for zone-map pruning. Sound under partial translation: a
+   * part is skipped only when a translated conjunct is provably false
+   * over every block — which falsifies the whole conjunction
+   * regardless of the untranslated rest. Translation targets exactly
+   * the comparison shapes [[NativeIndex.prunable]] acts on
+   * (attribute-vs-literal comparisons and IN); everything else
+   * conservatively drops out of pruning.
+   */
+  private def pruningFilters(src: DataFrame,
+      pred: Column): Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.{sources => f}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def lit(l: Literal): Any = convertToScala(l.value, l.dataType)
+    def translate(e: Expression): Option[f.Filter] = e match {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        Some(f.EqualTo(a.name, lit(l)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        Some(f.EqualTo(a.name, lit(l)))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        Some(f.GreaterThan(a.name, lit(l)))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        Some(f.LessThan(a.name, lit(l)))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        Some(f.GreaterThanOrEqual(a.name, lit(l)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        Some(f.LessThanOrEqual(a.name, lit(l)))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        Some(f.LessThan(a.name, lit(l)))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        Some(f.GreaterThan(a.name, lit(l)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        Some(f.LessThanOrEqual(a.name, lit(l)))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        Some(f.GreaterThanOrEqual(a.name, lit(l)))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(f.In(a.name, vs.map(v => lit(v.asInstanceOf[Literal])).toArray))
+      case Or(l, r) => // both sides must translate for a sound OR
+        for (lf <- translate(l); rf <- translate(r)) yield f.Or(lf, rf)
+      case _ => None
+    }
+    // optimized (not analyzed) plan: constant folding has collapsed the
+    // type-coercion Casts around literals by then, and this scan keeps
+    // every pushed filter residual so the Filter node is still present
+    src.filter(pred).queryExecution.optimizedPlan
+      .collect { case fl: logical.Filter => fl.condition }
+      .flatMap(conjuncts)
+      .flatMap(translate(_))
+      .filter(NativeIndex.prunable(_))
+  }
+}
