@@ -264,6 +264,89 @@ object AnalyticsQueries {
                        i -> arr[i]) AS compacted
               FROM a""")),
 
+    "q_agg_time_decay" -> Q(
+      // CH's time-decayed window aggregates (exponentialTimeDecayedSum
+      // family): per event, the decay-weighted sum of the user's
+      // values over the trailing hour. EXACT REGIME: linear decay
+      // weight (3600 + t_j − t_i)/3600 over integer seconds and cents
+      // — the weighted sum DECOMPOSES into two plain range-frame
+      // window sums (Σ c_j·(3600+tr_j) − tr_i·Σ c_j), so the whole
+      // operator is two codegen'd window aggregates over one
+      // user-partitioned shuffle, integer-exact at any parallelism;
+      // no per-row collect, state bounded by the range frame. The
+      // oracle recomputes via a bounded self-join — an independent
+      // algebraic path over the same integers. (The float-exp variant
+      // rides the same frame machinery and is spec-tested against a
+      // driver recompute — exp ulps differ per engine, so it can't
+      // hash-gate; see AnalyticsQueriesSpec.)
+      (s, dir) => {
+        val e = Q.events(s, dir).select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts").cast("timestamp")).as("t"),
+          floor(col("value") * 100).cast("long").as("c"))
+        val byUser = Window.partitionBy("user_id")
+        val er = e.withColumn("tr", col("t") - min("t").over(byUser))
+        val frame = Window.partitionBy("user_id").orderBy("tr")
+          .rangeBetween(-3600, 0)
+        er
+          .withColumn("s1", sum(col("c") * (col("tr") + 3600)).over(frame))
+          .withColumn("s0", sum(col("c")).over(frame))
+          .select(col("user_id"), col("event_id"),
+            (col("s1") - col("tr") * col("s0")).as("units"))
+          // scaled display value stays INTEGRAL (units div 36 == the
+          // decayed sum in 1e-4 currency units, truncated): a rounded
+          // double here straddles half-up-vs-binary rounding between
+          // engines on exact .5 boundaries
+          .withColumn("decayed_e4", expr("units div 36"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id,
+                       CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+                       CAST(floor(value * 100) AS BIGINT) AS c
+                     FROM ${Q.eventsOracle} ev),
+              m AS (SELECT user_id, min(t) AS t0 FROM e GROUP BY user_id),
+              r AS (SELECT e.user_id, e.event_id, e.t - m.t0 AS tr, e.c
+                     FROM e JOIN m USING (user_id)),
+              j AS (SELECT a.user_id, a.event_id,
+                       CAST(sum(b.c * (3600 + b.tr - a.tr)) AS BIGINT) AS units
+                     FROM r a JOIN r b ON a.user_id = b.user_id
+                       AND b.tr BETWEEN a.tr - 3600 AND a.tr
+                     GROUP BY a.user_id, a.event_id)
+              SELECT user_id, event_id, units,
+                     units // 36 AS decayed_e4
+              FROM j""")),
+
+    "q_agg_bounding_ratio" -> Q(
+      // CH boundingRatio(x, y): the slope between the leftmost and
+      // rightmost points of the group — (argMax(y,x) − argMin(y,x)) /
+      // (max(x) − min(x)). CH keeps an arbitrary row under x-ties —
+      // not reproducible across engines (and this synthetic lineitem
+      // DOES tie on orderkey·10+linenumber) — so the exact regime
+      // first collapses to one y per (group, x) with max(y): after
+      // that the arg-extrema are functions of the data, not the scan
+      // order. Two hash aggregates, max_by/min_by partials.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("x"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+          .groupBy("l_returnflag", "x").agg(max("y").as("y"))
+        li.groupBy("l_returnflag").agg(
+          max_by(col("y"), col("x")).as("y_last"),
+          min_by(col("y"), col("x")).as("y_first"),
+          max("x").as("x_max"), min("x").as("x_min"))
+          .select(col("l_returnflag"),
+            round((col("y_last") - col("y_first")).cast("double") /
+              (col("x_max") - col("x_min")), 6).as("bounding_ratio"))
+      },
+      Some("""WITH p0 AS (SELECT l_returnflag,
+                       l_orderkey * 10 + l_linenumber AS x,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+                     FROM lineitem),
+              p AS (SELECT l_returnflag, x, max(y) AS y
+                     FROM p0 GROUP BY l_returnflag, x)
+              SELECT l_returnflag,
+                     round(CAST(arg_max(y, x) - arg_min(y, x) AS DOUBLE)
+                           / (max(x) - min(x)), 6) AS bounding_ratio
+              FROM p GROUP BY l_returnflag""")),
+
     "q_engine_mutate" -> Q(
       // ClickHouse mutations over this library's OWN storage:
       // `ALTER TABLE orders DELETE WHERE status='F' AND price<100k`

@@ -131,6 +131,81 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       phys.take(2000))
   }
 
+  test("q_agg_time_decay: window decomposition matches brute-force recompute; no collect in plan") {
+    val df = run("q_agg_time_decay")
+    val phys = df.queryExecution.executedPlan.toString
+    // decomposed into plain window sums — no collect_list state per row
+    assert(!phys.contains("collect_list"), phys.take(2000))
+    val rows = Q.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("t"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = rows.groupBy(_._1)
+    val expect = rows.map { case (u, eid, t, _) =>
+      val units = byUser(u).collect {
+        case (_, _, tj, cj) if tj >= t - 3600 && tj <= t =>
+          cj * (3600 + tj - t)
+      }.sum
+      (u, eid) -> units
+    }.toMap
+    df.collect().foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))
+      assert(r.getAs[Long]("units") === expect(k), s"row $k")
+    }
+  }
+
+  test("exponential decay variant over the same range frame tracks driver exp recompute") {
+    // the float-exp spelling CH's exponentialTimeDecayedSum uses —
+    // same user-partitioned range frame, per-frame-relative exponent
+    // (no absolute-exp overflow); exp ulps differ per engine so this
+    // stays spec-gated rather than oracle-hashed
+    val e = Q.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("t"),
+        col("value").as("x"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t").rangeBetween(-3600, 0)
+    val out = e
+      .withColumn("fr", collect_list(struct(col("t"), col("x"))).over(frame))
+      .withColumn("decayed", expr(
+        "aggregate(fr, 0D, (acc, p) -> acc + p.x * exp((p.t - t) / 3600D))"))
+      .select(col("user_id"), col("event_id"), col("decayed"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = e.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = rows.groupBy(_._1)
+    rows.foreach { case (u, eid, t, _) =>
+      val expect = byUser(u).collect {
+        case (_, _, tj, xj) if tj >= t - 3600 && tj <= t =>
+          xj * math.exp((tj - t) / 3600.0)
+      }.sum
+      assert(math.abs(out((u, eid)) - expect) < 1e-6, s"row ($u,$eid)")
+    }
+  }
+
+  test("q_agg_bounding_ratio: slope between arg-extrema matches recompute") {
+    val got = run("q_agg_bounding_ratio").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("x"),
+        floor(col("l_extendedprice") * 100).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    li.groupBy(_._1).foreach { case (flag, rows) =>
+      // same tie-collapse as the operator: one y per x (max)
+      val dedup = rows.groupBy(_._2).map { case (x, rs) =>
+        (x, rs.map(_._3).max)
+      }.toSeq
+      val lo = dedup.minBy(_._1)
+      val hi = dedup.maxBy(_._1)
+      val expect = (hi._2 - lo._2).toDouble / (hi._1 - lo._1)
+      assert(math.abs(got(flag) - expect) < 1e-4, s"$flag")
+    }
+  }
+
   test("q_limit_ties: no global sort of the fact side; WITH TIES contract holds") {
     val df = run("q_limit_ties")
     val phys = df.queryExecution.executedPlan.toString
