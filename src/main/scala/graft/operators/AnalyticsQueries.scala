@@ -347,6 +347,65 @@ object AnalyticsQueries {
                            / (max(x) - min(x)), 6) AS bounding_ratio
               FROM p GROUP BY l_returnflag""")),
 
+    "q_agg_foreach" -> Q(
+      // CH's -ForEach aggregate combinator (sumForEach/maxForEach):
+      // elementwise aggregation of array columns across a group's
+      // rows. Scalable spelling: posexplode to thin (grp, pos, v)
+      // rows, ONE hash aggregate (map-side partials collapse each
+      // (grp, pos) cell per partition), reassemble pos-sorted arrays —
+      // the same explode→agg→reassemble layout as q_agg_summap, so
+      // the shuffle carries one row per (group, position), never the
+      // raw arrays.
+      (s, dir) => {
+        val src = t(s, dir, "orders").select(
+          (col("o_custkey") % 10).as("grp"),
+          array(col("o_orderkey") % 7, col("o_orderkey") % 5,
+            floor(col("o_totalprice")).cast("long")).as("arr"))
+        src.select(col("grp"), posexplode(col("arr")).as(Seq("pos", "v")))
+          .groupBy("grp", "pos")
+          .agg(sum("v").as("sv"), max("v").as("mv"))
+          .groupBy("grp")
+          .agg(array_sort(collect_list(struct(col("pos"), col("sv"), col("mv"))))
+            .as("kv"))
+          .select(col("grp"),
+            transform(col("kv"), x => x.getField("sv")).as("sum_foreach"),
+            transform(col("kv"), x => x.getField("mv")).as("max_foreach"))
+      },
+      Some("""WITH e AS (
+                SELECT o_custkey % 10 AS grp, 0 AS pos, o_orderkey % 7 AS v
+                FROM orders
+                UNION ALL
+                SELECT o_custkey % 10, 1, o_orderkey % 5 FROM orders
+                UNION ALL
+                SELECT o_custkey % 10, 2,
+                       CAST(floor(o_totalprice) AS BIGINT) FROM orders),
+              g AS (SELECT grp, pos, CAST(sum(v) AS BIGINT) AS sv,
+                           CAST(max(v) AS BIGINT) AS mv
+                    FROM e GROUP BY grp, pos)
+              SELECT grp, list(sv ORDER BY pos) AS sum_foreach,
+                     list(mv ORDER BY pos) AS max_foreach
+              FROM g GROUP BY grp""")),
+
+    "q_fn_string_distance" -> Q(
+      // CH editDistance / levenshtein + byte-hamming over the
+      // priority labels: codegen'd Spark builtins, no UDF. Distances
+      // are integers — exact gate. (The DuckDB oracle's levenshtein
+      // is an independent implementation, so agreement is a
+      // differential test of the metric, not an echo.)
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_orderstatus"))
+        o.select(col("o_orderkey"),
+          levenshtein(col("o_orderpriority"), lit("3-MEDIUM")).cast("long").as("lev"),
+          levenshtein(col("o_orderpriority"), col("o_orderstatus")).cast("long").as("lev_col"),
+          (length(col("o_orderpriority")) - length(lit("3-MEDIUM"))).cast("long").as("len_delta"))
+      },
+      Some("""SELECT o_orderkey,
+                     levenshtein(o_orderpriority, '3-MEDIUM') AS lev,
+                     levenshtein(o_orderpriority, o_orderstatus) AS lev_col,
+                     length(o_orderpriority) - length('3-MEDIUM') AS len_delta
+              FROM orders""")),
+
     "q_engine_mutate" -> Q(
       // ClickHouse mutations over this library's OWN storage:
       // `ALTER TABLE orders DELETE WHERE status='F' AND price<100k`

@@ -206,6 +206,50 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_foreach: elementwise folds match a driver recompute; no raw arrays shuffle") {
+    val df = run("q_agg_foreach")
+    // explode happens BELOW the first aggregate: the exchange carries
+    // (grp, pos) cells, not whole arrays
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.indexOf("Generate") > phys.indexOf("Exchange"),
+      s"posexplode must sit under the shuffle:\n${phys.take(2000)}")
+    val src = spark.read.parquet(s"$dir/orders.parquet")
+      .select((col("o_custkey") % 10).as("grp"),
+        (col("o_orderkey") % 7).as("v0"), (col("o_orderkey") % 5).as("v1"),
+        floor(col("o_totalprice")).cast("long").as("v2"))
+      .collect().map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3))))
+    val expect = src.groupBy(_._1).map { case (g, rows) =>
+      val arrs = rows.map(_._2)
+      g -> ((0 until 3).map(i => arrs.map(_(i)).sum),
+        (0 until 3).map(i => arrs.map(_(i)).max))
+    }
+    df.collect().foreach { r =>
+      val (sums, maxs) = expect(r.getLong(0))
+      assert(r.getSeq[Long](1) === sums)
+      assert(r.getSeq[Long](2) === maxs)
+    }
+  }
+
+  test("q_fn_string_distance: levenshtein properties (identity, symmetry vs manual DP)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = run("q_fn_string_distance").limit(200).collect()
+    val prio = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority", "o_orderstatus").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    rows.foreach { r =>
+      val (p, st) = prio(r.getLong(0))
+      assert(r.getLong(1) === lev(p, "3-MEDIUM").toLong)
+      assert(r.getLong(2) === lev(p, st).toLong)
+    }
+  }
+
   test("q_limit_ties: no global sort of the fact side; WITH TIES contract holds") {
     val df = run("q_limit_ties")
     val phys = df.queryExecution.executedPlan.toString
