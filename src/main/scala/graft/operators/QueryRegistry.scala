@@ -126,7 +126,8 @@ object Q {
 object QueryRegistry {
   val all: Seq[(String, Q)] =
     ScanQueries.all ++ RelationalQueries.all ++ ComplexQueries.all ++
-      LlmQueries.all ++ EngineQueries.all ++ AnalyticsQueries.all
+      LlmQueries.all ++ EngineQueries.all ++ AnalyticsQueries.all ++
+      CurationQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }.toMap
