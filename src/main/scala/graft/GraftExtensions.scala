@@ -172,6 +172,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.SequenceCountAgg(children.head, children(1), pat)
       }))
+    // bitmap_agg(id) + bitmap_*_cardinality — CH groupBitmap family
+    // (Roaring-style mergeable container bitmaps; functions/BitmapAggregator.scala)
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_agg"),
+      new ExpressionInfo(classOf[graft.functions.BitmapAgg].getName, "bitmap_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "bitmap_agg takes exactly one integral id argument")
+        graft.functions.BitmapAgg(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_cardinality"),
+      new ExpressionInfo(classOf[graft.functions.BitmapCardinality].getName, "bitmap_cardinality"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "bitmap_cardinality takes exactly one bitmap argument")
+        graft.functions.BitmapCardinality(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_and_cardinality"),
+      new ExpressionInfo(classOf[graft.functions.BitmapAndCard].getName, "bitmap_and_cardinality"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "bitmap_and_cardinality takes two bitmap arguments")
+        graft.functions.BitmapAndCard(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_or_cardinality"),
+      new ExpressionInfo(classOf[graft.functions.BitmapOrCard].getName, "bitmap_or_cardinality"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "bitmap_or_cardinality takes two bitmap arguments")
+        graft.functions.BitmapOrCard(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_andnot_cardinality"),
+      new ExpressionInfo(classOf[graft.functions.BitmapAndNotCard].getName, "bitmap_andnot_cardinality"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "bitmap_andnot_cardinality takes two bitmap arguments")
+        graft.functions.BitmapAndNotCard(children.head, children(1))
+      }))
     // topk_weighted_agg(col, weight, k) — CH topKWeighted
     ext.injectFunction((
       new FunctionIdentifier("topk_weighted_agg"),
