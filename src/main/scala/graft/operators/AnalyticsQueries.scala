@@ -492,6 +492,155 @@ object AnalyticsQueries {
                        rank() OVER (ORDER BY CAST(floor(o_totalprice * 100)
                          AS BIGINT) DESC) AS rnk
                 FROM orders)
-              WHERE rnk <= 100"""))
+              WHERE rnk <= 100""")),
+
+    "q_seq_next_node" -> Q(
+      // CH sequenceNextNode(forward, first_match)(ts, event_type,
+      // event_type='view', event_type='click'): per user, find the
+      // FIRST consecutive 'view'→'click' pair in event-time order and
+      // return the event that immediately follows it (null when the
+      // chain ends the stream). Relationally: two leads over the
+      // per-user window, filter to chain starts, min-by chain
+      // position — one shuffle on user_id, the window frame streams.
+      // (ts, event_id) totally orders each user's events (event_id is
+      // unique), so "first" is engine-independent.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val e = Q.events(s, dir).select(
+            col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("e1", lead("event_type", 1).over(w))
+          .withColumn("e2", lead("event_type", 2).over(w))
+          .filter(col("event_type") === "view" && col("e1") === "click")
+        // '(end)' sentinel: a chain that closes the stream has no next
+        // event; DuckDB's arg_min skips NULL values while Spark's
+        // min_by keeps them, so the argmin must never see a null. The
+        // argmin key is the window row position (a scalar — DuckDB's
+        // arg_min takes no struct keys), which encodes (ts, event_id).
+        e.groupBy("user_id")
+          .agg(min_by(coalesce(col("e2"), lit("(end)")), col("rn"))
+            .as("next_node"))
+      },
+      Some(s"""WITH o AS (SELECT user_id, event_type,
+                       row_number() OVER w AS rn,
+                       lead(event_type, 1) OVER w AS e1,
+                       lead(event_type, 2) OVER w AS e2
+                     FROM ${Q.eventsOracle}
+                     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT user_id,
+                     arg_min(coalesce(e2, '(end)'), rn) AS next_node
+              FROM o WHERE event_type = 'view' AND e1 = 'click'
+              GROUP BY user_id""")),
+
+    "q_agg_moving_avg" -> Q(
+      // CH groupArrayMovingAvg(3)(x): the companion of
+      // q_agg_moving_sum — same streaming ROWS-frame window over thin
+      // (group, ord, value) rows, divided by the frame's actual row
+      // count (CH divides by the window size; the first w−1 elements
+      // use the partial frame — both spellings below divide the exact
+      // integer sum by the exact frame count, so the IEEE quotient is
+      // engine-identical).
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_suppkey").as("g"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("ord"),
+          col("l_quantity").cast("long").as("v"))
+        val w = Window.partitionBy("g").orderBy(col("ord"), col("v"))
+          .rowsBetween(-2, 0)
+        li.withColumn("ma",
+            sum("v").over(w).cast("double") / count(lit(1)).over(w))
+          .groupBy("g")
+          .agg(array_sort(collect_list(struct(col("ord"), col("ma")))).as("kv"))
+          .select(col("g"),
+            transform(col("kv"), x => x.getField("ma")).as("moving_avgs"))
+      },
+      Some("""WITH r AS (SELECT l_suppkey AS g,
+                     l_orderkey * 10 + l_linenumber AS ord,
+                     CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+              m AS (SELECT g, ord,
+                     CAST(sum(v) OVER fr AS DOUBLE)
+                       / count(*) OVER fr AS ma
+                   FROM r
+                   WINDOW fr AS (PARTITION BY g ORDER BY ord, v
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+              SELECT g, list(ma ORDER BY ord, ma) AS moving_avgs
+              FROM m GROUP BY g""")),
+
+    "q_agg_linreg_multi" -> Q(
+      // CH stochasticLinearRegression's closed-form cousin: OLS fit of
+      // extendedprice ~ quantity + discount over lineitem, solved by
+      // Cramer's rule from the Gram matrix. The nine moment sums are
+      // EXACT integer aggregates over cents-quantized inputs (one
+      // map-side-combined pass — the normal-equation layout that scales
+      // to any row count, vs SGD's multi-epoch passes); the 3×3 solve
+      // then runs on identical integers through an identical
+      // double-precision expression tree in both engines, so the
+      // rounded coefficients are engine-exact. Long-overflow bound:
+      // Σ(x1c·yc) ≤ 5e10/row — safe below ~1e8 rows (sf≲100); beyond
+      // that the sums need decimal widening.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("x1"),          // integral qty
+          (col("l_discount") * 100).cast("long").as("x2"),  // discount pct
+          floor(col("l_extendedprice") * 100).cast("long").as("y")) // cents
+        val sums = li.agg(
+          count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum("y").as("sy"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"))
+        val d = (c: String) => col(c).cast("double")
+        val (n, s1, s2) = (d("n"), d("s1"), d("s2"))
+        val (s11, s12, s22) = (d("s11"), d("s12"), d("s22"))
+        val (sy, s1y, s2y) = (d("sy"), d("s1y"), d("s2y"))
+        val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+          s2 * (s1 * s12 - s11 * s2)
+        val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+          s2 * (s1y * s12 - s11 * s2y)
+        val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+          s2 * (s1 * s2y - s1y * s2)
+        val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+          sy * (s1 * s12 - s11 * s2)
+        sums.select(col("n"),
+          round(det0 / det, 6).as("beta0_cents"),
+          round(det1 / det, 6).as("beta1_cents"),
+          round(det2 / det, 6).as("beta2_cents"))
+      },
+      Some("""WITH r AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+                     CAST(l_discount * 100 AS BIGINT) AS x2,
+                     CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+                   FROM lineitem),
+              s AS (SELECT count(*) AS n,
+                     CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+                     CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                     CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                     CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x1 * y) AS BIGINT) AS s1y,
+                     CAST(sum(x2 * y) AS BIGINT) AS s2y
+                   FROM r),
+              dd AS (SELECT n,
+                     CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS d1,
+                     CAST(s2 AS DOUBLE) AS d2, CAST(s11 AS DOUBLE) AS d11,
+                     CAST(s12 AS DOUBLE) AS d12, CAST(s22 AS DOUBLE) AS d22,
+                     CAST(sy AS DOUBLE) AS dy, CAST(s1y AS DOUBLE) AS d1y,
+                     CAST(s2y AS DOUBLE) AS d2y
+                   FROM s)
+              SELECT n,
+                     round((dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y)
+                            + d2 * (d1y * d12 - d11 * d2y))
+                           / (nd * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+                              + d2 * (d1 * d12 - d11 * d2)), 6) AS beta0_cents,
+                     round((nd * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2)
+                            + d2 * (d1 * d2y - d1y * d2))
+                           / (nd * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+                              + d2 * (d1 * d12 - d11 * d2)), 6) AS beta1_cents,
+                     round((nd * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2)
+                            + dy * (d1 * d12 - d11 * d2))
+                           / (nd * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+                              + d2 * (d1 * d12 - d11 * d2)), 6) AS beta2_cents
+              FROM dd"""))
   )
 }

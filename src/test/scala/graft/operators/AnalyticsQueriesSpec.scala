@@ -268,4 +268,73 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(rows.forall(_ >= cutoff))
     assert(rows.length === all.count(_ >= cutoff))
   }
+
+  test("q_seq_next_node matches a driver-side sequential scan") {
+    val got = run("q_seq_next_node").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // first consecutive view→click per user in (ts, event_id) order;
+    // the element after it, '(end)' when the chain closes the stream
+    val events = Q.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map { r =>
+        val ldt = r.getAs[java.time.LocalDateTime](1)
+        val us = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000
+        (r.getLong(0), us, r.getLong(2), r.getString(3))
+      }
+    val want = events.groupBy(_._1).flatMap { case (u, es) =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.sliding(2).zipWithIndex
+        .collectFirst { case (win, i) if win.sameElements(Array("view", "click")) =>
+          u -> (if (i + 2 < seq.length) seq(i + 2) else "(end)")
+        }
+    }.toMap
+    assert(got === want)
+  }
+
+  test("q_agg_moving_avg agrees with q_agg_moving_sum element-wise") {
+    val sums = run("q_agg_moving_sum").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val avgs = run("q_agg_moving_avg").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(sums.keySet === avgs.keySet)
+    // frame counts are min(i+1, 3) in element order; ma_i = ms_i / cnt_i.
+    // Both arrays are collected sorted by (ord, value) so positions align
+    // except where equal ords reorder — compare as multisets of quotients
+    sums.keys.foreach { g =>
+      val ms = sums(g); val ma = avgs(g)
+      assert(ms.length === ma.length, s"group $g")
+      val wantCounts = ms.indices.map(i => math.min(i + 1, 3))
+      val derived = ms.indices.map(i => ms(i).toDouble / wantCounts(i))
+      assert(ma.sorted === derived.sorted, s"group $g")
+    }
+  }
+
+  test("q_agg_linreg_multi matches a driver-side normal-equation solve") {
+    val r = run("q_agg_linreg_multi").collect()(0)
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity").cast("long"),
+        (col("l_discount") * 100).cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val n = rows.length.toDouble
+    val s1 = rows.map(_._1).sum.toDouble; val s2 = rows.map(_._2).sum.toDouble
+    val s11 = rows.map(t => t._1 * t._1).sum.toDouble
+    val s12 = rows.map(t => t._1 * t._2).sum.toDouble
+    val s22 = rows.map(t => t._2 * t._2).sum.toDouble
+    val sy = rows.map(_._3).sum.toDouble
+    val s1y = rows.map(t => t._1 * t._3).sum.toDouble
+    val s2y = rows.map(t => t._2 * t._3).sum.toDouble
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val b0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)) / det
+    val b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)) / det
+    val b2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)) / det
+    assert(math.abs(r.getAs[Double]("beta0_cents") - b0) < 1e-4)
+    assert(math.abs(r.getAs[Double]("beta1_cents") - b1) < 1e-4)
+    assert(math.abs(r.getAs[Double]("beta2_cents") - b2) < 1e-4)
+    assert(det != 0.0)
+  }
 }
