@@ -209,6 +209,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "bitmap_andnot_cardinality takes two bitmap arguments")
         graft.functions.BitmapAndNotCard(children.head, children(1))
       }))
+    // lttb_agg(x, y, tiebreak, n) — CH largestTriangleThreeBuckets
+    ext.injectFunction((
+      new FunctionIdentifier("lttb_agg"),
+      new ExpressionInfo(classOf[graft.functions.LttbAgg].getName, "lttb_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 4, "lttb_agg takes (x, y, tiebreak, n)")
+        val n = children(3) match {
+          case l if l.foldable && (l.dataType == org.apache.spark.sql.types.IntegerType ||
+              l.dataType == org.apache.spark.sql.types.LongType) =>
+            l.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"lttb_agg n must be an integer literal, got $other")
+        }
+        graft.functions.LttbAgg(children.head, children(1), children(2), n)
+      }))
     // topk_weighted_agg(col, weight, k) — CH topKWeighted
     ext.injectFunction((
       new FunctionIdentifier("topk_weighted_agg"),

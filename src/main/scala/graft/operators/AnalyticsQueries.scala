@@ -641,6 +641,60 @@ object AnalyticsQueries {
                             + dy * (d1 * d12 - d11 * d2))
                            / (nd * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
                               + d2 * (d1 * d12 - d11 * d2)), 6) AS beta2_cents
-              FROM dd"""))
+              FROM dd""")),
+
+    "q_agg_lttb" -> Q(
+      // CH largestTriangleThreeBuckets(20)(x, y): downsample each
+      // event-type series to 20 visually-faithful points
+      // (functions/LttbAgg — first/last kept, 18 interior
+      // equal-index buckets, max-triangle-vs-next-centroid selection).
+      // x = epoch seconds, y = cents, event_id breaks sort ties; the
+      // oracle re-runs the ALGORITHM as a DuckDB recursive CTE with a
+      // LATERAL argmax per step — an independent engine walking the
+      // same integer-exact spec. Distribution: one shuffle of series
+      // buffers per event_type; selection runs once per group.
+      (s, dir) => Q.events(s, dir)
+        .select(col("event_type"),
+          col("ts").cast("timestamp").cast("long").as("x"),
+          floor(col("value") * 100).cast("long").as("y"),
+          col("event_id").as("tb"))
+        .groupBy("event_type")
+        .agg(expr("lttb_agg(x, y, tb, 20)").as("d"))
+        .select(col("event_type"), col("d.xs").as("xs"), col("d.ys").as("ys")),
+      Some(s"""WITH RECURSIVE
+              src AS (SELECT event_type AS g,
+                        CAST(floor(epoch(ts)) AS BIGINT) AS x,
+                        CAST(floor(value * 100) AS BIGINT) AS y,
+                        event_id AS id
+                      FROM ${Q.eventsOracle}),
+              pts AS (SELECT g,
+                        row_number() OVER (PARTITION BY g ORDER BY x, y, id) - 1 AS idx,
+                        x, y FROM src),
+              nn AS (SELECT g, count(*) AS cnt FROM pts GROUP BY g),
+              buck AS (SELECT p.g, p.idx, p.x, p.y,
+                        CASE WHEN p.idx = 0 THEN 0
+                             WHEN p.idx = nn.cnt - 1 THEN 19
+                             ELSE 1 + CAST(((p.idx - 1) * 18) // (nn.cnt - 2) AS INT)
+                        END AS b
+                      FROM pts p JOIN nn ON p.g = nn.g),
+              cent AS (SELECT g, b, count(*) AS m, sum(x) AS sx, sum(y) AS sy
+                       FROM buck GROUP BY g, b
+                       UNION ALL SELECT g, 20, 1, 0, 0 FROM nn),
+              sel AS (
+                SELECT g, 0 AS step, idx, x, y FROM buck WHERE b = 0
+                UNION ALL
+                SELECT s.g, s.step + 1, c.idx, c.x, c.y
+                FROM sel s, LATERAL (
+                   SELECT p.idx, p.x, p.y
+                   FROM buck p JOIN cent ct ON ct.g = p.g AND ct.b = s.step + 2
+                   WHERE p.g = s.g AND p.b = s.step + 1
+                   ORDER BY abs((s.x * ct.m - ct.sx) * (p.y - s.y)
+                                - (s.x - p.x) * (ct.sy - s.y * ct.m)) DESC, p.idx
+                   LIMIT 1) c
+                WHERE s.step < 19)
+              SELECT g AS event_type,
+                     list(x ORDER BY step) AS xs,
+                     list(y ORDER BY step) AS ys
+              FROM sel GROUP BY g"""))
   )
 }
