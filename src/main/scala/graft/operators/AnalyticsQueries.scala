@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.operators.Q.t
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -695,6 +696,93 @@ object AnalyticsQueries {
               SELECT g AS event_type,
                      list(x ORDER BY step) AS xs,
                      list(y ORDER BY step) AS ys
-              FROM sel GROUP BY g"""))
+              FROM sel GROUP BY g""")),
+
+    "q_fn_point_in_polygon" -> Q(
+      // CH pointInPolygon((x,y), [(x1,y1),…]): even-odd ray casting.
+      // Points are integer-derived from supplier keys; the polygon is a
+      // fixed non-convex pentagon, so the per-edge crossing test
+      //   (y1>y) != (y2>y)  AND  ((x2−x1)(y−y1) − (x−x1)(y2−y1))·sign(y2−y1) > 0
+      // is pure integer arithmetic — no division, engine-exact. Both
+      // sides unroll the same five edges as codegen'd comparisons
+      // (composition of built-ins; no UDF) — a narrow scan + map,
+      // trivially scalable.
+      (s, dir) => {
+        val poly = Seq((0L, 0L), (120L, 20L), (180L, 160L), (90L, 100L), (20L, 170L))
+        val x = pmod(col("s_suppkey") * 73, lit(200L))
+        val y = pmod(col("s_suppkey") * 37, lit(200L))
+        val crossings = poly.indices.map { i =>
+          val (x1, y1) = poly(i)
+          val (x2, y2) = poly((i + 1) % poly.size)
+          val sgn = if (y2 > y1) 1L else -1L
+          val cross = (lit(y1) > y) =!= (lit(y2) > y) &&
+            ((lit(x2 - x1) * (y - lit(y1)) - (x - lit(x1)) * lit(y2 - y1)) * lit(sgn) > 0)
+          when(cross, 1).otherwise(0)
+        }.reduce(_ + _)
+        t(s, dir, "supplier").select(col("s_suppkey"),
+          x.as("px"), y.as("py"),
+          (crossings % 2 === 1).as("inside"))
+      },
+      Some {
+        val poly = Seq((0L, 0L), (120L, 20L), (180L, 160L), (90L, 100L), (20L, 170L))
+        val edges = poly.indices.map { i =>
+          val (x1, y1) = poly(i)
+          val (x2, y2) = poly((i + 1) % poly.size)
+          val sgn = if (y2 > y1) 1L else -1L
+          s"""(CASE WHEN (($y1 > py) <> ($y2 > py)) AND
+                ((${x2 - x1} * (py - $y1) - (px - $x1) * ${y2 - y1}) * $sgn > 0)
+              THEN 1 ELSE 0 END)"""
+        }.mkString(" + ")
+        s"""WITH p AS (SELECT s_suppkey,
+                 (s_suppkey * 73) % 200 AS px,
+                 (s_suppkey * 37) % 200 AS py
+               FROM supplier)
+           SELECT s_suppkey, px, py, (($edges) % 2 = 1) AS inside FROM p"""
+      }),
+
+    "q_agg_mean_ztest" -> Q(
+      // CH meanZTest: two-sample z statistic for mean difference,
+      // click vs purchase event values. All moments are exact integer
+      // sums over cents; the z formula then runs on identical integers
+      // through the same double expression in both engines (the same
+      // regime as the Welch t key, with the z-test's pooled-se form).
+      (s, dir) => {
+        val e = Q.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("c"))
+        val m = e.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("c").as("s"),
+          sum(col("c") * col("c")).as("ss"))
+        val a = m.filter(col("event_type") === "click")
+          .select(col("n").as("na"), col("s").as("sa"), col("ss").as("ssa"))
+        val b = m.filter(col("event_type") === "purchase")
+          .select(col("n").as("nb"), col("s").as("sb"), col("ss").as("ssb"))
+        val d = (c: Column) => c.cast("double")
+        a.crossJoin(b).select(col("na"), col("nb"),
+          round({
+            val ma = d(col("sa")) / d(col("na"))
+            val mb = d(col("sb")) / d(col("nb"))
+            val va = (d(col("ssa")) - d(col("sa")) * d(col("sa")) / d(col("na"))) / (d(col("na")) - 1)
+            val vb = (d(col("ssb")) - d(col("sb")) * d(col("sb")) / d(col("nb"))) / (d(col("nb")) - 1)
+            (ma - mb) / sqrt(va / d(col("na")) + vb / d(col("nb")))
+          }, 6).as("z"))
+      },
+      Some(s"""WITH e AS (SELECT event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS c
+                   FROM ${Q.eventsOracle}
+                   WHERE event_type IN ('click', 'purchase')),
+              m AS (SELECT event_type, count(*) AS n,
+                     CAST(sum(c) AS BIGINT) AS s,
+                     CAST(sum(c * c) AS BIGINT) AS ss
+                   FROM e GROUP BY event_type),
+              a AS (SELECT n AS na, s AS sa, ss AS ssa FROM m WHERE event_type = 'click'),
+              b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM m WHERE event_type = 'purchase')
+              SELECT na, nb,
+                     round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                            - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                           / sqrt(((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1)) / CAST(na AS DOUBLE)
+                                  + ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1)) / CAST(nb AS DOUBLE)), 6) AS z
+              FROM a, b"""))
   )
 }

@@ -337,4 +337,55 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("beta2_cents") - b2) < 1e-4)
     assert(det != 0.0)
   }
+
+  test("q_fn_point_in_polygon matches an independent +y-direction ray caster") {
+    val poly = Seq((0L, 0L), (120L, 20L), (180L, 160L), (90L, 100L), (20L, 170L))
+    // independent path: cast the ray UPWARD (+y) instead of +x — crosses
+    // different edges, same parity for any point not on the boundary
+    def onEdge(px: Long, py: Long): Boolean = poly.indices.exists { i =>
+      val (x1, y1) = poly(i); val (x2, y2) = poly((i + 1) % poly.size)
+      val cross = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+      cross == 0 &&
+        px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
+        py >= math.min(y1, y2) && py <= math.max(y1, y2)
+    }
+    def insideUp(px: Long, py: Long): Boolean = {
+      var c = 0
+      poly.indices.foreach { i =>
+        val (x1, y1) = poly(i); val (x2, y2) = poly((i + 1) % poly.size)
+        if ((x1 > px) != (x2 > px)) {
+          val sgn = if (x2 > x1) 1L else -1L
+          if (((y2 - y1) * (px - x1) - (py - y1) * (x2 - x1)) * sgn > 0) c += 1
+        }
+      }
+      c % 2 == 1
+    }
+    val rows = run("q_fn_point_in_polygon").collect()
+    assert(rows.nonEmpty)
+    var compared = 0
+    rows.foreach { r =>
+      val (px, py, in) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      if (!onEdge(px, py)) { assert(in === insideUp(px, py), s"($px,$py)"); compared += 1 }
+    }
+    assert(compared > rows.length / 2, "too many boundary points to be a meaningful test")
+    // and the key stays pure codegen'd comparisons — no UDF, no shuffle
+    val plan = run("q_fn_point_in_polygon").queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("q_agg_mean_ztest matches a driver recompute") {
+    val r = run("q_agg_mean_ztest").collect()(0)
+    val (a, b) = clicksAndPurchases()
+    def stats(v: Array[Long]) = {
+      val n = v.length.toDouble
+      val m = v.sum.toDouble / n
+      val va = (v.map(x => x.toDouble * x).sum - v.sum.toDouble * v.sum / n) / (n - 1)
+      (n, m, va)
+    }
+    val (na, ma, va) = stats(a); val (nb, mb, vb) = stats(b)
+    val z = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(r.getAs[Long]("na") === a.length && r.getAs[Long]("nb") === b.length)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+  }
 }
