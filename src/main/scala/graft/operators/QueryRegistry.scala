@@ -127,7 +127,7 @@ object QueryRegistry {
   val all: Seq[(String, Q)] =
     ScanQueries.all ++ RelationalQueries.all ++ ComplexQueries.all ++
       LlmQueries.all ++ EngineQueries.all ++ AnalyticsQueries.all ++
-      CurationQueries.all ++ BitmapQueries.all
+      CurationQueries.all ++ BitmapQueries.all ++ SpatialQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }.toMap
