@@ -182,6 +182,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BitmapAgg(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bitmap_union_agg"),
+      new ExpressionInfo(classOf[graft.functions.BitmapUnionAgg].getName, "bitmap_union_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "bitmap_union_agg takes exactly one bitmap argument")
+        graft.functions.BitmapUnionAgg(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bitmap_cardinality"),
       new ExpressionInfo(classOf[graft.functions.BitmapCardinality].getName, "bitmap_cardinality"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

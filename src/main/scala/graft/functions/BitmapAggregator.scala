@@ -292,6 +292,53 @@ case class BitmapAgg(
     copy(child = newChild)
 }
 
+/**
+ * `bitmap_union_agg(bm)` — unions pre-built serialized bitmaps: the
+ * -Merge half of ClickHouse's groupBitmapState/groupBitmapMerge pair.
+ * A rollup table stores per-shard bitmap states; serving merges the
+ * states without ever rescanning the fact table. Mergeable
+ * partial+final like [[BitmapAgg]].
+ */
+case class BitmapUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BitmapLite.Builder] with UnaryLike[Expression] {
+
+  override def prettyName: String = "bitmap_union_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_union_agg requires a bitmap (binary) argument, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): BitmapLite.Builder = new BitmapLite.Builder
+
+  override def update(buffer: BitmapLite.Builder, input: InternalRow): BitmapLite.Builder = {
+    val v = child.eval(input)
+    if (v != null) buffer.mergeFrom(BitmapLite.deserialize(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(a: BitmapLite.Builder, b: BitmapLite.Builder): BitmapLite.Builder = {
+    a.mergeFrom(b); a
+  }
+
+  override def eval(buffer: BitmapLite.Builder): Any = buffer.serialize()
+  override def serialize(buffer: BitmapLite.Builder): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): BitmapLite.Builder =
+    BitmapLite.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapUnionAgg =
+    copy(child = newChild)
+}
+
 /** `bitmap_cardinality(bm)` — distinct count from a serialized bitmap
   * (header-only walk, payloads skipped). */
 case class BitmapCardinality(child: Expression)

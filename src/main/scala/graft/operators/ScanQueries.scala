@@ -109,6 +109,35 @@ object ScanQueries {
                 count(*) AS cnt, max(l_shipdate) AS max_ship
               FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
 
+    "scan_rollup_bitmap" -> Q(
+      // AggregatingMergeTree with groupBitmapState — the EXACT-distinct
+      // sibling of scan_matview_rollup: maintenance writes per-(group,
+      // shard) serialized bitmap states (base64 in a native String
+      // column) plus event counts into a small native rollup; serving
+      // reads ONLY the rollup and merges states with bitmap_union_agg
+      // (the groupBitmapMerge half). Bitmap union is associative and
+      // commutative, so the served distinct count is EXACT under any
+      // sharding — unlike HLL rollups, which this engine offers as the
+      // approximate tier. At 100 TB the rollup is O(groups × shards ×
+      // distinct/8) bytes and the fact table is never rescanned.
+      (s, dir) => {
+        val fx = fixtureDir(dir, "rollup_bitmap_events")
+        Q.events(s, dir)
+          .groupBy(col("event_type"), (col("user_id") % 8).as("shard"))
+          .agg(expr("base64(bitmap_agg(user_id))").as("users_state"),
+            count(lit(1)).as("cnt_state"))
+          .write.format("clickhouse_native").mode("overwrite").save(fx)
+        s.read.format("clickhouse_native").load(fx)
+          .groupBy("event_type")
+          .agg(
+            expr("bitmap_cardinality(bitmap_union_agg(unbase64(users_state)))")
+              .as("uniq_users"),
+            sum("cnt_state").as("n_events"))
+      },
+      Some(s"""SELECT event_type, count(DISTINCT user_id) AS uniq_users,
+                     count(*) AS n_events
+              FROM ${Q.eventsOracle} GROUP BY event_type""")),
+
     "scan_remote_tvf" -> Q(
       // `clickhouse_scan('SELECT …', url)` as a table function, the
       // file:// scheme routing to the recorded-response transport —

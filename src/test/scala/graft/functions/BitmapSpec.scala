@@ -104,4 +104,33 @@ class BitmapSpec extends AnyFunSuite {
       .toSeq.sortBy(_._1)
     assert(base.toSeq === want)
   }
+
+  test("state/merge split is sharding-invariant (groupBitmapState ≡ groupBitmapMerge)") {
+    import spark.implicits._
+    val df = (1 to 8000).map(i => ((i % 5), (i % 733).toLong)).toDF("g", "id")
+    val direct = df.groupBy("g")
+      .agg(expr("bitmap_cardinality(bitmap_agg(id))").as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    Seq(1, 3, 8).foreach { shards =>
+      val merged = df.groupBy(col("g"), pmod(col("id"), lit(shards)).as("shard"))
+        .agg(expr("bitmap_agg(id)").as("state"))
+        .groupBy("g")
+        .agg(expr("bitmap_cardinality(bitmap_union_agg(state))").as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(merged === direct, s"$shards-way sharding")
+    }
+  }
+
+  test("states survive a base64 round-trip (the native-rollup storage form)") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (i % 3, (i % 451).toLong)).toDF("g", "id")
+    val viaB64 = df.groupBy(col("g"), pmod(col("id"), lit(4)).as("shard"))
+      .agg(expr("base64(bitmap_agg(id))").as("s64"))
+      .groupBy("g")
+      .agg(expr("bitmap_cardinality(bitmap_union_agg(unbase64(s64)))").as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    val want = (1 to 3000).groupBy(_ % 3)
+      .map { case (g, is) => (g, is.map(_ % 451).toSet.size.toLong) }.toSeq.sortBy(_._1)
+    assert(viaB64 === want)
+  }
 }

@@ -147,6 +147,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bitmap distinct: per-group cardinality over a user stream equals batch") {
+    // the streaming half of q_agg_bitmap: bitmap states accumulate
+    // across micro-batches (union is order-free and monotone), so the
+    // latest emission per group carries the exact running distinct —
+    // unbounded-stream distinct counting with O(distinct/8) state
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)]
+    val counts = input.toDF().toDF("etype", "user_id")
+      .groupBy("etype")
+      .agg(expr("bitmap_cardinality(bitmap_agg(user_id))").as("uniq"))
+    val q = counts.writeStream.format("memory").queryName("bm_t")
+      .outputMode("update").start()
+    try {
+      input.addData(("click", 1L), ("click", 2L), ("view", 1L))
+      q.processAllAvailable()
+      input.addData(("click", 2L), ("click", 3L), ("view", 9L), ("view", 1L))
+      q.processAllAvailable()
+      // cardinality is monotone nondecreasing: max emission = final state
+      val streamed = spark.table("bm_t").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(streamed === Map("click" -> 3L, "view" -> 2L))
+    } finally q.stop()
+  }
+
   test("streaming token chunking: per-row shard packing over a document stream equals batch") {
     // tokenChunks is stateless per-row column math, so it composes with
     // readStream unchanged — the shard-packing stage of a LIVE ingest
