@@ -447,6 +447,39 @@ object AnalyticsQueries {
               FROM orders
               WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)""")),
 
+    "q_engine_ttl" -> Q(
+      // MergeTree `TTL ts ... DELETE` over this library's own storage
+      // (NativeTableOps.applyTtl): events land time-ordered in 4
+      // range-partitioned parts; expiring everything before Jan 15
+      // DROPS the provably-all-expired parts by sidecar metadata alone
+      // (never read — CH's part-level TTL drop, the reason time-series
+      // retention is O(parts) not O(data)), copies provably-live parts
+      // byte-identical, and rewrites only the boundary part. The ts
+      // column is written non-Nullable (coalesce) because a NULL TTL
+      // value must survive deletion, so only non-nullable columns can
+      // prove a part empty. Gate: the surviving table hash-equals the
+      // oracle's WHERE spelling.
+      (s, dir) => {
+        import graft.sources.native.NativeTableOps
+        val base = ScanQueries.fixtureDir(dir, "events_ttl_base")
+        val out = ScanQueries.fixtureDir(dir, "events_ttl_out")
+        val outP = new org.apache.hadoop.fs.Path(out)
+        outP.getFileSystem(s.sessionState.newHadoopConf()).delete(outP, true)
+        val ev = Q.events(s, dir).select(
+          col("event_id"),
+          coalesce(col("ts"), timestamp_micros(lit(0L)).cast("timestamp_ntz"))
+            .as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        ev.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+          .write.format("clickhouse_native").mode("overwrite").save(base)
+        NativeTableOps.applyTtl(s, base, out, "ts",
+          to_timestamp(lit("2024-01-15 00:00:00")).cast("timestamp_ntz"))
+        s.read.format("clickhouse_native").load(out)
+      },
+      Some(s"""SELECT event_id, ts, user_id, event_type, value
+              FROM ${Q.eventsOracle}
+              WHERE NOT (ts < TIMESTAMP '2024-01-15 00:00:00')""")),
+
     "scan_parts_meta" -> Q(
       // CH `system.parts` over a native directory: per-part rows /
       // bytes / block counts / compression / indexed flag, answered

@@ -77,6 +77,89 @@ object NativeTableOps {
     spark.createDataFrame(metas)
   }
 
+  /** Per-part outcome of [[applyTtl]], for specs and operations
+    * reporting (CH's system.parts shows the same lifecycle). */
+  final case class TtlResult(dropped: Seq[String], copied: Seq[String],
+      rewritten: Seq[String])
+
+  /**
+   * MergeTree `TTL <tsCol> ...  DELETE` applied to a native directory:
+   * rows with `tsCol < cutoff` expire. Three-way part classification,
+   * the first tier being the reason TTL scales:
+   *
+   *  1. DROP — the sidecar proves NO block can satisfy
+   *     `tsCol >= cutoff` (every row expired) AND the part header
+   *     declares the column non-Nullable (a NULL TTL value survives
+   *     deletion per the SQL WHERE contract, and zone maps carry no
+   *     null counts, so nullable columns can't prove the part empty).
+   *     The part is deleted by METADATA ALONE — never read, never
+   *     rewritten. This is ClickHouse's part-level TTL drop: with
+   *     time-ordered ingest, expiry is O(parts) driver work, zero
+   *     data IO, at any table size.
+   *  2. COPY — no block can satisfy `tsCol < cutoff` (every row
+   *     live): data file + sidecar copy through byte-identical.
+   *  3. REWRITE — boundary (or unindexed / nullable) parts load and
+   *     filter like a DELETE mutation.
+   */
+  def applyTtl(spark: SparkSession, srcDir: String, dstDir: String,
+      tsCol: String, cutoff: Column): TtlResult = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dst = new Path(dstDir)
+    val dstFs = dst.getFileSystem(conf)
+    require(!dstFs.exists(dst) || dstFs.listStatus(dst).isEmpty,
+      s"TTL target $dstDir must be empty — TTL writes beside the live table")
+    dstFs.mkdirs(dst)
+
+    val src = spark.read.format("clickhouse_native").load(srcDir)
+    require(src.columns.contains(tsCol), s"TTL column '$tsCol' not in table")
+    val expiredPred = col(tsCol) < cutoff
+    val liveFilters = pruningFilters(src, col(tsCol) >= cutoff)
+    val expiredFilters = pruningFilters(src, expiredPred)
+
+    val dropped = Seq.newBuilder[String]
+    val copied = Seq.newBuilder[String]
+    val rewrite = Seq.newBuilder[Path]
+
+    NativeIO.resolveFileStatuses(Seq(srcDir), conf).foreach { st =>
+      val p = st.getPath
+      val fs = p.getFileSystem(conf)
+      val entries = NativeIndex.read(fs, p, st.getLen)
+      def noBlockMatches(filters: Seq[org.apache.spark.sql.sources.Filter]) =
+        filters.nonEmpty && entries.exists(es =>
+          !es.exists(e => NativeIndex.blockMayMatch(e.stats, filters)))
+      lazy val tsNonNullable = {
+        val declared =
+          try NativeIndex.readWithMeta(fs, p, st.getLen)
+            .flatMap(_._2.get("compression"))
+          catch { case _: java.io.IOException => None }
+        val in = NativeCompression.maybeWrapRead(fs.open(p), conf, declared)
+        try NativeBlockReader.readHeader(in)
+          .exists { case (n, t) => n == tsCol && !ChType.isNullable(t) }
+        finally in.close()
+      }
+      if (noBlockMatches(liveFilters) && tsNonNullable) {
+        dropped += p.getName // provably all-expired: metadata-only drop
+      } else if (noBlockMatches(expiredFilters)) {
+        FileUtil.copy(fs, p, dstFs, new Path(dst, p.getName), false, conf)
+        val sidecar = NativeIndex.sidecarPath(p)
+        if (fs.exists(sidecar))
+          FileUtil.copy(fs, sidecar, dstFs, new Path(dst, sidecar.getName),
+            false, conf)
+        copied += p.getName
+      } else rewrite += p
+    }
+
+    val rewritePaths = rewrite.result()
+    if (rewritePaths.nonEmpty) {
+      spark.read.format("clickhouse_native")
+        .load(rewritePaths.map(_.toString): _*)
+        .filter(!coalesce(expiredPred, lit(false)))
+        .write.format("clickhouse_native").mode("append").save(dstDir)
+    }
+    TtlResult(dropped.result(), copied.result(),
+      rewritePaths.map(_.getName))
+  }
+
   /** `ALTER TABLE ... DELETE WHERE pred`: rows satisfying `pred` are
     * removed; rows where `pred` is false OR NULL survive (the SQL
     * WHERE contract). Result lands in `dstDir`. */

@@ -109,6 +109,89 @@ class NativeTableOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be empty"))
   }
 
+  /** Time-ordered table: 1000 rows, ts = epoch + i minutes, 4 range
+    * parts so each part owns a contiguous quarter of the timeline. */
+  private def makeTimeTable(dir: String): Unit = {
+    import spark.implicits._
+    (0 until 1000).map(i => (i.toLong, i % 7))
+      .toDF("id", "grp")
+      .select(col("id"),
+        timestamp_micros(col("id") * 60L * 1000000L)
+          .cast("timestamp_ntz").as("ts"),
+        col("grp"))
+      .repartitionByRange(4, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.format("clickhouse_native").mode("overwrite").save(dir)
+  }
+
+  test("TTL drops expired parts by metadata, copies live parts byte-identical, rewrites only the boundary") {
+    val src = tmp("ttl-src")
+    val dst = tmp("ttl-dst")
+    makeTimeTable(src)
+    assert(partFiles(src).length === 4)
+
+    // cutoff at minute 300: part0 [0,249] all-expired, part1 [250,499]
+    // straddles, parts 2-3 all-live
+    val cutoff = timestamp_micros(lit(300L * 60L * 1000000L))
+      .cast("timestamp_ntz")
+    val res = NativeTableOps.applyTtl(spark, src, dst, "ts", cutoff)
+    assert(res.dropped.length === 1,
+      s"expected 1 metadata-only drop, got $res")
+    assert(res.copied.length === 2, s"expected 2 copy-throughs, got $res")
+    assert(res.rewritten.length === 1, s"expected 1 boundary rewrite, got $res")
+
+    val out = spark.read.format("clickhouse_native").load(dst)
+    assert(out.count() === 700)
+    assert(out.agg(min(col("id"))).head().getLong(0) === 300L)
+
+    // the dropped part's file never appears in the target
+    res.dropped.foreach(n => assert(!new java.io.File(dst, n).exists()))
+    // copied parts are byte-identical source files with sidecars
+    val srcByName = partFiles(src).map(f => f.getName ->
+      java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath))).toMap
+    res.copied.foreach { n =>
+      val f = new java.io.File(dst, n)
+      assert(f.exists() && srcByName(n) ===
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath)),
+        s"copied part $n not byte-identical")
+      val sidecar = NativeIndex.sidecarPath(
+        new org.apache.hadoop.fs.Path(f.getPath)).getName
+      assert(new java.io.File(dst, sidecar).exists(),
+        s"sidecar $sidecar missing for copied part $n")
+    }
+  }
+
+  test("TTL keeps NULL timestamps and never metadata-drops a nullable column") {
+    import spark.implicits._
+    val src = tmp("ttl-null-src")
+    val dst = tmp("ttl-null-dst")
+    // all non-null values expired; the NULL row must survive, which
+    // means NO part may be dropped on metadata alone (zone maps carry
+    // no null counts)
+    Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+      .toDF("id", "tsv")
+      .select(col("id"),
+        timestamp_micros(col("tsv") * 1000000L).cast("timestamp_ntz").as("ts"))
+      .coalesce(1)
+      .write.format("clickhouse_native").mode("overwrite").save(src)
+    val cutoff = timestamp_micros(lit(1000L * 1000000L)).cast("timestamp_ntz")
+    val res = NativeTableOps.applyTtl(spark, src, dst, "ts", cutoff)
+    assert(res.dropped.isEmpty, s"nullable column must not metadata-drop: $res")
+    val out = spark.read.format("clickhouse_native").load(dst)
+    assert(out.select("id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("TTL refuses a non-empty target directory") {
+    val src = tmp("ttl-ref-src")
+    val dst = tmp("ttl-ref-dst")
+    makeTimeTable(src)
+    makeTable(dst)
+    val e = intercept[IllegalArgumentException] {
+      NativeTableOps.applyTtl(spark, src, dst, "ts", current_timestamp())
+    }
+    assert(e.getMessage.contains("must be empty"))
+  }
+
   test("partsMeta reports sidecar-derived rows/blocks without opening data files") {
     val src = tmp("parts-meta")
     makeTable(src)
