@@ -503,6 +503,32 @@ object AnalyticsQueries {
                      TRUE AS all_indexed, TRUE AS has_blocks
               FROM supplier""")),
 
+    "scan_columns_meta" -> Q(
+      // CH `system.columns` over a native directory: per-part column
+      // inventory (position, declared native type, mapped Spark type)
+      // answered from each part's FIRST BLOCK HEADER — no value
+      // decode, metadata-scale driver work. Unlike a scan's merged
+      // read schema, this surfaces per-part layout (schema drift from
+      // a later ingest is visible part-by-part). Gate: the 3-part
+      // supplier fixture must report exactly the written columns in
+      // written order on every part.
+      (s, dir) => {
+        import graft.sources.native.NativeTableOps
+        val fx = ScanQueries.fixtureDir(dir, "supplier_columns_meta")
+        t(s, dir, "supplier").repartition(3).write
+          .format("clickhouse_native").mode("overwrite").save(fx)
+        NativeTableOps.columnsMeta(s, fx)
+          .groupBy(col("position"), col("name").as("col_name"),
+            col("chType").as("ch_type"), col("sparkType").as("spark_type"))
+          .agg(count(lit(1)).as("n_parts"))
+      },
+      Some("""SELECT * FROM (VALUES
+                (0, 's_suppkey',   'Nullable(Int64)',   'bigint', CAST(3 AS BIGINT)),
+                (1, 's_name',      'Nullable(String)',  'string', CAST(3 AS BIGINT)),
+                (2, 's_nationkey', 'Nullable(Int32)',   'int',    CAST(3 AS BIGINT)),
+                (3, 's_acctbal',   'Nullable(Float64)', 'double', CAST(3 AS BIGINT)))
+              t(position, col_name, ch_type, spark_type, n_parts)""")),
+
     "q_limit_ties" -> Q(
       // CH `ORDER BY ... LIMIT n WITH TIES`: the top n rows PLUS
       // every row tying the n-th sort key. Spelled scalably as

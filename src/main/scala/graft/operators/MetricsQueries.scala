@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.operators.Q.t
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-10 dialect widening: ML evaluation + display formatting from
+ * the ClickHouse function surface — arrayAUC (exact ROC-AUC via the
+ * rank-sum identity), studentTTest (the pooled-variance companion to
+ * the shipped welchTTest), sparkbar (the terminal bar-chart renderer),
+ * and the formatReadableSize / formatReadableQuantity pair.
+ *
+ * Same exact-regime discipline as the round-7/8 stats packs: scores
+ * quantize to integer cents, rank machinery runs on the BOUNDED
+ * distinct-value table (one hash aggregate collapses the event stream
+ * first), closed forms evaluate from exact integer sums with the same
+ * operation order in both engines, and all string rendering is pure
+ * integer arithmetic — no float formatting anywhere.
+ */
+object MetricsQueries {
+
+  /** 8-level Unicode block ramp, U+2581..U+2588 (sparkbar's glyphs). */
+  private val Blocks = "▁▂▃▄▅▆▇█"
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "q_agg_auc" -> Q(
+      // CH arrayAUC(scores, labels) — exact ROC-AUC via the rank-sum
+      // identity AUC = (Σ_pos rank − n⁺(n⁺+1)/2) / (n⁺·n⁻) with
+      // tie-averaged ranks. INTEGER-EXACT: ranks are carried DOUBLED
+      // (2·below + cnt + 1 stays integral under ties — the
+      // mannWhitney trick), giving the integer numerator
+      // num = Σ_pos dr − n⁺(n⁺+1) over denominator 2·n⁺·n⁻; the gate
+      // compares the integers and both engines derive the rounded
+      // quotient identically. Scale shape: ONE hash aggregate
+      // collapses the event stream to the bounded distinct-score
+      // table (≤ ~100k cents values); the window walks only that.
+      (s, dir) => {
+        val e = Q.events(s, dir)
+          .select((col("event_type") === "purchase").cast("long").as("y"),
+            floor(col("value") * 100).cast("long").as("sc"))
+        val bv = e.groupBy("sc")
+          .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+        val w = Window.orderBy("sc").rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = bv
+          .withColumn("below", coalesce(sum("cnt").over(w), lit(0L)))
+          .select(col("cnt"), col("pos"),
+            (col("below") * 2 + col("cnt") + 1).as("dr"))
+        ranked.agg(
+            sum(col("pos") * col("dr")).as("s2"),
+            sum("pos").as("npos"),
+            (sum("cnt") - sum("pos")).as("nneg"))
+          .select(col("npos"), col("nneg"),
+            (col("s2") - col("npos") * (col("npos") + 1)).as("auc_num"),
+            round((col("s2") - col("npos") * (col("npos") + 1)).cast("double")
+              / (col("npos") * col("nneg") * 2), 6).as("auc"))
+      },
+      Some(s"""WITH e AS (SELECT
+                       CAST(event_type = 'purchase' AS BIGINT) AS y,
+                       CAST(floor(value * 100) AS BIGINT) AS sc
+                     FROM ${Q.eventsOracle}),
+              bv AS (SELECT sc, count(*) AS cnt, sum(y) AS pos
+                     FROM e GROUP BY sc),
+              rk AS (SELECT cnt, pos,
+                       2 * COALESCE(sum(cnt) OVER (ORDER BY sc
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1 AS dr
+                     FROM bv),
+              sums AS (SELECT CAST(sum(pos * dr) AS BIGINT) AS s2,
+                              CAST(sum(pos) AS BIGINT) AS npos,
+                              CAST(sum(cnt) - sum(pos) AS BIGINT) AS nneg
+                       FROM rk)
+              SELECT npos, nneg,
+                     s2 - npos * (npos + 1) AS auc_num,
+                     round(CAST(s2 - npos * (npos + 1) AS DOUBLE)
+                           / (npos * nneg * 2), 6) AS auc
+              FROM sums""")),
+
+    "q_agg_student_ttest" -> Q(
+      // CH studentTTest(v, group): pooled-variance two-sample t + df —
+      // the equal-variance companion to the shipped welchTTest
+      // (q_agg_ttest). Same exact regime: one conditional-aggregation
+      // pass produces the six exact integer sums, both engines
+      // evaluate the identical closed form (same operation order →
+      // same IEEE doubles), df is an exact integer.
+      (s, dir) => {
+        val e = Q.events(s, dir)
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("c"))
+        val a = col("event_type") === "view"
+        val agg = e.agg(
+          count(when(a, 1)).as("n1"), sum(when(a, col("c"))).as("s1"),
+          sum(when(a, col("c") * col("c"))).as("sq1"),
+          count(when(!a, 1)).as("n2"), sum(when(!a, col("c"))).as("s2"),
+          sum(when(!a, col("c") * col("c"))).as("sq2"))
+        val (n1, s1, sq1) = (col("n1").cast("double"),
+          col("s1").cast("double"), col("sq1").cast("double"))
+        val (n2, s2, sq2) = (col("n2").cast("double"),
+          col("s2").cast("double"), col("sq2").cast("double"))
+        val m1 = s1 / n1; val m2 = s2 / n2
+        val v1 = (sq1 / n1 - m1 * m1) * (n1 / (n1 - 1.0))
+        val v2 = (sq2 / n2 - m2 * m2) * (n2 / (n2 - 1.0))
+        val sp2 = ((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0)
+        agg.select(
+          round((m1 - m2) / sqrt(sp2 * (lit(1.0) / n1 + lit(1.0) / n2)), 4)
+            .as("t_stat"),
+          (col("n1") + col("n2") - 2).as("df"))
+      },
+      Some(s"""WITH c AS (SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS c
+                     FROM ${Q.eventsOracle} e
+                     WHERE event_type IN ('view', 'click')),
+              sums AS (SELECT
+                       count(*) FILTER (event_type = 'view') AS n1,
+                       sum(c)   FILTER (event_type = 'view') AS s1,
+                       sum(c*c) FILTER (event_type = 'view') AS sq1,
+                       count(*) FILTER (event_type = 'click') AS n2,
+                       sum(c)   FILTER (event_type = 'click') AS s2,
+                       sum(c*c) FILTER (event_type = 'click') AS sq2
+                     FROM c),
+              f AS (SELECT CAST(n1 AS DOUBLE) AS n1, CAST(s1 AS DOUBLE) AS s1,
+                           CAST(sq1 AS DOUBLE) AS sq1, CAST(n2 AS DOUBLE) AS n2,
+                           CAST(s2 AS DOUBLE) AS s2, CAST(sq2 AS DOUBLE) AS sq2,
+                           n1 + n2 - 2 AS df FROM sums),
+              m AS (SELECT n1, n2, df, s1/n1 - s2/n2 AS dm,
+                           (((n1 - 1.0) * ((sq1/n1 - (s1/n1)*(s1/n1)) * (n1/(n1-1.0))))
+                            + ((n2 - 1.0) * ((sq2/n2 - (s2/n2)*(s2/n2)) * (n2/(n2-1.0)))))
+                           / (n1 + n2 - 2.0) AS sp2
+                     FROM f)
+              SELECT round(dm / sqrt(sp2 * (1.0/n1 + 1.0/n2)), 4) AS t_stat,
+                     CAST(df AS BIGINT) AS df
+              FROM m""")),
+
+    "q_agg_sparkbar" -> Q(
+      // CH sparkbar(24)(hour, cnt): per event_type, the 24
+      // hour-of-day buckets rendered as one string of 8-level block
+      // glyphs — level = ceil(cnt·8 / max_cnt), empty bucket = ' '.
+      // INTEGER-EXACT rendering: levels are integer ceilings and the
+      // glyph is an index into a literal ramp — no float formatting.
+      // Scale shape: one hash aggregate to (type, hour) counts (≤
+      // 24·|types| rows), then a per-group map + a 24-element
+      // higher-order transform; the dense 0..23 spine comes from
+      // sequence(), so silent bucket gaps are impossible.
+      (s, dir) => {
+        val counts = Q.events(s, dir)
+          .groupBy(col("event_type"), hour(col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val g = counts.groupBy("event_type").agg(
+          max("cnt").as("mx"),
+          map_from_entries(collect_list(struct(col("h"), col("cnt"))))
+            .as("byh"))
+        val bar = array_join(
+          transform(sequence(lit(0), lit(23)), h => {
+            val cnt = coalesce(element_at(col("byh"), h), lit(0L))
+            val lvl = ((cnt * 8 + col("mx") - 1) / col("mx")).cast("long")
+            when(cnt === 0, lit(" "))
+              .otherwise(substring(lit(Blocks), lvl.cast("int"), lit(1)))
+          }), "")
+        g.select(col("event_type"), col("mx"), bar.as("bar"))
+      },
+      Some(s"""WITH c AS (SELECT event_type,
+                       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                       count(*) AS cnt
+                     FROM ${Q.eventsOracle} GROUP BY 1, 2),
+              g AS (SELECT event_type, CAST(max(cnt) AS BIGINT) AS mx
+                    FROM c GROUP BY 1),
+              spine AS (SELECT g.event_type, g.mx, r.range AS h,
+                               COALESCE(c.cnt, 0) AS cnt
+                        FROM g CROSS JOIN range(0, 24) r
+                        LEFT JOIN c ON c.event_type = g.event_type
+                                   AND c.h = r.range)
+              SELECT event_type, mx,
+                     string_agg(CASE WHEN cnt = 0 THEN ' '
+                       ELSE substr('$Blocks',
+                         CAST((cnt * 8 + mx - 1) // mx AS INT), 1) END,
+                       '' ORDER BY h) AS bar
+              FROM spine GROUP BY event_type, mx""")),
+
+    "q_fn_format_readable" -> Q(
+      // CH formatReadableSize / formatReadableQuantity: render a byte
+      // count with binary units (KiB/MiB/...) and a count with
+      // decimal units (thousand/million/...), two decimals. PURE
+      // INTEGER rendering: scaled = v·100 div unit, then
+      // whole '.' zero-padded-frac — no float formatting, so the
+      // engines cannot diverge on rounding mode. Codegen'd CASE
+      // chains; no UDF.
+      (s, dir) => {
+        def render(v: Column, unit: Long, suffix: String): Column = {
+          val scaled = (v * 100 / unit).cast("long")
+          concat((scaled / 100).cast("long").cast("string"), lit("."),
+            lpad((scaled % 100).cast("string"), 2, "0"), lit(suffix))
+        }
+        def readableSize(v: Column): Column =
+          when(v < 1024L, render(v, 1L, " B"))
+            .when(v < 1024L * 1024, render(v, 1024L, " KiB"))
+            .when(v < 1024L * 1024 * 1024, render(v, 1024L * 1024, " MiB"))
+            .otherwise(render(v, 1024L * 1024 * 1024, " GiB"))
+        def readableQuantity(v: Column): Column =
+          when(v < 1000L, v.cast("string"))
+            .when(v < 1000000L, render(v, 1000L, " thousand"))
+            .when(v < 1000000000L, render(v, 1000000L, " million"))
+            .otherwise(render(v, 1000000000L, " billion"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("v"))
+        o.select(col("o_orderkey"), col("v"),
+          readableSize(col("v")).as("size_str"),
+          readableQuantity(col("v")).as("qty_str"))
+      },
+      Some {
+        def render(unit: Long, suffix: String) =
+          s"CAST((v * 100) // $unit // 100 AS BIGINT) || '.' || " +
+            s"lpad(CAST(CAST((v * 100) // $unit AS BIGINT) % 100 AS VARCHAR), 2, '0') || '$suffix'"
+        s"""WITH o AS (SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+               FROM orders WHERE o_orderkey % 97 = 0)
+            SELECT o_orderkey, v,
+                   CASE WHEN v < 1024 THEN ${render(1L, " B")}
+                        WHEN v < ${1024L * 1024} THEN ${render(1024L, " KiB")}
+                        WHEN v < ${1024L * 1024 * 1024} THEN ${render(1024L * 1024, " MiB")}
+                        ELSE ${render(1024L * 1024 * 1024, " GiB")} END AS size_str,
+                   CASE WHEN v < 1000 THEN CAST(v AS VARCHAR)
+                        WHEN v < 1000000 THEN ${render(1000L, " thousand")}
+                        WHEN v < 1000000000 THEN ${render(1000000L, " million")}
+                        ELSE ${render(1000000000L, " billion")} END AS qty_str
+            FROM o"""
+      })
+  )
+}

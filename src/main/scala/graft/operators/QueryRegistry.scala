@@ -127,7 +127,8 @@ object QueryRegistry {
   val all: Seq[(String, Q)] =
     ScanQueries.all ++ RelationalQueries.all ++ ComplexQueries.all ++
       LlmQueries.all ++ EngineQueries.all ++ AnalyticsQueries.all ++
-      CurationQueries.all ++ BitmapQueries.all ++ SpatialQueries.all
+      CurationQueries.all ++ BitmapQueries.all ++ SpatialQueries.all ++
+      MetricsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }.toMap

@@ -85,12 +85,17 @@ object SpatialQueries {
       // the cell delta), so no dedup pass. The shuffle moves thin
       // (cell, id, x, y) rows; the oracle is the brute-force all-pairs
       // distance join, proving the grid plan loses nothing.
+      // Point set: the FIRST 1500 custkeys on a 2000×2000 grid — dense
+      // enough that qualifying pairs exist even at sf0.001 (150 keys),
+      // bounded so the brute-force oracle stays cheap at sf0.1.
       (s, dir) => {
         val G = 150
-        val pts = t(s, dir, "customer").select(
-          col("c_custkey").as("id"),
-          pmod(col("c_custkey") * 9973, lit(10000L)).as("px"),
-          pmod(col("c_custkey") * 6151, lit(10000L)).as("py"))
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 1500)
+          .select(
+            col("c_custkey").as("id"),
+            pmod(col("c_custkey") * 9973, lit(2000L)).as("px"),
+            pmod(col("c_custkey") * 6151, lit(2000L)).as("py"))
         val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
         val left = pts.select(col("id").as("a_id"), col("px").as("ax"),
             col("py").as("ay"),
@@ -110,9 +115,9 @@ object SpatialQueries {
           .select(col("a_id"), col("b_id"), d2.cast("long").as("dist2"))
       },
       Some("""WITH p AS (SELECT c_custkey AS id,
-                     (c_custkey * 9973) % 10000 AS px,
-                     (c_custkey * 6151) % 10000 AS py
-                   FROM customer)
+                     (c_custkey * 9973) % 2000 AS px,
+                     (c_custkey * 6151) % 2000 AS py
+                   FROM customer WHERE c_custkey <= 1500)
               SELECT a.id AS a_id, b.id AS b_id,
                      CAST((a.px - b.px) * (a.px - b.px)
                         + (a.py - b.py) * (a.py - b.py) AS BIGINT) AS dist2

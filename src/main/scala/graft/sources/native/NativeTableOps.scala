@@ -77,6 +77,37 @@ object NativeTableOps {
     spark.createDataFrame(metas)
   }
 
+  /** One row per (part, column): the `system.columns` surface. */
+  final case class ColumnMeta(part: String, position: Int, name: String,
+      chType: String, sparkType: String)
+
+  /**
+   * `system.columns` for a native directory: per-part column inventory
+   * (position, native type name, mapped Spark type) answered from each
+   * part's FIRST block header — no value decode, metadata-scale driver
+   * work like [[partsMeta]]. CH's system.columns is likewise
+   * per-part-on-disk metadata; schema drift between parts (a column
+   * added by a later ingest) is visible here per part, where a plain
+   * scan would surface only the merged read schema.
+   */
+  def columnsMeta(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metas = NativeIO.resolveFileStatuses(Seq(dir), conf).flatMap { st =>
+      val p = st.getPath
+      val fs = p.getFileSystem(conf)
+      val declared =
+        try NativeIndex.readWithMeta(fs, p, st.getLen)
+          .flatMap(_._2.get("compression"))
+        catch { case _: java.io.IOException => None }
+      val in = NativeCompression.maybeWrapRead(fs.open(p), conf, declared)
+      try NativeBlockReader.readHeader(in).zipWithIndex.map {
+        case ((name, t), i) =>
+          ColumnMeta(p.getName, i, name, t.name, t.sparkType.simpleString)
+      } finally in.close()
+    }
+    spark.createDataFrame(metas)
+  }
+
   /** Per-part outcome of [[applyTtl]], for specs and operations
     * reporting (CH's system.parts shows the same lifecycle). */
   final case class TtlResult(dropped: Seq[String], copied: Seq[String],

@@ -57,7 +57,8 @@ class SpatialQueriesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val pts = spark.read.parquet(s"$d01/customer.parquet")
       .select(col("c_custkey")).collect().map(_.getLong(0))
-      .map(k => (k, k * 9973 % 10000, k * 6151 % 10000))
+      .filter(_ <= 1500)
+      .map(k => (k, k * 9973 % 2000, k * 6151 % 2000))
     val want = (for {
       (ai, ax, ay) <- pts; (bi, bx, by) <- pts
       if ai < bi
