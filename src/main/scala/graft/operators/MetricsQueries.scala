@@ -229,6 +229,43 @@ object MetricsQueries {
                         WHEN v < 1000000000 THEN ${render(1000000L, " million")}
                         ELSE ${render(1000000000L, " billion")} END AS qty_str
             FROM o"""
-      })
+      }),
+
+    "q_layout_zorder" -> Q(
+      // Z-ORDER clustered layout (CH `ORDER BY mortonEncode(a, b)`,
+      // Delta/Iceberg Z-ORDER): lineitem lands in native parts
+      // range-clustered by the Morton interleave of (l_partkey,
+      // l_suppkey), so the zone-map sidecars prune parts for
+      // predicates on EITHER column — the multi-dimensional layout a
+      // one-column sort cannot give. The cluster key is a pure
+      // codegen'd shift/mask composition (functions/ZOrder, no UDF).
+      // Gate: a 2-D box query over the z-ordered native table
+      // hash-equals the same query on the parquet original (layout
+      // changes the path, never the result); the both-dimensions
+      // pruning contract is pinned in ZOrderSpec.
+      (s, dir) => {
+        import graft.functions.ZOrder
+        val fx = ScanQueries.fixtureDir(dir, "lineitem_zorder")
+        val zkey = ZOrder.interleave16(col("l_partkey"), col("l_suppkey"))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"))
+          .repartitionByRange(8, zkey)
+          .sortWithinPartitions(zkey)
+          .write.format("clickhouse_native").mode("overwrite").save(fx)
+        s.read.format("clickhouse_native").load(fx)
+          .filter(col("l_partkey").between(50, 150) &&
+            col("l_suppkey").between(2, 8))
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n"), sum("qty").as("qty_sum"),
+            min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+      },
+      Some("""SELECT l_suppkey, count(*) AS n,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+                     min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+              FROM lineitem
+              WHERE l_partkey BETWEEN 50 AND 150
+                AND l_suppkey BETWEEN 2 AND 8
+              GROUP BY l_suppkey"""))
   )
 }
