@@ -266,6 +266,122 @@ object MetricsQueries {
               FROM lineitem
               WHERE l_partkey BETWEEN 50 AND 150
                 AND l_suppkey BETWEEN 2 AND 8
-              GROUP BY l_suppkey"""))
+              GROUP BY l_suppkey""")),
+
+    "q_agg_contingency" -> Q(
+      // CH contingency(a, b): Pearson's contingency coefficient
+      // C = sqrt(chi² / (chi² + n)) — the third member of the
+      // association family (cramersV, theilsU shipped earlier). Same
+      // scale layout: ONE hash aggregate to exact integer cell counts,
+      // chi² folds over the tiny R×C cell table, 4 dp rounding absorbs
+      // cell-order summation ulps (the q_agg_cramers_v precedent).
+      (s, dir) => {
+        val e = Q.events(s, dir).select(col("event_type"),
+          floor(floor(col("value") * 100) / 10000.0).cast("long").as("bucket"))
+        val cells = e.groupBy("event_type", "bucket").agg(count(lit(1)).as("o"))
+        val rowT = cells.groupBy("event_type").agg(sum("o").as("rt"))
+        val colT = cells.groupBy("bucket").agg(sum("o").as("ct"))
+        val n = cells.agg(sum("o").as("n"))
+        val exp = col("rt") * col("ct") / col("n")
+        cells.join(rowT, "event_type").join(colT, "bucket")
+          .crossJoin(broadcast(n))
+          .select(((col("o") - exp) * (col("o") - exp) / exp).as("term"),
+            col("n"))
+          .agg(sum(col("term")).as("chi2"), first(col("n")).as("n"))
+          .select(round(sqrt(col("chi2") / (col("chi2") + col("n"))), 4)
+            .as("contingency_c"))
+      },
+      Some(s"""WITH e AS (SELECT event_type,
+                       CAST(floor(CAST(floor(value * 100) AS BIGINT) / 10000.0) AS BIGINT) AS bucket
+                     FROM ${Q.eventsOracle} ev),
+              cells AS (SELECT event_type, bucket, count(*) AS o
+                     FROM e GROUP BY 1, 2),
+              rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+              ct AS (SELECT bucket, sum(o) AS ct FROM cells GROUP BY 1),
+              n AS (SELECT sum(o) AS n FROM cells),
+              chi AS (SELECT sum((o - rt.rt * ct.ct / n.n) *
+                                 (o - rt.rt * ct.ct / n.n) /
+                                 (rt.rt * ct.ct / n.n)) AS chi2,
+                             first(n.n) AS n
+                     FROM cells JOIN rt USING (event_type)
+                                JOIN ct USING (bucket), n)
+              SELECT round(sqrt(chi2 / (chi2 + n)), 4) AS contingency_c
+              FROM chi""")),
+
+    "q_agg_categorical_iv" -> Q(
+      // CH categoricalInformationValue(cat, label): per-category
+      // Information Value Σ (p⁺ᵢ − p⁻ᵢ)·ln(p⁺ᵢ/p⁻ᵢ) — the feature-
+      // screening statistic. One hash aggregate to exact per-category
+      // (pos, neg) integer counts; the IV fold runs over |categories|
+      // rows (≤ 5 here) with the identical expression text in both
+      // engines, 4 dp rounding absorbing term-order ulps. Frequencies
+      // use +1 Laplace smoothing (the standard "adjusted WoE") so a
+      // category with zero positives — which exists at sf0.001 — gets
+      // a finite term instead of ln(0).
+      (s, dir) => {
+        val e = Q.events(s, dir).select(col("event_type"),
+          (col("value") > 250).cast("long").as("y"))
+        val cells = e.groupBy("event_type").agg(
+          sum("y").as("pos"), (count(lit(1)) - sum("y")).as("neg"))
+        val tot = cells.agg(sum("pos").as("tp"), sum("neg").as("tn"),
+          count(lit(1)).as("k"))
+        val p = (col("pos") + 1) / (col("tp") + col("k"))
+        val q = (col("neg") + 1) / (col("tn") + col("k"))
+        cells.crossJoin(broadcast(tot))
+          .select(((p - q) * log(p / q)).as("term"))
+          .agg(round(sum("term"), 4).as("iv"))
+      },
+      Some(s"""WITH e AS (SELECT event_type,
+                       CAST(value > 250 AS BIGINT) AS y
+                     FROM ${Q.eventsOracle} ev),
+              cells AS (SELECT event_type, sum(y) AS pos,
+                               count(*) - sum(y) AS neg
+                     FROM e GROUP BY 1),
+              tot AS (SELECT sum(pos) AS tp, sum(neg) AS tn,
+                             count(*) AS k FROM cells)
+              SELECT round(sum(((pos + 1) / CAST(tp + k AS DOUBLE)
+                              - (neg + 1) / CAST(tn + k AS DOUBLE))
+                     * ln(((pos + 1) / CAST(tp + k AS DOUBLE))
+                        / ((neg + 1) / CAST(tn + k AS DOUBLE)))), 4) AS iv
+              FROM cells, tot""")),
+
+    "q_fn_array_enumerate" -> Q(
+      // CH arrayEnumerate / arrayEnumerateUniq: positional indices
+      // [1..n] and the occurrence ordinal of each element among its
+      // equals so far. Codegen'd higher-order functions — the uniq
+      // ordinal is transform((x, i) -> size(filter(slice(arr, 1, i+1),
+      // y -> y = x))), no explode, no UDF; per-order flag arrays are
+      // ≤ 7 elements so the quadratic lambda is constant work. The
+      // oracle recomputes via unnest + row_number — an independent
+      // relational spelling of the same semantics.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 31 === 0)
+        val a = li.groupBy(col("l_orderkey").as("k"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("l_linenumber").as("ln"),
+              col("l_returnflag").as("f")))),
+            x => x.getField("f")).as("arr"))
+        a.select(col("k"), col("arr"),
+          sequence(lit(1), size(col("arr"))).as("enum_idx"),
+          transform(col("arr"), (x, i) =>
+            size(filter(slice(col("arr"), lit(1), i + lit(1)), y => y === x)))
+            .as("enum_uniq"))
+      },
+      Some("""WITH a AS (SELECT l_orderkey AS k,
+                       -- tie-break on the flag: this synthetic lineitem
+                       -- REUSES linenumbers within an order, and equal
+                       -- (ln, flag) elements are interchangeable
+                       list(l_returnflag ORDER BY l_linenumber, l_returnflag) AS arr
+                     FROM lineitem WHERE l_orderkey % 31 = 0 GROUP BY 1),
+              e AS (SELECT k, unnest(arr) AS f,
+                       generate_subscripts(arr, 1) AS ord FROM a),
+              r AS (SELECT k, f, ord,
+                       row_number() OVER (PARTITION BY k, f ORDER BY ord) AS rn
+                     FROM e),
+              g AS (SELECT k, list(CAST(ord AS INT) ORDER BY ord) AS enum_idx,
+                           list(CAST(rn AS INT) ORDER BY ord) AS enum_uniq
+                     FROM r GROUP BY k)
+              SELECT g.k, a.arr, g.enum_idx, g.enum_uniq
+              FROM g JOIN a USING (k)"""))
   )
 }
