@@ -281,6 +281,19 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The full line above exceeds the harness's stdout-tail capture
+    // (2000 chars — every BENCH_r*.json so far has parsed=None because
+    // the line is truncated mid-JSON). Emit a COMPACT summary as the
+    // LAST line — baseline anchors + scale ratios + a few headliners —
+    // so the tail always contains one complete, parseable JSON line.
+    val headliners = Seq("q_tpch_q1", "q_tpch_q21", "q_dedup_minhash",
+      "q_sim_cosine_ivf", "q_count_star")
+    val byNameAll = all.toMap
+    val compactKeys = (anchors.keys.toSeq.sorted ++
+      scalePoints.map(_._1) ++ headliners.filter(byNameAll.contains))
+    val cqs = compactKeys.map(k => "\"" + k + "\":" + byNameAll(k))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${all.length},"queries":$cqs,"sf":"$sfDir"}""")
 
     // Scale-regression gate: 10× data must cost FAR less than the gate
     // ratio. Every scale shape is a single-shuffle aggregate, a
