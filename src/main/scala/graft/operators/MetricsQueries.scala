@@ -382,6 +382,55 @@ object MetricsQueries {
                            list(CAST(rn AS INT) ORDER BY ord) AS enum_uniq
                      FROM r GROUP BY k)
               SELECT g.k, a.arr, g.enum_idx, g.enum_uniq
-              FROM g JOIN a USING (k)"""))
+              FROM g JOIN a USING (k)""")),
+
+    "q_join_asof_nearest" -> Q(
+      // ASOF with NEAREST matching (pandas merge_asof
+      // direction='nearest'): each purchase pairs with the signup
+      // minimizing |Δt|, equidistant ties resolved BACKWARD (the
+      // earlier signup) — deterministic in both engines. Scale shape:
+      // the same single user_id shuffle as q_join_asof — the backward
+      // candidate is a running last(ignoreNulls) and the forward one
+      // a first(ignoreNulls) over the mirrored frame, so no per-user
+      // pair explosion ever materializes. LEFT semantics keep
+      // signup-less purchases (null match). The oracle is an
+      // independent spelling: per-user pair join + arg_min over the
+      // scalar key 2·|Δµs| + forward-bit (backward wins ties).
+      (s, dir) => {
+        val e = Q.events(s, dir)
+          .filter(col("event_type").isin("purchase", "signup"))
+          .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+        val ord = when(col("event_type") === "signup", 0).otherwise(1)
+        val sigTs = when(col("event_type") === "signup", col("ts"))
+        val sigUs = when(col("event_type") === "signup", col("tus"))
+        val wb = Window.partitionBy("user_id").orderBy(col("tus"), ord)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy("user_id").orderBy(col("tus"), ord)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        e.withColumn("b_ts", last(sigTs, ignoreNulls = true).over(wb))
+          .withColumn("b_us", last(sigUs, ignoreNulls = true).over(wb))
+          .withColumn("f_ts", first(sigTs, ignoreNulls = true).over(wf))
+          .withColumn("f_us", first(sigUs, ignoreNulls = true).over(wf))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"),
+            when(col("f_us").isNull, col("b_ts"))
+              .when(col("b_us").isNull, col("f_ts"))
+              .when(col("tus") - col("b_us") <= col("f_us") - col("tus"),
+                col("b_ts"))
+              .otherwise(col("f_ts")).as("nearest_signup_ts"))
+      },
+      Some(s"""WITH p AS (SELECT event_id, user_id, ts
+                     FROM ${Q.eventsOracle} WHERE event_type = 'purchase'),
+              sg AS (SELECT user_id, ts FROM ${Q.eventsOracle}
+                     WHERE event_type = 'signup'),
+              m AS (SELECT p.event_id,
+                       arg_min(sg.ts,
+                         2 * abs(epoch_us(p.ts) - epoch_us(sg.ts))
+                         + CASE WHEN sg.ts > p.ts THEN 1 ELSE 0 END)
+                         AS nearest
+                     FROM p JOIN sg ON p.user_id = sg.user_id
+                     GROUP BY p.event_id)
+              SELECT p.event_id, m.nearest AS nearest_signup_ts
+              FROM p LEFT JOIN m USING (event_id)"""))
   )
 }
