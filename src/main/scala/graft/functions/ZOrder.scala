@@ -46,6 +46,22 @@ object ZOrder {
     spread16(x.cast("long"))
       .bitwiseOR(shiftleft(spread16(y.cast("long")), 1))
 
+  /** Collapse the even bit positions of a 32-bit Morton code back to
+    * 16 contiguous bits — the inverse mask ladder. */
+  private def collapse16(v: Column): Column = {
+    val m = Seq(
+      (1, 0x33333333L), (2, 0x0F0F0F0FL), (4, 0x00FF00FFL), (8, 0x0000FFFFL))
+    m.foldLeft(v.bitwiseAND(lit(0x55555555L))) { case (acc, (sh, mask)) =>
+      (acc.bitwiseOR(shiftright(acc, sh))).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** Inverse of [[interleave16]]: recover (x, y) from a Morton code —
+    * CH `mortonDecode`. Useful for debugging a z-ordered layout and
+    * for range arithmetic over cluster keys. */
+  def deinterleave16(z: Column): (Column, Column) =
+    (collapse16(z), collapse16(shiftright(z, 1)))
+
   /** Reference (non-Column) implementation for specs. */
   private[graft] def interleave16Ref(x: Long, y: Long): Long = {
     def spread(v0: Long): Long = {

@@ -431,6 +431,57 @@ object MetricsQueries {
                      FROM p JOIN sg ON p.user_id = sg.user_id
                      GROUP BY p.event_id)
               SELECT p.event_id, m.nearest AS nearest_signup_ts
-              FROM p LEFT JOIN m USING (event_id)"""))
+              FROM p LEFT JOIN m USING (event_id)""")),
+
+    "q_agg_group_concat" -> Q(
+      // CH groupConcat(sep)(x) / SQL LISTAGG: per-region
+      // comma-joined nation names, sorted for engine-independent
+      // order. One hash aggregate; the concat folds over collected
+      // arrays at the group level (array_join ∘ sort_array ∘
+      // collect_list — collect order never leaks into the result).
+      (s, dir) => {
+        val n = t(s, dir, "nation").join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        n.groupBy(col("r_name"))
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+            .as("nations"),
+            count(lit(1)).as("n_nations"))
+      },
+      Some("""SELECT r_name,
+                     string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                     count(*) AS n_nations
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name""")),
+
+    "q_fn_array_set" -> Q(
+      // CH arrayIntersect / arrayConcat+arrayDistinct (union) /
+      // arrayFilter-based difference: set algebra between each
+      // order's shipped-flag array and a literal reference set,
+      // results SORTED+DEDUPED so both engines agree on order. All
+      // codegen'd array builtins; per-order arrays are ≤ 7 elements.
+      (s, dir) => {
+        val ref = array(lit("A"), lit("N"))
+        val a = t(s, dir, "lineitem").filter(col("l_orderkey") % 53 === 0)
+          .groupBy(col("l_orderkey").as("k"))
+          .agg(collect_list(col("l_returnflag")).as("flags"))
+        a.select(col("k"),
+          array_sort(array_distinct(array_intersect(col("flags"), ref)))
+            .as("inter"),
+          array_sort(array_distinct(array_union(col("flags"), ref)))
+            .as("uni"),
+          array_sort(array_distinct(array_except(col("flags"), ref)))
+            .as("diff"))
+      },
+      Some("""WITH a AS (SELECT l_orderkey AS k,
+                       list(l_returnflag) AS flags
+                     FROM lineitem WHERE l_orderkey % 53 = 0 GROUP BY 1)
+              SELECT k,
+                     list_sort(list_distinct(list_filter(flags,
+                       x -> list_contains(['A','N'], x)))) AS inter,
+                     list_sort(list_distinct(list_concat(flags,
+                       ['A','N']))) AS uni,
+                     list_sort(list_distinct(list_filter(flags,
+                       x -> NOT list_contains(['A','N'], x)))) AS diff
+              FROM a"""))
   )
 }

@@ -31,6 +31,16 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ZOrder.interleave16Ref(3, 1) === 7)
     assert(ZOrder.interleave16Ref(0xFFFF, 0) === 0x55555555L)
     assert(ZOrder.interleave16Ref(0, 0xFFFF) === 0xAAAAAAAAL)
+
+    // decode inverts encode (CH mortonDecode)
+    val (dx, dy) = ZOrder.deinterleave16(col("z"))
+    rows.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.interleave16(col("x"), col("y")).as("z"))
+      .select(col("x"), col("y"), dx.as("rx"), dy.as("ry"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) === r.getLong(0) && r.getLong(3) === r.getLong(1),
+          s"decode mismatch at x=${r.getLong(0)} y=${r.getLong(1)}")
+      }
   }
 
   /** Blocks whose sidecar zone maps admit the given filters. */
