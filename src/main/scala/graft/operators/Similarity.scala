@@ -147,12 +147,22 @@ object Similarity {
       .select("q_id", "q_emb", "cell")
   }
 
-  /** Flat (exact-cosine) scoring of probed cells → per-query top-k. */
+  /** Flat (exact-cosine) scoring of probed cells → per-query top-k.
+    * Norms are hoisted to one column per VECTOR before the pair join
+    * (sqrt is deterministic per input, so `dot/(nₑ·n_q)` is
+    * bit-identical to the inline cosine while cutting the per-pair
+    * flops from 3 dot products to 1 — the pair count, not the vector
+    * count, is what explodes with cells·probes). */
   private def flatTopK(cand: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val scored = cand.join(broadcast(probes), "cell")
+    val candN = cand.withColumn("e_norm",
+      sqrt(dotD(col("embedding"), col("embedding"))))
+    val probesN = probes.withColumn("q_norm",
+      sqrt(dotD(col("q_emb"), col("q_emb"))))
+    val scored = candN.join(broadcast(probesN), "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+        round(dotD(col("embedding"), col("q_emb"))
+          / (col("e_norm") * col("q_norm")), 4).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
       .filter(col("rn") <= k)
@@ -202,10 +212,18 @@ object Similarity {
       nprobe: Int = 4, trainFraction: Double = 1.0): DataFrame = {
     val (cand, centroidDf) = buildIvfIndex(corpus, nlist, trainFraction)
     val probes = probeCells(corpus, centroidDf, nprobe)
-    val scored = cand.join(probes, "cell") // both sides corpus-scale: shuffle on cell, no broadcast
+    // norms hoisted to one column per VECTOR before the pair join —
+    // bit-identical to inline cosine (sqrt is deterministic per
+    // input), 1 dot product per pair instead of 3
+    val candN = cand.withColumn("e_norm",
+      sqrt(dotD(col("embedding"), col("embedding"))))
+    val probesN = probes.withColumn("q_norm",
+      sqrt(dotD(col("q_emb"), col("q_emb"))))
+    val scored = candN.join(probesN, "cell") // both sides corpus-scale: shuffle on cell, no broadcast
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("sim"))
+        round(dotD(col("embedding"), col("q_emb"))
+          / (col("e_norm") * col("q_norm")), 4).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
       .filter(col("rn") <= k)
