@@ -252,12 +252,23 @@ object Bench {
     }
     def scaleSemdedup(copies: Int) = graft.operators.Dedup.semDeDup(
       embAt(copies), "vec_id", "embedding", "cluster", eps = 0.95)
+    // kNN-graph scaling runs the APPROXIMATE regime (fixed nprobe,
+    // nlist ∝ N — the production knob): per-cell size stays constant,
+    // so candidate pairs grow ∝ N·nprobe·cellsize = linearly. The
+    // exact-gate regime the ORACLE key runs (nprobe = nlist) is N² by
+    // design and would trip any ratio gate — it exists to prove the
+    // semantics, not the scaling; THIS point proves the scaling.
+    def scaleKnn(copies: Int) = graft.operators.Similarity.knnGraph(
+      embAt(copies).select(col("vec_id"), col("embedding")),
+      k = 3, nlist = 16 * copies, nprobe = 4, trainFraction = 0.5)
     val scalePoints = Seq(
       "scale_agg_1x" -> (() => scaleAgg(1)), "scale_agg_10x" -> (() => scaleAgg(10)),
       "scale_join_1x" -> (() => scaleJoin(1)), "scale_join_10x" -> (() => scaleJoin(10)),
       "scale_dedup_1x" -> (() => scaleDedup(1)), "scale_dedup_10x" -> (() => scaleDedup(10)),
       "scale_semdedup_1x" -> (() => scaleSemdedup(1)),
-      "scale_semdedup_10x" -> (() => scaleSemdedup(10)))
+      "scale_semdedup_10x" -> (() => scaleSemdedup(10)),
+      "scale_knn_1x" -> (() => scaleKnn(1)),
+      "scale_knn_10x" -> (() => scaleKnn(10)))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
         val pinShuffleJoin = name.startsWith("scale_join")
@@ -308,7 +319,7 @@ object Bench {
     // explosion. Checked after the JSON line so a tripped gate still
     // leaves the measurements on record.
     val byName = all.toMap
-    val tripped = Seq("agg", "join", "dedup", "semdedup").flatMap { k =>
+    val tripped = Seq("agg", "join", "dedup", "semdedup", "knn").flatMap { k =>
       if (!byName.contains(s"scale_${k}_1x")) None // filtered out (local iteration)
       else {
       val (t1x, t10x) = (byName(s"scale_${k}_1x"), byName(s"scale_${k}_10x"))
