@@ -482,6 +482,43 @@ object MetricsQueries {
                        ['A','N']))) AS uni,
                      list_sort(list_distinct(list_filter(flags,
                        x -> NOT list_contains(['A','N'], x)))) AS diff
-              FROM a"""))
+              FROM a""")),
+
+    "q_agg_array_intersect" -> Q(
+      // CH groupArrayIntersect(arr): the intersection of a group's
+      // arrays — elements present in EVERY member array. Relationally:
+      // explode to DISTINCT (grp, member, elem) thin rows, then an
+      // element is in the intersection iff its distinct-member count
+      // equals the group's member count — two hash aggregates + one
+      // broadcast-joined group total, no array ever crosses the
+      // shuffle whole. Groups = order priority, members = line
+      // numbers, arrays = the flags seen at that (priority, line) —
+      // member sets small enough that the intersection is non-empty
+      // at every SF.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("grp"), col("l_linenumber").as("m"),
+            col("l_returnflag").as("e"))
+        val triples = li.distinct()
+        val members = triples.select("grp", "m").distinct()
+          .groupBy("grp").agg(count(lit(1)).as("n_members"))
+        triples.groupBy("grp", "e").agg(countDistinct("m").as("n_with"))
+          .join(broadcast(members), "grp")
+          .filter(col("n_with") === col("n_members"))
+          .groupBy("grp")
+          .agg(sort_array(collect_list(col("e"))).as("common"))
+      },
+      Some("""WITH t AS (SELECT DISTINCT o_orderpriority AS grp,
+                       l_linenumber AS m, l_returnflag AS e
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              members AS (SELECT grp, count(DISTINCT m) AS n_members
+                     FROM t GROUP BY 1)
+              SELECT grp, list_sort(list(e)) AS common
+              FROM (SELECT grp, e, count(DISTINCT m) AS n_with
+                    FROM t GROUP BY 1, 2) c
+              JOIN members USING (grp)
+              WHERE n_with = n_members
+              GROUP BY grp"""))
   )
 }
