@@ -251,7 +251,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("funnel_agg"),
       new ExpressionInfo(classOf[FunnelAgg].getName, "funnel_agg"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 4, "funnel_agg takes (ts, level, window, steps)")
+        require(children.length == 4 || children.length == 5,
+          "funnel_agg takes (ts, level, window, steps[, mode])")
         def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Long =
           e match {
             case l if l.foldable && (l.dataType == org.apache.spark.sql.types.IntegerType ||
@@ -260,8 +261,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             case other => throw new IllegalArgumentException(
               s"funnel_agg $what must be an integer literal, got $other")
           }
+        val strict = children.lift(4).map {
+          case m if m.foldable && m.dataType == org.apache.spark.sql.types.StringType =>
+            m.eval().toString match {
+              case "strict_increase" => true
+              case "base" => false
+              case other => throw new IllegalArgumentException(
+                s"funnel_agg mode must be 'base' or 'strict_increase', got '$other'")
+            }
+          case other => throw new IllegalArgumentException(
+            s"funnel_agg mode must be a string literal, got $other")
+        }.getOrElse(false)
         FunnelAgg(children.head, children(1),
-          lit(children(2), "window"), lit(children(3), "steps").toInt)
+          lit(children(2), "window"), lit(children(3), "steps").toInt,
+          strictIncrease = strict)
       }))
 
     // Spark's own runtime-filter bloom expressions (catalyst classes

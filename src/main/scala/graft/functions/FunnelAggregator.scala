@@ -36,6 +36,7 @@ case class FunnelAgg(
     level: Expression,
     windowSpan: Long,
     steps: Int,
+    strictIncrease: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[Long]] with BinaryLike[Expression] {
@@ -88,6 +89,7 @@ case class FunnelAgg(
     // partitioning of the input
     val idx = Array.range(0, n)
     val sorted = idx.sortBy(i => (buffer(2 * i), buffer(2 * i + 1)))
+    if (strictIncrease) return evalStrictIncrease(buffer, sorted)
     val chainStart = Array.fill(steps)(Long.MinValue)
     var best = 0
     var k = 0
@@ -100,6 +102,64 @@ case class FunnelAgg(
       } else if (chainStart(lv - 1) != Long.MinValue && t <= chainStart(lv - 1) + windowSpan) {
         chainStart(lv) = chainStart(lv - 1) // the chain's step-0 time propagates
         if (best < lv + 1) best = lv + 1
+      }
+      k += 1
+    }
+    best
+  }
+
+  /**
+   * strict_increase mode: the result is the deepest L such that a
+   * chain e_0 < e_1 < … < e_{L-1} exists with STRICTLY increasing
+   * timestamps, lvl(e_i) = i, and every step within `windowSpan` of
+   * its chain's e_0 — the declarative semantics of CH's
+   * 'strict_increase' option. A single latest-start slot per level is
+   * NOT enough here (the latest chain may share the current event's
+   * timestamp and fail strictness while an earlier one qualifies), so
+   * each level keeps its reached-chains as (lastTs ascending,
+   * prefix-max start): the best predecessor for an event at time t is
+   * the max start among chains with lastTs < t — binary search on the
+   * ascending lastTs list. Exchange argument for optimality: chains
+   * at a level are fully described by (lastTs, start), the current
+   * event fixes lastTs = t for any extension, and a larger start only
+   * loosens every future deadline — so extending the max-start
+   * eligible chain dominates all alternatives.
+   */
+  private def evalStrictIncrease(buffer: ArrayBuffer[Long], sorted: Array[Int]): Int = {
+    val lastTs = Array.fill(steps)(new ArrayBuffer[Long]())
+    val maxStart = Array.fill(steps)(new ArrayBuffer[Long]())
+    def append(lv: Int, t: Long, start: Long): Unit = {
+      val prev = if (maxStart(lv).isEmpty) Long.MinValue else maxStart(lv).last
+      lastTs(lv) += t
+      maxStart(lv) += math.max(prev, start)
+    }
+    // rightmost entry with lastTs < t (lastTs is ascending by
+    // construction: events are processed in ts order)
+    def bestStartBefore(lv: Int, t: Long): Long = {
+      val arr = lastTs(lv)
+      var lo = 0
+      var hi = arr.length // first index with lastTs >= t
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) < t) lo = mid + 1 else hi = mid
+      }
+      if (lo == 0) Long.MinValue else maxStart(lv)(lo - 1)
+    }
+    var best = 0
+    var k = 0
+    val n = sorted.length
+    while (k < n && best < steps) {
+      val t = buffer(2 * sorted(k))
+      val lv = buffer(2 * sorted(k) + 1).toInt
+      if (lv == 0) {
+        append(0, t, t)
+        if (best < 1) best = 1
+      } else if (lastTs(lv - 1).nonEmpty) {
+        val start = bestStartBefore(lv - 1, t)
+        if (start != Long.MinValue && t <= start + windowSpan) {
+          append(lv, t, start)
+          if (best < lv + 1) best = lv + 1
+        }
       }
       k += 1
     }

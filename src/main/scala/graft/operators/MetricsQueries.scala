@@ -519,6 +519,61 @@ object MetricsQueries {
                     FROM t GROUP BY 1, 2) c
               JOIN members USING (grp)
               WHERE n_with = n_members
-              GROUP BY grp"""))
+              GROUP BY grp""")),
+
+    "q_funnel_strict" -> Q(
+      // CH windowFunnel(window, 'strict_increase'): chain timestamps
+      // must STRICTLY increase. Funnel times are minute-truncated so
+      // same-minute collisions actually exist and the mode's verdict
+      // differs from base on this data (FunnelAggSpec asserts the
+      // difference). The aggregate keeps per level (lastTs ascending,
+      // prefix-max chain start) so an equal-timestamp latest chain
+      // can't shadow an earlier qualifying one — see
+      // FunnelAggregator.evalStrictIncrease. Oracle: the strict-<
+      // EXISTS chain, which the greedy pass provably equals.
+      (s, dir) => {
+        val lvl = when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .when(col("event_type") === "purchase", 2)
+          .otherwise(-1)
+        Q.events(s, dir)
+          .select(col("user_id"),
+            unix_micros(date_trunc("minute", col("ts").cast("timestamp")))
+              .as("tus"), lvl.as("lvl"))
+          .where(col("lvl") >= 0)
+          .groupBy("user_id")
+          .agg(call_function("funnel_agg", col("tus"), col("lvl"),
+            lit(3600L * 1000000L), lit(3), lit("strict_increase"))
+            .as("funnel_step"))
+          .groupBy("funnel_step")
+          .agg(count(lit(1)).as("users"))
+          .orderBy("funnel_step")
+      },
+      Some(s"""WITH e AS (SELECT user_id,
+                          date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ts,
+                          event_type
+                          FROM ${Q.eventsOracle}
+                          WHERE event_type IN ('view', 'click', 'purchase'))
+               SELECT funnel_step, count(*) AS users FROM (
+                 SELECT u.user_id,
+                   CASE WHEN EXISTS (SELECT 1 FROM e v, e c, e p
+                               WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+                                 AND p.user_id = u.user_id
+                                 AND v.event_type = 'view' AND c.event_type = 'click'
+                                 AND p.event_type = 'purchase'
+                                 AND v.ts < c.ts AND c.ts < p.ts
+                                 AND c.ts <= v.ts + INTERVAL 1 HOUR
+                                 AND p.ts <= v.ts + INTERVAL 1 HOUR) THEN 3
+                        WHEN EXISTS (SELECT 1 FROM e v, e c
+                               WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+                                 AND v.event_type = 'view' AND c.event_type = 'click'
+                                 AND v.ts < c.ts
+                                 AND c.ts <= v.ts + INTERVAL 1 HOUR) THEN 2
+                        WHEN EXISTS (SELECT 1 FROM e v
+                               WHERE v.user_id = u.user_id
+                                 AND v.event_type = 'view') THEN 1
+                        ELSE 0 END AS funnel_step
+                 FROM (SELECT DISTINCT user_id FROM e) u)
+               GROUP BY funnel_step ORDER BY funnel_step"""))
   )
 }
