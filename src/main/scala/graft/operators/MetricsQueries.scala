@@ -574,6 +574,48 @@ object MetricsQueries {
                                  AND v.event_type = 'view') THEN 1
                         ELSE 0 END AS funnel_step
                  FROM (SELECT DISTINCT user_id FROM e) u)
-               GROUP BY funnel_step ORDER BY funnel_step"""))
+               GROUP BY funnel_step ORDER BY funnel_step""")),
+
+    "q_fn_vector_norms" -> Q(
+      // CH L1Distance / L2Distance / LinfDistance between consecutive
+      // embedding vectors. INTEGER-EXACT regime: elements quantize to
+      // tenth-milli units first, so the element fold is integer
+      // arithmetic — accumulation order (Spark's sequential
+      // aggregate() vs DuckDB's unnest-row sum) cannot matter. The
+      // only float op is the final L2 sqrt over an exact integer,
+      // identical in both engines. Codegen'd zip_with/aggregate HOFs;
+      // the pairing join is a thin self-join on consecutive ids.
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 10000).cast("long")).as("q"))
+        val a = e.select(col("vec_id").as("id"), col("q").as("qa"))
+        val b = e.select((col("vec_id") - 7).as("id"), col("q").as("qb"))
+        a.join(b, "id")
+          .select(col("id"),
+            aggregate(zip_with(col("qa"), col("qb"), (x, y) => abs(x - y)),
+              lit(0L), (acc, x) => acc + x).as("l1"),
+            aggregate(zip_with(col("qa"), col("qb"),
+              (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+              .as("l2_sq"),
+            array_max(zip_with(col("qa"), col("qb"), (x, y) => abs(x - y)))
+              .as("linf"))
+          .withColumn("l2", round(sqrt(col("l2_sq")), 4))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+                     FROM embeddings WHERE vec_id % 7 = 0),
+              pairs AS (SELECT a.vec_id AS id, a.q AS qa, b.q AS qb
+                     FROM e a JOIN e b ON b.vec_id = a.vec_id + 7),
+              u AS (SELECT id, unnest(qa) AS xa, unnest(qb) AS xb FROM pairs)
+              SELECT id,
+                     CAST(sum(abs(xa - xb)) AS BIGINT) AS l1,
+                     CAST(sum((xa - xb) * (xa - xb)) AS BIGINT) AS l2_sq,
+                     CAST(max(abs(xa - xb)) AS BIGINT) AS linf,
+                     round(sqrt(CAST(sum((xa - xb) * (xa - xb)) AS BIGINT)), 4) AS l2
+              FROM u GROUP BY id"""))
   )
 }
