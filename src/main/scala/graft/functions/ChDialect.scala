@@ -460,8 +460,105 @@ object ChDialect {
       val h = Add(sin2half(Subtract(lat2, lat1)),
         Multiply(Multiply(Cos(lat1), Cos(lat2)), sin2half(Subtract(lon2, lon1))))
       Multiply(Literal(2.0d * 6371000.0d), Asin(Sqrt(Least(Seq(h, Literal(1.0d))))))
+    },
+
+    // ----- round-10 widening: morton keys, vector distances, rendering --
+    // CH mortonEncode(x, y): 32-bit Morton interleave of the low 16
+    // bits of each input (x even positions) — the magic-mask spread
+    // ladder as pure bit expressions (same layout as
+    // graft.functions.ZOrder, usable as a cluster key from SQL).
+    two("mortonEncode") { (x, y) =>
+      def spread(v: Expression): Expression =
+        Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+          .foldLeft(BitwiseAnd(Cast(v, LongType), Literal(0xFFFFL)): Expression) {
+            case (acc, (sh, m)) =>
+              BitwiseAnd(BitwiseOr(acc, ShiftLeft(acc, Literal(sh))), Literal(m))
+          }
+      BitwiseOr(spread(x), ShiftLeft(spread(y), Literal(1)))
+    },
+    // CH mortonDecode(2, code) → (x, y); the dimension count is fixed
+    // at 2 here so the spelling is mortonDecode(code)
+    one("mortonDecode") { z =>
+      def collapse(v: Expression): Expression =
+        Seq((1, 0x33333333L), (2, 0x0F0F0F0FL), (4, 0x00FF00FFL), (8, 0x0000FFFFL))
+          .foldLeft(BitwiseAnd(v, Literal(0x55555555L)): Expression) {
+            case (acc, (sh, m)) =>
+              BitwiseAnd(BitwiseOr(acc, ShiftRight(acc, Literal(sh))), Literal(m))
+          }
+      CreateStruct(Seq(collapse(Cast(z, LongType)),
+        collapse(ShiftRight(Cast(z, LongType), Literal(1)))))
+    },
+    // CH vector distances over Array columns — ZipWith/ArrayAggregate
+    // folds of SPARK'S OWN expressions (codegen'd, sequential
+    // accumulation in array order on every engine)
+    two("L1Distance") { (a, b) =>
+      sumDouble(absDiffs(a, b))
+    },
+    two("L2Distance") { (a, b) =>
+      val (x, y) = (lv("l2x"), lv("l2y"))
+      Sqrt(sumDouble(ZipWith(toDoubleArr(a), toDoubleArr(b),
+        LambdaFunction(Multiply(Subtract(x, y), Subtract(x, y)), Seq(x, y)))))
+    },
+    two("LinfDistance") { (a, b) => ArrayMax(absDiffs(a, b)) },
+    two("cosineDistance") { (a, b) =>
+      val (x, y) = (lv("cdx"), lv("cdy"))
+      def dot(u: Expression, v: Expression) =
+        sumDouble(ZipWith(toDoubleArr(u), toDoubleArr(v),
+          LambdaFunction(Multiply(lv("cdx"), lv("cdy")), Seq(lv("cdx"), lv("cdy")))))
+      Subtract(Literal(1.0d),
+        new Divide(dot(a, b), Multiply(Sqrt(dot(a, a)), Sqrt(dot(b, b)))))
+    },
+    // CH formatReadableSize / formatReadableQuantity: two-decimal unit
+    // rendering via PURE-INTEGER scaled div/mod + lpad (no float
+    // formatting — engines can't diverge on rounding mode)
+    one("formatReadableSize") { v0 =>
+      readableCase(v0, 1024L,
+        Seq(" B", " KiB", " MiB", " GiB", " TiB", " PiB"))
+    },
+    one("formatReadableQuantity") { v0 =>
+      readableCase(v0, 1000L,
+        Seq("", " thousand", " million", " billion", " trillion"))
     }
   )
+
+  /** Element-wise |a-b| as a double array. */
+  private def absDiffs(a: Expression, b: Expression): Expression = {
+    val (x, y) = (lv("adx"), lv("ady"))
+    ZipWith(toDoubleArr(a), toDoubleArr(b),
+      LambdaFunction(Abs(Subtract(x, y)), Seq(x, y)))
+  }
+
+  private def toDoubleArr(arr: Expression): Expression = {
+    val e = lv("tde")
+    ArrayTransform(arr, LambdaFunction(Cast(e, DoubleType), Seq(e)))
+  }
+
+  private def sumDouble(arr: Expression): Expression = {
+    val (acc, x) = (lv("sdacc"), lv("sdx"))
+    ArrayAggregate(arr, Literal(0.0d),
+      LambdaFunction(Add(acc, x), Seq(acc, x)), LambdaFunction.identity)
+  }
+
+  /** `whole.frac2 <unit>` ladder over powers of `base`: scaled =
+    * v·100 div base^k rendered as integer div/mod — deterministic to
+    * the digit on any engine. */
+  private def readableCase(v0: Expression, base: Long, units: Seq[String]): Expression = {
+    val v = Cast(v0, DoubleType)
+    def render(unit: Double, suffix: String): Expression = {
+      val scaled = Cast(new Divide(Multiply(v, Literal(100.0d)), Literal(unit)), LongType)
+      Concat(Seq(
+        Cast(new IntegralDivide(scaled, Literal(100L)), StringType), Literal("."),
+        StringLPad(Cast(Remainder(scaled, Literal(100L)), StringType),
+          Literal(2), Literal("0")),
+        Literal(suffix)))
+    }
+    val branches = units.zipWithIndex.init.map { case (u, i) =>
+      val unit = math.pow(base.toDouble, i)
+      (LessThan(v, Literal(unit * base)), render(unit, u))
+    }
+    CaseWhen(branches,
+      Some(render(math.pow(base.toDouble, units.length - 1), units.last)))
+  }
 
   private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
 

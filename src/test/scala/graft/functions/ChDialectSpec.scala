@@ -295,4 +295,32 @@ class ChDialectSpec extends AnyFunSuite {
     assert(q1("IPv4StringToNum('255.255.255.255')") == 4294967295L)
     assert(q1("IPv4StringToNum(IPv4NumToString(167772161))") == 167772161L) // round-trip
   }
+
+  test("round-10 widening: morton keys, vector distances, readable rendering") {
+    // published Morton bit pattern: (x=0b11, y=0b01) interleaves to 0b0111
+    assert(q1("mortonEncode(3, 1)") == 7L)
+    assert(q1("mortonEncode(65535, 0)") == 0x55555555L)
+    assert(q1("mortonEncode(0, 65535)") == 0xAAAAAAAAL)
+    // matches the ZOrder Column implementation bit-for-bit
+    assert(q1("mortonEncode(12345, 54321)") ==
+      graft.functions.ZOrder.interleave16Ref(12345L, 54321L))
+    val dec = q1("mortonDecode(mortonEncode(123, 456))")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(dec.getLong(0) == 123L && dec.getLong(1) == 456L)
+
+    assert(q1("L1Distance(array(1, 2, 3), array(4, 0, 3))") == 5.0d)
+    assert(q1("L2Distance(array(3, 0), array(0, 4))") == 5.0d)
+    assert(q1("LinfDistance(array(1, 2, 3), array(4, 0, 3))") == 3.0d)
+    // parallel vectors → distance 0; orthogonal → 1
+    assert(math.abs(q1("cosineDistance(array(1, 2), array(2, 4))")
+      .asInstanceOf[Double]) < 1e-12)
+    assert(math.abs(q1("cosineDistance(array(1, 0), array(0, 1))")
+      .asInstanceOf[Double] - 1.0d) < 1e-12)
+
+    assert(q1("formatReadableSize(123)") == "123.00 B")
+    assert(q1("formatReadableSize(1536)") == "1.50 KiB")
+    assert(q1("formatReadableSize(1073741824)") == "1.00 GiB")
+    assert(q1("formatReadableQuantity(1234000)") == "1.23 million")
+    assert(q1("formatReadableQuantity(10)") == "10.00")
+  }
 }
