@@ -616,6 +616,67 @@ object MetricsQueries {
                      CAST(sum((xa - xb) * (xa - xb)) AS BIGINT) AS l2_sq,
                      CAST(max(abs(xa - xb)) AS BIGINT) AS linf,
                      round(sqrt(CAST(sum((xa - xb) * (xa - xb)) AS BIGINT)), 4) AS l2
-              FROM u GROUP BY id"""))
+              FROM u GROUP BY id""")),
+
+    "q_agg_covar" -> Q(
+      // CH covarSamp / covarPop: both covariance forms per group from
+      // the same exact integer sums as q_agg_corr (cents quantization;
+      // Σx, Σy, Σxy as decimal(38,0) so any row count stays exact) —
+      // both engines evaluate the identical closed form, 4 dp.
+      (s, dir) => {
+        val rows = t(s, dir, "lineitem").select(col("l_returnflag"),
+          floor(col("l_quantity") * 100).cast("long").as("x"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        val sums = rows.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        val n = col("n").cast("double")
+        def d(c: String) = col(c).cast("double")
+        val cpop = d("sxy") / n - (d("sx") / n) * (d("sy") / n)
+        sums.select(col("l_returnflag"), col("n"),
+          round(cpop, 4).as("covar_pop"),
+          round(cpop * (n / (n - 1.0)), 4).as("covar_samp"))
+      },
+      Some("""WITH r AS (SELECT l_returnflag,
+                       CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+                     FROM lineitem),
+              s AS (SELECT l_returnflag, count(*) AS n,
+                       CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                       CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                       CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+                     FROM r GROUP BY 1)
+              SELECT l_returnflag, n,
+                     round(sxy / n - (sx / n) * (sy / n), 4) AS covar_pop,
+                     round((sxy / n - (sx / n) * (sy / n)) * (n / (n - 1.0)), 4)
+                       AS covar_samp
+              FROM s""")),
+
+    "q_window_dist" -> Q(
+      // percent_rank / cume_dist — the two distribution window
+      // functions completing the ranking family (rank/dense_rank/
+      // ntile shipped earlier). Deterministic: the order key
+      // (cents price, orderkey) is unique.
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("p"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") % 41 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            floor(col("o_totalprice") * 100).cast("long").as("p"))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+                     round(percent_rank() OVER w, 6) AS pr,
+                     round(cume_dist() OVER w, 6) AS cd
+              FROM (SELECT o_orderkey, o_orderpriority,
+                           CAST(floor(o_totalprice * 100) AS BIGINT) AS p
+                    FROM orders WHERE o_orderkey % 41 = 0)
+              WINDOW w AS (PARTITION BY o_orderpriority
+                           ORDER BY p, o_orderkey)"""))
   )
 }
