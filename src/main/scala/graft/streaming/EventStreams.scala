@@ -99,6 +99,70 @@ object EventStreams {
         col("c_ts"), col("v_ts"))
   }
 
+  /** Output of [[streamingAsof]]: a purchase paired with the latest
+    * at-or-before signup of the same user (µs epochs; signup −1 when
+    * none). */
+  final case class AsofMatch(user_id: Long, purchase_id: Long,
+      purchase_us: Long, signup_us: Long)
+
+  /** Per-user [[streamingAsof]] state: the latest FINALIZED signup
+    * time, plus events still ahead of the watermark (ts µs, event_id,
+    * isSignup). */
+  final case class AsofState(lastSignupUs: Long,
+      pending: List[(Long, Long, Boolean)])
+
+  /**
+   * STREAMING ASOF JOIN — the streaming half of `q_join_asof`: for
+   * every purchase, the same user's latest signup at-or-before it,
+   * over unbounded input. Spark has no stream-stream asof join, and
+   * the interval-join spelling can't express "latest before" (it
+   * would emit every view in range). flatMapGroupsWithState supplies
+   * the missing operator:
+   *
+   *  - events buffer per user until the WATERMARK passes them — the
+   *    event-time order a correct asof fold needs is only final below
+   *    the watermark (a late signup may still arrive above it);
+   *  - each invocation folds the newly-finalized events in (ts, kind)
+   *    order (signups first at ties, the batch key's inclusive-tie
+   *    contract), updating the running latest-signup and emitting one
+   *    row per purchase — EXACTLY the batch window fold, incremental;
+   *  - state per user = one long + the above-watermark tail, which
+   *    the watermark bounds; keyed by user_id it shuffles and scales
+   *    like any keyed aggregation. Matches the batch q_join_asof on
+   *    the same data once the watermark passes everything
+   *    (StreamingSpec pins the equivalence).
+   */
+  def streamingAsof(events: Dataset[Event])(implicit s: SparkSession): Dataset[AsofMatch] = {
+    import s.implicits._
+    events
+      .filter(e => e.event_type == "purchase" || e.event_type == "signup")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[AsofState]) =>
+          val st = state.getOption.getOrElse(AsofState(Long.MinValue, Nil))
+          val incoming = batch.map(e =>
+            (e.ts.getTime * 1000L, e.event_id, e.event_type == "signup")).toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) =
+            (st.pending ++ incoming).partition(_._1 <= wmUs)
+          var last = st.lastSignupUs
+          val out = ready.sortBy { case (t, id, isSignup) =>
+            (t, if (isSignup) 0 else 1, id)
+          }.flatMap { case (t, id, isSignup) =>
+            if (isSignup) { last = t; Nil }
+            else AsofMatch(userId, id, t,
+              if (last == Long.MinValue) -1L else last) :: Nil
+          }
+          state.update(AsofState(last, pending))
+          // wake this key when the watermark can finalize its tail
+          pending.map(_._1).minOption.foreach(t =>
+            state.setTimeoutTimestamp(t / 1000L + 1L))
+          out.iterator
+      }
+  }
+
   /** File-based streaming read of the harness events table (handles
     * both micros-timestamp and nanos-as-long parquet, like Q.events —
     * and like it, via an explicit schema rather than mutating the

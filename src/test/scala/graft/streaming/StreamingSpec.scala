@@ -325,4 +325,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(!kept.contains(3L), "duplicate content inside the watermark must be dropped")
     } finally q.stop()
   }
+
+  test("streaming asof: latest at-or-before signup per purchase, late data handled") {
+    implicit val ctx = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingAsof(input.toDS())
+      .writeStream.format("memory").queryName("asof_t").outputMode("append").start()
+    def us(m: String): Long = ts(m).getTime * 1000L
+    try {
+      input.addData(
+        Event(1, ts("00:05"), 1, "signup", 0.0),
+        Event(2, ts("00:10"), 1, "purchase", 5.0),
+        Event(3, ts("00:02"), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      // user 2's signup arrives LATE (a later micro-batch) but before
+      // the watermark passed its purchase — the buffer must reorder
+      input.addData(
+        Event(4, ts("00:01"), 2, "signup", 0.0),
+        Event(5, ts("00:12"), 1, "purchase", 2.0))
+      q.processAllAvailable()
+      // sentinel batches advance the watermark so earlier events finalize
+      Seq("02:00", "03:00", "03:10").zipWithIndex.foreach { case (m, i) =>
+        input.addData(Event(90L + i, ts(m), 9, "purchase", 0.0))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("asof_t")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val expected = Set(
+        (1L, 2L, us("00:10"), us("00:05")),
+        (1L, 5L, us("00:12"), us("00:05")),
+        (2L, 3L, us("00:02"), us("00:01")), // late signup still matched
+        (9L, 90L, us("02:00"), -1L))        // no signup → sentinel -1
+      assert(expected.subsetOf(rows), s"missing rows: ${expected -- rows}")
+      // nothing wrong was ever emitted, and above-watermark events held back
+      assert(rows.forall(r => expected.contains(r) || r._1 == 9L),
+        s"unexpected rows: ${rows -- expected}")
+      assert(!rows.exists(_._2 == 92L), "event above the watermark must stay pending")
+    } finally q.stop()
+  }
 }
