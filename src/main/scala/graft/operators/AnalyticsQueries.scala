@@ -480,6 +480,36 @@ object AnalyticsQueries {
               FROM ${Q.eventsOracle}
               WHERE NOT (ts < TIMESTAMP '2024-01-15 00:00:00')""")),
 
+    "q_engine_ttl_recompress" -> Q(
+      // `TTL ts ... RECOMPRESS CODEC(ZSTD)` — the storage-tiering
+      // companion of q_engine_ttl: provably-cold parts (zone maps
+      // prove every row before the cutoff) rewrite compressed, hot
+      // parts copy byte-identical, NO row is dropped. Gate: the
+      // recompressed table hash-equals the full source — content
+      // preservation is the whole contract; the codec/copy-through
+      // split is pinned in NativeTableOpsSpec.
+      (s, dir) => {
+        import graft.sources.native.NativeTableOps
+        val base = ScanQueries.fixtureDir(dir, "events_ttlrc_base")
+        val out = ScanQueries.fixtureDir(dir, "events_ttlrc_out")
+        val outP = new org.apache.hadoop.fs.Path(out)
+        outP.getFileSystem(s.sessionState.newHadoopConf()).delete(outP, true)
+        val ev = Q.events(s, dir).select(
+          col("event_id"),
+          coalesce(col("ts"), timestamp_micros(lit(0L)).cast("timestamp_ntz"))
+            .as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        ev.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+          .write.format("clickhouse_native").mode("overwrite").save(base)
+        NativeTableOps.applyTtlRecompress(s, base, out, "ts",
+          to_timestamp(lit("2024-01-15 00:00:00")).cast("timestamp_ntz"))
+        s.read.format("clickhouse_native").load(out)
+      },
+      Some(s"""SELECT event_id,
+                     COALESCE(ts, TIMESTAMP '1970-01-01 00:00:00') AS ts,
+                     user_id, event_type, value
+              FROM ${Q.eventsOracle}""")),
+
     "scan_parts_meta" -> Q(
       // CH `system.parts` over a native directory: per-part rows /
       // bytes / block counts / compression / indexed flag, answered

@@ -191,6 +191,95 @@ object NativeTableOps {
       rewritePaths.map(_.getName))
   }
 
+  /** Per-part outcome of [[applyTtlRecompress]]. */
+  final case class RecompressResult(recompressed: Seq[String], copied: Seq[String])
+
+  /**
+   * CH `TTL <tsCol> ... RECOMPRESS CODEC(...)`: parts the sidecar
+   * PROVES entirely older than `cutoff` rewrite with `codec` (the
+   * hot→cold storage-tiering move); younger or unprovable parts copy
+   * through byte-identical. Unlike TTL DELETE no row is dropped, so a
+   * nullable TTL column is fine — NULL rows ride along in whichever
+   * class their part falls (conservatively: a part is only "cold" if
+   * no block can satisfy `ts >= cutoff`, and NULL satisfies nothing).
+   * The rewrite is one distributed job over exactly the cold files;
+   * intra-file splits may re-partition a cold part's blocks, which
+   * changes part boundaries but never content.
+   */
+  def applyTtlRecompress(spark: SparkSession, srcDir: String, dstDir: String,
+      tsCol: String, cutoff: Column, codec: String = "zstd"): RecompressResult = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dst = new Path(dstDir)
+    val dstFs = dst.getFileSystem(conf)
+    require(!dstFs.exists(dst) || dstFs.listStatus(dst).isEmpty,
+      s"recompress target $dstDir must be empty — TTL writes beside the live table")
+    dstFs.mkdirs(dst)
+
+    val src = spark.read.format("clickhouse_native").load(srcDir)
+    require(src.columns.contains(tsCol), s"TTL column '$tsCol' not in table")
+    val liveFilters = pruningFilters(src, col(tsCol) >= cutoff)
+
+    val cold = Seq.newBuilder[Path]
+    val copied = Seq.newBuilder[String]
+    NativeIO.resolveFileStatuses(Seq(srcDir), conf).foreach { st =>
+      val p = st.getPath
+      val fs = p.getFileSystem(conf)
+      val entries = NativeIndex.read(fs, p, st.getLen)
+      val provablyCold = liveFilters.nonEmpty && entries.exists(es =>
+        !es.exists(e => NativeIndex.blockMayMatch(e.stats, liveFilters)))
+      if (provablyCold) cold += p
+      else {
+        FileUtil.copy(fs, p, dstFs, new Path(dst, p.getName), false, conf)
+        val sidecar = NativeIndex.sidecarPath(p)
+        if (fs.exists(sidecar))
+          FileUtil.copy(fs, sidecar, dstFs, new Path(dst, sidecar.getName),
+            false, conf)
+        copied += p.getName
+      }
+    }
+    val coldPaths = cold.result()
+    if (coldPaths.nonEmpty) {
+      spark.read.format("clickhouse_native")
+        .load(coldPaths.map(_.toString): _*)
+        .write.format("clickhouse_native").option("compression", codec)
+        .mode("append").save(dstDir)
+    }
+    RecompressResult(coldPaths.map(_.getName), copied.result())
+  }
+
+  /**
+   * CH `ALTER TABLE ... DETACH PART 'name'`: the part and its sidecar
+   * move into the `detached/` subdirectory — invisible to scans
+   * (directory listing is non-recursive) but still on disk for
+   * inspection or re-attach. Metadata-only: two renames, no data IO,
+   * at any part size.
+   */
+  def detachPart(spark: SparkSession, dir: String, partName: String): Unit =
+    movePart(spark, dir, partName, toDetached = true)
+
+  /** CH `ALTER TABLE ... ATTACH PART 'name'`: the inverse of
+    * [[detachPart]] — moves a part back from `detached/`. */
+  def attachPart(spark: SparkSession, dir: String, partName: String): Unit =
+    movePart(spark, dir, partName, toDetached = false)
+
+  private def movePart(spark: SparkSession, dir: String, partName: String,
+      toDetached: Boolean): Unit = {
+    require(!partName.contains("/"), s"part name must be bare: $partName")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val detached = new Path(root, "detached")
+    val (from, to) = if (toDetached) (root, detached) else (detached, root)
+    val data = new Path(from, partName)
+    require(fs.exists(data), s"part $partName not found under $from")
+    if (toDetached) fs.mkdirs(detached)
+    require(fs.rename(data, new Path(to, partName)),
+      s"rename failed for $partName")
+    val sidecar = NativeIndex.sidecarPath(data)
+    if (fs.exists(sidecar))
+      fs.rename(sidecar, NativeIndex.sidecarPath(new Path(to, partName)))
+  }
+
   /** `ALTER TABLE ... DELETE WHERE pred`: rows satisfying `pred` are
     * removed; rows where `pred` is false OR NULL survive (the SQL
     * WHERE contract). Result lands in `dstDir`. */

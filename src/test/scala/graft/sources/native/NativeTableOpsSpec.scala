@@ -192,6 +192,63 @@ class NativeTableOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be empty"))
   }
 
+  test("TTL RECOMPRESS rewrites only provably-cold parts, to the new codec") {
+    val src = tmp("ttlrc-src")
+    val dst = tmp("ttlrc-dst")
+    makeTimeTable(src)
+
+    val cutoff = timestamp_micros(lit(500L * 60L * 1000000L))
+      .cast("timestamp_ntz")
+    val res = NativeTableOps.applyTtlRecompress(spark, src, dst, "ts", cutoff)
+    assert(res.recompressed.length === 2, s"expected 2 cold parts, got $res")
+    assert(res.copied.length === 2, s"expected 2 hot copies, got $res")
+
+    // content identical, nothing dropped
+    val out = spark.read.format("clickhouse_native").load(dst)
+    assert(out.count() === 1000)
+    assert(out.agg(sum(col("id"))).head().getLong(0) === (0L until 1000L).sum)
+
+    // hot parts byte-identical; rewritten parts carry the zstd codec
+    val srcByName = partFiles(src).map(f => f.getName ->
+      java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath))).toMap
+    res.copied.foreach { n =>
+      val f = new java.io.File(dst, n)
+      assert(f.exists() && srcByName(n) ===
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath)))
+    }
+    val meta = NativeTableOps.partsMeta(spark, dst).collect()
+      .map(r => r.getAs[String]("part") -> r.getAs[String]("compression")).toMap
+    val rewritten = meta.keySet -- res.copied.toSet
+    assert(rewritten.nonEmpty)
+    rewritten.foreach(p => assert(meta(p) === "zstd", s"$p codec=${meta(p)}"))
+    res.copied.foreach(p => assert(meta(p) === "none", s"$p codec=${meta(p)}"))
+  }
+
+  test("DETACH hides a part from scans; ATTACH restores it with its sidecar") {
+    val dir = tmp("detach")
+    makeTable(dir)
+    val part = partFiles(dir).head.getName
+
+    NativeTableOps.detachPart(spark, dir, part)
+    val afterDetach = spark.read.format("clickhouse_native").load(dir)
+    assert(afterDetach.count() < 1000)
+    assert(new java.io.File(s"$dir/detached", part).exists())
+    // sidecar traveled with the part
+    val sidecarName = NativeIndex.sidecarPath(
+      new org.apache.hadoop.fs.Path(part)).getName
+    assert(new java.io.File(s"$dir/detached", sidecarName).exists())
+    assert(!new java.io.File(dir, sidecarName).exists())
+
+    NativeTableOps.attachPart(spark, dir, part)
+    assert(spark.read.format("clickhouse_native").load(dir).count() === 1000)
+    assert(new java.io.File(dir, sidecarName).exists())
+
+    val e = intercept[IllegalArgumentException] {
+      NativeTableOps.detachPart(spark, dir, "no_such_part.clickhouse")
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
   test("partsMeta reports sidecar-derived rows/blocks without opening data files") {
     val src = tmp("parts-meta")
     makeTable(src)
