@@ -480,6 +480,40 @@ object AnalyticsQueries {
               FROM ${Q.eventsOracle}
               WHERE NOT (ts < TIMESTAMP '2024-01-15 00:00:00')""")),
 
+    "q_engine_projection" -> Q(
+      // CH PROJECTIONS: the base events table lands time-clustered
+      // (zone maps prune ts); ADD PROJECTION by_user re-clusters a
+      // copy by user_id under projections/ (invisible to base scans,
+      // like CH's in-part projection storage). The read routes
+      // through NativeTableOps.readWithProjections, which counts
+      // admitted blocks per layout from sidecar METADATA and scans
+      // the layout that prunes the user_id predicate hardest — CH's
+      // optimize_use_projections move. Gate: the routed read
+      // hash-equals the plain SQL filter (routing can change IO,
+      // never results); the routing choice itself is pinned in
+      // NativeTableOpsSpec.
+      (s, dir) => {
+        import graft.sources.native.NativeTableOps
+        val base = ScanQueries.fixtureDir(dir, "events_projection")
+        val ev = Q.events(s, dir).select(
+          col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        ev.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+          .write.format("clickhouse_native").mode("overwrite").save(base)
+        NativeTableOps.addProjection(s, base, "by_user",
+          Seq("user_id", "ts"))
+        val (routed, _) = NativeTableOps.readWithProjections(s, base,
+          col("user_id").between(3, 9))
+        routed.groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100).cast("long")).as("val_cents"))
+      },
+      Some(s"""SELECT user_id, count(*) AS n,
+                     CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+              FROM ${Q.eventsOracle}
+              WHERE user_id BETWEEN 3 AND 9
+              GROUP BY user_id""")),
+
     "q_engine_ttl_recompress" -> Q(
       // `TTL ts ... RECOMPRESS CODEC(ZSTD)` — the storage-tiering
       // companion of q_engine_ttl: provably-cold parts (zone maps

@@ -367,6 +367,62 @@ object NativeTableOps {
    * (attribute-vs-literal comparisons and IN); everything else
    * conservatively drops out of pruning.
    */
+  /**
+   * CH PROJECTIONS re-expressed on this storage: an alternate
+   * physically-reordered copy of the table living under
+   * `<base>/projections/<name>/` — a subdirectory, so base scans never
+   * see it (listing is non-recursive), exactly like CH stores
+   * projection parts inside the part directory. `ADD PROJECTION ...
+   * (ORDER BY cols)` = re-cluster by `sortCols` so zone maps prune
+   * predicates on THOSE columns; the ingest-side analogue of an index.
+   */
+  def addProjection(spark: SparkSession, baseDir: String, name: String,
+      sortCols: Seq[String], numParts: Int = 4): String = {
+    require(name.matches("[A-Za-z0-9_]+"), s"projection name must be simple: $name")
+    val dst = s"$baseDir/projections/$name"
+    spark.read.format("clickhouse_native").load(baseDir)
+      .repartitionByRange(numParts, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.format("clickhouse_native").mode("overwrite").save(dst)
+    dst
+  }
+
+  /**
+   * Projection-aware read — CH's optimizer move
+   * (`optimize_use_projections`): translate the predicate to source
+   * filters, count the blocks each layout's zone-map sidecars ADMIT
+   * (a pure driver-side metadata pass, O(parts) per layout), and scan
+   * the layout that prunes hardest. The predicate is applied on top
+   * regardless, so a stale or missing projection can only cost IO,
+   * never correctness. Returns (dataframe, chosenDir).
+   */
+  def readWithProjections(spark: SparkSession, baseDir: String,
+      pred: Column): (DataFrame, String) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(conf)
+    val projRoot = new Path(base, "projections")
+    val layouts = baseDir +: (if (fs.exists(projRoot))
+      fs.listStatus(projRoot).filter(_.isDirectory)
+        .map(_.getPath.toString).toSeq.sorted
+    else Seq.empty)
+    val src = spark.read.format("clickhouse_native").load(baseDir)
+    val filters = pruningFilters(src, pred)
+    val chosen =
+      if (filters.isEmpty) baseDir
+      else layouts.minBy { dir =>
+        NativeIO.resolveFileStatuses(Seq(dir), conf).map { st =>
+          val p = st.getPath
+          NativeIndex.read(p.getFileSystem(conf), p, st.getLen) match {
+            case Some(entries) =>
+              entries.count(e => NativeIndex.blockMayMatch(e.stats, filters)).toLong
+            case None => 1000000L // unindexed: assume worst
+          }
+        }.sum
+      }
+    (spark.read.format("clickhouse_native").load(chosen).filter(pred), chosen)
+  }
+
   private def pruningFilters(src: DataFrame,
       pred: Column): Seq[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala

@@ -249,6 +249,31 @@ class NativeTableOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not found"))
   }
 
+  test("projections: reads route to the layout whose zone maps prune hardest") {
+    val dir = tmp("proj")
+    // base clustered by id → zone maps prune id, not grp
+    makeTable(dir)
+    NativeTableOps.addProjection(spark, dir, "by_grp", Seq("grp", "id"))
+
+    // a grp predicate picks the projection...
+    val (byGrp, chosenGrp) =
+      NativeTableOps.readWithProjections(spark, dir, col("grp") === 3)
+    assert(chosenGrp.contains("projections/by_grp"), chosenGrp)
+    // ...an id predicate stays on the base layout
+    val (byId, chosenId) =
+      NativeTableOps.readWithProjections(spark, dir, col("id") < 100)
+    assert(!chosenId.contains("projections"), chosenId)
+
+    // either route returns exactly the plain filter's rows
+    val base = spark.read.format("clickhouse_native").load(dir)
+    assert(byGrp.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      base.filter(col("grp") === 3).select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(byId.count() === 100)
+
+    // the projection subdirectory is invisible to plain scans
+    assert(base.count() === 1000)
+  }
+
   test("partsMeta reports sidecar-derived rows/blocks without opening data files") {
     val src = tmp("parts-meta")
     makeTable(src)
