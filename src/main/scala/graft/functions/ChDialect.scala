@@ -501,7 +501,6 @@ object ChDialect {
     },
     two("LinfDistance") { (a, b) => ArrayMax(absDiffs(a, b)) },
     two("cosineDistance") { (a, b) =>
-      val (x, y) = (lv("cdx"), lv("cdy"))
       def dot(u: Expression, v: Expression) =
         sumDouble(ZipWith(toDoubleArr(u), toDoubleArr(v),
           LambdaFunction(Multiply(lv("cdx"), lv("cdy")), Seq(lv("cdx"), lv("cdy")))))
