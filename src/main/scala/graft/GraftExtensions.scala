@@ -262,7 +262,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"funnel_agg $what must be an integer literal, got $other")
           }
         val strict = children.lift(4).map {
-          case m if m.foldable && m.dataType == org.apache.spark.sql.types.StringType =>
+          case m if m.foldable &&
+              m.dataType == org.apache.spark.sql.types.StringType &&
+              m.eval() != null =>
             m.eval().toString match {
               case "strict_increase" => true
               case "base" => false

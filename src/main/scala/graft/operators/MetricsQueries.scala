@@ -200,7 +200,7 @@ object MetricsQueries {
             .when(v < 1024L * 1024 * 1024, render(v, 1024L * 1024, " MiB"))
             .otherwise(render(v, 1024L * 1024 * 1024, " GiB"))
         def readableQuantity(v: Column): Column =
-          when(v < 1000L, v.cast("string"))
+          when(v < 1000L, render(v, 1L, ""))
             .when(v < 1000000L, render(v, 1000L, " thousand"))
             .when(v < 1000000000L, render(v, 1000000L, " million"))
             .otherwise(render(v, 1000000000L, " billion"))
@@ -224,7 +224,7 @@ object MetricsQueries {
                         WHEN v < ${1024L * 1024} THEN ${render(1024L, " KiB")}
                         WHEN v < ${1024L * 1024 * 1024} THEN ${render(1024L * 1024, " MiB")}
                         ELSE ${render(1024L * 1024 * 1024, " GiB")} END AS size_str,
-                   CASE WHEN v < 1000 THEN CAST(v AS VARCHAR)
+                   CASE WHEN v < 1000 THEN ${render(1L, "")}
                         WHEN v < 1000000 THEN ${render(1000L, " thousand")}
                         WHEN v < 1000000000 THEN ${render(1000000L, " million")}
                         ELSE ${render(1000000000L, " billion")} END AS qty_str
@@ -413,7 +413,11 @@ object MetricsQueries {
           .withColumn("f_us", first(sigUs, ignoreNulls = true).over(wf))
           .filter(col("event_type") === "purchase")
           .select(col("event_id"),
-            when(col("f_us").isNull, col("b_ts"))
+            // a NULL-ts purchase has no defined distance to anything:
+            // null match (mirrors the oracle, whose arg_min key is
+            // NULL for every candidate of such a row)
+            when(col("tus").isNull, lit(null).cast("timestamp_ntz"))
+              .when(col("f_us").isNull, col("b_ts"))
               .when(col("b_us").isNull, col("f_ts"))
               .when(col("tus") - col("b_us") <= col("f_us") - col("tus"),
                 col("b_ts"))

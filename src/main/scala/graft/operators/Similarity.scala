@@ -138,27 +138,31 @@ object Similarity {
     * table — broadcast-joined; nlist rows regardless of corpus size. */
   private def probeCells(queries: DataFrame, centroidDf: DataFrame,
       nprobe: Int): DataFrame = {
+    // q_norm computed ONCE PER QUERY, before the nprobe-way fan-out —
+    // probes carry it so scoring never recomputes it per cell or pair
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
     q.crossJoin(broadcast(centroidDf))
       .withColumn("dist", -cosine(col("q_emb"), col("centroid")))
       .withColumn("cell_rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
       .filter(col("cell_rank") <= nprobe)
-      .select("q_id", "q_emb", "cell")
+      .select("q_id", "q_emb", "q_norm", "cell")
   }
 
-  /** Flat (exact-cosine) scoring of probed cells → per-query top-k.
-    * Norms are hoisted to one column per VECTOR before the pair join
-    * (sqrt is deterministic per input, so `dot/(nₑ·n_q)` is
-    * bit-identical to the inline cosine while cutting the per-pair
-    * flops from 3 dot products to 1 — the pair count, not the vector
-    * count, is what explodes with cells·probes). */
-  private def flatTopK(cand: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+  /** Shared cell-join scoring + per-query top-k ranking. Norms are
+    * one column per VECTOR, computed before the pair join (sqrt is
+    * deterministic per input, so `dot/(nₑ·n_q)` is bit-identical to
+    * the inline cosine while cutting the per-pair flops from 3 dot
+    * products to 1 — the pair count, not the vector count, is what
+    * explodes with cells·probes). `broadcastProbes` distinguishes the
+    * small-query-set path from the corpus-vs-corpus kNN-graph path. */
+  private def scoreProbedCells(cand: DataFrame, probes: DataFrame, k: Int,
+      broadcastProbes: Boolean): DataFrame = {
     val candN = cand.withColumn("e_norm",
       sqrt(dotD(col("embedding"), col("embedding"))))
-    val probesN = probes.withColumn("q_norm",
-      sqrt(dotD(col("q_emb"), col("q_emb"))))
-    val scored = candN.join(broadcast(probesN), "cell")
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    val scored = candN.join(probeSide, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dotD(col("embedding"), col("q_emb"))
@@ -167,6 +171,10 @@ object Similarity {
     scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
       .filter(col("rn") <= k)
   }
+
+  /** Flat (exact-cosine) scoring of probed cells → per-query top-k. */
+  private def flatTopK(cand: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    scoreProbedCells(cand, probes, k, broadcastProbes = true)
 
   /**
    * Serve IVF top-k from a PERSISTED index: `cells` and `centroids`
@@ -212,21 +220,8 @@ object Similarity {
       nprobe: Int = 4, trainFraction: Double = 1.0): DataFrame = {
     val (cand, centroidDf) = buildIvfIndex(corpus, nlist, trainFraction)
     val probes = probeCells(corpus, centroidDf, nprobe)
-    // norms hoisted to one column per VECTOR before the pair join —
-    // bit-identical to inline cosine (sqrt is deterministic per
-    // input), 1 dot product per pair instead of 3
-    val candN = cand.withColumn("e_norm",
-      sqrt(dotD(col("embedding"), col("embedding"))))
-    val probesN = probes.withColumn("q_norm",
-      sqrt(dotD(col("q_emb"), col("q_emb"))))
-    val scored = candN.join(probesN, "cell") // both sides corpus-scale: shuffle on cell, no broadcast
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(dotD(col("embedding"), col("q_emb"))
-          / (col("e_norm") * col("q_norm")), 4).as("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
-      .filter(col("rn") <= k)
+    // both sides corpus-scale: shuffle on cell, no broadcast
+    scoreProbedCells(cand, probes, k, broadcastProbes = false)
   }
 
   /**

@@ -182,10 +182,13 @@ object NativeTableOps {
 
     val rewritePaths = rewrite.result()
     if (rewritePaths.nonEmpty) {
-      spark.read.format("clickhouse_native")
+      val w = spark.read.format("clickhouse_native")
         .load(rewritePaths.map(_.toString): _*)
         .filter(!coalesce(expiredPred, lit(false)))
-        .write.format("clickhouse_native").mode("append").save(dstDir)
+        .write.format("clickhouse_native")
+      declaredCodec(spark, rewritePaths)
+        .fold(w)(c => w.option("compression", c))
+        .mode("append").save(dstDir)
     }
     TtlResult(dropped.result(), copied.result(),
       rewritePaths.map(_.getName))
@@ -352,7 +355,10 @@ object NativeTableOps {
           }
           adf.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*)
         }
-      out.write.format("clickhouse_native").mode("append").save(dstDir)
+      val w = out.write.format("clickhouse_native")
+      declaredCodec(spark, affected.map(_.getPath).toSeq)
+        .fold(w)(c => w.option("compression", c))
+        .mode("append").save(dstDir)
     }
     spark.read.format("clickhouse_native").load(dstDir)
   }
@@ -379,22 +385,64 @@ object NativeTableOps {
   def addProjection(spark: SparkSession, baseDir: String, name: String,
       sortCols: Seq[String], numParts: Int = 4): String = {
     require(name.matches("[A-Za-z0-9_]+"), s"projection name must be simple: $name")
+    val conf = spark.sessionState.newHadoopConf()
     val dst = s"$baseDir/projections/$name"
     spark.read.format("clickhouse_native").load(baseDir)
       .repartitionByRange(numParts, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.format("clickhouse_native").mode("overwrite").save(dst)
+    // manifest of the base parts this projection reflects — parts are
+    // immutable, so name-set equality IS freshness (see
+    // readWithProjections); written last, so a crashed build leaves an
+    // unusable (manifest-less) projection, never a wrong one
+    val fs = new Path(dst).getFileSystem(conf)
+    val out = fs.create(new Path(dst, ManifestName), true)
+    try out.write(basePartNames(spark, baseDir).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     dst
   }
+
+  private val ManifestName = "_base_manifest"
+
+  /** The codec a rewrite should preserve: the common declared
+    * compression of the parts being rewritten (sidecar metadata), or
+    * None when they disagree / declare none — copied-through parts
+    * keep their codec byte-identically, so without this the rewritten
+    * fraction would silently decay a compressed table's storage tier
+    * on every maintenance cycle. */
+  private def declaredCodec(spark: SparkSession, paths: Seq[Path]): Option[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val codecs = paths.map { p =>
+      val fs = p.getFileSystem(conf)
+      try NativeIndex.readWithMeta(fs, p, fs.getFileStatus(p).getLen)
+        .flatMap(_._2.get("compression")).getOrElse("none")
+      catch { case _: java.io.IOException => "none" }
+    }.distinct
+    codecs match {
+      case Seq(c) if c != "none" => Some(c)
+      case _ => None
+    }
+  }
+
+  private def basePartNames(spark: SparkSession, baseDir: String): Seq[String] =
+    NativeIO.resolveFileStatuses(Seq(baseDir),
+      spark.sessionState.newHadoopConf()).map(_.getPath.getName).sorted
 
   /**
    * Projection-aware read — CH's optimizer move
    * (`optimize_use_projections`): translate the predicate to source
    * filters, count the blocks each layout's zone-map sidecars ADMIT
    * (a pure driver-side metadata pass, O(parts) per layout), and scan
-   * the layout that prunes hardest. The predicate is applied on top
-   * regardless, so a stale or missing projection can only cost IO,
-   * never correctness. Returns (dataframe, chosenDir).
+   * the layout that prunes hardest. Only FRESH projections are
+   * candidates: each projection records the base part-name set it was
+   * built from (parts are immutable, so name-set equality is
+   * freshness), and a projection whose manifest no longer matches the
+   * base — rows appended since the build — is skipped, because its
+   * copy is missing those rows and no amount of predicate re-applying
+   * can restore them. On the chosen layout the predicate is applied
+   * on top regardless, so zone-map false positives cost IO, never
+   * correctness. Returns (dataframe, chosenDir).
    */
   def readWithProjections(spark: SparkSession, baseDir: String,
       pred: Column): (DataFrame, String) = {
@@ -402,9 +450,21 @@ object NativeTableOps {
     val base = new Path(baseDir)
     val fs = base.getFileSystem(conf)
     val projRoot = new Path(base, "projections")
+    val baseParts = basePartNames(spark, baseDir)
+    def fresh(dir: String): Boolean = {
+      val m = new Path(dir, ManifestName)
+      fs.exists(m) && {
+        val in = fs.open(m)
+        val recorded =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+          finally { in.close() }
+        recorded.filter(_.nonEmpty).sorted == baseParts
+      }
+    }
     val layouts = baseDir +: (if (fs.exists(projRoot))
       fs.listStatus(projRoot).filter(_.isDirectory)
-        .map(_.getPath.toString).toSeq.sorted
+        .map(_.getPath.toString).toSeq.sorted.filter(fresh)
     else Seq.empty)
     val src = spark.read.format("clickhouse_native").load(baseDir)
     val filters = pruningFilters(src, pred)

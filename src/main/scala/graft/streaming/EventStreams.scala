@@ -142,11 +142,19 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[AsofState]) =>
           val st = state.getOption.getOrElse(AsofState(Long.MinValue, Nil))
+          // full µs precision: Timestamp.getTime is ms-truncated; the
+          // sub-ms part lives in getNanos (batch q_join_asof uses
+          // unix_micros, and the equivalence claim needs the same key)
+          def us(t: java.sql.Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           val incoming = batch.map(e =>
-            (e.ts.getTime * 1000L, e.event_id, e.event_type == "signup")).toList
+            (us(e.ts), e.event_id, e.event_type == "signup")).toList
           val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // finalize STRICTLY below the watermark: Spark admits late
+          // rows with eventTime == watermark, so an equal-timestamp
+          // event may still arrive and must find its peers unfolded
           val (ready, pending) =
-            (st.pending ++ incoming).partition(_._1 <= wmUs)
+            (st.pending ++ incoming).partition(_._1 < wmUs)
           var last = st.lastSignupUs
           val out = ready.sortBy { case (t, id, isSignup) =>
             (t, if (isSignup) 0 else 1, id)

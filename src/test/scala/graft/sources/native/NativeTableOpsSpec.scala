@@ -272,6 +272,50 @@ class NativeTableOpsSpec extends AnyFunSuite {
 
     // the projection subdirectory is invisible to plain scans
     assert(base.count() === 1000)
+
+    // STALENESS: rows appended after the projection build make its
+    // copy incomplete — the read must skip it (the manifest's part
+    // set no longer matches) and return the appended rows too
+    import spark.implicits._
+    Seq((5000L, "late_row", 3)).toDF("id", "name", "grp")
+      .write.format("clickhouse_native").mode("append").save(dir)
+    val (afterAppend, chosenStale) =
+      NativeTableOps.readWithProjections(spark, dir, col("grp") === 3)
+    assert(!chosenStale.contains("projections"),
+      s"stale projection must not be chosen: $chosenStale")
+    assert(afterAppend.filter(col("id") === 5000L).count() === 1,
+      "appended row must be visible")
+
+    // rebuilding refreshes the manifest and re-enables routing
+    NativeTableOps.addProjection(spark, dir, "by_grp", Seq("grp", "id"))
+    val (_, chosenFresh) =
+      NativeTableOps.readWithProjections(spark, dir, col("grp") === 3)
+    assert(chosenFresh.contains("projections/by_grp"), chosenFresh)
+  }
+
+  test("TTL boundary rewrite preserves the table's compression codec") {
+    import spark.implicits._
+    val src = tmp("ttl-codec-src")
+    val dst = tmp("ttl-codec-dst")
+    (0 until 1000).map(i => (i.toLong, i % 7))
+      .toDF("id", "grp")
+      .select(col("id"),
+        timestamp_micros(col("id") * 60L * 1000000L)
+          .cast("timestamp_ntz").as("ts"), col("grp"))
+      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.format("clickhouse_native").option("compression", "zstd")
+      .mode("overwrite").save(src)
+
+    val cutoff = timestamp_micros(lit(300L * 60L * 1000000L))
+      .cast("timestamp_ntz")
+    val res = NativeTableOps.applyTtl(spark, src, dst, "ts", cutoff)
+    assert(res.rewritten.nonEmpty)
+    // every surviving part — copied AND rewritten — declares zstd
+    val meta = NativeTableOps.partsMeta(spark, dst).collect()
+      .map(r => r.getAs[String]("part") -> r.getAs[String]("compression"))
+    assert(meta.nonEmpty)
+    meta.foreach { case (p, c) => assert(c === "zstd", s"$p codec=$c") }
+    assert(spark.read.format("clickhouse_native").load(dst).count() === 700)
   }
 
   test("partsMeta reports sidecar-derived rows/blocks without opening data files") {
