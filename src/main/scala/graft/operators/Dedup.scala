@@ -334,6 +334,81 @@ object Dedup {
   }
 
   /**
+   * EXACT n-gram CONTAINMENT pairs via one-sided prefix filtering —
+   * the asymmetric complement of [[ngramPairsExact]]: flags documents
+   * whose shingle set is (near-)contained in another document's,
+   * `C(A,B) = |A∩B| / |A| >= θ`, the screen for quotes, snippets and
+   * boilerplate fragments that Jaccard misses when the containing
+   * document is much longer (J = |A∩B|/|A∪B| shrinks with |B| while
+   * containment does not).
+   *
+   * Candidate recall is provably 1.0: |A∩B| >= ⌈θ·|A|⌉ means at least
+   * ⌈θ·|A|⌉ of A's elements match, so under ANY total order at least
+   * one match sits within A's first |A| − ⌈θ·|A|⌉ + 1 elements — the
+   * containee side joins only that prefix; the containER side must
+   * offer its FULL set (any of B's elements can be the witness — the
+   * asymmetry of the operator). The order is the same global-df
+   * rare-first order ngramPairsExact uses, so corpus-wide stop
+   * shingles sink out of containee prefixes and hot buckets pair a
+   * near-empty prefix side against the full side — candidates stay
+   * O(Σ_g prefixDf(g)·df(g)), not O(N²). The df=1 key drop and the
+   * PPJoin positional bound (valid for any common element, demanded
+   * against ⌈θ·n_a⌉) both carry over unchanged; the necessary size
+   * condition min(n_a,n_b) >= θ·n_a prunes pairs whose container is
+   * too small to hold the required overlap.
+   *
+   * @return (id_a, id_b, containment) — id_a's shingles θ-contained in
+   *         id_b's, id_a != id_b (directed: both directions can hold),
+   *         containment rounded to 4dp, over non-empty shingle sets
+   */
+  def containmentPairsExact(df: DataFrame, idCol: String, textCol: String,
+      theta: Double, shingleN: Int = 3): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta=$theta outside (0, 1]")
+    val shingled = shingledOf(df, idCol, textCol, shingleN)
+    val ex = shingled.select(col("id"), explode(col("sh")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, "g")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("dg"))
+    // +2 (not the theoretical +1) for the same ceil-ulp guard
+    // ngramCandidatesAndArrays documents
+    val prefixLen = (size(col("dg"))
+      - ceil(lit(theta) * size(col("dg"))).cast("int") + 2)
+    def keysOf(sliceLen: Option[Column]) = ordered
+      .select(col("id"), size(col("dg")).as("n"),
+        posexplode(sliceLen.map(l => slice(col("dg"), lit(1), l))
+          .getOrElse(col("dg"))).as(Seq("p0", "dg")))
+      .filter(col("dg.df") > 1)
+      .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("dg.g").as("g"))
+    val aKeys = keysOf(Some(prefixLen))
+    val bKeys = keysOf(None)
+    val minOverlap = ceil(lit(theta) * col("n_a"))
+    val cand = aKeys.select(col("g"), col("id").as("id_a"),
+        col("n").as("n_a"), col("p").as("p_a"))
+      .join(bKeys.select(col("g").as("g_b"), col("id").as("id_b"),
+          col("n").as("n_b"), col("p").as("p_b")),
+        col("g") === col("g_b") && col("id_a") =!= col("id_b") &&
+          // container must be large enough to hold the overlap; same
+          // ulp slack discipline as the Jaccard form
+          least(col("n_a"), col("n_b")).cast("double") >=
+            lit(theta) * col("n_a") - lit(1e-6) &&
+          // positional overlap upper bound (valid for ANY common element)
+          (least(col("p_a"), col("p_b"))
+            + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
+            .cast("double") >= minOverlap - lit(1e-6))
+      .select("id_a", "id_b").distinct()
+    val arrays = ordered.select(col("id"),
+      transform(col("dg"), x => x.getField("g")).as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    cand
+      .join(arrays.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(arrays.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("containment", inter / size(col("sh_a")))
+      .filter(col("containment") >= theta)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, the 100-TB path: multi-table
    * sign-random-projection LSH generates candidates (equi-join on
    * (table, bucket) — the corpus shuffles once per table, never an

@@ -169,6 +169,39 @@ object LlmQueries {
    * the IVF and LSH keys (which are provably result-identical to brute
    * force — see the key comments).
    */
+  /** Integer-regime BM25 over `documents` for query {dup, merge,
+    * window} — shared by q_bm25_topk (direct) and q_bm25_index_persist
+    * (served from the persisted inverted index), which are provably
+    * result-identical. All arithmetic is BIGINT floor division
+    * (DuckDB `//` ≡ Spark `div` on the all-positive operands). */
+  private val bm25Sql =
+    """WITH toks AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(text), '[^a-z0-9]+'),
+              w -> w <> '') AS ws FROM documents),
+       nz AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
+            FROM toks WHERE len(ws) > 0),
+       stats AS (SELECT count(*) AS n_docs,
+                (sum(dl) * 1000) // count(*) AS avgdl_milli FROM nz),
+       tf AS (SELECT doc_id, dl, term, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(ws) AS term FROM nz)
+            WHERE term IN ('dup', 'merge', 'window')
+            GROUP BY doc_id, dl, term),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       sc AS (SELECT tf.doc_id,
+                ((n_docs * 1000) // df) *
+                  ((tf.tf * 2200 * 1000) //
+                   (tf.tf * 1000 +
+                    (1200 * (250 + (750 * dl * 1000) // avgdl_milli)) // 1000))
+                  AS part_micro
+              FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+       agg AS (SELECT doc_id, count(*) AS n_terms_hit,
+                CAST(sum(part_micro) AS BIGINT) AS bm25_micro
+              FROM sc GROUP BY doc_id)
+       SELECT doc_id, n_terms_hit, bm25_micro,
+              CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id)
+                AS INTEGER) AS rank
+       FROM agg QUALIFY rank <= 10"""
+
   private val bruteForceTopKSql =
     """WITH q AS (SELECT vec_id AS q_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd
@@ -485,6 +518,56 @@ object LlmQueries {
               FROM ne a JOIN ne b ON a.doc_id < b.doc_id
               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2""")),
+
+    "q_dedup_containment" -> Q(
+      // EXACT shingle-CONTAINMENT pairs (Dedup.containmentPairsExact):
+      // the asymmetric dedup screen — |A∩B|/|A| >= 0.9 flags snippets,
+      // quotes and boilerplate fragments whose Jaccard against a much
+      // longer container stays low. One-sided prefix filtering keeps
+      // recall provably 1.0 (containee prefix × container full set),
+      // so exact verify ⇒ exact operator ⇒ SQL-oracle-able. The corpus
+      // has no natural containments, so the gate derives them: every
+      // 10th document contributes a prefix snippet (first ⌈0.6·n⌉
+      // tokens, id-shifted) whose shingle set is a strict subset of
+      // its source's — the pairs the operator must find, plus any
+      // incidental ones both engines compute identically.
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+        val snips = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), ws.as("ws"))
+          .filter(size(col("ws")) > 0)
+          .select(col("doc_id"),
+            array_join(slice(col("ws"), lit(1),
+              ceil(size(col("ws")) * lit(0.6)).cast("int")), " ").as("text"))
+        Dedup.containmentPairsExact(docs.unionByName(snips),
+          "doc_id", "text", theta = 0.9, shingleN = 3)
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+              bt AS (SELECT doc_id, list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w <> '') AS ws FROM base),
+              snip AS (SELECT doc_id + 1000000 AS doc_id,
+                       array_to_string(ws[1:CAST(ceil(0.6 * len(ws)) AS INT)], ' ') AS text
+                     FROM bt WHERE doc_id % 10 = 0 AND len(ws) > 0),
+              corpus AS (SELECT doc_id, text FROM base
+                         UNION ALL SELECT doc_id, text FROM snip),
+              toks AS (SELECT doc_id, list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w <> '') AS ws FROM corpus),
+              sh AS (SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN []
+                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                                 i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS s
+                   FROM toks),
+              ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0)
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 4)
+                       AS containment
+              FROM ne a JOIN ne b ON a.doc_id != b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.9""")),
 
     "q_dedup_embedding" -> Q(
       // embedding-cosine near-dup via multi-table SRP-LSH + exact cosine
@@ -1389,6 +1472,165 @@ object LlmQueries {
                        AS INTEGER) AS rank
                    FROM tf JOIN dfreq USING (term))
               SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3""")),
+
+    "q_bm25_topk" -> Q(
+      // BM25 retrieval (TextPipeline.bm25TopK) — the lexical ranking
+      // behind corpus search / RAG: query {dup, merge, window} (one
+      // rare term, two common — both idf regimes exercised), k1=1.2,
+      // b=0.75, ALL-INTEGER scoring (linear idf ×1000, milli-scaled
+      // length norm, floor division throughout) so the scores and the
+      // ranking are engine-exact — the same no-libm discipline as
+      // q_lm_perplexity. The oracle replays the identical integer
+      // arithmetic with DuckDB's // floor division (all operands
+      // positive, so Spark's truncating div agrees).
+      (s, dir) => TextPipeline.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", Seq("dup", "merge", "window"), k = 10),
+      Some(bm25Sql)),
+
+    "q_bm25_index_persist" -> Q(
+      // build-once-serve-many lexical retrieval — the IVF-persist
+      // pattern's text twin: TextPipeline.buildTextIndex writes the
+      // inverted-index artifact (term-SORTED postings, dict, corpus
+      // stats) to NATIVE tables; TextPipeline.serveBm25 answers the
+      // query from the persisted tables alone — no tokenization, no
+      // corpus pass, at serve time, with the query-term filter pushed
+      // to the postings scan where the term-clustered layout's zone
+      // maps skip non-matching blocks (a search engine's posting-list
+      // seek as filter pushdown). Scoring is the same integer regime,
+      // so the oracle is q_bm25_topk's — which also pins the
+      // string+long posting columns through the native write→read
+      // roundtrip.
+      (s, dir) => {
+        val fxPost = ScanQueries.fixtureDir(dir, "bm25_postings")
+        val fxDict = ScanQueries.fixtureDir(dir, "bm25_dict")
+        val fxStats = ScanQueries.fixtureDir(dir, "bm25_stats")
+        val (postings, dict, stats) = TextPipeline.buildTextIndex(
+          t(s, dir, "documents"), "doc_id", "text")
+        postings.write.format("clickhouse_native").mode("overwrite").save(fxPost)
+        dict.write.format("clickhouse_native").mode("overwrite").save(fxDict)
+        stats.write.format("clickhouse_native").mode("overwrite").save(fxStats)
+        TextPipeline.serveBm25(
+          s.read.format("clickhouse_native").load(fxPost),
+          s.read.format("clickhouse_native").load(fxDict),
+          s.read.format("clickhouse_native").load(fxStats),
+          Seq("dup", "merge", "window"), k = 10)
+      },
+      Some(bm25Sql)),
+
+    "q_rank_fusion" -> Q(
+      // hybrid retrieval via reciprocal-rank fusion
+      // (TextPipeline.rrfFuse): the lexical BM25 top-50 (same integer
+      // regime as q_bm25_topk) fused with the semantic cosine top-50
+      // against query vector 0 (same 4dp-rounded ranking the
+      // oracle-green q_sim_cosine_topk pins) — documents and
+      // embeddings share ids in the harness data, the RAG-stack
+      // shape. RRF contribution is 1000000 div (60 + rank), floor
+      // division, so the fused score is a long both engines compute
+      // identically; items absent from a list contribute 0.
+      (s, dir) => {
+        val lex = TextPipeline.bm25TopK(t(s, dir, "documents"),
+          "doc_id", "text", Seq("dup", "merge", "window"), k = 50)
+          .select(col("doc_id"), col("rank"))
+        val emb = t(s, dir, "embeddings")
+        val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 50)
+          .select(col("vec_id"), col("rn"))
+        TextPipeline.rrfFuse(lex, sem, k = 10)
+      },
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w <> '') AS ws FROM documents),
+              nz AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
+                   FROM toks WHERE len(ws) > 0),
+              stats AS (SELECT count(*) AS n_docs,
+                       (sum(dl) * 1000) // count(*) AS avgdl_milli FROM nz),
+              tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                   FROM (SELECT doc_id, dl, unnest(ws) AS term FROM nz)
+                   WHERE term IN ('dup', 'merge', 'window')
+                   GROUP BY doc_id, dl, term),
+              dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              sc AS (SELECT tf.doc_id,
+                       ((n_docs * 1000) // df) *
+                         ((tf.tf * 2200 * 1000) //
+                          (tf.tf * 1000 +
+                           (1200 * (250 + (750 * dl * 1000) // avgdl_milli)) // 1000))
+                         AS part_micro
+                     FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+              lex AS (SELECT doc_id AS id,
+                       CAST(row_number() OVER (
+                         ORDER BY sum(part_micro) DESC, doc_id) AS BIGINT) AS rank_a
+                     FROM sc GROUP BY doc_id QUALIFY rank_a <= 50),
+              q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd
+                   FROM embeddings WHERE vec_id = 0),
+              sims AS (SELECT vec_id, round(
+                         list_dot_product(ed, qd) /
+                         (sqrt(list_dot_product(ed, ed)) * sqrt(list_dot_product(qd, qd))),
+                         4) AS sim
+                     FROM (SELECT vec_id,
+                             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+                           FROM embeddings WHERE vec_id != 0) CROSS JOIN q),
+              sem AS (SELECT vec_id AS id,
+                       CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
+                         AS rank_b
+                     FROM sims QUALIFY rank_b <= 50),
+              fused AS (SELECT coalesce(lex.id, sem.id) AS id, rank_a, rank_b,
+                       coalesce(1000000 // (60 + rank_a), 0) +
+                         coalesce(1000000 // (60 + rank_b), 0) AS rrf_micro
+                     FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+              SELECT id, rank_a, rank_b, rrf_micro,
+                     CAST(row_number() OVER (ORDER BY rrf_micro DESC, id)
+                       AS INTEGER) AS rank
+              FROM fused QUALIFY rank <= 10""")),
+
+    "q_boilerplate_strip" -> Q(
+      // per-source boilerplate segment removal
+      // (TextPipeline.stripBoilerplate) — the CCNet/C4 crawl-cleaning
+      // stage that strips repeated site chrome. The synthetic corpus
+      // has no boilerplate, so the gate plants it deterministically
+      // first (the q_text_normalize discipline): every even-id
+      // document gets a 5-token per-source header prepended; a correct
+      // strip removes exactly that segment (its per-source df ≈ half
+      // the source's documents, well past the df·4 ≥ n_src bar) and
+      // reassembles the original token stream — integer/string-exact
+      // end to end.
+      (s, dir) => {
+        val injected = t(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("follow us at "), col("source"), lit(" news "), col("text")))
+            .otherwise(col("text")).as("text"))
+        TextPipeline.stripBoilerplate(injected, "doc_id", "text", "source", segTokens = 5)
+      },
+      Some("""WITH inj AS (SELECT doc_id, source,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'follow us at ' || source || ' news ' || text
+                            ELSE text END AS text
+                   FROM documents),
+              toks AS (SELECT doc_id, source, list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w <> '') AS ws FROM inj),
+              segs AS (SELECT doc_id, source, i AS seg_idx,
+                       array_to_string(ws[i*5+1:i*5+5], ' ') AS seg
+                     FROM toks, unnest(range(0, (len(ws) - 1) // 5 + 1)) AS u(i)
+                     WHERE len(ws) > 0),
+              nsrc AS (SELECT source, count(*) AS n_src FROM toks GROUP BY source),
+              hot AS (SELECT source, seg FROM
+                       (SELECT source, seg, count(DISTINCT doc_id) AS seg_df
+                        FROM segs GROUP BY source, seg) h
+                     JOIN nsrc USING (source) WHERE seg_df * 4 >= n_src),
+              flag AS (SELECT s.doc_id, s.seg_idx, s.seg,
+                       h.seg IS NOT NULL AS bp
+                     FROM segs s LEFT JOIN hot h
+                       ON s.source = h.source AND s.seg = h.seg),
+              reb AS (SELECT doc_id,
+                       coalesce(string_agg(CASE WHEN NOT bp THEN seg END,
+                         ' ' ORDER BY seg_idx), '') AS clean_text,
+                       count(*) AS n_seg,
+                       CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+                     FROM flag GROUP BY doc_id)
+              SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                     coalesce(r.n_seg, 0) AS n_seg,
+                     coalesce(r.n_dropped, 0) AS n_dropped
+              FROM toks t LEFT JOIN reb r USING (doc_id)""")),
 
     "q_curation_report" -> Q(
       // per-source curation dashboard (TextPipeline.curationReport):

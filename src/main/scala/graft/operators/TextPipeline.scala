@@ -583,4 +583,207 @@ object TextPipeline {
         row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
   }
+
+  /**
+   * BM25 document retrieval for a fixed term query — the lexical half
+   * of every retrieval/RAG stack, and the ranking function behind
+   * corpus search tooling. Okapi BM25 with k1=1.2, b=0.75, computed in
+   * an ALL-INTEGER regime so the scores (and therefore the ranking)
+   * are bit-identical on any engine:
+   *
+   *  - idf is the linear `N/df` (scaled ×1000, integer division) —
+   *    the same linear-idf compromise [[tfidfTerms]] documents, since
+   *    log-idf would hang a hash gate on libm ulps;
+   *  - the length normalisation `1−b+b·dl/avgdl` is `norm_milli =
+   *    250 + (750·dl·1000) div avgdl_milli` with `avgdl_milli =
+   *    (Σdl·1000) div N` — integer division throughout, so the
+   *    (small, deterministic) quantisation error is identical on
+   *    both engines;
+   *  - the tf saturation `tf·(k1+1)/(tf+k1·norm)` becomes
+   *    `(tf·2200·1000) div (tf·1000 + (1200·norm_milli) div 1000)`.
+   *
+   * Score = Σ_terms idf_milli · saturation_milli, a long. Overflow
+   * headroom: tf·2200·1000 stays under 2^63 for documents up to ~4e12
+   * tokens; idf_milli·sat ≤ (1000·N)·2200·1000 needs N ≤ ~4e12 docs.
+   *
+   * Scale shape: the per-(doc, term) tf aggregate touches only rows
+   * whose token IS a query term (the filter runs before the shuffle,
+   * so the corpus explode never shuffles in full); df and the corpus
+   * length stats are tiny aggregates that broadcast back; the final
+   * ranking window moves one thin row per scoring document.
+   *
+   * @return (doc_id, n_terms_hit, bm25_micro, rank) — top `k` by
+   *         (score desc, doc_id asc)
+   */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = bm25Toks(df, idCol, textCol)
+    val tf = bm25Postings(toks).filter(col("term").isin(queryTerms: _*))
+    // per-term df is identical whether counted before or after the
+    // query filter (df is a property of the term), so the direct path
+    // counts it on the already-filtered rows
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25Score(tf, dfreq, bm25Stats(toks), k)
+  }
+
+  /** (doc_id, ws) non-empty token arrays — the shared BM25 tokenization. */
+  private def bm25Toks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0)
+
+  /** (doc_id, dl, term, tf) posting rows. */
+  private def bm25Postings(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+  /** 1-row (n_docs, avgdl_milli) corpus statistics. */
+  private def bm25Stats(toks: DataFrame): DataFrame =
+    toks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ws")).cast("long")).as("sum_dl"))
+      .select(col("n_docs"), expr("sum_dl * 1000 div n_docs").as("avgdl_milli"))
+
+  /** The integer BM25 scoring stage shared by the direct and the
+    * serve-from-index paths (see [[bm25TopK]] for the regime). */
+  private def bm25Score(tf: DataFrame, dfreq: DataFrame,
+      stats: DataFrame, k: Int): DataFrame =
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_milli", expr("n_docs * 1000 div df"))
+      .withColumn("norm_milli", expr("250 + 750 * dl * 1000 div avgdl_milli"))
+      .withColumn("part_micro", col("idf_milli") *
+        expr("tf * 2200 * 1000 div (tf * 1000 + 1200 * norm_milli div 1000)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum("part_micro").as("bm25_micro"))
+      // TakeOrdered first (per-partition top-k, no global sort), THEN the
+      // rank window over only the k survivors — an unpartitioned window
+      // over the full scoring set would drag every scoring document to
+      // one partition
+      .orderBy(col("bm25_micro").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25_micro").desc, col("doc_id").asc)))
+
+  /**
+   * Inverted-index build for [[serveBm25]] — the build-once-serve-many
+   * retrieval operating model ([[graft.operators.Similarity.buildIvfIndex]]'s
+   * lexical twin): one corpus pass produces three plain DataFrames a
+   * caller persists once (typically to native tables, term-sorted so
+   * the sidecar zone maps give the serve path block pruning on the
+   * term column) and serves forever — no tokenization, no corpus
+   * pass, at query time.
+   *
+   * @return (postings (term, doc_id, dl, tf) — sorted by term so a
+   *         term-clustered layout prunes; dict (term, df); stats
+   *         1-row (n_docs, avgdl_milli))
+   */
+  def buildTextIndex(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toks = bm25Toks(df, idCol, textCol)
+    val postings = bm25Postings(toks)
+    val dict = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    (postings.select("term", "doc_id", "dl", "tf").orderBy("term", "doc_id"),
+      dict, bm25Stats(toks))
+  }
+
+  /**
+   * BM25 top-k answered from a persisted [[buildTextIndex]] artifact
+   * alone: the query-term filter reaches the postings SCAN (with a
+   * term-clustered native layout the zone maps skip every non-matching
+   * block — the posting-list seek of a search engine, expressed as
+   * filter pushdown), the dict probe is a broadcast, and the scoring
+   * is byte-identical to [[bm25TopK]]'s integer regime — serve ≡
+   * direct is pinned in LlmOpsSpec and by the q_bm25_index_persist
+   * oracle gate.
+   */
+  def serveBm25(postings: DataFrame, dict: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String], k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "serveBm25 needs at least one query term")
+    bm25Score(
+      postings.filter(col("term").isin(queryTerms: _*))
+        .select(col("doc_id"), col("dl"), col("term"), col("tf")),
+      dict.filter(col("term").isin(queryTerms: _*)), stats, k)
+  }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two ranked
+   * lists — the standard hybrid-retrieval combiner (lexical BM25 ⊕
+   * semantic ANN) every RAG stack runs, kept integer-exact: each
+   * list contributes `1000000 div (60 + rank)` (the canonical RRF
+   * constant 60, floor division instead of a double reciprocal) and
+   * items missing from a list contribute 0 — so the fused score is a
+   * long both engines compute identically. Both input lists are
+   * top-N slices, i.e. tiny relative to the corpus; the fusion is a
+   * full outer join on the item id over thin (id, rank) rows.
+   *
+   * @param a,b (id, rank) DataFrames — `rank` 1-based, ids unique per list
+   * @return (id, rank_a, rank_b, rrf_micro, rank) — top `k` by
+   *         (rrf desc, id asc); absent ranks are null
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 10): DataFrame = {
+    val la = a.select(col(a.columns(0)).as("id"), col(a.columns(1)).cast("long").as("rank_a"))
+    val lb = b.select(col(b.columns(0)).as("id"), col(b.columns(1)).cast("long").as("rank_b"))
+    la.join(lb, Seq("id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + rank_a)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_b)"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_micro").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * Line/segment-level boilerplate removal (the CCNet/C4 crawl-cleaning
+   * stage that strips repeated headers, footers and navigation chrome):
+   * documents split into non-overlapping `segTokens`-token segments
+   * (the final partial segment included — same windowing contract as
+   * [[tokenChunks]]), a segment is boilerplate when it occurs in at
+   * least ¼ of its SOURCE's documents (`df·4 ≥ n_src`, integer-exact),
+   * and documents are reassembled from the surviving segments in
+   * order. Per-source, not corpus-global, because chrome is a property
+   * of the site template — the grouping every production boilerplate
+   * filter uses.
+   *
+   * Scale shape: segments are thin (source, segment-text, doc) rows;
+   * the df aggregate map-side combines; the boilerplate set is tiny
+   * (high-df segments only) and broadcasts back as a left anti probe;
+   * reassembly is one per-document aggregate. Documents whose every
+   * segment was boilerplate survive with an empty clean text (the
+   * left join back to the full id list), so the operator never drops
+   * rows — downstream quality filters decide.
+   *
+   * @return (doc_id, clean_text, n_seg, n_dropped)
+   */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, segTokens: Int = 5): DataFrame = {
+    require(segTokens > 0, s"segTokens=$segTokens must be positive")
+    val toks = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      wordTokens(col(textCol)).as("ws"))
+    val segs = toks.filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("source"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(ws) - 1) div $segTokens")),
+          i => concat_ws(" ", slice(col("ws"), i * segTokens + lit(1), lit(segTokens)))))
+          .as(Seq("seg_idx", "seg")))
+    val nSrc = toks.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val hot = segs.select("source", "seg", "doc_id").distinct()
+      .groupBy("source", "seg").agg(count(lit(1)).as("seg_df"))
+      .join(nSrc, "source")
+      .filter(col("seg_df") * 4 >= col("n_src"))
+      .select(col("source"), col("seg"), lit(true).as("bp"))
+    val flagged = segs.join(hot, Seq("source", "seg"), "left")
+    val rebuilt = flagged.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(when(col("bp").isNull,
+          struct(col("seg_idx"), col("seg"))))),
+        x => x("seg")), " ").as("clean_text"),
+      count(lit(1)).as("n_seg"),
+      sum(when(col("bp").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+    toks.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_seg"), lit(0L)).as("n_seg"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
 }

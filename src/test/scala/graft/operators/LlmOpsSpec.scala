@@ -984,4 +984,130 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("containment pairs equal brute force (recall 1.0) and stay directed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("spark", "query", "table", "row", "scan", "join", "data",
+      "fast", "merge", "sort", "hash", "key", "part", "batch", "group")
+    val base = (0L until 30L).map(i =>
+      (i, Array.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    // prefix snippets of every 3rd doc: shingle-subset by construction
+    val snips = base.filter(_._1 % 3 == 0).map { case (i, t) =>
+      (i + 1000, t.split(" ").take(26).mkString(" ")) }
+    val corpus = base ++ snips
+    val got = Dedup.containmentPairsExact(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", theta = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force straight from the definition over the same shingle sets
+    val sets = corpus.map { case (i, t) =>
+      i -> graft.functions.TextHash.shingleHashes(t, 3).toSet }
+    val truth = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia != ib && sa.nonEmpty &&
+        sa.count(sb.contains).toDouble / sa.size >= 0.9
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "fixture should contain true containments")
+    assert(got === truth)
+    // every planted snippet is found as containee of its source...
+    snips.foreach { case (sid, _) => assert(got.contains((sid, sid - 1000))) }
+    // ...and the 26-of-40-token prefix is never reported as CONTAINING
+    // its source (asymmetry: the long side's containment is ~0.63)
+    snips.foreach { case (sid, _) => assert(!got.contains((sid - 1000, sid))) }
+  }
+
+  test("containment candidates stay near-linear on a stop-shingle corpus") {
+    import spark.implicits._
+    // every document shares the same hot 3-token run; rare-first
+    // ordering must keep that shingle out of containee prefixes
+    val df = (0L until 60L).map(i =>
+      (i, s"the common header w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+      .toDF("doc_id", "text")
+    val n = Dedup.containmentPairsExact(df, "doc_id", "text", theta = 0.8).count()
+    assert(n === 0L) // no true containments, and no candidate blow-up crash
+  }
+
+  test("bm25: rare query term dominates; integer scores are deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "needle alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha needle needle beta gamma delta epsilon zeta eta theta"),
+      (4L, "alpha beta alpha beta alpha beta alpha beta alpha beta")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.bm25TopK(df, "doc_id", "text",
+      Seq("needle", "alpha"), k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    val byRank = got.sortBy(_._3).map(_._1)
+    // needle appears in docs 1 and 3 only (df=2 of 4) — idf 2000 vs
+    // alpha's 1000; doc 3 has tf(needle)=2 so it outranks doc 1
+    assert(byRank.take(2).toSeq === Seq(3L, 1L))
+    // scores are positive longs, strictly ordered with the rank
+    val scores = got.sortBy(_._3).map(_._2)
+    assert(scores.forall(_ > 0L) && scores.sameElements(scores.sortBy(-_)))
+    // determinism: identical plan → identical integers
+    val again = TextPipeline.bm25TopK(df, "doc_id", "text",
+      Seq("needle", "alpha"), k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("rrf fusion: both-list items beat single-list items; exact floor math") {
+    import spark.implicits._
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val sem = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val got = TextPipeline.rrfFuse(lex, sem, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getInt(4))).sortBy(_._3)
+    // 20 is in both lists: 1000000/62 + 1000000/61 = 16129 + 16393
+    assert(got.head._1 === 20L && got.head._2 === 16129L + 16393L)
+    // singles score exactly their one reciprocal, floor division
+    val scores = got.map(g => g._1 -> g._2).toMap
+    assert(scores(10L) === 1000000L / 61)
+    assert(scores(40L) === 1000000L / 62)
+    assert(scores(30L) === 1000000L / 63)
+    // fused order: the dual-listed item first, then by score desc
+    assert(got.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L))
+  }
+
+  test("bm25 served from the persisted index equals the direct query") {
+    val direct = TextPipeline.bm25TopK(docs, "doc_id", "text",
+      Seq("dup", "merge", "window"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val (postings, dict, stats) = TextPipeline.buildTextIndex(docs, "doc_id", "text")
+    postings.write.format("clickhouse_native").mode("overwrite").save(s"$tmp/p")
+    dict.write.format("clickhouse_native").mode("overwrite").save(s"$tmp/d")
+    stats.write.format("clickhouse_native").mode("overwrite").save(s"$tmp/s")
+    val served = TextPipeline.serveBm25(
+      spark.read.format("clickhouse_native").load(s"$tmp/p"),
+      spark.read.format("clickhouse_native").load(s"$tmp/d"),
+      spark.read.format("clickhouse_native").load(s"$tmp/s"),
+      Seq("dup", "merge", "window"), k = 10)
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got === direct)
+    assert(got.nonEmpty)
+  }
+
+  test("boilerplate strip removes planted chrome and reassembles originals") {
+    import spark.implicits._
+    val header = "subscribe to our site now"
+    val bodies = (0L until 8L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g"))
+    // 6 of 8 docs carry the header (df·4 = 24 >= 8); doc 9 is ONLY chrome
+    val corpus = bodies.map { case (i, b) =>
+      (i, "srcA", if (i < 6) s"$header $b" else b) } :+ ((9L, "srcA", header))
+    val got = TextPipeline.stripBoilerplate(
+        corpus.toDF("doc_id", "source", "text"), "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    bodies.foreach { case (i, b) =>
+      val (clean, nSeg, nDropped) = got(i)
+      assert(clean === b, s"doc $i should reassemble its body")
+      assert(nDropped === (if (i < 6) 1L else 0L))
+      assert(nSeg === (if (i < 6) 3L else 2L)) // 7-token body = 2 segments
+    }
+    // the all-chrome doc survives as a row with empty clean text
+    assert(got(9L) === (("", 1L, 1L)))
+  }
 }
