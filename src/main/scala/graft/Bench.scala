@@ -261,6 +261,21 @@ object Bench {
     def scaleKnn(copies: Int) = graft.operators.Similarity.knnGraph(
       embAt(copies).select(col("vec_id"), col("embedding")),
       k = 3, nlist = 16 * copies, nprobe = 4, trainFraction = 0.5)
+    // BM25 scaling: the query-term set is FIXED while the corpus grows
+    // (how retrieval actually scales) — the measured cost is the corpus
+    // tokenize+explode pass with the term filter running before any
+    // shuffle; rotated copies keep the posting rows for the query terms
+    // ~1×, so the point isolates the corpus-pass cost the plan must
+    // keep linear.
+    def scaleBm25(copies: Int) = graft.operators.TextPipeline.bm25TopK(
+      docsAt(copies), "doc_id", "text", Seq("dup", "merge", "window"), k = 10)
+    // Containment scaling: same dissimilar-copy discipline as
+    // scale_dedup — intra-copy containment structure is preserved
+    // verbatim per copy (expected pairs 10× = 10 × 1×, linear), so a
+    // super-linear ratio means the one-sided prefix join's candidate
+    // set exploded, not the data.
+    def scaleContainment(copies: Int) = graft.operators.Dedup
+      .containmentPairsExact(docsAt(copies), "doc_id", "text", theta = 0.9)
     val scalePoints = Seq(
       "scale_agg_1x" -> (() => scaleAgg(1)), "scale_agg_10x" -> (() => scaleAgg(10)),
       "scale_join_1x" -> (() => scaleJoin(1)), "scale_join_10x" -> (() => scaleJoin(10)),
@@ -268,7 +283,11 @@ object Bench {
       "scale_semdedup_1x" -> (() => scaleSemdedup(1)),
       "scale_semdedup_10x" -> (() => scaleSemdedup(10)),
       "scale_knn_1x" -> (() => scaleKnn(1)),
-      "scale_knn_10x" -> (() => scaleKnn(10)))
+      "scale_knn_10x" -> (() => scaleKnn(10)),
+      "scale_bm25_1x" -> (() => scaleBm25(1)),
+      "scale_bm25_10x" -> (() => scaleBm25(10)),
+      "scale_containment_1x" -> (() => scaleContainment(1)),
+      "scale_containment_10x" -> (() => scaleContainment(10)))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
         val pinShuffleJoin = name.startsWith("scale_join")
@@ -319,7 +338,8 @@ object Bench {
     // explosion. Checked after the JSON line so a tripped gate still
     // leaves the measurements on record.
     val byName = all.toMap
-    val tripped = Seq("agg", "join", "dedup", "semdedup", "knn").flatMap { k =>
+    val tripped = Seq("agg", "join", "dedup", "semdedup", "knn",
+      "bm25", "containment").flatMap { k =>
       if (!byName.contains(s"scale_${k}_1x")) None // filtered out (local iteration)
       else {
       val (t1x, t10x) = (byName(s"scale_${k}_1x"), byName(s"scale_${k}_10x"))
