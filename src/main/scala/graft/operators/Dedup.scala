@@ -363,8 +363,28 @@ object Dedup {
    */
   def containmentPairsExact(df: DataFrame, idCol: String, textCol: String,
       theta: Double, shingleN: Int = 3): DataFrame = {
+    val (cand, arrays) = containmentCandidatesAndArrays(
+      shingledOf(df, idCol, textCol, shingleN), theta)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    cand
+      .join(arrays.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(arrays.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("containment", inter / size(col("sh_a")))
+      .filter(col("containment") >= theta)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+  }
+
+  /** Candidate (id_a, id_b) pairs for [[containmentPairsExact]] —
+    * exposed package-private so the adversarial-corpus spec can assert
+    * the candidate-count bound, mirroring [[ngramCandidates]]. */
+  private[operators] def containmentCandidates(df: DataFrame, idCol: String,
+      textCol: String, theta: Double, shingleN: Int = 3): DataFrame =
+    containmentCandidatesAndArrays(
+      shingledOf(df, idCol, textCol, shingleN), theta)._1
+
+  private def containmentCandidatesAndArrays(shingled: DataFrame,
+      theta: Double): (DataFrame, DataFrame) = {
     require(theta > 0.0 && theta <= 1.0, s"theta=$theta outside (0, 1]")
-    val shingled = shingledOf(df, idCol, textCol, shingleN)
     val ex = shingled.select(col("id"), explode(col("sh")).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
     val ordered = ex.join(dfreq, "g")
@@ -399,13 +419,7 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val arrays = ordered.select(col("id"),
       transform(col("dg"), x => x.getField("g")).as("sh"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    cand
-      .join(arrays.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(arrays.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("containment", inter / size(col("sh_a")))
-      .filter(col("containment") >= theta)
-      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+    (cand, arrays)
   }
 
   /**

@@ -1018,13 +1018,35 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("containment candidates stay near-linear on a stop-shingle corpus") {
     import spark.implicits._
-    // every document shares the same hot 3-token run; rare-first
-    // ordering must keep that shingle out of containee prefixes
-    val df = (0L until 60L).map(i =>
-      (i, s"the common header w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
-      .toDF("doc_id", "text")
-    val n = Dedup.containmentPairsExact(df, "doc_id", "text", theta = 0.8).count()
-    assert(n === 0L) // no true containments, and no candidate blow-up crash
+    // adversarial corpus (the ngram spec's construction): every
+    // document opens with the same hot shingle run, then unique
+    // content, plus 10 verbatim duplicates (containment 1.0 both
+    // directions). The one-sided prefix join only emits a candidate
+    // when a CONTAINEE-PREFIX shingle matches; df-ascending ordering
+    // sinks the hot shingles out of every prefix, so candidates come
+    // only from genuinely shared rare shingles — the duplicates.
+    val n = 150
+    val base = (0 until n).map { i =>
+      (i.toLong, s"z z z z u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")
+    }
+    val dups = (0 until 10).map(i => (1000L + i, base(i)._2))
+    val df = (base ++ dups).toDF("doc_id", "text")
+    val candidates = Dedup.containmentCandidates(df, "doc_id", "text",
+      theta = 0.8).count()
+    assert(candidates >= 20, s"must cover the 10 directed dup pairs ×2, got $candidates")
+    assert(candidates < 200,
+      s"stop-shingle corpus produced $candidates candidates — O(N²) blowup " +
+        "(df ordering should bound this at O(true matches))")
+    // end-to-end: exactly the duplicate pairs, both directions, at 1.0
+    val pairs = Dedup.containmentPairsExact(df, "doc_id", "text", theta = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (0 until 10).flatMap(i => Seq(
+      (i.toLong, 1000L + i, 1.0), (1000L + i, i.toLong, 1.0))).toSet
+    assert(pairs === want)
+    // the prefix join is an equi-join on shingle keys — never all-pairs
+    val plan = Dedup.containmentPairsExact(df, "doc_id", "text", theta = 0.8)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan.take(2000))
   }
 
   test("bm25: rare query term dominates; integer scores are deterministic") {
