@@ -59,13 +59,11 @@ class ClickHouseNativeDataSource extends TableProvider with DataSourceRegister {
       // A typo'd path must fail loudly, not scan as 0 rows.
       throw new IllegalArgumentException(
         s"clickhouse_native: no files found for path(s): ${paths.mkString(", ")}")
-    // First file with a readable header wins (tolerates empty files
-    // from other writers; our own writer no longer produces them).
     // The sidecar's writer-declared compression rides into the probe —
     // same authority as the partition readers use — so files this
     // writer produced are never sniffed at schema time either (and
     // checksum=skip, which forbids sniffing, still works here).
-    val header = files.iterator.map { p =>
+    def headerOf(p: Path): Seq[(String, ChType)] = {
       val fs = p.getFileSystem(conf)
       val declared =
         try NativeIndex.readWithMeta(fs, p, fs.getFileStatus(p).getLen)
@@ -73,14 +71,58 @@ class ClickHouseNativeDataSource extends TableProvider with DataSourceRegister {
         catch { case _: java.io.IOException => None }
       val s = NativeCompression.maybeWrapRead(fs.open(p), conf, declared)
       try NativeBlockReader.readHeader(s) finally s.close()
-    }.find(_.nonEmpty).getOrElse(
-      // all files headerless → fail loudly, same policy as no-files
-      throw new IllegalArgumentException(
-        s"clickhouse_native: ${files.length} file(s) matched but none has a " +
-          s"readable block header (all empty/truncated?): ${paths.mkString(", ")}"))
-    StructType(header.map { case (name, t) =>
-      StructField(name, t.sparkType, nullable = ChType.isNullable(t))
-    })
+    }
+    if (options.getBoolean("mergeSchema", false)) {
+      // Schema evolution: the UNION of every readable file header, in
+      // first-seen column order — the layout a long-lived table has
+      // after `ALTER TABLE ADD COLUMN` (old parts simply lack the new
+      // column; both partition readers already null-fill absent
+      // columns per block, and zone-map pruning keeps blocks whose
+      // stats lack the column, so the merged schema is sufficient).
+      // A column missing from ANY readable file must be nullable —
+      // its rows from old parts ARE null. Same-name type conflicts
+      // fail loudly: silent coercion would decode garbage.
+      // Cost: one driver-side header read per file (the first block
+      // header only, not data) — O(files) at bind time, the same
+      // contract parquet's mergeSchema accepts.
+      val headers = files.map(p => p -> headerOf(p)).filter(_._2.nonEmpty)
+      if (headers.isEmpty)
+        throw new IllegalArgumentException(
+          s"clickhouse_native: ${files.length} file(s) matched but none has a " +
+            s"readable block header (all empty/truncated?): ${paths.mkString(", ")}")
+      val order = scala.collection.mutable.LinkedHashMap[String, StructField]()
+      headers.foreach { case (p, header) =>
+        header.foreach { case (name, t) =>
+          val f = StructField(name, t.sparkType, nullable = ChType.isNullable(t))
+          order.get(name) match {
+            case None => order(name) = f
+            case Some(prev) if prev.dataType != f.dataType =>
+              throw new IllegalArgumentException(
+                s"clickhouse_native: mergeSchema type conflict on column '$name': " +
+                  s"${prev.dataType.simpleString} vs ${f.dataType.simpleString} (in $p)")
+            case Some(prev) if f.nullable && !prev.nullable =>
+              order(name) = prev.copy(nullable = true)
+            case _ => ()
+          }
+        }
+      }
+      val merged = order.values.toSeq
+      val universal = headers.map(_._2.map(_._1).toSet).reduce(_ intersect _)
+      StructType(merged.map(f =>
+        if (universal(f.name)) f else f.copy(nullable = true)))
+    } else {
+      // First file with a readable header wins (tolerates empty files
+      // from other writers; our own writer no longer produces them).
+      val header = files.iterator.map(headerOf)
+        .find(_.nonEmpty).getOrElse(
+          // all files headerless → fail loudly, same policy as no-files
+          throw new IllegalArgumentException(
+            s"clickhouse_native: ${files.length} file(s) matched but none has a " +
+              s"readable block header (all empty/truncated?): ${paths.mkString(", ")}"))
+      StructType(header.map { case (name, t) =>
+        StructField(name, t.sparkType, nullable = ChType.isNullable(t))
+      })
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

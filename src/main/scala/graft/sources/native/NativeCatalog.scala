@@ -270,8 +270,57 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
     }
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog: ALTER TABLE not supported")
+  /**
+   * `ALTER TABLE ... ADD COLUMN` — METADATA-ONLY schema evolution, the
+   * MergeTree contract: no part is rewritten, the new column simply
+   * does not exist in parts written before the ALTER and both
+   * partition readers null-fill absent columns per block (which is why
+   * the added column MUST be nullable — its value in every old row IS
+   * null). Writes after the ALTER carry the column. At any table size
+   * this is one Properties-file rewrite — O(1) data IO, exactly what
+   * ADD COLUMN costs on a 100 TB MergeTree table. Other ALTER shapes
+   * (drop/rename/retype) stay unsupported: each would either require a
+   * part rewrite (which [[NativeTableOps.mutateUpdate]] covers as an
+   * explicit mutation) or silently strand old parts' data.
+   */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val meta = metaFile(dir)
+    if (!fs.exists(meta)) throw new NoSuchTableException((ident.namespace.toSeq :+ ident.name))
+    val props = new util.Properties()
+    val in = fs.open(meta)
+    try props.load(in) finally in.close()
+    var schema = DataType.fromJson(props.getProperty("schema")).asInstanceOf[StructType]
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            "graft catalog: ADD COLUMN supports top-level columns only, " +
+              s"got ${add.fieldNames.mkString(".")}")
+        val name = add.fieldNames.head
+        if (schema.fieldNames.exists(_.equalsIgnoreCase(name)))
+          throw new IllegalArgumentException(
+            s"graft catalog: column '$name' already exists in ${ident.name}")
+        if (!add.isNullable)
+          throw new IllegalArgumentException(
+            s"graft catalog: added column '$name' must be nullable — parts " +
+              "written before the ALTER have no values for it (metadata-only " +
+              "evolution never rewrites parts)")
+        ChType.forSpark(add.dataType, nullable = true) // fail fast: encodable type
+        schema = schema.add(StructField(name, add.dataType, nullable = true))
+      case p: TableChange.SetProperty =>
+        props.setProperty(s"prop.${p.property}", p.value)
+      case p: TableChange.RemoveProperty =>
+        props.remove(s"prop.${p.property}")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: ALTER TABLE change not supported: $other")
+    }
+    props.setProperty("schema", schema.json)
+    val out = fs.create(meta, true)
+    try props.store(out, null) finally out.close()
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
  * (src/lib.rs:240-366) — mutation semantics are part of the
  * host-ClickHouse surface its users query through, re-expressed here
  * over the library's own storage.
+ *
+ * Every read in this file passes `mergeSchema=true`: after a
+ * metadata-only `ALTER TABLE ADD COLUMN` ([[NativeCatalog.alterTable]])
+ * parts legitimately carry different schemas, and a first-header-wins
+ * load during a rewrite would silently DROP the added column from the
+ * parts that have it. The union schema null-fills old parts instead —
+ * no data ever lost by a maintenance pass. Cost: one driver-side
+ * header read per part at bind, the same O(parts) these operations
+ * already pay in sidecar probes.
  */
 object NativeTableOps {
 
@@ -141,7 +150,7 @@ object NativeTableOps {
       s"TTL target $dstDir must be empty — TTL writes beside the live table")
     dstFs.mkdirs(dst)
 
-    val src = spark.read.format("clickhouse_native").load(srcDir)
+    val src = spark.read.format("clickhouse_native").option("mergeSchema", "true").load(srcDir)
     require(src.columns.contains(tsCol), s"TTL column '$tsCol' not in table")
     val expiredPred = col(tsCol) < cutoff
     val liveFilters = pruningFilters(src, col(tsCol) >= cutoff)
@@ -182,7 +191,7 @@ object NativeTableOps {
 
     val rewritePaths = rewrite.result()
     if (rewritePaths.nonEmpty) {
-      val w = spark.read.format("clickhouse_native")
+      val w = spark.read.format("clickhouse_native").option("mergeSchema", "true")
         .load(rewritePaths.map(_.toString): _*)
         .filter(!coalesce(expiredPred, lit(false)))
         .write.format("clickhouse_native")
@@ -218,7 +227,7 @@ object NativeTableOps {
       s"recompress target $dstDir must be empty — TTL writes beside the live table")
     dstFs.mkdirs(dst)
 
-    val src = spark.read.format("clickhouse_native").load(srcDir)
+    val src = spark.read.format("clickhouse_native").option("mergeSchema", "true").load(srcDir)
     require(src.columns.contains(tsCol), s"TTL column '$tsCol' not in table")
     val liveFilters = pruningFilters(src, col(tsCol) >= cutoff)
 
@@ -242,7 +251,7 @@ object NativeTableOps {
     }
     val coldPaths = cold.result()
     if (coldPaths.nonEmpty) {
-      spark.read.format("clickhouse_native")
+      spark.read.format("clickhouse_native").option("mergeSchema", "true")
         .load(coldPaths.map(_.toString): _*)
         .write.format("clickhouse_native").option("compression", codec)
         .mode("append").save(dstDir)
@@ -310,7 +319,7 @@ object NativeTableOps {
         "the live table; swapping the result in is the catalog's job")
     dstFs.mkdirs(dst)
 
-    val src = spark.read.format("clickhouse_native").load(srcDir)
+    val src = spark.read.format("clickhouse_native").option("mergeSchema", "true").load(srcDir)
     set.keys.foreach(c => require(src.columns.contains(c),
       s"UPDATE assigns unknown column '$c' (table has ${src.columns.mkString(", ")})"))
     val filters = pruningFilters(src, pred)
@@ -337,7 +346,7 @@ object NativeTableOps {
     }
 
     if (affected.nonEmpty) {
-      val adf = spark.read.format("clickhouse_native")
+      val adf = spark.read.format("clickhouse_native").option("mergeSchema", "true")
         .load(affected.map(_.getPath.toString): _*)
       val hit = coalesce(pred, lit(false))
       val out =
@@ -360,7 +369,7 @@ object NativeTableOps {
         .fold(w)(c => w.option("compression", c))
         .mode("append").save(dstDir)
     }
-    spark.read.format("clickhouse_native").load(dstDir)
+    spark.read.format("clickhouse_native").option("mergeSchema", "true").load(dstDir)
   }
 
   /**
@@ -387,7 +396,7 @@ object NativeTableOps {
     require(name.matches("[A-Za-z0-9_]+"), s"projection name must be simple: $name")
     val conf = spark.sessionState.newHadoopConf()
     val dst = s"$baseDir/projections/$name"
-    spark.read.format("clickhouse_native").load(baseDir)
+    spark.read.format("clickhouse_native").option("mergeSchema", "true").load(baseDir)
       .repartitionByRange(numParts, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.format("clickhouse_native").mode("overwrite").save(dst)
@@ -466,7 +475,7 @@ object NativeTableOps {
       fs.listStatus(projRoot).filter(_.isDirectory)
         .map(_.getPath.toString).toSeq.sorted.filter(fresh)
     else Seq.empty)
-    val src = spark.read.format("clickhouse_native").load(baseDir)
+    val src = spark.read.format("clickhouse_native").option("mergeSchema", "true").load(baseDir)
     val filters = pruningFilters(src, pred)
     val chosen =
       if (filters.isEmpty) baseDir
@@ -480,7 +489,7 @@ object NativeTableOps {
           }
         }.sum
       }
-    (spark.read.format("clickhouse_native").load(chosen).filter(pred), chosen)
+    (spark.read.format("clickhouse_native").option("mergeSchema", "true").load(chosen).filter(pred), chosen)
   }
 
   private def pruningFilters(src: DataFrame,

@@ -330,4 +330,63 @@ class NativeCatalogSpec extends AnyFunSuite {
     drop(NativeBucket.filePrefix(0) + "part-00000-1-cccc-000.clickhouse")
     assert(scan.toBatch.planInputPartitions().length === 2)
   }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only evolution, old parts read as null") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evons")
+    spark.sql("DROP TABLE IF EXISTS graft.evons.docs")
+    spark.sql("CREATE TABLE graft.evons.docs (id BIGINT, name STRING) USING clickhouse_native")
+    spark.sql("INSERT INTO graft.evons.docs VALUES (1, 'ada'), (2, 'grace')")
+    // count the parts BEFORE the alter — the alter must not touch them
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dir = new java.io.File(s"$warehouse/evons/docs")
+    def parts() = dir.listFiles().filter(_.getName.endsWith(".clickhouse"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = parts()
+    spark.sql("ALTER TABLE graft.evons.docs ADD COLUMN score BIGINT")
+    assert(parts() === before, "ADD COLUMN must be metadata-only (no part rewritten)")
+    // old rows null-fill; new inserts carry the column
+    spark.sql("INSERT INTO graft.evons.docs VALUES (3, 'edsger', 99)")
+    val got = spark.sql("SELECT id, name, score FROM graft.evons.docs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq === Seq((1L, "ada", None), (2L, "grace", None),
+      (3L, "edsger", Some(99L))))
+    // filters on the evolved column work across heterogeneous parts
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.evons.docs WHERE score IS NULL").head().getLong(0) === 2)
+    assert(spark.sql(
+      "SELECT id FROM graft.evons.docs WHERE score = 99").head().getLong(0) === 3)
+    // duplicate column and unsupported shapes fail loudly
+    val dup = intercept[Exception](
+      spark.sql("ALTER TABLE graft.evons.docs ADD COLUMN score BIGINT"))
+    assert(dup.getMessage.toLowerCase.contains("already exists"), dup.getMessage)
+    val drop = intercept[Exception](
+      spark.sql("ALTER TABLE graft.evons.docs DROP COLUMN name"))
+    assert(drop.getMessage.toLowerCase.contains("not supported"), drop.getMessage)
+    spark.sql("DROP TABLE graft.evons.docs")
+  }
+
+  test("mutations preserve an evolved column across heterogeneous parts") {
+    // the regression the mergeSchema loads in NativeTableOps prevent:
+    // a DELETE whose rewrite set spans pre- and post-ALTER parts must
+    // not silently drop the added column from the newer parts
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evons")
+    spark.sql("DROP TABLE IF EXISTS graft.evons.mut")
+    spark.sql("CREATE TABLE graft.evons.mut (id BIGINT, name STRING) USING clickhouse_native")
+    spark.sql("INSERT INTO graft.evons.mut VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graft.evons.mut ADD COLUMN score BIGINT")
+    spark.sql("INSERT INTO graft.evons.mut VALUES (3, 'c', 30), (4, 'd', 40)")
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val srcDir = s"$warehouse/evons/mut"
+    val dstDir = java.nio.file.Files.createTempDirectory("graft-evo-mut").toString + "/out"
+    NativeTableOps.mutateDelete(spark, srcDir, dstDir,
+      org.apache.spark.sql.functions.col("id") === 2)
+    val out = spark.read.format("clickhouse_native").option("mergeSchema", "true")
+      .load(dstDir).orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(r.fieldIndex("score"))) None
+        else Some(r.getLong(r.fieldIndex("score")))))
+    assert(out.toSeq === Seq((1L, None), (3L, Some(30L)), (4L, Some(40L))))
+    spark.sql("DROP TABLE graft.evons.mut")
+  }
 }

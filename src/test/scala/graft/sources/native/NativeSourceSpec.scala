@@ -289,4 +289,37 @@ class NativeSourceSpec extends AnyFunSuite {
     // null struct -> all-null fields (fields are themselves nullable)
     assert(st.isNullAt(0) && st.isNullAt(1))
   }
+
+  test("mergeSchema unions heterogeneous part schemas; first-header stays default") {
+    import spark.implicits._
+    val dir = tmpDir("evolve")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.format("clickhouse_native").mode("append").save(dir)
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "name", "score")
+      .write.format("clickhouse_native").mode("append").save(dir)
+    // default read keeps the single-header contract (whichever file's
+    // header wins, the read works — no silent union)
+    val plain = spark.read.format("clickhouse_native").load(dir)
+    assert(Set(2, 3).contains(plain.schema.length))
+    // merged read: union schema, old rows null-fill the evolved column
+    val merged = spark.read.format("clickhouse_native")
+      .option("mergeSchema", "true").load(dir)
+    assert(merged.schema.fieldNames.toSeq === Seq("id", "name", "score"))
+    assert(merged.schema("score").nullable, "column absent from a part must be nullable")
+    val rows = merged.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.toSeq === Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30L)), (4L, "d", Some(40L))))
+    // same-name type conflict fails loudly, never coerces
+    val dir2 = tmpDir("evolve-conflict")
+    Seq((1L, 10L)).toDF("id", "v")
+      .write.format("clickhouse_native").mode("append").save(dir2)
+    Seq((2L, "s")).toDF("id", "v")
+      .write.format("clickhouse_native").mode("append").save(dir2)
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("clickhouse_native").option("mergeSchema", "true")
+        .load(dir2).schema)
+    assert(e.getMessage.contains("type conflict"), e.getMessage)
+  }
 }
