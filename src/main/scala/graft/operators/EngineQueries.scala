@@ -62,6 +62,31 @@ object EngineQueries {
                QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                                           ORDER BY ts DESC) = 1""")),
 
+    "q_engine_evolve" -> Q(
+      // schema evolution end-to-end over this library's OWN storage:
+      // a pre-ALTER part (two columns) and a post-ALTER part (three —
+      // the ADD COLUMN layout NativeCatalog.alterTable produces) land
+      // in one table directory; the mergeSchema read unions the
+      // headers and null-fills the old part's missing column. Oracle =
+      // the same rows rebuilt from orders with a CASE standing in for
+      // "rows written before the ALTER have no value" — which also
+      // proves no column was dropped or misaligned across the
+      // heterogeneous parts.
+      (s, dir) => {
+        val fx = ScanQueries.fixtureDir(dir, "evolve_tbl")
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .write.format("clickhouse_native").mode("overwrite").save(fx)
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.format("clickhouse_native").mode("append").save(fx)
+        s.read.format("clickhouse_native").option("mergeSchema", "true").load(fx)
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
+              FROM orders""")),
+
     "q_engine_collapsing" -> Q(
       // CollapsingMergeTree FINAL over a versioned sign stream: signup
       // opens (+1), error cancels (-1); per user the LATEST row decides
