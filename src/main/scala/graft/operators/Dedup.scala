@@ -282,8 +282,33 @@ object Dedup {
   /** Candidates plus the df-ordered per-doc shingle arrays (id, sh) —
     * the arrays ride the same aggregate the prefix keys come from, so
     * a verify stage joining them reuses that exchange. */
-  private def ngramCandidatesAndArrays(shingled: DataFrame,
-      theta: Double): (DataFrame, DataFrame) = {
+  /**
+   * Shared rare-first machinery for the prefix-filtered exact dedup
+   * family ([[ngramPairsExact]], [[containmentPairsExact]]): per-doc
+   * shingle structs in global-df-ascending order, the ulp-guarded
+   * prefix length, and the (id, sh) verify arrays — one definition so
+   * the ordering, the ceil guard, and the df=1 pruning can never
+   * silently diverge between the two operators.
+   */
+  private final case class PrefixOrdered(ordered: DataFrame,
+      prefixLen: Column, arrays: DataFrame) {
+    /** Thin (id, n, p, g) join keys from the first `len` ordered
+      * shingles (the FULL set when None — the containment B side).
+      * df = 1 ⇒ the shingle exists in exactly ONE document corpus-wide
+      * ⇒ its join bucket is a singleton and can never produce a pair:
+      * dropping those keys loses NOTHING (any shared element has
+      * df >= 2 by definition) and removes the bulk of the self-join
+      * input — in a mostly-unique corpus the vast majority of prefix
+      * shingles are df=1. */
+    def keys(len: Option[Column]): DataFrame = ordered
+      .select(col("id"), size(col("dg")).as("n"),
+        posexplode(len.map(l => slice(col("dg"), lit(1), l))
+          .getOrElse(col("dg"))).as(Seq("p0", "dg")))
+      .filter(col("dg.df") > 1)
+      .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("dg.g").as("g"))
+  }
+
+  private def prefixOrdered(shingled: DataFrame, theta: Double): PrefixOrdered = {
     require(theta > 0.0 && theta <= 1.0, s"theta=$theta outside (0, 1]")
     // global df per shingle, then each doc's shingles reordered
     // rare-first: sort_array over (df, g) structs — lexicographic on
@@ -300,17 +325,15 @@ object Dedup {
     // candidates, never loses any
     val prefixLen = (size(col("dg"))
       - ceil(lit(theta) * size(col("dg"))).cast("int") + 2)
-    val keys = ordered
-      .select(col("id"), size(col("dg")).as("n"),
-        posexplode(slice(col("dg"), lit(1), prefixLen)).as(Seq("p0", "dg")))
-      // df = 1 ⇒ the shingle exists in exactly ONE document corpus-wide
-      // ⇒ its join bucket is a singleton and can never produce a pair:
-      // dropping those keys loses NOTHING (any shared element has
-      // df >= 2 by definition) and removes the bulk of the self-join
-      // input — in a mostly-unique corpus the vast majority of prefix
-      // shingles are df=1
-      .filter(col("dg.df") > 1)
-      .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("dg.g").as("g"))
+    val arrays = ordered.select(col("id"),
+      transform(col("dg"), x => x.getField("g")).as("sh"))
+    PrefixOrdered(ordered, prefixLen, arrays)
+  }
+
+  private def ngramCandidatesAndArrays(shingled: DataFrame,
+      theta: Double): (DataFrame, DataFrame) = {
+    val po = prefixOrdered(shingled, theta)
+    val keys = po.keys(Some(po.prefixLen))
     // equivalent-overlap threshold: J >= θ ⇔ |A∩B| >= θ/(1+θ)·(n_a+n_b)
     val alpha = lit(theta / (1.0 + theta)) * (col("n_a") + col("n_b"))
     val cand = keys.select(col("g"), col("id").as("id_a"), col("n").as("n_a"), col("p").as("p_a"))
@@ -328,9 +351,7 @@ object Dedup {
             + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
             .cast("double") >= alpha - lit(1e-6))
       .select("id_a", "id_b").distinct()
-    val arrays = ordered.select(col("id"),
-      transform(col("dg"), x => x.getField("g")).as("sh"))
-    (cand, arrays)
+    (cand, po.arrays)
   }
 
   /**
@@ -384,25 +405,18 @@ object Dedup {
 
   private def containmentCandidatesAndArrays(shingled: DataFrame,
       theta: Double): (DataFrame, DataFrame) = {
-    require(theta > 0.0 && theta <= 1.0, s"theta=$theta outside (0, 1]")
-    val ex = shingled.select(col("id"), explode(col("sh")).as("g"))
-    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfreq, "g")
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("dg"))
-    // +2 (not the theoretical +1) for the same ceil-ulp guard
-    // ngramCandidatesAndArrays documents
-    val prefixLen = (size(col("dg"))
-      - ceil(lit(theta) * size(col("dg"))).cast("int") + 2)
-    def keysOf(sliceLen: Option[Column]) = ordered
-      .select(col("id"), size(col("dg")).as("n"),
-        posexplode(sliceLen.map(l => slice(col("dg"), lit(1), l))
-          .getOrElse(col("dg"))).as(Seq("p0", "dg")))
-      .filter(col("dg.df") > 1)
-      .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("dg.g").as("g"))
-    val aKeys = keysOf(Some(prefixLen))
-    val bKeys = keysOf(None)
-    val minOverlap = ceil(lit(theta) * col("n_a"))
+    val po = prefixOrdered(shingled, theta)
+    val aKeys = po.keys(Some(po.prefixLen))
+    val bKeys = po.keys(None)
+    // the verify accepts overlap/n_a >= θ, i.e. overlap >= θ·n_a as a
+    // raw double product — the bound here must never exceed the
+    // smallest overlap the verify accepts, so NO ceil (ceil(θ·n_a) can
+    // land a full integer above θ·n_a when the product rounds up, e.g.
+    // θ=0.55, n=100 → 56 > 55, and 1e-6 of slack cannot absorb an
+    // integer jump; a true boundary pair would be pruned and the
+    // recall-1.0 contract broken). Same raw-product + ulp-slack
+    // discipline as the Jaccard form's alpha.
+    val minOverlap = lit(theta) * col("n_a")
     val cand = aKeys.select(col("g"), col("id").as("id_a"),
         col("n").as("n_a"), col("p").as("p_a"))
       .join(bKeys.select(col("g").as("g_b"), col("id").as("id_b"),
@@ -417,9 +431,7 @@ object Dedup {
             + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
             .cast("double") >= minOverlap - lit(1e-6))
       .select("id_a", "id_b").distinct()
-    val arrays = ordered.select(col("id"),
-      transform(col("dg"), x => x.getField("g")).as("sh"))
-    (cand, arrays)
+    (cand, po.arrays)
   }
 
   /**

@@ -169,13 +169,15 @@ object LlmQueries {
    * the IVF and LSH keys (which are provably result-identical to brute
    * force — see the key comments).
    */
-  /** Integer-regime BM25 over `documents` for query {dup, merge,
-    * window} — shared by q_bm25_topk (direct) and q_bm25_index_persist
-    * (served from the persisted inverted index), which are provably
-    * result-identical. All arithmetic is BIGINT floor division
-    * (DuckDB `//` ≡ Spark `div` on the all-positive operands). */
-  private val bm25Sql =
-    """WITH toks AS (SELECT doc_id, list_filter(
+  /** The integer-regime BM25 CTE stack over `documents` for query
+    * {dup, merge, window}, up to the per-(doc, term) score `sc` — ONE
+    * definition shared by every BM25-family oracle (q_bm25_topk,
+    * q_bm25_index_persist, q_rank_fusion's lexical list) so the
+    * floor-division arithmetic can never silently diverge between
+    * them. All arithmetic is BIGINT floor division (DuckDB `//` ≡
+    * Spark `div` on the all-positive operands). */
+  private val bm25Ctes =
+    """toks AS (SELECT doc_id, list_filter(
               string_split_regex(lower(text), '[^a-z0-9]+'),
               w -> w <> '') AS ws FROM documents),
        nz AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
@@ -193,7 +195,13 @@ object LlmQueries {
                    (tf.tf * 1000 +
                     (1200 * (250 + (750 * dl * 1000) // avgdl_milli)) // 1000))
                   AS part_micro
-              FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+              FROM tf JOIN dfreq USING (term) CROSS JOIN stats)"""
+
+  /** Full BM25 top-10 — q_bm25_topk (direct) and q_bm25_index_persist
+    * (served from the persisted inverted index), provably
+    * result-identical. */
+  private val bm25Sql =
+    s"""WITH $bm25Ctes,
        agg AS (SELECT doc_id, count(*) AS n_terms_hit,
                 CAST(sum(part_micro) AS BIGINT) AS bm25_micro
               FROM sc GROUP BY doc_id)
@@ -1536,25 +1544,7 @@ object LlmQueries {
           .select(col("vec_id"), col("rn"))
         TextPipeline.rrfFuse(lex, sem, k = 10)
       },
-      Some("""WITH toks AS (SELECT doc_id, list_filter(
-                       string_split_regex(lower(text), '[^a-z0-9]+'),
-                       w -> w <> '') AS ws FROM documents),
-              nz AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
-                   FROM toks WHERE len(ws) > 0),
-              stats AS (SELECT count(*) AS n_docs,
-                       (sum(dl) * 1000) // count(*) AS avgdl_milli FROM nz),
-              tf AS (SELECT doc_id, dl, term, count(*) AS tf
-                   FROM (SELECT doc_id, dl, unnest(ws) AS term FROM nz)
-                   WHERE term IN ('dup', 'merge', 'window')
-                   GROUP BY doc_id, dl, term),
-              dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-              sc AS (SELECT tf.doc_id,
-                       ((n_docs * 1000) // df) *
-                         ((tf.tf * 2200 * 1000) //
-                          (tf.tf * 1000 +
-                           (1200 * (250 + (750 * dl * 1000) // avgdl_milli)) // 1000))
-                         AS part_micro
-                     FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+      Some(s"""WITH $bm25Ctes,
               lex AS (SELECT doc_id AS id,
                        CAST(row_number() OVER (
                          ORDER BY sum(part_micro) DESC, doc_id) AS BIGINT) AS rank_a

@@ -90,19 +90,39 @@ class ClickHouseNativeDataSource extends TableProvider with DataSourceRegister {
         throw new IllegalArgumentException(
           s"clickhouse_native: ${files.length} file(s) matched but none has a " +
             s"readable block header (all empty/truncated?): ${paths.mkString(", ")}")
+      // Recursive merge that widens NULLABILITY at every nesting level
+      // (containsNull / valueContainsNull / struct-field nullability —
+      // e.g. a literal-built array<bigint> part vs a collect_list
+      // array<nullable bigint> part is a legitimate union, the same
+      // widening parquet's mergeSchema performs) but refuses any BASE
+      // type difference — silent coercion would decode garbage.
+      def mergeTypes(a: DataType, b: DataType, name: String, p: Path): DataType =
+        (a, b) match {
+          case (x, y) if x == y => x
+          case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+            ArrayType(mergeTypes(ea, eb, name, p), na || nb)
+          case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+            MapType(mergeTypes(ka, kb, name, p), mergeTypes(va, vb, name, p), na || nb)
+          case (StructType(fa), StructType(fb))
+              if fa.map(_.name).sameElements(fb.map(_.name)) =>
+            StructType(fa.zip(fb).map { case (x, y) =>
+              StructField(x.name, mergeTypes(x.dataType, y.dataType, name, p),
+                x.nullable || y.nullable)
+            })
+          case _ =>
+            throw new IllegalArgumentException(
+              s"clickhouse_native: mergeSchema type conflict on column '$name': " +
+                s"${a.simpleString} vs ${b.simpleString} (in $p)")
+        }
       val order = scala.collection.mutable.LinkedHashMap[String, StructField]()
       headers.foreach { case (p, header) =>
         header.foreach { case (name, t) =>
           val f = StructField(name, t.sparkType, nullable = ChType.isNullable(t))
           order.get(name) match {
             case None => order(name) = f
-            case Some(prev) if prev.dataType != f.dataType =>
-              throw new IllegalArgumentException(
-                s"clickhouse_native: mergeSchema type conflict on column '$name': " +
-                  s"${prev.dataType.simpleString} vs ${f.dataType.simpleString} (in $p)")
-            case Some(prev) if f.nullable && !prev.nullable =>
-              order(name) = prev.copy(nullable = true)
-            case _ => ()
+            case Some(prev) => order(name) = StructField(prev.name,
+              mergeTypes(prev.dataType, f.dataType, name, p),
+              prev.nullable || f.nullable)
           }
         }
       }

@@ -298,6 +298,11 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
             "graft catalog: ADD COLUMN supports top-level columns only, " +
               s"got ${add.fieldNames.mkString(".")}")
         val name = add.fieldNames.head
+        if (add.position() != null)
+          throw new UnsupportedOperationException(
+            "graft catalog: ADD COLUMN ... FIRST/AFTER is not supported — " +
+              "metadata-only evolution always appends (placement would " +
+              "imply reordering data no part actually stores)")
         if (schema.fieldNames.exists(_.equalsIgnoreCase(name)))
           throw new IllegalArgumentException(
             s"graft catalog: column '$name' already exists in ${ident.name}")
@@ -308,8 +313,11 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
               "evolution never rewrites parts)")
         ChType.forSpark(add.dataType, nullable = true) // fail fast: encodable type
         schema = schema.add(StructField(name, add.dataType, nullable = true))
-      case p: TableChange.SetProperty =>
+      // reserved keys get the same silent filter createTable applies —
+      // the engine owns provider/location/owner/external/comment
+      case p: TableChange.SetProperty if !NativeCatalog.ReservedProps(p.property) =>
         props.setProperty(s"prop.${p.property}", p.value)
+      case _: TableChange.SetProperty => ()
       case p: TableChange.RemoveProperty =>
         props.remove(s"prop.${p.property}")
       case other =>

@@ -471,11 +471,23 @@ object NativeTableOps {
         recorded.filter(_.nonEmpty).sorted == baseParts
       }
     }
+    val src = spark.read.format("clickhouse_native").option("mergeSchema", "true").load(baseDir)
+    // a projection must also COVER the base's (possibly ALTER-evolved)
+    // column set: a metadata-only ADD COLUMN leaves the base part set
+    // unchanged, so a pre-ALTER projection still passes the manifest
+    // check — but its copy lacks the new column, and routing to it
+    // would silently drop that column from the read. Schema coverage
+    // is one header read per projection (same merge rules).
+    def covers(dir: String): Boolean =
+      try {
+        val projCols = spark.read.format("clickhouse_native")
+          .option("mergeSchema", "true").load(dir).columns.toSet
+        src.columns.forall(projCols.contains)
+      } catch { case scala.util.control.NonFatal(_) => false }
     val layouts = baseDir +: (if (fs.exists(projRoot))
       fs.listStatus(projRoot).filter(_.isDirectory)
-        .map(_.getPath.toString).toSeq.sorted.filter(fresh)
+        .map(_.getPath.toString).toSeq.sorted.filter(d => fresh(d) && covers(d))
     else Seq.empty)
-    val src = spark.read.format("clickhouse_native").option("mergeSchema", "true").load(baseDir)
     val filters = pruningFilters(src, pred)
     val chosen =
       if (filters.isEmpty) baseDir
@@ -489,7 +501,13 @@ object NativeTableOps {
           }
         }.sum
       }
-    (spark.read.format("clickhouse_native").option("mergeSchema", "true").load(chosen).filter(pred), chosen)
+    // reuse the already-bound base relation when the base wins — the
+    // second mergeSchema bind would repeat the per-part header sweep
+    val chosenDf =
+      if (chosen == baseDir) src
+      else spark.read.format("clickhouse_native")
+        .option("mergeSchema", "true").load(chosen)
+    (chosenDf.filter(pred), chosen)
   }
 
   private def pruningFilters(src: DataFrame,

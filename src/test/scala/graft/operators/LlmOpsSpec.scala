@@ -1091,6 +1091,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L))
   }
 
+  test("containment recall survives the exact θ·n boundary (no ceil over-prune)") {
+    import spark.implicits._
+    // the adversarial boundary shape: containee A = 45 unique-region
+    // shingles (df=1, rare-first ⇒ they fill A's prefix) + 55 shared,
+    // container B = exactly those 55 shared shingles. Containment is
+    // EXACTLY θ = 0.55 (55/100), and ceil(0.55·100) evaluates to 56 in
+    // double arithmetic (0.55·100 → 55.000000000000007) while the
+    // verify accepts overlap 55 — a ceil-based positional bound prunes
+    // the only surviving candidate key (p_a=46, p_b=1 ⇒ bound 55 < 56)
+    // and silently breaks the recall-1.0 contract. The raw-product
+    // bound admits it.
+    val u = (1 to 45).map(i => s"u$i")
+    val r = (1 to 57).map(i => s"r$i")
+    val docA = (u ++ r).mkString(" ") // 102 tokens → 100 shingles, 55 shared
+    val docB = r.mkString(" ") // 57 tokens → 55 shingles, all shared
+    val df = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsExact(df, "doc_id", "text", theta = 0.55)
+      .collect().map(re => (re.getLong(0), re.getLong(1), re.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 0.55), (2L, 1L, 1.0)))
+  }
+
   test("bm25 served from the persisted index equals the direct query") {
     val direct = TextPipeline.bm25TopK(docs, "doc_id", "text",
       Seq("dup", "merge", "window"), k = 10).collect()

@@ -311,6 +311,23 @@ class NativeSourceSpec extends AnyFunSuite {
         if (r.isNullAt(2)) None else Some(r.getLong(2))))
     assert(rows.toSeq === Seq((1L, "a", None), (2L, "b", None),
       (3L, "c", Some(30L)), (4L, "d", Some(40L))))
+    // nested-nullability differences (containsNull) are a legitimate
+    // union — widened, not a conflict (a literal-built array part vs a
+    // collect_list part differ exactly this way)
+    val dirN = tmpDir("evolve-nested")
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val rows1 = java.util.Arrays.asList(Row(1L, Seq(10L, 11L)))
+    val rows2 = java.util.Arrays.asList(Row(2L, Seq(20L, null)))
+    spark.createDataFrame(rows1, StructType(Seq(StructField("id", LongType),
+        StructField("xs", ArrayType(LongType, containsNull = false)))))
+      .write.format("clickhouse_native").mode("append").save(dirN)
+    spark.createDataFrame(rows2, StructType(Seq(StructField("id", LongType),
+        StructField("xs", ArrayType(LongType, containsNull = true)))))
+      .write.format("clickhouse_native").mode("append").save(dirN)
+    val mergedN = spark.read.format("clickhouse_native")
+      .option("mergeSchema", "true").load(dirN)
+    assert(mergedN.schema("xs").dataType === ArrayType(LongType, containsNull = true))
+    assert(mergedN.count() === 2)
     // same-name type conflict fails loudly, never coerces
     val dir2 = tmpDir("evolve-conflict")
     Seq((1L, 10L)).toDF("id", "v")
