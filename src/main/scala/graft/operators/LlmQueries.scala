@@ -1089,6 +1089,63 @@ object LlmQueries {
                         + len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INTEGER) AS n_pii
               FROM documents""")),
 
+    "q_pii_classes" -> Q(
+      // structured PII classification beyond redaction: per-document
+      // IPv4 and payment-card detection with a LUHN checksum verify —
+      // the step that separates real card numbers from random 16-digit
+      // runs (the false-positive control every production PII pass
+      // needs). The Luhn sum is pure integer arithmetic over the digit
+      // array (double-every-second-from-the-right, fold, mod 10), so
+      // valid/invalid is engine-exact. The synthetic corpus carries no
+      // PII, so the gate plants it deterministically (q_text_normalize
+      // discipline): every 4th document gains one IP, one Luhn-VALID
+      // card (the classic 4111111111111111 test number) and one
+      // off-by-one INVALID card — the classifier must count 2
+      // candidates but only 1 valid.
+      (s, dir) => {
+        val ipRe = "\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b"
+        val cardRe = "\\\\b[0-9]{16}\\\\b"
+        // Luhn digit term at 0-based index i of card string c
+        val digit = "(ascii(substring(c, i + 1, 1)) - 48)"
+        val injected = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" from 10.0.0."),
+              (col("doc_id") % 256).cast("string"),
+              lit(" card 4111111111111111 ref 4111111111111112")))
+            .otherwise(col("text")).as("text"))
+        injected.select(col("doc_id"),
+          size(expr(s"regexp_extract_all(text, '$cardRe', 0)")).as("n_card_cand"),
+          expr(s"""size(filter(regexp_extract_all(text, '$cardRe', 0), c ->
+              aggregate(sequence(0, 15), 0, (acc, i) ->
+                acc + CASE WHEN i % 2 = 0
+                  THEN IF(2 * $digit > 9, 2 * $digit - 9, 2 * $digit)
+                  ELSE $digit END) % 10 = 0))""").as("n_card_valid"),
+          size(expr(s"regexp_extract_all(text, '$ipRe', 0)")).as("n_ipv4"))
+      },
+      Some("""WITH inj AS (SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN text || ' from 10.0.0.' || (doc_id % 256)
+                                 || ' card 4111111111111111 ref 4111111111111112'
+                            ELSE text END AS text
+                   FROM documents),
+              cand AS (SELECT doc_id, text,
+                       regexp_extract_all(text, '\b[0-9]{16}\b') AS cards
+                   FROM inj)
+              SELECT doc_id,
+                     CAST(len(cards) AS INTEGER) AS n_card_cand,
+                     CAST(len(list_filter(cards, c ->
+                       list_sum(list_transform(range(0, 16), i ->
+                         CASE WHEN i % 2 = 0
+                              THEN CASE WHEN 2 * (ascii(substring(c, i + 1, 1)) - 48) > 9
+                                        THEN 2 * (ascii(substring(c, i + 1, 1)) - 48) - 9
+                                        ELSE 2 * (ascii(substring(c, i + 1, 1)) - 48) END
+                              ELSE ascii(substring(c, i + 1, 1)) - 48 END)) % 10 = 0))
+                       AS INTEGER) AS n_card_valid,
+                     CAST(len(regexp_extract_all(text,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                       AS INTEGER) AS n_ipv4
+              FROM cand""")),
+
     "q_fingerprint" -> Q(
       // content-hash fingerprint (oracle-checkable via md5); the
       // edit-tolerant winnowing fingerprint rides along rows-only in
