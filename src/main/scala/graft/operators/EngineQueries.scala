@@ -87,6 +87,31 @@ object EngineQueries {
                      CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
               FROM orders""")),
 
+    "q_engine_insert_dedup" -> Q(
+      // ClickHouse's insert_deduplicate contract (replicated-MergeTree
+      // INSERT idempotence) over this library's own storage: the SAME
+      // batch written twice with insertDedup=true commits exactly one
+      // part — the retry is a no-op, decided by comparing the new
+      // part's sidecar content hash (FNV-1a-64 of its file bytes)
+      // against pre-existing parts, driver-side metadata only. The
+      // gate reads the table back and hash-compares against a SINGLE
+      // copy of the batch — a dedup failure would double every row.
+      // Byte-identical re-encode is guaranteed by the deterministic
+      // writer (single partition, sorted rows, no timestamps in the
+      // format).
+      (s, dir) => {
+        val fx = ScanQueries.fixtureDir(dir, "insert_dedup_tbl")
+        val batch = t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .coalesce(1).sortWithinPartitions("o_orderkey")
+        batch.write.format("clickhouse_native").mode("overwrite").save(fx)
+        batch.write.format("clickhouse_native")
+          .option("insertDedup", "true").mode("append").save(fx)
+        s.read.format("clickhouse_native").load(fx)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orders WHERE o_orderkey % 5 = 0""")),
+
     "q_engine_collapsing" -> Q(
       // CollapsingMergeTree FINAL over a versioned sign stream: signup
       // opens (+1), error cancels (-1); per user the LATEST row decides

@@ -248,9 +248,15 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String],
     // queries to O(matching blocks) instead of "all blocks overlap".
     val sortBy = opt(info, "sortBy").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    val insertDedup = opt(info, "insertDedup").getOrElse("false") match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"clickhouse_native write option insertDedup must be 'true' or 'false', got '$other'")
+    }
     new NativeWriteBuilder(info.schema(), paths.headOption.getOrElse(
         throw new IllegalArgumentException("clickhouse_native write requires a path")),
-      maxRows, dictEncode, compression, bucket, sortBy)
+      maxRows, dictEncode, compression, bucket, sortBy, insertDedup)
   }
 }
 
@@ -879,7 +885,8 @@ private[native] class NativePartitionReader(part: NativeInputPartition, required
 
 private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRowsPerFile: Int,
     dictEncode: Boolean, compression: String = "none",
-    bucket: Option[(String, Int)] = None, sortBy: Seq[String] = Seq.empty)
+    bucket: Option[(String, Int)] = None, sortBy: Seq[String] = Seq.empty,
+    insertDedup: Boolean = false)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -916,7 +923,7 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
       new Write {
         override def toBatch: BatchWrite =
           new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
-            compression, bucket)
+            compression, bucket, insertDedup)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
       }
@@ -947,7 +954,7 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
             Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
         override def toBatch: BatchWrite =
           new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
-            compression, bucket)
+            compression, bucket, insertDedup)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
       }
@@ -1030,7 +1037,7 @@ private[native] case class NativeStreamingWriterFactory(schema: StructType, path
 
 private[native] class NativeBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
     maxRowsPerFile: Int, dictEncode: Boolean, compression: String = "none",
-    bucket: Option[(String, Int)] = None) extends BatchWrite {
+    bucket: Option[(String, Int)] = None, insertDedup: Boolean = false) extends BatchWrite {
   // Unique token embedded in every part name this write produces. Two
   // jobs must never collide on names: partitionId AND taskId both
   // restart from 0 in a fresh session, so the deterministic
@@ -1075,6 +1082,42 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
           val isStaleData = !n.startsWith("_") && !n.startsWith(".") && !n.contains(tokenTag)
           val isStaleSidecar = n.startsWith(".") && n.endsWith(".chidx") && !n.contains(tokenTag)
           if (isStaleData || isStaleSidecar) fs.delete(st.getPath, true)
+        }
+      }
+    }
+    // insert_deduplicate (the ClickHouse replicated-MergeTree INSERT
+    // contract, at PART granularity): a committed part whose content
+    // hash equals a PRE-EXISTING part's is a re-inserted block — drop
+    // it, the insert is a no-op for that part. Hashes come from the
+    // sidecars (every part this writer produces records the FNV-1a-64
+    // of its file bytes), so the pass is driver-side metadata only.
+    // Identical-content parts WITHIN one write are kept — duplicate
+    // rows in one insert are data, not a retry. Never under overwrite:
+    // the stale parts above are already gone or doomed, and deduping a
+    // new part against a part this commit deletes would lose data.
+    if (insertDedup && !truncateFirst) {
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(conf.value)
+      if (fs.exists(dir)) {
+        val tokenTag = s"-$writeToken-"
+        def hashOf(st: org.apache.hadoop.fs.FileStatus): Option[String] =
+          try NativeIndex.readWithMeta(fs, st.getPath, st.getLen)
+            .flatMap(_._2.get("contentHash"))
+          catch { case _: java.io.IOException => None }
+        val dataParts = fs.listStatus(dir).filter { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        val (mine, preexisting) = dataParts.partition(_.getPath.getName.contains(tokenTag))
+        // a pre-existing part without a hash (foreign writer / old
+        // sidecar) simply can't match — dedup degrades to append
+        val existing = preexisting.flatMap(hashOf).toSet
+        if (existing.nonEmpty) mine.foreach { st =>
+          if (hashOf(st).exists(existing.contains)) {
+            fs.delete(st.getPath, false)
+            val idx = NativeIndex.sidecarPath(st.getPath)
+            if (fs.exists(idx)) fs.delete(idx, false)
+          }
         }
       }
     }
@@ -1316,11 +1359,15 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
       writer = null
       NativeIndex.write(currentFile.getFileSystem(conf), currentFile, blockIndex.toSeq, len,
         // authoritative compression declaration: readers of files this
-        // writer produced never have to sniff frame headers
-        meta = Map("compression" -> compression))
+        // writer produced never have to sniff frame headers; the
+        // content hash is the part's identity for insert-dedup
+        meta = Map("compression" -> compression, "contentHash" -> hasher.hashHex))
+      hasher = null
     }
     blockIndex.clear()
   }
+
+  private var hasher: HashingOutputStream = _
 
   private def rotate(): Unit = {
     closeCurrentFile()
@@ -1330,7 +1377,8 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
       f"$dir/${filePrefix}part-$partitionId%05d-$taskId-$writeToken-$fileSeq%03d.clickhouse")
     written += p
     currentFile = p
-    writer = new NativeBlockWriter(p.getFileSystem(conf).create(p, true), compression)
+    hasher = new HashingOutputStream(p.getFileSystem(conf).create(p, true))
+    writer = new NativeBlockWriter(hasher, compression)
   }
 
   override def write(record: InternalRow): Unit = {
@@ -1399,3 +1447,24 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
 }
 
 private[native] case class NativeCommitMessage(files: Seq[String]) extends WriterCommitMessage
+
+/** FNV-1a-64 over every byte written — the part content hash the
+  * sidecar records for insert-dedup (and any external integrity use).
+  * One multiply-xor per byte, noise next to varint encoding. */
+private[native] final class HashingOutputStream(out: java.io.OutputStream)
+    extends java.io.OutputStream {
+  private var h = 0xcbf29ce484222325L
+  override def write(b: Int): Unit = {
+    h = (h ^ (b & 0xff)) * 0x100000001b3L
+    out.write(b)
+  }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    var i = off
+    val end = off + len
+    while (i < end) { h = (h ^ (b(i) & 0xff)) * 0x100000001b3L; i += 1 }
+    out.write(b, off, len)
+  }
+  override def flush(): Unit = out.flush()
+  override def close(): Unit = out.close()
+  def hashHex: String = java.lang.Long.toHexString(h)
+}

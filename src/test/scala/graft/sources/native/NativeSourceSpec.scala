@@ -290,6 +290,35 @@ class NativeSourceSpec extends AnyFunSuite {
     assert(st.isNullAt(0) && st.isNullAt(1))
   }
 
+  test("insertDedup: re-inserting an identical batch is a no-op, new data still appends") {
+    import spark.implicits._
+    val dir = tmpDir("insdedup")
+    def batch(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"row$i"))
+      .toDF("id", "s").coalesce(1).sortWithinPartitions("id")
+    def parts() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".clickhouse")).map(_.getName).toSet
+    batch(0, 100).write.format("clickhouse_native").mode("append").save(dir)
+    val afterFirst = parts()
+    assert(afterFirst.size === 1)
+    // the exact same batch again, dedup on → part dropped at commit
+    batch(0, 100).write.format("clickhouse_native")
+      .option("insertDedup", "true").mode("append").save(dir)
+    assert(parts() === afterFirst, "identical re-insert must be a no-op")
+    assert(spark.read.format("clickhouse_native").load(dir).count() === 100)
+    // different content with dedup on → appends normally
+    batch(100, 150).write.format("clickhouse_native")
+      .option("insertDedup", "true").mode("append").save(dir)
+    assert(parts().size === 2)
+    assert(spark.read.format("clickhouse_native").load(dir).count() === 150)
+    // dedup OFF (default) keeps duplicate inserts — append semantics unchanged
+    batch(0, 100).write.format("clickhouse_native").mode("append").save(dir)
+    assert(spark.read.format("clickhouse_native").load(dir).count() === 250)
+    // overwrite ignores dedup (old parts are doomed — nothing to dedup against)
+    batch(0, 10).write.format("clickhouse_native")
+      .option("insertDedup", "true").mode("overwrite").save(dir)
+    assert(spark.read.format("clickhouse_native").load(dir).count() === 10)
+  }
+
   test("mergeSchema unions heterogeneous part schemas; first-header stays default") {
     import spark.implicits._
     val dir = tmpDir("evolve")
