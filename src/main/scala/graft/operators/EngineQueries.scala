@@ -112,6 +112,49 @@ object EngineQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice
               FROM orders WHERE o_orderkey % 5 = 0""")),
 
+    "q_engine_replacing_deleted" -> Q(
+      // ReplacingMergeTree(ver, is_deleted) FINAL — CH's soft-delete
+      // variant (23.2+): deletes travel as ordinary inserts with
+      // is_deleted=1 and the key vanishes when its LATEST version is a
+      // tombstone. Version = (ts, event_id) struct so the fold is
+      // total even on tied timestamps; 'error' events play the
+      // tombstone role over the harness stream.
+      (s, dir) => {
+        val ev = Q.events(s, dir).select(col("user_id"),
+          struct(col("ts"), col("event_id")).as("v"),
+          when(col("event_type") === "error", 1).otherwise(0).as("is_deleted"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        MergeTree.replacingFinalDeleted(ev, Seq("user_id"), "v", "is_deleted")
+          .select(col("user_id"), col("v.ts").as("ts"),
+            col("v.event_id").as("event_id"), col("is_deleted"), col("cents"))
+      },
+      Some(s"""SELECT user_id, ts, event_id, is_deleted, cents FROM (
+                 SELECT user_id, ts, event_id,
+                        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_deleted,
+                        CAST(floor(value * 100) AS BIGINT) AS cents,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM ${Q.eventsOracle} events)
+               WHERE rn = 1 AND is_deleted = 0""")),
+
+    "q_engine_optimize_dedup" -> Q(
+      // OPTIMIZE TABLE ... FINAL DEDUPLICATE over this library's own
+      // storage: a table seeded with planted whole-row duplicates
+      // (every 3rd order re-inserted) force-merges into 2 compacted
+      // parts with exact-duplicate rows dropped — read back for the
+      // gate, so fold + native write + read round-trip in one key.
+      // Oracle = DISTINCT over the un-duplicated source.
+      (s, dir) => {
+        val src = ScanQueries.fixtureDir(dir, "optdedup_src")
+        val dst = ScanQueries.fixtureDir(dir, "optdedup_dst")
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        base.unionByName(base.filter(col("o_orderkey") % 3 === 0))
+          .write.format("clickhouse_native").mode("overwrite").save(src)
+        MergeTree.optimizeDeduplicate(s, src, dst, parts = 2)
+      },
+      Some("""SELECT DISTINCT o_orderkey, o_custkey, o_orderpriority FROM orders""")),
+
     "q_engine_collapsing" -> Q(
       // CollapsingMergeTree FINAL over a versioned sign stream: signup
       // opens (+1), error cancels (-1); per user the LATEST row decides

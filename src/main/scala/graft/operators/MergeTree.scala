@@ -126,4 +126,50 @@ object MergeTree {
       .write.format("clickhouse_native").mode("overwrite").save(dstDir)
     spark.read.format("clickhouse_native").load(dstDir)
   }
+
+  /**
+   * `ReplacingMergeTree(ver, is_deleted)` FINAL — ClickHouse's
+   * soft-delete variant (23.2+): per key the latest row (by
+   * `versionCol`) decides, and when that latest row carries
+   * `is_deleted = 1` the key emits NOTHING — a delete travels as an
+   * ordinary insert, folded out at read/merge time. Same single hash
+   * aggregate as [[replacingFinal]] (the deleted-filter is a post-agg
+   * predicate on O(keys) rows), so an append-only export with
+   * tombstone rows queries like the server's FINAL view.
+   */
+  def replacingFinalDeleted(df: DataFrame, keyCols: Seq[String],
+      versionCol: String, isDeletedCol: String): DataFrame =
+    replacingFinal(df, keyCols, versionCol)
+      .filter(col(isDeletedCol) === 0)
+
+  /**
+   * `OPTIMIZE TABLE ... FINAL DEDUPLICATE [BY cols]` — the forced
+   * merge that also drops fully-identical rows (no BY: whole-row
+   * distinct) or rows identical on `byCols` (BY form). ClickHouse
+   * leaves WHICH row survives a BY group unspecified; this operator
+   * picks the MINIMUM of the remaining columns (a total order), so
+   * the result is deterministic under any partitioning — the property
+   * a hash gate and a re-runnable maintenance job both need. Cost
+   * shape matches [[optimizeReplacing]]: one map-side-combining
+   * aggregate + one key-clustered write.
+   */
+  def optimizeDeduplicate(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, dstDir: String, byCols: Seq[String] = Seq.empty,
+      parts: Int = 1): DataFrame = {
+    require(parts > 0, s"parts=$parts must be > 0")
+    val src = spark.read.format("clickhouse_native").load(srcDir)
+    val deduped =
+      if (byCols.isEmpty) src.distinct()
+      else {
+        val rest = payload(src, byCols)
+        if (rest.isEmpty) src.select(byCols.map(col): _*).distinct()
+        else src.groupBy(byCols.map(col): _*)
+          .agg(min(struct(rest.map(col): _*)).as("_p"))
+          .select(byCols.map(col) ++ rest.map(c => col(s"_p.$c").as(c)): _*)
+      }
+    val clusterCols = if (byCols.nonEmpty) byCols else src.columns.headOption.toSeq
+    deduped.repartition(parts, clusterCols.map(col): _*)
+      .write.format("clickhouse_native").mode("overwrite").save(dstDir)
+    spark.read.format("clickhouse_native").load(dstDir)
+  }
 }

@@ -36,4 +36,35 @@ class MergeTreeSpec extends AnyFunSuite {
     assert(got === expect)
     assert(got.size === 200 && got.forall(_._2 === 2L), "latest version per key survives")
   }
+
+  test("replacingFinalDeleted: a key whose latest version is a tombstone vanishes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 0, "a"), (1L, 2L, 1, "a2"), // latest is delete → gone
+      (2L, 1L, 1, "b"), (2L, 2L, 0, "b2"), // deleted then re-inserted → back
+      (3L, 1L, 0, "c") // never deleted
+    ).toDF("k", "ver", "is_deleted", "p")
+    val got = MergeTree.replacingFinalDeleted(df, Seq("k"), "ver", "is_deleted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(got === Set((2L, 2L, "b2"), (3L, 1L, "c")))
+  }
+
+  test("optimizeDeduplicate: whole-row and BY forms, deterministic survivor") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("mt-dedup").toString + "/src"
+    val dst1 = java.nio.file.Files.createTempDirectory("mt-dedup").toString + "/d1"
+    val dst2 = java.nio.file.Files.createTempDirectory("mt-dedup").toString + "/d2"
+    val rows = Seq((1L, "x", 10L), (1L, "x", 10L), (1L, "y", 5L), (2L, "z", 7L))
+    rows.toDF("k", "s", "n").write.format("clickhouse_native")
+      .mode("overwrite").save(src)
+    // whole-row: exact duplicates collapse, distinct rows survive
+    val whole = MergeTree.optimizeDeduplicate(spark, src, dst1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(whole === Set((1L, "x", 10L), (1L, "y", 5L), (2L, "z", 7L)))
+    // BY k: one row per key, the MINIMUM payload survives (total order
+    // — CH leaves the survivor unspecified, we pin the deterministic one)
+    val byK = MergeTree.optimizeDeduplicate(spark, src, dst2, byCols = Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(byK === Set((1L, "x", 10L), (2L, "z", 7L)))
+  }
 }
