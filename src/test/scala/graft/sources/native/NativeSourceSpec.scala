@@ -290,6 +290,48 @@ class NativeSourceSpec extends AnyFunSuite {
     assert(st.isNullAt(0) && st.isNullAt(1))
   }
 
+  test("mergeSchema fuzz: random column-subset parts union with null fill (20 cases, seeded)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+    val rnd = new scala.util.Random(42)
+    val allCols = Seq("a" -> LongType, "b" -> StringType, "c" -> DoubleType, "d" -> IntegerType)
+    (1 to 20).foreach { k =>
+      val dir = tmpDir(s"evofuzz$k")
+      val parts = (0 until 2 + rnd.nextInt(2)).map { _ =>
+        val cols = allCols.filter(_ => rnd.nextBoolean()) match {
+          case s if s.isEmpty => allCols.take(1)
+          case s => s
+        }
+        val rows = (0 until 1 + rnd.nextInt(5)).map { _ =>
+          Row.fromSeq(cols.map {
+            case (_, LongType) => rnd.nextLong()
+            case (_, StringType) => rnd.alphanumeric.take(5).mkString
+            case (_, DoubleType) => rnd.nextDouble()
+            case _ => rnd.nextInt()
+          })
+        }
+        spark.createDataFrame(rows.asJava,
+            StructType(cols.map { case (n, t) => StructField(n, t) }))
+          .coalesce(1).write.format("clickhouse_native").mode("append").save(dir)
+        (cols.map(_._1), rows)
+      }
+      val merged = spark.read.format("clickhouse_native")
+        .option("mergeSchema", "true").load(dir)
+      val mcols = merged.schema.fieldNames.toSeq
+      def multiset(vs: Seq[Vector[Any]]) =
+        vs.groupBy(identity).view.mapValues(_.size).toMap
+      val expected = multiset(parts.flatMap { case (cols, rows) =>
+        rows.map(r => mcols.map(c => cols.indexOf(c) match {
+          case -1 => null
+          case i => r.get(i)
+        }).toVector)
+      })
+      val got = multiset(merged.collect().toSeq
+        .map(r => mcols.indices.map(r.get).toVector))
+      assert(got === expected, s"case $k (cols per part: ${parts.map(_._1)})")
+    }
+  }
+
   test("insertDedup: re-inserting an identical batch is a no-op, new data still appends") {
     import spark.implicits._
     val dir = tmpDir("insdedup")
