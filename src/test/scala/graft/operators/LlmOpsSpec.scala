@@ -1130,6 +1130,11 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(got === direct)
     assert(got.nonEmpty)
+    // the query-term predicate must reach the postings SCAN as a
+    // zone-map filter (the posting-list seek), not post-scan only
+    val leaves = served.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(leaves.exists(_.contains("zonemap=[In(term")),
+      leaves.mkString("\n").take(800))
   }
 
   test("boilerplate strip removes planted chrome and reassembles originals") {
