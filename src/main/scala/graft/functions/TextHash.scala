@@ -18,14 +18,21 @@ object TextHash {
     z ^ (z >>> 31)
   }
 
+  /** FNV-1a 64-bit seed/fold — the ONE definition of the constants;
+    * every FNV surface in the library (string shingle hashes here,
+    * the codegen'd expression, the writer's content-hash stream)
+    * folds through these so they can never silently diverge. */
+  val Fnv1a64Seed: Long = 0xcbf29ce484222325L
+  @inline def fnv1a64Fold(h: Long, b: Byte): Long =
+    (h ^ (b & 0xffL)) * 0x100000001b3L
+
   /** FNV-1a 64-bit over UTF-8 bytes — the base shingle hash. */
   def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
+    var h = Fnv1a64Seed
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
     while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
+      h = fnv1a64Fold(h, bytes(i))
       i += 1
     }
     h

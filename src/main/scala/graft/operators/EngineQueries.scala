@@ -121,7 +121,7 @@ object EngineQueries {
       // tombstone role over the harness stream.
       (s, dir) => {
         val ev = Q.events(s, dir).select(col("user_id"),
-          struct(col("ts"), col("event_id")).as("v"),
+          MergeTree.versionWithTiebreak(col("ts"), col("event_id")).as("v"),
           when(col("event_type") === "error", 1).otherwise(0).as("is_deleted"),
           floor(col("value") * 100).cast("long").as("cents"))
         MergeTree.replacingFinalDeleted(ev, Seq("user_id"), "v", "is_deleted")

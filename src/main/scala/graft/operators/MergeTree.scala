@@ -140,7 +140,11 @@ object MergeTree {
   def replacingFinalDeleted(df: DataFrame, keyCols: Seq[String],
       versionCol: String, isDeletedCol: String): DataFrame =
     replacingFinal(df, keyCols, versionCol)
-      .filter(col(isDeletedCol) === 0)
+      // only an explicit 1 deletes: a NULL is_deleted (e.g. rows
+      // predating a metadata-only ADD COLUMN of the flag, which
+      // null-fills) is NOT a tombstone — dropping those keys would
+      // vanish live data (CH's is_deleted is non-nullable UInt8)
+      .filter(col(isDeletedCol) === 0 || col(isDeletedCol).isNull)
 
   /**
    * `OPTIMIZE TABLE ... FINAL DEDUPLICATE [BY cols]` — the forced
@@ -166,6 +170,10 @@ object MergeTree {
         else src.groupBy(byCols.map(col): _*)
           .agg(min(struct(rest.map(col): _*)).as("_p"))
           .select(byCols.map(col) ++ rest.map(c => col(s"_p.$c").as(c)): _*)
+          // the maintenance contract is "the same table, compacted":
+          // restore the SOURCE column order (the group-by spelling
+          // above puts byCols first)
+          .select(src.columns.map(col): _*)
       }
     val clusterCols = if (byCols.nonEmpty) byCols else src.columns.headOption.toSeq
     deduped.repartition(parts, clusterCols.map(col): _*)

@@ -924,8 +924,15 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
         override def toBatch: BatchWrite =
           new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
             compression, bucket, insertDedup)
-        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          // validated but not implemented for streaming epochs — fail
+          // loudly rather than silently appending duplicate batches
+          // the user asked to have deduplicated
+          if (insertDedup) throw new UnsupportedOperationException(
+            "clickhouse_native: insertDedup is not supported for streaming writes " +
+              "(exactly-once replay protection comes from the epoch-scoped sink itself)")
           new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
+        }
       }
     else
       // Cluster the incoming rows by bucket id BEFORE the writers run:
@@ -955,8 +962,15 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
         override def toBatch: BatchWrite =
           new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
             compression, bucket, insertDedup)
-        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          // validated but not implemented for streaming epochs — fail
+          // loudly rather than silently appending duplicate batches
+          // the user asked to have deduplicated
+          if (insertDedup) throw new UnsupportedOperationException(
+            "clickhouse_native: insertDedup is not supported for streaming writes " +
+              "(exactly-once replay protection comes from the epoch-scoped sink itself)")
           new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
+        }
       }
   }
 }
@@ -1047,10 +1061,25 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
   private val writeToken = java.util.UUID.randomUUID().toString.substring(0, 8)
   private val conf = new SerializableHadoopConf(NativeIO.sessionHadoopConf())
 
+  // Parts visible BEFORE this job's tasks run — the only parts
+  // insert-dedup may compare against. Without the snapshot, two
+  // concurrent identical inserts could each classify the OTHER's
+  // task-committed parts as pre-existing and both delete their own
+  // copy (net zero rows); with it, neither job sees the other's parts
+  // (both started before either committed) and the duplicates survive
+  // — the safe failure direction. Residual exposure: a writer that
+  // task-committed parts before this job started and aborts after
+  // this job's commit; like ClickHouse's own non-replicated dedup,
+  // the feature assumes writes to one table are not racing.
+  @volatile private var preexistingSnapshot: Set[String] = Set.empty
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
+    if (insertDedup && !truncateFirst)
+      preexistingSnapshot = fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
     // NOTE: an overwrite does NOT clear the target here. Deleting
     // before the tasks run destroys the old data while a self-read
     // (INSERT OVERWRITE t SELECT ... FROM t — the natural compaction
@@ -1100,20 +1129,24 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
       val fs = dir.getFileSystem(conf.value)
       if (fs.exists(dir)) {
         val tokenTag = s"-$writeToken-"
-        def hashOf(st: org.apache.hadoop.fs.FileStatus): Option[String] =
-          try NativeIndex.readWithMeta(fs, st.getPath, st.getLen)
-            .flatMap(_._2.get("contentHash"))
-          catch { case _: java.io.IOException => None }
+        // header-bounded 3-line sidecar read — the pass stays
+        // O(parts) driver work, never O(total blocks)
+        def hashOf(p: Path): Option[String] =
+          NativeIndex.readMeta(fs, p).get("contentHash")
         val dataParts = fs.listStatus(dir).filter { st =>
           val n = st.getPath.getName
           !n.startsWith("_") && !n.startsWith(".")
         }
-        val (mine, preexisting) = dataParts.partition(_.getPath.getName.contains(tokenTag))
-        // a pre-existing part without a hash (foreign writer / old
-        // sidecar) simply can't match — dedup degrades to append
-        val existing = preexisting.flatMap(hashOf).toSet
+        val mine = dataParts.filter(_.getPath.getName.contains(tokenTag))
+        // ONLY parts from the start-of-job snapshot count as
+        // pre-existing (see preexistingSnapshot); a part without a
+        // hash (foreign writer / old sidecar) simply can't match —
+        // dedup degrades to append
+        val existing = dataParts.iterator
+          .filter(st => preexistingSnapshot.contains(st.getPath.getName))
+          .flatMap(st => hashOf(st.getPath)).toSet
         if (existing.nonEmpty) mine.foreach { st =>
-          if (hashOf(st).exists(existing.contains)) {
+          if (hashOf(st.getPath).exists(existing.contains)) {
             fs.delete(st.getPath, false)
             val idx = NativeIndex.sidecarPath(st.getPath)
             if (fs.exists(idx)) fs.delete(idx, false)
@@ -1450,18 +1483,20 @@ private[native] case class NativeCommitMessage(files: Seq[String]) extends Write
 
 /** FNV-1a-64 over every byte written — the part content hash the
   * sidecar records for insert-dedup (and any external integrity use).
-  * One multiply-xor per byte, noise next to varint encoding. */
+  * One multiply-xor per byte, noise next to varint encoding; the
+  * seed/fold are [[graft.functions.TextHash]]'s single definition. */
 private[native] final class HashingOutputStream(out: java.io.OutputStream)
     extends java.io.OutputStream {
-  private var h = 0xcbf29ce484222325L
+  import graft.functions.TextHash
+  private var h = TextHash.Fnv1a64Seed
   override def write(b: Int): Unit = {
-    h = (h ^ (b & 0xff)) * 0x100000001b3L
+    h = TextHash.fnv1a64Fold(h, b.toByte)
     out.write(b)
   }
   override def write(b: Array[Byte], off: Int, len: Int): Unit = {
     var i = off
     val end = off + len
-    while (i < end) { h = (h ^ (b(i) & 0xff)) * 0x100000001b3L; i += 1 }
+    while (i < end) { h = TextHash.fnv1a64Fold(h, b(i)); i += 1 }
     out.write(b, off, len)
   }
   override def flush(): Unit = out.flush()

@@ -127,6 +127,33 @@ private[native] object NativeIndex {
 
   /** [[read]] plus the writer-authored `#meta` key/value line (empty for
     * pre-meta sidecars and CHIDX1). */
+  /** The `#meta` line alone — a bounded 3-line read, no block-entry
+    * parse: the per-part identity probe insert-dedup runs at commit
+    * stays O(parts), not O(total blocks). Parts and their sidecars
+    * are written-once/immutable, so the hash needs no length
+    * cross-check here; any unreadable/absent sidecar returns empty
+    * (the part simply can't match). */
+  def readMeta(fs: FileSystem, dataFile: Path): Map[String, String] = {
+    val p = sidecarPath(dataFile)
+    try {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        val l0 = in.readLine()
+        if (l0 == null || !l0.startsWith("CHIDX2")) return Map.empty
+        val l1 = in.readLine()
+        if (l1 == null || !l1.startsWith("#cols ")) return Map.empty
+        val l2 = in.readLine()
+        if (l2 == null || !l2.startsWith("#meta ")) Map.empty
+        else l2.stripPrefix("#meta ").trim.split(',').filter(_.contains('='))
+          .map { kv =>
+            val i = kv.indexOf('=')
+            dec(kv.substring(0, i)) -> dec(kv.substring(i + 1))
+          }.toMap
+      } finally in.close()
+    } catch { case _: java.io.IOException => Map.empty }
+  }
+
   def readWithMeta(fs: FileSystem, dataFile: Path,
       dataLen: Long): Option[(Array[BlockEntry], Map[String, String])] = {
     val p = sidecarPath(dataFile)

@@ -47,6 +47,15 @@ class MergeTreeSpec extends AnyFunSuite {
     val got = MergeTree.replacingFinalDeleted(df, Seq("k"), "ver", "is_deleted")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
     assert(got === Set((2L, 2L, "b2"), (3L, 1L, "c")))
+    // a NULL is_deleted (rows predating a metadata-only ADD COLUMN of
+    // the flag) is NOT a tombstone — the key must survive
+    val withNull = Seq(
+      (1L, 1L, Some(0), "a"), (1L, 2L, None, "a2"), // latest flag NULL → keep
+      (2L, 1L, Some(1), "b") // explicit tombstone → gone
+    ).toDF("k", "ver", "is_deleted", "p")
+    val gotNull = MergeTree.replacingFinalDeleted(withNull, Seq("k"), "ver", "is_deleted")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(gotNull === Set((1L, "a2")))
   }
 
   test("optimizeDeduplicate: whole-row and BY forms, deterministic survivor") {
@@ -63,7 +72,11 @@ class MergeTreeSpec extends AnyFunSuite {
     assert(whole === Set((1L, "x", 10L), (1L, "y", 5L), (2L, "z", 7L)))
     // BY k: one row per key, the MINIMUM payload survives (total order
     // — CH leaves the survivor unspecified, we pin the deterministic one)
-    val byK = MergeTree.optimizeDeduplicate(spark, src, dst2, byCols = Seq("k"))
+    val byDf = MergeTree.optimizeDeduplicate(spark, src, dst2, byCols = Seq("s"))
+    // the maintenance contract is "the same table, compacted": source
+    // column order survives even though the BY column is not first
+    assert(byDf.columns.toSeq === Seq("k", "s", "n"))
+    val byK = MergeTree.optimizeDeduplicate(spark, src, dst2 + "b", byCols = Seq("k"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(byK === Set((1L, "x", 10L), (2L, "z", 7L)))
   }
