@@ -999,6 +999,25 @@ object RelationalQueries {
                                          WHEN '2-HIGH' THEN 250
                                          ELSE 100 END""")),
 
+    "q_sample_clause" -> Q(
+      // CH's `SAMPLE k OFFSET m` SELECT clause — deterministic
+      // key-hash sampling over a fixed slice of hash space: the
+      // sampling key maps uniformly onto [0, 2^32) (same Knuth
+      // multiplicative hash the other sampling keys use) and
+      // SAMPLE 1/10 OFFSET 3/10 keeps the [0.3·2^32, 0.4·2^32) slice —
+      // repeatable across reruns/engines/partitionings, and disjoint
+      // OFFSET slices compose to the full table (CH's parallel-
+      // processing idiom). Pure per-row arithmetic, zero shuffles.
+      (s, dir) => {
+        val b = pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L))
+        t(s, dir, "orders")
+          .filter(b >= lit(1288490188L) && b < lit(1717986918L)) // ⌊0.3·2^32⌋..⌊0.4·2^32⌋
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              WHERE ((o_orderkey * 2654435761) % 4294967296) >= 1288490188
+                AND ((o_orderkey * 2654435761) % 4294967296) < 1717986918""")),
+
     "q_sample_weighted" -> Q(
       // Efraimidis–Spirakis weighted sampling without replacement
       // (TextPipeline.weightedSample): top-k by ln(u)/w with the
