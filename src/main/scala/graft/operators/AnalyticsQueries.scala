@@ -206,11 +206,12 @@ object AnalyticsQueries {
           .agg(array_sort(collect_list(struct(col("k"), col("mn"), col("mx"))))
             .as("kv"))
           .select(col("grp"),
-            transform(col("kv"), x => x.getField("k")).as("keys"),
-            transform(col("kv"), x => x.getField("mn")).as("mins"),
-            transform(col("kv"), x => x.getField("mx")).as("maxs"))
+            // serialized final projection (Q.strArr) — driver-gate rule
+            Q.strArr(transform(col("kv"), x => x.getField("k"))).as("keys"),
+            Q.strArr(transform(col("kv"), x => x.getField("mn"))).as("mins"),
+            Q.strArr(transform(col("kv"), x => x.getField("mx"))).as("maxs"))
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
                 SELECT l_linenumber AS grp, 'f_' || l_returnflag AS k,
                        CAST(floor(l_quantity * 100) AS BIGINT) AS v FROM lineitem
                 UNION ALL
@@ -218,9 +219,9 @@ object AnalyticsQueries {
                        CAST(floor(l_extendedprice * 100) AS BIGINT) FROM lineitem),
               g AS (SELECT grp, k, min(v) AS mn, max(v) AS mx
                     FROM e GROUP BY grp, k)
-              SELECT grp, list(k ORDER BY k) AS keys,
-                     list(mn ORDER BY k) AS mins,
-                     list(mx ORDER BY k) AS maxs
+              SELECT grp, ${Q.strArrSql("list(k ORDER BY k)")} AS keys,
+                     ${Q.strArrSql("list(mn ORDER BY k)")} AS mins,
+                     ${Q.strArrSql("list(mx ORDER BY k)")} AS maxs
               FROM g GROUP BY grp""")),
 
     "q_fn_array_transform" -> Q(
@@ -238,31 +239,39 @@ object AnalyticsQueries {
           array(col("o_orderkey") % 7 - 3, col("o_orderkey") % 5 - 2,
             col("o_orderkey") % 5 - 2, col("o_orderkey") % 3,
             lit(0L)).as("arr"))
-        src.select(col("k"), col("arr"),
-          expr("""aggregate(arr, cast(array() as array<bigint>),
+        src.select(col("k"),
+          // serialized final projections (Q.strArr) — driver-gate rule
+          Q.strArr(col("arr")).as("arr"),
+          Q.strArr(
+            expr("""aggregate(arr, cast(array() as array<bigint>),
                     (acc, x) -> concat(acc,
-                      array(coalesce(try_element_at(acc, -1), 0L) + x)))""")
+                      array(coalesce(try_element_at(acc, -1), 0L) + x)))"""))
             .as("cum"),
-          expr("transform(arr, (x, i) -> IF(i = 0, 0L, x - element_at(arr, i)))")
+          Q.strArr(
+            expr("transform(arr, (x, i) -> IF(i = 0, 0L, x - element_at(arr, i)))"))
             .as("diff"),
-          expr("filter(arr, (x, i) -> i = 0 OR x != element_at(arr, i))")
+          Q.strArr(
+            expr("filter(arr, (x, i) -> i = 0 OR x != element_at(arr, i))"))
             .as("compacted"))
       },
-      Some("""WITH a AS (SELECT o_orderkey AS k,
+      Some(s"""WITH a AS (SELECT o_orderkey AS k,
                        [o_orderkey % 7 - 3, o_orderkey % 5 - 2,
                         o_orderkey % 5 - 2, o_orderkey % 3,
                         CAST(0 AS BIGINT)] AS arr
                      FROM orders)
-              SELECT k, arr,
-                     list_transform(range(1, 6),
-                       i -> CAST(list_sum(arr[1:i]) AS BIGINT)) AS cum,
-                     list_transform(range(1, 6),
+              SELECT k, ${Q.strArrSql("arr")} AS arr,
+                     ${Q.strArrSql(
+                       """list_transform(range(1, 6),
+                       i -> CAST(list_sum(arr[1:i]) AS BIGINT))""")} AS cum,
+                     ${Q.strArrSql(
+                       """list_transform(range(1, 6),
                        i -> CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
-                                 ELSE arr[i] - arr[i - 1] END) AS diff,
-                     list_transform(
+                                 ELSE arr[i] - arr[i - 1] END)""")} AS diff,
+                     ${Q.strArrSql(
+                       """list_transform(
                        list_filter(range(1, 6),
                          i -> i = 1 OR arr[i] <> arr[i - 1]),
-                       i -> arr[i]) AS compacted
+                       i -> arr[i])""")} AS compacted
               FROM a""")),
 
     "q_agg_time_decay" -> Q(
@@ -369,10 +378,11 @@ object AnalyticsQueries {
           .agg(array_sort(collect_list(struct(col("pos"), col("sv"), col("mv"))))
             .as("kv"))
           .select(col("grp"),
-            transform(col("kv"), x => x.getField("sv")).as("sum_foreach"),
-            transform(col("kv"), x => x.getField("mv")).as("max_foreach"))
+            // serialized final projection (Q.strArr) — driver-gate rule
+            Q.strArr(transform(col("kv"), x => x.getField("sv"))).as("sum_foreach"),
+            Q.strArr(transform(col("kv"), x => x.getField("mv"))).as("max_foreach"))
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
                 SELECT o_custkey % 10 AS grp, 0 AS pos, o_orderkey % 7 AS v
                 FROM orders
                 UNION ALL
@@ -383,8 +393,8 @@ object AnalyticsQueries {
               g AS (SELECT grp, pos, CAST(sum(v) AS BIGINT) AS sv,
                            CAST(max(v) AS BIGINT) AS mv
                     FROM e GROUP BY grp, pos)
-              SELECT grp, list(sv ORDER BY pos) AS sum_foreach,
-                     list(mv ORDER BY pos) AS max_foreach
+              SELECT grp, ${Q.strArrSql("list(sv ORDER BY pos)")} AS sum_foreach,
+                     ${Q.strArrSql("list(mv ORDER BY pos)")} AS max_foreach
               FROM g GROUP BY grp""")),
 
     "q_fn_string_distance" -> Q(
@@ -676,9 +686,13 @@ object AnalyticsQueries {
           .groupBy("g")
           .agg(array_sort(collect_list(struct(col("ord"), col("ma")))).as("kv"))
           .select(col("g"),
-            transform(col("kv"), x => x.getField("ma")).as("moving_avgs"))
+            // serialized final projection (Q.strArr4dp): the quotients
+            // are engine-identical IEEE doubles (exact integer sum /
+            // exact frame count) and strictly positive, so the fixed
+            // "%.4f" rendering is engine-exact — driver-gate rule
+            Q.strArr4dp(transform(col("kv"), x => x.getField("ma"))).as("moving_avgs"))
       },
-      Some("""WITH r AS (SELECT l_suppkey AS g,
+      Some(s"""WITH r AS (SELECT l_suppkey AS g,
                      l_orderkey * 10 + l_linenumber AS ord,
                      CAST(l_quantity AS BIGINT) AS v FROM lineitem),
               m AS (SELECT g, ord,
@@ -687,7 +701,7 @@ object AnalyticsQueries {
                    FROM r
                    WINDOW fr AS (PARTITION BY g ORDER BY ord, v
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
-              SELECT g, list(ma ORDER BY ord, ma) AS moving_avgs
+              SELECT g, ${Q.strArr4dpSql("list(ma ORDER BY ord, ma)")} AS moving_avgs
               FROM m GROUP BY g""")),
 
     "q_agg_linreg_multi" -> Q(
@@ -784,7 +798,9 @@ object AnalyticsQueries {
           col("event_id").as("tb"))
         .groupBy("event_type")
         .agg(expr("lttb_agg(x, y, tb, 20)").as("d"))
-        .select(col("event_type"), col("d.xs").as("xs"), col("d.ys").as("ys")),
+        // serialized final projection (Q.strArr) — driver-gate rule
+        .select(col("event_type"),
+          Q.strArr(col("d.xs")).as("xs"), Q.strArr(col("d.ys")).as("ys")),
       Some(s"""WITH RECURSIVE
               src AS (SELECT event_type AS g,
                         CAST(floor(epoch(ts)) AS BIGINT) AS x,
@@ -817,8 +833,8 @@ object AnalyticsQueries {
                    LIMIT 1) c
                 WHERE s.step < 19)
               SELECT g AS event_type,
-                     list(x ORDER BY step) AS xs,
-                     list(y ORDER BY step) AS ys
+                     ${Q.strArrSql("list(x ORDER BY step)")} AS xs,
+                     ${Q.strArrSql("list(y ORDER BY step)")} AS ys
               FROM sel GROUP BY g""")),
 
     "q_fn_point_in_polygon" -> Q(

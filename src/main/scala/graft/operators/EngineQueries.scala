@@ -600,21 +600,35 @@ object EngineQueries {
     "q_fn_array_sort" -> Q(
       // CH arraySort / arrayReverseSort / arrayDistinct / arrayFlatten /
       // arraySlice over the embeddings vectors. Pure per-row expressions
-      // (no shuffle, fully codegen-able); float elements pass through
-      // both engines untouched — no arithmetic, so exact equality holds.
-      (s, dir) => t(s, dir, "embeddings").select(
-        col("vec_id"),
-        sort_array(slice(col("embedding"), 1, 6)).as("sorted6"),
-        sort_array(slice(col("embedding"), 1, 6), asc = false).as("rsorted6"),
-        sort_array(array_distinct(slice(col("embedding"), 1, 6))).as("distinct6"),
-        flatten(array(slice(col("embedding"), 1, 3),
-          slice(col("embedding"), 4, 3))).as("flat6")),
-      Some("""SELECT vec_id,
-                     list_sort(embedding[1:6]) AS sorted6,
-                     list_reverse_sort(embedding[1:6]) AS rsorted6,
-                     list_sort(list_distinct(embedding[1:6])) AS distinct6,
-                     flatten([embedding[1:3], embedding[4:6]]) AS flat6
-              FROM embeddings""")),
+      // (no shuffle, fully codegen-able); sort/distinct/flatten operate
+      // on the raw floats — identical bit patterns both engines — and
+      // only the FINAL projection serializes each element as an exact
+      // scaled integer, floor(x·10⁶) (widen-to-double, multiply, floor:
+      // three correctly-rounded IEEE ops on identical inputs — engine-
+      // exact, unlike decimal float rendering, whose sci-notation
+      // thresholds differ between engines). Driver-gate rule: array
+      // cells can't be hashed, so the final schema is scalar-only.
+      (s, dir) => {
+        val f6 = (c: org.apache.spark.sql.Column) =>
+          Q.strArr(transform(c, x => floor(x.cast("double") * lit(1000000.0))))
+        t(s, dir, "embeddings").select(
+          col("vec_id"),
+          f6(sort_array(slice(col("embedding"), 1, 6))).as("sorted6"),
+          f6(sort_array(slice(col("embedding"), 1, 6), asc = false)).as("rsorted6"),
+          f6(sort_array(array_distinct(slice(col("embedding"), 1, 6)))).as("distinct6"),
+          f6(flatten(array(slice(col("embedding"), 1, 3),
+            slice(col("embedding"), 4, 3)))).as("flat6"))
+      },
+      Some {
+        def f6(inner: String) = Q.strArrSql(
+          s"list_transform($inner, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        s"""SELECT vec_id,
+                     ${f6("list_sort(embedding[1:6])")} AS sorted6,
+                     ${f6("list_reverse_sort(embedding[1:6])")} AS rsorted6,
+                     ${f6("list_sort(list_distinct(embedding[1:6]))")} AS distinct6,
+                     ${f6("flatten([embedding[1:3], embedding[4:6]])")} AS flat6
+              FROM embeddings"""
+      }),
 
     "q_fn_geo" -> Q(
       // greatCircleDistance through the dialect: synthetic coordinates

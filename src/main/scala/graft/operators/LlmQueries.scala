@@ -830,9 +830,12 @@ object LlmQueries {
       // derived per-dimension min/max, 255-bucket floor assignment —
       // core IEEE ops only, so the integer codes are engine-exact with
       // no rounding regime needed.
+      // registry projection serializes the code array (Q.strArr,
+      // driver-gate rule); the library function keeps the array form
       (s, dir) => Similarity.scalarQuantize(
-        t(s, dir, "embeddings"), "vec_id", "embedding", levels = 256),
-      Some("""WITH d AS (SELECT vec_id, CAST(i AS INTEGER) AS pos,
+          t(s, dir, "embeddings"), "vec_id", "embedding", levels = 256)
+        .select(col("vec_id"), Q.strArr(col("codes")).as("codes")),
+      Some(s"""WITH d AS (SELECT vec_id, CAST(i AS INTEGER) AS pos,
                      embedding[CAST(i AS INTEGER)] AS x
                    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
               st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM d GROUP BY pos),
@@ -842,7 +845,8 @@ object LlmQueries {
                             (CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0
                             / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))) AS INTEGER)) END AS code
                    FROM d JOIN st USING (pos))
-              SELECT vec_id, list(CAST(code AS INTEGER) ORDER BY pos) AS codes
+              SELECT vec_id,
+                     ${Q.strArrSql("list(CAST(code AS INTEGER) ORDER BY pos)")} AS codes
               FROM codes GROUP BY vec_id""")),
 
     "q_sim_cosine_pq" -> Q(
@@ -1280,8 +1284,11 @@ object LlmQueries {
       // doc's accept/reject plus the failed-rule list in fixed rule
       // order — the curation verdict a pipeline writes next to the
       // data. The oracle rebuilds the signals and the same rule list.
-      (s, dir) => TextPipeline.qualityFilter(t(s, dir, "documents"), "doc_id", "text"),
-      Some("""WITH toks AS (SELECT doc_id,
+      // registry projection serializes the reason list (Q.strArr,
+      // driver-gate rule); the library function keeps the array form
+      (s, dir) => TextPipeline.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("accepted"), Q.strArr(col("reasons")).as("reasons")),
+      Some(s"""WITH toks AS (SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                  w -> w <> '') AS ws
                    FROM documents),
@@ -1303,7 +1310,8 @@ object LlmQueries {
                                   CASE WHEN dtf > 0.5 THEN 'repeated_spans' END],
                                  x -> x IS NOT NULL) AS reasons
                    FROM sig)
-              SELECT doc_id, len(reasons) = 0 AS accepted, reasons FROM dec""")),
+              SELECT doc_id, len(reasons) = 0 AS accepted,
+                     ${Q.strArrSql("reasons")} AS reasons FROM dec""")),
 
     "q_outlier_zscore" -> Q(
       // per-group z-score outlier flagging — the numeric-column cousin

@@ -361,13 +361,18 @@ object MetricsQueries {
             array_sort(collect_list(struct(col("l_linenumber").as("ln"),
               col("l_returnflag").as("f")))),
             x => x.getField("f")).as("arr"))
+        // serialized final projections (Q.strArr) — driver-gate rule;
+        // enum columns first, then the source array is serialized in a
+        // second select (same-select aliasing would shadow `arr`)
         a.select(col("k"), col("arr"),
-          sequence(lit(1), size(col("arr"))).as("enum_idx"),
-          transform(col("arr"), (x, i) =>
-            size(filter(slice(col("arr"), lit(1), i + lit(1)), y => y === x)))
+          Q.strArr(sequence(lit(1), size(col("arr")))).as("enum_idx"),
+          Q.strArr(transform(col("arr"), (x, i) =>
+            size(filter(slice(col("arr"), lit(1), i + lit(1)), y => y === x))))
             .as("enum_uniq"))
+          .select(col("k"), Q.strArr(col("arr")).as("arr"),
+            col("enum_idx"), col("enum_uniq"))
       },
-      Some("""WITH a AS (SELECT l_orderkey AS k,
+      Some(s"""WITH a AS (SELECT l_orderkey AS k,
                        -- tie-break on the flag: this synthetic lineitem
                        -- REUSES linenumbers within an order, and equal
                        -- (ln, flag) elements are interchangeable
@@ -378,10 +383,11 @@ object MetricsQueries {
               r AS (SELECT k, f, ord,
                        row_number() OVER (PARTITION BY k, f ORDER BY ord) AS rn
                      FROM e),
-              g AS (SELECT k, list(CAST(ord AS INT) ORDER BY ord) AS enum_idx,
-                           list(CAST(rn AS INT) ORDER BY ord) AS enum_uniq
+              g AS (SELECT k,
+                           ${Q.strArrSql("list(CAST(ord AS INT) ORDER BY ord)")} AS enum_idx,
+                           ${Q.strArrSql("list(CAST(rn AS INT) ORDER BY ord)")} AS enum_uniq
                      FROM r GROUP BY k)
-              SELECT g.k, a.arr, g.enum_idx, g.enum_uniq
+              SELECT g.k, ${Q.strArrSql("a.arr")} AS arr, g.enum_idx, g.enum_uniq
               FROM g JOIN a USING (k)""")),
 
     "q_join_asof_nearest" -> Q(
@@ -468,24 +474,28 @@ object MetricsQueries {
         val a = t(s, dir, "lineitem").filter(col("l_orderkey") % 53 === 0)
           .groupBy(col("l_orderkey").as("k"))
           .agg(collect_list(col("l_returnflag")).as("flags"))
+        // serialized final projections (Q.strArr) — driver-gate rule
         a.select(col("k"),
-          array_sort(array_distinct(array_intersect(col("flags"), ref)))
+          Q.strArr(array_sort(array_distinct(array_intersect(col("flags"), ref))))
             .as("inter"),
-          array_sort(array_distinct(array_union(col("flags"), ref)))
+          Q.strArr(array_sort(array_distinct(array_union(col("flags"), ref))))
             .as("uni"),
-          array_sort(array_distinct(array_except(col("flags"), ref)))
+          Q.strArr(array_sort(array_distinct(array_except(col("flags"), ref))))
             .as("diff"))
       },
-      Some("""WITH a AS (SELECT l_orderkey AS k,
+      Some(s"""WITH a AS (SELECT l_orderkey AS k,
                        list(l_returnflag) AS flags
                      FROM lineitem WHERE l_orderkey % 53 = 0 GROUP BY 1)
               SELECT k,
-                     list_sort(list_distinct(list_filter(flags,
-                       x -> list_contains(['A','N'], x)))) AS inter,
-                     list_sort(list_distinct(list_concat(flags,
-                       ['A','N']))) AS uni,
-                     list_sort(list_distinct(list_filter(flags,
-                       x -> NOT list_contains(['A','N'], x)))) AS diff
+                     ${Q.strArrSql(
+                       """list_sort(list_distinct(list_filter(flags,
+                       x -> list_contains(['A','N'], x))))""")} AS inter,
+                     ${Q.strArrSql(
+                       """list_sort(list_distinct(list_concat(flags,
+                       ['A','N'])))""")} AS uni,
+                     ${Q.strArrSql(
+                       """list_sort(list_distinct(list_filter(flags,
+                       x -> NOT list_contains(['A','N'], x))))""")} AS diff
               FROM a""")),
 
     "q_agg_array_intersect" -> Q(
@@ -511,14 +521,15 @@ object MetricsQueries {
           .join(broadcast(members), "grp")
           .filter(col("n_with") === col("n_members"))
           .groupBy("grp")
-          .agg(sort_array(collect_list(col("e"))).as("common"))
+          // serialized final projection (Q.strArr) — driver-gate rule
+          .agg(Q.strArr(sort_array(collect_list(col("e")))).as("common"))
       },
-      Some("""WITH t AS (SELECT DISTINCT o_orderpriority AS grp,
+      Some(s"""WITH t AS (SELECT DISTINCT o_orderpriority AS grp,
                        l_linenumber AS m, l_returnflag AS e
                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
               members AS (SELECT grp, count(DISTINCT m) AS n_members
                      FROM t GROUP BY 1)
-              SELECT grp, list_sort(list(e)) AS common
+              SELECT grp, ${Q.strArrSql("list_sort(list(e))")} AS common
               FROM (SELECT grp, e, count(DISTINCT m) AS n_with
                     FROM t GROUP BY 1, 2) c
               JOIN members USING (grp)

@@ -120,6 +120,48 @@ object Q {
   /** Oracle-side mirror of [[events]]: ns→us cast in DuckDB. */
   val eventsOracle: String =
     "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  /**
+   * Serialize an array-typed FINAL projection to a '|'-joined string.
+   * The driver's pandas gate sorts result cells before hashing and
+   * cannot hash array-typed values (numpy.ndarray is unhashable), so
+   * every registered query's final schema must be scalar-only — the
+   * same discipline q_agg_collect established. The array form of each
+   * operator stays covered by its ScalaTest spec; the registry applies
+   * this serialization on BOTH engines (oracle mirror [[strArrSql]]).
+   * Accepts string/integer element types only: Spark's element cast to
+   * string renders integers identically to DuckDB's VARCHAR cast. For
+   * double elements use [[strArr4dp]]; scale float elements to exact
+   * integers first.
+   */
+  def strArr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.array_join
+    array_join(c.cast("array<string>"), "|")
+  }
+
+  /** Oracle mirror of [[strArr]]. The coalesce matters: DuckDB's
+    * array_to_string returns NULL for an empty list where Spark's
+    * array_join returns ''. */
+  def strArrSql(inner: String): String =
+    s"coalesce(array_to_string($inner, '|'), '')"
+
+  /**
+   * [[strArr]] for double elements: fixed "%.4f" rendering on both
+   * engines. printf of the SAME double is engine-identical — both
+   * engines round the exact binary value, and a tie at the 4th decimal
+   * would need the double to equal k/(2·10⁴) exactly, impossible in
+   * binary (denominator carries 5⁴) — PROVIDED the doubles themselves
+   * are engine-identical (each caller's exact-regime arithmetic) and
+   * non-negative (Java renders -0.0 as "-0.0000", DuckDB as "0.0000").
+   */
+  def strArr4dp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array_join, format_string, transform}
+    array_join(transform(c, x => format_string("%.4f", x)), "|")
+  }
+
+  /** Oracle mirror of [[strArr4dp]]. */
+  def strArr4dpSql(inner: String): String =
+    s"coalesce(array_to_string(list_transform($inner, x -> printf('%.4f', x)), '|'), '')"
 }
 
 /** Every declared query key, in SURVEY §2 order. */

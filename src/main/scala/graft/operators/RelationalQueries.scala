@@ -442,18 +442,20 @@ object RelationalQueries {
           .groupBy("grp", "k").agg(sum("v").as("sv"))
           .groupBy("grp").agg(array_sort(collect_list(struct(col("k"), col("sv")))).as("kv"))
           .select(col("grp"),
-            transform(col("kv"), x => x.getField("k")).as("keys"),
-            transform(col("kv"), x => x.getField("sv")).as("sums"))
+            // serialized final projection (Q.strArr) — the driver's
+            // gate can't hash array cells; array form spec-covered
+            Q.strArr(transform(col("kv"), x => x.getField("k"))).as("keys"),
+            Q.strArr(transform(col("kv"), x => x.getField("sv"))).as("sums"))
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
                 SELECT l_linenumber AS grp, 'f_' || l_returnflag AS k,
                        CAST(l_quantity AS BIGINT) AS v FROM lineitem
                 UNION ALL
                 SELECT l_linenumber, 's_' || l_linestatus, 1 FROM lineitem),
               g AS (SELECT grp, k, CAST(sum(v) AS BIGINT) AS sv
                     FROM e GROUP BY grp, k)
-              SELECT grp, list(k ORDER BY k) AS keys,
-                     list(sv ORDER BY k) AS sums
+              SELECT grp, ${Q.strArrSql("list(k ORDER BY k)")} AS keys,
+                     ${Q.strArrSql("list(sv ORDER BY k)")} AS sums
               FROM g GROUP BY grp""")),
 
     "q_agg_moving_sum" -> Q(
@@ -477,16 +479,17 @@ object RelationalQueries {
           .groupBy("g")
           .agg(array_sort(collect_list(struct(col("ord"), col("ms")))).as("kv"))
           .select(col("g"),
-            transform(col("kv"), x => x.getField("ms")).as("moving_sums"))
+            // serialized final projection (Q.strArr) — driver-gate rule
+            Q.strArr(transform(col("kv"), x => x.getField("ms"))).as("moving_sums"))
       },
-      Some("""WITH r AS (SELECT l_suppkey AS g,
+      Some(s"""WITH r AS (SELECT l_suppkey AS g,
                      l_orderkey * 10 + l_linenumber AS ord,
                      CAST(l_quantity AS BIGINT) AS v FROM lineitem),
               m AS (SELECT g, ord,
                      CAST(sum(v) OVER (PARTITION BY g ORDER BY ord, v
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS ms
                    FROM r)
-              SELECT g, list(ms ORDER BY ord, ms) AS moving_sums
+              SELECT g, ${Q.strArrSql("list(ms ORDER BY ord, ms)")} AS moving_sums
               FROM m GROUP BY g""")),
 
     "q_agg_deltasum" -> Q(
@@ -1020,17 +1023,27 @@ object RelationalQueries {
 
     "q_sample_weighted" -> Q(
       // Efraimidis–Spirakis weighted sampling without replacement
-      // (TextPipeline.weightedSample): top-k by ln(u)/w with the
+      // (TextPipeline.weightedSample): top-k by qlog2(u)/w with the
       // deterministic hash uniform — inclusion probability ∝ weight,
-      // reproducible across engines. 6dp key rounding before the rank
-      // makes the top-100 cut engine-exact (ties by id).
+      // reproducible across engines. qlog2 is Mitchell's piecewise-
+      // linear log2 (bitlen + power-of-two-divided mantissa): every
+      // step exact in IEEE doubles except the one final correctly-
+      // rounded division, so skey is bit-identical on both engines
+      // with NO rounding step (the earlier libm-ln + 6dp spelling
+      // hash-failed on a half-boundary straddle, r5 verdict).
       (s, dir) => TextPipeline.weightedSample(
         t(s, dir, "orders"), "o_orderkey", "o_totalprice", k = 100),
-      Some("""SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS w,
-                     round(ln((CAST(((o_orderkey % 1000003) * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
-                              / 4294967296.0) / CAST(o_totalprice AS DOUBLE), 6) AS skey
-              FROM orders WHERE o_totalprice > 0
-              ORDER BY skey DESC, id LIMIT 100""")),
+      Some("""WITH s AS (SELECT o_orderkey AS id,
+                     CAST(o_totalprice AS DOUBLE) AS w,
+                     ((o_orderkey % 1000003) * 2654435761) % 4294967296 AS h
+                   FROM orders WHERE o_totalprice > 0),
+              m AS (SELECT id, w, h * 2 + 1 AS m FROM s),
+              b AS (SELECT id, w, m, length(bin(m)) AS bl FROM m)
+              SELECT id, w,
+                     (CAST(bl AS DOUBLE) - 35.0
+                      + CAST(m AS DOUBLE) / CAST(1::BIGINT << (bl - 1) AS DOUBLE)) / w
+                       AS skey
+              FROM b ORDER BY skey DESC, id LIMIT 100""")),
 
     // ----- §2.5 window functions ------------------------------------------
 

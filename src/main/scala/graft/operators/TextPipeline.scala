@@ -197,11 +197,25 @@ object TextPipeline {
    * 100 TB the same pipeline rerun must select the same rows on any
    * engine and any partitioning.
    *
-   * Ranking uses ln(u)/w — the monotone log transform of u^(1/w)
-   * (same order, no pow), rounded to 6dp BEFORE ranking so the total
-   * order is engine-exact (ties broken by id; the raw ln differs
-   * across libm implementations only in the last ulp, far inside the
-   * rounding step).
+   * Ranking uses a log transform of u^(1/w) (same order, no pow) in an
+   * EXACT ARITHMETIC REGIME — no libm: with the hash bucket h ∈
+   * [0, 2³²) and m = 2h+1 (so u = m/2³³), the key is
+   *
+   *   qlog2(u)/w,   qlog2(u) = bitlen(m) − 35 + m / 2^(bitlen(m)−1)
+   *
+   * — Mitchell's piecewise-linear log2 (IRE Trans. EC-11, 1962):
+   * strictly increasing in u, exact at every power of two, linear
+   * between. Every step is EXACT in IEEE doubles (m < 2³³ and its
+   * power-of-two divisor are exactly representable; the quotient has
+   * ≤33 significant bits; the integer offset adds ≤6 more), and the
+   * single final division by w is one correctly-rounded op on
+   * engine-identical operands — so skey is BIT-IDENTICAL on any
+   * engine, with no rounding step at all. (The earlier ln(u)-based
+   * spelling rounded to 6dp, but libm ln can straddle a half-boundary
+   * of that grid across engines — the float-libm regime the house
+   * discipline bans.) A monotone approximation of ln keeps the A-ES
+   * weighting property: heavier w still compresses the key toward 0
+   * identically for every row.
    *
    * Plan shape: map-side key computation + `orderBy(...).limit(k)` =
    * TakeOrderedAndProject — per-partition top-k, only k rows per
@@ -214,11 +228,18 @@ object TextPipeline {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"sample size k=$k must be > 0")
-    val u = (pmod((col(idCol) % lit(1000003L)) * lit(2654435761L),
-      lit(4294967296L)).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val h = pmod((col(idCol) % lit(1000003L)) * lit(2654435761L),
+      lit(4294967296L))
     df.filter(col(weightCol) > 0)
       .select(col(idCol).as("id"), col(weightCol).cast("double").as("w"),
-        round(log(u) / col(weightCol).cast("double"), 6).as("skey"))
+        (h * 2 + 1).as("m"))
+      .withColumn("bl", length(bin(col("m"))))
+      .withColumn("skey",
+        (col("bl").cast("double") - lit(35.0) +
+          col("m").cast("double") /
+            expr("cast(shiftleft(cast(1 as bigint), bl - 1) as double)"))
+          / col("w"))
+      .select("id", "w", "skey")
       .orderBy(col("skey").desc, col("id"))
       .limit(k)
   }

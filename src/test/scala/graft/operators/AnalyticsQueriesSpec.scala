@@ -97,10 +97,11 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
   }
 
   test("q_agg_minmap: keys sorted, mins <= maxs elementwise, sumMap-consistent layout") {
+    // registry output is Q.strArr-serialized ('|'-joined) — parse back
     run("q_agg_minmap").collect().foreach { r =>
-      val keys = r.getSeq[String](1)
-      val mins = r.getSeq[Long](2)
-      val maxs = r.getSeq[Long](3)
+      val keys = r.getString(1).split('|').toSeq
+      val mins = r.getString(2).split('|').toSeq.map(_.toLong)
+      val maxs = r.getString(3).split('|').toSeq.map(_.toLong)
       assert(keys === keys.sorted)
       assert(keys.length === mins.length && keys.length === maxs.length)
       mins.zip(maxs).foreach { case (mn, mx) => assert(mn <= mx) }
@@ -108,11 +109,16 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
   }
 
   test("q_fn_array_transform: HOF semantics match scala reimplementation per row") {
+    // registry output is Q.strArr-serialized ('|'-joined) — parse back
+    def longs(r: org.apache.spark.sql.Row, i: Int): Seq[Long] = {
+      val s = r.getString(i)
+      if (s.isEmpty) Seq.empty else s.split('|').toSeq.map(_.toLong)
+    }
     run("q_fn_array_transform").limit(500).collect().foreach { r =>
-      val arr = r.getSeq[Long](1)
-      val cum = r.getSeq[Long](2)
-      val diff = r.getSeq[Long](3)
-      val compacted = r.getSeq[Long](4)
+      val arr = longs(r, 1)
+      val cum = longs(r, 2)
+      val diff = longs(r, 3)
+      val compacted = longs(r, 4)
       assert(cum === arr.scanLeft(0L)(_ + _).tail, s"cumsum of $arr")
       assert(diff === (0L +: arr.sliding(2).map(p => p(1) - p(0)).toSeq),
         s"difference of $arr")
@@ -225,8 +231,9 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     }
     df.collect().foreach { r =>
       val (sums, maxs) = expect(r.getLong(0))
-      assert(r.getSeq[Long](1) === sums)
-      assert(r.getSeq[Long](2) === maxs)
+      // registry output is Q.strArr-serialized ('|'-joined)
+      assert(r.getString(1).split('|').toSeq.map(_.toLong) === sums)
+      assert(r.getString(2).split('|').toSeq.map(_.toLong) === maxs)
     }
   }
 
@@ -292,10 +299,13 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
   }
 
   test("q_agg_moving_avg agrees with q_agg_moving_sum element-wise") {
+    // registry outputs are serialized: sums '|'-joined longs (Q.strArr),
+    // avgs '|'-joined "%.4f" renderings (Q.strArr4dp) — compare the
+    // derived quotients through the same fixed formatting
     val sums = run("q_agg_moving_sum").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) -> r.getString(1).split('|').toSeq.map(_.toLong)).toMap
     val avgs = run("q_agg_moving_avg").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getLong(0) -> r.getString(1).split('|').toSeq).toMap
     assert(sums.keySet === avgs.keySet)
     // frame counts are min(i+1, 3) in element order; ma_i = ms_i / cnt_i.
     // Both arrays are collected sorted by (ord, value) so positions align
@@ -304,7 +314,8 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       val ms = sums(g); val ma = avgs(g)
       assert(ms.length === ma.length, s"group $g")
       val wantCounts = ms.indices.map(i => math.min(i + 1, 3))
-      val derived = ms.indices.map(i => ms(i).toDouble / wantCounts(i))
+      val derived = ms.indices.map(i => String.format(java.util.Locale.ROOT,
+        "%.4f", Double.box(ms(i).toDouble / wantCounts(i))))
       assert(ma.sorted === derived.sorted, s"group $g")
     }
   }

@@ -158,11 +158,14 @@ class RelationalOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(got.length === 200)
     // driver-side recompute of the exact same deterministic keys
+    // (Mitchell piecewise-linear log2 — the engine's exact regime)
     val all = orders.select("o_orderkey", "o_totalprice").collect().map { r =>
       val id = r.getLong(0); val w = r.getDouble(1)
       val bucket = java.lang.Math.floorMod((id % 1000003L) * 2654435761L, 4294967296L)
-      val u = (bucket.toDouble + 0.5) / 4294967296.0
-      (id, BigDecimal(math.log(u) / w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val m = 2L * bucket + 1L
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(m)
+      val qlog2 = bl - 35.0 + m.toDouble / (1L << (bl - 1)).toDouble
+      (id, qlog2 / w)
     }.filter { case (_, _) => true }
     val expect = all.sortBy { case (id, k) => (-k, id) }.take(200).map(_._1).toSet
     assert(got.map(_._1).toSet === expect)
