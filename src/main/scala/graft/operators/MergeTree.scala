@@ -143,8 +143,12 @@ object MergeTree {
       // only an explicit 1 deletes: a NULL is_deleted (e.g. rows
       // predating a metadata-only ADD COLUMN of the flag, which
       // null-fills) is NOT a tombstone — dropping those keys would
-      // vanish live data (CH's is_deleted is non-nullable UInt8)
-      .filter(col(isDeletedCol) === 0 || col(isDeletedCol).isNull)
+      // vanish live data (CH's is_deleted is non-nullable UInt8).
+      // Spelled =!= 1 (not === 0 ∨ NULL) so a malformed flag value —
+      // e.g. 2 from a corrupt export — keeps its key visible instead
+      // of silently vanishing it; ClickHouse itself REJECTS is_deleted
+      // outside {0,1}, so "not a valid tombstone" must never delete.
+      .filter(col(isDeletedCol) =!= 1 || col(isDeletedCol).isNull)
 
   /**
    * `OPTIMIZE TABLE ... FINAL DEDUPLICATE [BY cols]` — the forced

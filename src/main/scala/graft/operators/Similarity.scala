@@ -243,6 +243,10 @@ object Similarity {
       .withColumn("code", row_number().over(
         Window.partitionBy("s").orderBy(col("centroid"))))
 
+  /** Pre-reduce fan-in for [[pqCodebookSampled]]: the final
+    * per-subspace rank sees at most this many × ksub survivor rows. */
+  private[operators] val PreReduceBuckets = 64
+
   /**
    * Sampled codebook: `ksub` centroids per subspace drawn
    * deterministically from the corpus' distinct subvectors (seeded
@@ -250,20 +254,33 @@ object Similarity {
    * analogue of [[ivfTopK]]'s `trainFraction` — a KMeans-refined
    * codebook plugs into the same (s, code, centroid) seam.
    *
-   * Scale note: the rank here sorts each subspace's distinct
-   * subvectors in one window partition (m partitions total) — fine
-   * for the test/gate corpora this ranks, but at billions of distinct
-   * subvectors pre-reduce first (sample the INPUT rows before
-   * distinct, or train per-subspace KMeans on a sample) and feed the
-   * result through the same codebook seam.
+   * Scale shape: the seeded-hash top-ksub runs in TWO window stages so
+   * no partition ever ranks more than a bounded row count — a local
+   * top-ksub per (subspace, hash-bucket) over [[PreReduceBuckets]]
+   * buckets (each partition sees ~distinct/buckets rows), then the
+   * final per-subspace rank over at most buckets·ksub survivors.
+   * Equivalent to a single global rank (every global top-ksub row is
+   * by definition inside its own bucket's top-ksub) but without the
+   * corpus-sized single-partition sort a billion distinct subvectors
+   * would otherwise hit; LlmOpsSpec pins both the equivalence and
+   * the bound.
    */
   def pqCodebookSampled(candidates: DataFrame, m: Int, dim: Int,
-      ksub: Int = 256, seed: Long = 42L): DataFrame =
-    subVectors(candidates.select(col("vec_id"), col("embedding")), m, dim)
+      ksub: Int = 256, seed: Long = 42L): DataFrame = {
+    val hashed = subVectors(candidates.select(col("vec_id"), col("embedding")), m, dim)
       .select(col("s"), col("sub").as("centroid")).distinct()
-      .withColumn("code", row_number().over(Window.partitionBy("s")
-        .orderBy(xxhash64(col("centroid").cast("string"), lit(seed)), col("centroid"))))
+      .withColumn("hk", xxhash64(col("centroid").cast("string"), lit(seed)))
+      .withColumn("b", pmod(xxhash64(col("centroid").cast("string"),
+        lit(seed + 1)), lit(PreReduceBuckets.toLong)))
+    val local = hashed
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("s", "b").orderBy(col("hk"), col("centroid"))))
+      .filter(col("lr") <= ksub)
+    local.withColumn("code", row_number().over(Window.partitionBy("s")
+        .orderBy(col("hk"), col("centroid"))))
       .filter(col("code") <= ksub)
+      .select(col("s"), col("centroid"), col("code"))
+  }
 
   /**
    * KMeans-trained codebook: the classic PQ quantizer — per subspace,

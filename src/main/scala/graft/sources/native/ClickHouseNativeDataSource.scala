@@ -115,8 +115,24 @@ class ClickHouseNativeDataSource extends TableProvider with DataSourceRegister {
                 s"${a.simpleString} vs ${b.simpleString} (in $p)")
         }
       val order = scala.collection.mutable.LinkedHashMap[String, StructField]()
+      // exact-name keyed, but same-name-MODULO-CASE across parts is a
+      // loud conflict too: 'id' in one part and 'ID' in another would
+      // merge into two distinct columns that Spark's default
+      // case-insensitive resolution then can't disambiguate — the same
+      // garbage-read class as a type conflict, so the same failure
+      // policy (the catalog's equalsIgnoreCase guard only protects
+      // catalog-managed tables, not path reads).
+      val byLower = scala.collection.mutable.HashMap[String, String]()
       headers.foreach { case (p, header) =>
         header.foreach { case (name, t) =>
+          byLower.get(name.toLowerCase(java.util.Locale.ROOT)) match {
+            case Some(prior) if prior != name =>
+              throw new IllegalArgumentException(
+                s"clickhouse_native: mergeSchema case-collision: column '$name' " +
+                  s"(in $p) differs only by case from '$prior' in another part — " +
+                  "ambiguous under Spark's case-insensitive resolution")
+            case _ => byLower(name.toLowerCase(java.util.Locale.ROOT)) = name
+          }
           val f = StructField(name, t.sparkType, nullable = ChType.isNullable(t))
           order.get(name) match {
             case None => order(name) = f
@@ -1116,13 +1132,26 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
     }
     // insert_deduplicate (the ClickHouse replicated-MergeTree INSERT
     // contract, at PART granularity): a committed part whose content
-    // hash equals a PRE-EXISTING part's is a re-inserted block — drop
-    // it, the insert is a no-op for that part. Hashes come from the
-    // sidecars (every part this writer produces records the FNV-1a-64
-    // of its file bytes), so the pass is driver-side metadata only.
-    // Identical-content parts WITHIN one write are kept — duplicate
-    // rows in one insert are data, not a retry. Never under overwrite:
-    // the stale parts above are already gone or doomed, and deduping a
+    // equals a PRE-EXISTING part's is a re-inserted block — drop it,
+    // the insert is a no-op for that part. Candidate matching comes
+    // from the sidecars (every part this writer produces records the
+    // FNV-1a-64 of its file bytes), so the pass is driver-side
+    // metadata work; but FNV-1a-64 is a 64-bit non-crypto hash, so a
+    // hash match alone must NOT delete (a collision between genuinely
+    // new data and an old part would silently drop the new data —
+    // ClickHouse itself uses 128-bit block IDs here). Equality is
+    // therefore hash AND file length AND a byte-compare of the two
+    // files — the byte pass runs only on (hash, len) matches, i.e.
+    // almost exclusively on true re-inserts, where it is one
+    // sequential read of a part it is about to delete anyway.
+    // CONTRACT for duplicates WITHIN one write: any part of this
+    // write whose content matches a pre-existing part is dropped —
+    // including surplus intra-batch copies of that content (the
+    // CH-like verdict: the content is already in the table). When NO
+    // pre-existing part matches, identical-content parts within the
+    // write all survive as data — this pass never compares this
+    // write's parts against each other. Never under overwrite: the
+    // stale parts above are already gone or doomed, and deduping a
     // new part against a part this commit deletes would lose data.
     if (insertDedup && !truncateFirst) {
       val dir = new Path(path)
@@ -1133,6 +1162,17 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
         // O(parts) driver work, never O(total blocks)
         def hashOf(p: Path): Option[String] =
           NativeIndex.readMeta(fs, p).get("contentHash")
+        def sameBytes(a: Path, b: Path): Boolean = {
+          val ia = new java.io.BufferedInputStream(fs.open(a), 1 << 16)
+          try {
+            val ib = new java.io.BufferedInputStream(fs.open(b), 1 << 16)
+            try {
+              var x = 0; var y = 0
+              do { x = ia.read(); y = ib.read() } while (x == y && x != -1)
+              x == y
+            } finally ib.close()
+          } finally ia.close()
+        }
         val dataParts = fs.listStatus(dir).filter { st =>
           val n = st.getPath.getName
           !n.startsWith("_") && !n.startsWith(".")
@@ -1141,12 +1181,18 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
         // ONLY parts from the start-of-job snapshot count as
         // pre-existing (see preexistingSnapshot); a part without a
         // hash (foreign writer / old sidecar) simply can't match —
-        // dedup degrades to append
+        // dedup degrades to append. One representative per hash: if
+        // two OLD parts ever collided on a hash, a new part is only
+        // compared against one of them — a miss degrades to append,
+        // never to data loss.
         val existing = dataParts.iterator
           .filter(st => preexistingSnapshot.contains(st.getPath.getName))
-          .flatMap(st => hashOf(st.getPath)).toSet
+          .flatMap(st => hashOf(st.getPath).map(_ -> st)).toMap
         if (existing.nonEmpty) mine.foreach { st =>
-          if (hashOf(st.getPath).exists(existing.contains)) {
+          val prior = hashOf(st.getPath).flatMap(existing.get)
+          val isDup = prior.exists(p => p.getLen == st.getLen &&
+            sameBytes(st.getPath, p.getPath))
+          if (isDup) {
             fs.delete(st.getPath, false)
             val idx = NativeIndex.sidecarPath(st.getPath)
             if (fs.exists(idx)) fs.delete(idx, false)

@@ -325,8 +325,23 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
           s"graft catalog: ALTER TABLE change not supported: $other")
     }
     props.setProperty("schema", schema.json)
-    val out = fs.create(meta, true)
+    // write-temp + rename, never create(meta, overwrite=true): an
+    // in-place rewrite has a window between truncate and store where a
+    // crash leaves an empty/torn meta file and the table schema is
+    // gone (createTable has no such window — nothing existed before).
+    // rename is the same atomic-swap primitive renameTable relies on.
+    val tmp = new Path(meta.getParent,
+      s".${NativeCatalog.MetaName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try props.store(out, null) finally out.close()
+    if (fs.exists(meta) && !fs.delete(meta, false)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"alterTable: cannot replace $meta")
+    }
+    if (!fs.rename(tmp, meta)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"alterTable: rename $tmp -> $meta failed")
+    }
     loadTable(ident)
   }
 

@@ -56,6 +56,16 @@ class MergeTreeSpec extends AnyFunSuite {
     val gotNull = MergeTree.replacingFinalDeleted(withNull, Seq("k"), "ver", "is_deleted")
       .collect().map(r => (r.getLong(0), r.getString(3))).toSet
     assert(gotNull === Set((1L, "a2")))
+    // a MALFORMED flag (e.g. 2 from a corrupt export) is not a valid
+    // tombstone — the key must stay visible, not silently vanish
+    // (ClickHouse rejects is_deleted outside {0,1}; we keep the row)
+    val malformed = Seq(
+      (1L, 1L, 0, "a"), (1L, 2L, 2, "a2"), // latest flag 2 → keep
+      (2L, 1L, 1, "b") // explicit tombstone → gone
+    ).toDF("k", "ver", "is_deleted", "p")
+    val gotMal = MergeTree.replacingFinalDeleted(malformed, Seq("k"), "ver", "is_deleted")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(gotMal === Set((1L, "a2")))
   }
 
   test("optimizeDeduplicate: whole-row and BY forms, deterministic survivor") {

@@ -356,6 +356,17 @@ class NativeCatalogSpec extends AnyFunSuite {
       "SELECT count(*) FROM graft.evons.docs WHERE score IS NULL").head().getLong(0) === 2)
     assert(spark.sql(
       "SELECT id FROM graft.evons.docs WHERE score = 99").head().getLong(0) === 3)
+    // the meta rewrite is write-temp + rename (crash between truncate
+    // and store must never leave a torn meta): no tmp residue remains
+    // and the meta file parses with the evolved schema
+    assert(!dir.listFiles().exists(_.getName.contains(".tmp-")),
+      "alterTable left a temp meta file behind")
+    val metaProps = new java.util.Properties()
+    val in = new java.io.FileInputStream(new java.io.File(dir, "_graft_table.meta"))
+    try metaProps.load(in) finally in.close()
+    assert(org.apache.spark.sql.types.DataType.fromJson(metaProps.getProperty("schema"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("id", "name", "score"))
     // duplicate column and unsupported shapes fail loudly
     val dup = intercept[Exception](
       spark.sql("ALTER TABLE graft.evons.docs ADD COLUMN score BIGINT"))

@@ -109,6 +109,28 @@ class NativeSourceSpec extends AnyFunSuite {
     assert(tvf.length === 1 && tvf(0).getString(0) === "24.12.1.1273")
   }
 
+  test("clickhouse_native TVF absent without the extension (negative registration)") {
+    // Mirror of the reference's negative sqllogictest
+    // (test/sql/chsql_native.test:6-9: before the extension loads,
+    // `clickhouse_native(...)` is a catalog error): the TVF must come
+    // from GraftExtensions' injectTableFunction, not from anything
+    // engine-global — so Spark's BUILTIN table-function registry must
+    // not know the name, while the extension session (previous test)
+    // resolves it.
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry
+    assert(!TableFunctionRegistry.builtin.functionExists(
+      FunctionIdentifier("clickhouse_native")))
+    assert(!TableFunctionRegistry.builtin.functionExists(
+      FunctionIdentifier("clickhouse_scan")))
+    // the extension session DOES resolve both names (positive half,
+    // same registry surface the analyzer consults)
+    assert(spark.sessionState.tableFunctionRegistry.functionExists(
+      FunctionIdentifier("clickhouse_native")))
+    assert(spark.sessionState.tableFunctionRegistry.functionExists(
+      FunctionIdentifier("clickhouse_scan")))
+  }
+
   test("multi-block multi-column interleaving (reference's bug class, SURVEY §1.1)") {
     // Hand-write 3 blocks × 2 columns with the block writer, read via DSv2.
     val dir = Files.createTempDirectory("graft-native-mb")
@@ -361,6 +383,49 @@ class NativeSourceSpec extends AnyFunSuite {
     assert(spark.read.format("clickhouse_native").load(dir).count() === 10)
   }
 
+  test("insertDedup: a sidecar hash match alone never deletes (collision safety)") {
+    // FNV-1a-64 is a 64-bit non-crypto hash: a collision between NEW
+    // content and an old part must not silently drop the new data —
+    // deletion requires hash AND length AND byte-equality. Simulate
+    // the collision by TAMPERING the old part's sidecar contentHash to
+    // equal the incoming batch's hash; the contents differ (same byte
+    // length, different bytes), so the byte-compare must keep the part.
+    import spark.implicits._
+    def batch(tag: String) = (0 until 100).map(i => (i.toLong, s"$tag$i"))
+      .toDF("id", "s").coalesce(1).sortWithinPartitions("id")
+    val dir = tmpDir("insdedup-collide")
+    batch("row").write.format("clickhouse_native").mode("append").save(dir)
+    // learn the hash the colliding batch will carry via a scratch write
+    val scratch = tmpDir("insdedup-scratch")
+    batch("qow").write.format("clickhouse_native").mode("append").save(scratch)
+    def sidecarOf(d: String): java.io.File = {
+      val f = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".clickhouse")).head
+      new java.io.File(new java.io.File(d), s".${f.getName}.chidx")
+    }
+    val hashRe = "contentHash=([^,\\n]*)".r
+    val scratchTxt = new String(java.nio.file.Files.readAllBytes(
+      sidecarOf(scratch).toPath), "UTF-8")
+    val qowHash = hashRe.findFirstMatchIn(scratchTxt).get.group(1)
+    val oldSide = sidecarOf(dir)
+    val oldTxt = new String(java.nio.file.Files.readAllBytes(oldSide.toPath), "UTF-8")
+    assert(hashRe.findFirstMatchIn(oldTxt).get.group(1) !== qowHash,
+      "fixture: the two batches must hash differently")
+    java.nio.file.Files.write(oldSide.toPath,
+      hashRe.replaceFirstIn(oldTxt, s"contentHash=$qowHash").getBytes("UTF-8"))
+    // the raw rewrite invalidates Hadoop LocalFileSystem's checksum
+    // shadow — drop it so readers see the tampered bytes, not an error
+    val crc = new java.io.File(oldSide.getParentFile, s".${oldSide.getName}.crc")
+    if (crc.exists()) crc.delete()
+    // the "colliding" insert must APPEND, not vanish
+    batch("qow").write.format("clickhouse_native")
+      .option("insertDedup", "true").mode("append").save(dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".clickhouse")) === 2,
+      "hash-colliding but byte-different part was wrongly deduplicated")
+    assert(spark.read.format("clickhouse_native").load(dir).count() === 200)
+  }
+
   test("mergeSchema unions heterogeneous part schemas; first-header stays default") {
     import spark.implicits._
     val dir = tmpDir("evolve")
@@ -409,5 +474,17 @@ class NativeSourceSpec extends AnyFunSuite {
       spark.read.format("clickhouse_native").option("mergeSchema", "true")
         .load(dir2).schema)
     assert(e.getMessage.contains("type conflict"), e.getMessage)
+    // same-name-MODULO-CASE across parts is the same loud-failure
+    // class: 'id' + 'ID' would otherwise merge into two columns that
+    // are ambiguous under Spark's default case-insensitive resolution
+    val dir3 = tmpDir("evolve-case")
+    Seq((1L, 10L)).toDF("id", "v")
+      .write.format("clickhouse_native").mode("append").save(dir3)
+    Seq((2L, 20L)).toDF("ID", "w")
+      .write.format("clickhouse_native").mode("append").save(dir3)
+    val ec = intercept[IllegalArgumentException](
+      spark.read.format("clickhouse_native").option("mergeSchema", "true")
+        .load(dir3).schema)
+    assert(ec.getMessage.contains("case-collision"), ec.getMessage)
   }
 }
