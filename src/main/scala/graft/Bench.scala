@@ -310,20 +310,36 @@ object Bench {
     val all = results ++ scalePoints ++ anchors.toSeq.sortBy(_._1)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // The full line above exceeds the harness's stdout-tail capture
-    // (2000 chars — every BENCH_r*.json so far has parsed=None because
-    // the line is truncated mid-JSON). Emit a COMPACT summary as the
-    // LAST line — baseline anchors + scale ratios + a few headliners —
-    // so the tail always contains one complete, parseable JSON line.
+    // The FULL per-key map exceeds the harness's stdout-tail capture
+    // (2000 chars), and rounds 1-5 showed the driver parses a
+    // TRUNCATED stdout line → BENCH_r*.json parsed=null. So stdout now
+    // carries EXACTLY ONE compact, always-<2000-char JSON line (first
+    // line == last line == parseable wherever the driver reads), and
+    // the full map goes to stderr plus the target/bench_full.json
+    // sidecar for round-over-round key diffing.
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    System.err.println(fullLine)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () } // sidecar is best-effort
+    def j(v: Double): String = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val headliners = Seq("q_tpch_q1", "q_tpch_q21", "q_dedup_minhash",
       "q_sim_cosine_ivf", "q_count_star")
     val byNameAll = all.toMap
     val compactKeys = (anchors.keys.toSeq.sorted ++
       scalePoints.map(_._1) ++ headliners.filter(byNameAll.contains))
-    val cqs = compactKeys.map(k => "\"" + k + "\":" + byNameAll(k))
+    val cqs = compactKeys.map(k => "\"" + k + "\":" + j(byNameAll(k)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${all.length},"queries":$cqs,"sf":"$sfDir"}""")
+    // TPC-H visibility in the 2000-char tail: min/p50/max over the 22
+    // TPC-H keys so round-over-round TPC-H regressions are judgeable
+    // without the sidecar.
+    val tpch = results.collect { case (k, v) if k.startsWith("q_tpch_") && v >= 0 => v }
+      .sorted
+    val tpchStats = if (tpch.isEmpty) ""
+      else s""","tpch":{"n":${tpch.size},"min":${j(tpch.head)},"p50":${j(tpch(tpch.size / 2))},"max":${j(tpch.last)}}"""
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${all.length},"queries":$cqs$tpchStats,"sf":"$sfDir"}""")
 
     // Scale-regression gate: 10× data must cost FAR less than the gate
     // ratio. Every scale shape is a single-shuffle aggregate, a
