@@ -34,6 +34,23 @@ object Dedup {
   // over every byte of the corpus and a UDF would force a
   // serialization boundary per row right where throughput matters most.
 
+  /**
+   * Pin a CORPUS-SCALE join input to sort-merge. Catalyst's default
+   * size estimate for an aggregate that outputs array columns
+   * (collect_list signatures, shingle arrays) uses the array type's
+   * CONSTANT defaultSize per row, so a corpus-sized signature/array
+   * table is systematically underestimated and gets chosen as a
+   * BroadcastHashJoin build side — observed as a driver OOM on the
+   * 10x bench corpus with a 1 GiB driver, and a guaranteed
+   * scale-killer at 100 TB where "the corpus never broadcasts" is the
+   * design invariant this module documents. The SHUFFLE_MERGE hint
+   * keeps every such join a spill-safe shuffled sort-merge join
+   * regardless of the bogus estimate (deliberate bounded broadcasts —
+   * SemDeDup centroids, small dimension tables — stay explicit
+   * `broadcast(...)` calls).
+   */
+  private def corpusSide(df: DataFrame): DataFrame = df.hint("shuffle_merge")
+
   /** Per-row MinHash signature of a text column (codegen'd). */
   def minhashSigCol(text: Column, k: Int, shingleN: Int): Column =
     call_function("minhash_sig", text, lit(k), lit(shingleN))
@@ -110,16 +127,16 @@ object Dedup {
     // collisions while rows are only (id_a, id_b): distinct() here is a
     // HashAggregate over two longs with map-side partials
     val cand = buckets.select(col("band"), col("band_hash"), col("id").as("id_a"))
-      .join(buckets.select(col("band").as("band_b"), col("band_hash").as("hash_b"),
-          col("id").as("id_b")),
+      .join(corpusSide(buckets.select(col("band").as("band_b"),
+          col("band_hash").as("hash_b"), col("id").as("id_b"))),
         col("band") === col("band_b") && col("band_hash") === col("hash_b") &&
           col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
     // --- verify: fetch both signatures by id, estimate, threshold --------
     cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(corpusSide(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))), "id_a")
+      .join(corpusSide(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
         estJaccardCol(col("sig_a"), col("sig_b")).as("est_sim"))
       .filter(col("est_sim") >= threshold)
@@ -206,8 +223,8 @@ object Dedup {
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     candidates
-      .join(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(corpusSide(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a"))), "id_a")
+      .join(corpusSide(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b"))), "id_b")
       .withColumn("jaccard", when(union === 0.0, 1.0).otherwise(inter / union))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "est_sim", "jaccard")
@@ -251,16 +268,20 @@ object Dedup {
       theta: Double, shingleN: Int = 3): DataFrame = {
     val shingled = shingledOf(df, idCol, textCol, shingleN)
     val (cand, arrays) = ngramCandidatesAndArrays(shingled, theta)
-    // verify against the df-ordered arrays, NOT a fresh shingledOf:
-    // array_intersect is order-insensitive and `arrays` sits behind
+    // verify against the df-ordered df>1 arrays, NOT a fresh
+    // shingledOf: array_intersect is order-insensitive, df=1 elements
+    // never intersect (see prefixOrdered), and `arrays` sits behind
     // the same per-doc aggregate exchange the candidate keys already
     // shuffled through, so Catalyst reuses that exchange instead of
-    // re-tokenizing the corpus twice more for the two verify sides
+    // re-tokenizing the corpus twice more for the two verify sides;
+    // the true set sizes ride as the scalar n columns
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    val union = (col("n_a") + col("n_b")).cast("double") - inter
     cand
-      .join(arrays.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(arrays.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(corpusSide(arrays.select(col("id").as("id_a"),
+        col("n").as("n_a"), col("sh").as("sh_a"))), "id_a")
+      .join(corpusSide(arrays.select(col("id").as("id_b"),
+        col("n").as("n_b"), col("sh").as("sh_b"))), "id_b")
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= theta)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -315,7 +336,7 @@ object Dedup {
     // field order, a deterministic TOTAL order (hash tie-break)
     val ex = shingled.select(col("id"), explode(col("sh")).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfreq, "g")
+    val ordered = ex.join(corpusSide(dfreq), "g")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("dg"))
     // +1 beyond the theoretical |S| - ⌈θ|S|⌉ + 1: double ceil(θ·n) can
@@ -325,8 +346,17 @@ object Dedup {
     // candidates, never loses any
     val prefixLen = (size(col("dg"))
       - ceil(lit(theta) * size(col("dg"))).cast("int") + 2)
-    val arrays = ordered.select(col("id"),
-      transform(col("dg"), x => x.getField("g")).as("sh"))
+    // Verify arrays carry only the df>1 shingles plus the FULL set
+    // size as a scalar: a df=1 shingle exists in exactly one document
+    // corpus-wide, so it can never contribute to any |A∩B| — dropping
+    // it from the arrays changes no intersection, while |A|, |B| and
+    // hence J = i/(n_a+n_b-i) and C = i/n_a come from the carried
+    // counts. In a mostly-unique corpus this strips the bulk of every
+    // array, so the two verify-side shuffles move a fraction of the
+    // bytes and array_intersect scans a fraction of the elements.
+    val arrays = ordered.select(col("id"), size(col("dg")).as("n"),
+      transform(filter(col("dg"), x => x.getField("df") > 1),
+        x => x.getField("g")).as("sh"))
     PrefixOrdered(ordered, prefixLen, arrays)
   }
 
@@ -337,8 +367,8 @@ object Dedup {
     // equivalent-overlap threshold: J >= θ ⇔ |A∩B| >= θ/(1+θ)·(n_a+n_b)
     val alpha = lit(theta / (1.0 + theta)) * (col("n_a") + col("n_b"))
     val cand = keys.select(col("g"), col("id").as("id_a"), col("n").as("n_a"), col("p").as("p_a"))
-      .join(keys.select(col("g").as("g_b"), col("id").as("id_b"),
-          col("n").as("n_b"), col("p").as("p_b")),
+      .join(corpusSide(keys.select(col("g").as("g_b"), col("id").as("id_b"),
+          col("n").as("n_b"), col("p").as("p_b"))),
         col("g") === col("g_b") && col("id_a") < col("id_b") &&
           // length filter: J >= θ ⇒ min(|A|,|B|) >= θ·max(|A|,|B|).
           // -1e-6 slack: double θ·max can exceed the real product by an
@@ -386,11 +416,14 @@ object Dedup {
       theta: Double, shingleN: Int = 3): DataFrame = {
     val (cand, arrays) = containmentCandidatesAndArrays(
       shingledOf(df, idCol, textCol, shingleN), theta)
+    // same df>1-restricted verify arrays as ngramPairsExact: inter is
+    // exact, the containee's TRUE set size rides as n_a
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     cand
-      .join(arrays.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(arrays.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("containment", inter / size(col("sh_a")))
+      .join(corpusSide(arrays.select(col("id").as("id_a"),
+        col("n").as("n_a"), col("sh").as("sh_a"))), "id_a")
+      .join(corpusSide(arrays.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
+      .withColumn("containment", inter / col("n_a"))
       .filter(col("containment") >= theta)
       .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
   }
@@ -419,8 +452,8 @@ object Dedup {
     val minOverlap = lit(theta) * col("n_a")
     val cand = aKeys.select(col("g"), col("id").as("id_a"),
         col("n").as("n_a"), col("p").as("p_a"))
-      .join(bKeys.select(col("g").as("g_b"), col("id").as("id_b"),
-          col("n").as("n_b"), col("p").as("p_b")),
+      .join(corpusSide(bKeys.select(col("g").as("g_b"), col("id").as("id_b"),
+          col("n").as("n_b"), col("p").as("p_b"))),
         col("g") === col("g_b") && col("id_a") =!= col("id_b") &&
           // container must be large enough to hold the overlap; same
           // ulp slack discipline as the Jaccard form
@@ -460,14 +493,14 @@ object Dedup {
     val bucketed = base.select(col("id"), explode(array(codes: _*)).as("c"))
       .select(col("id"), col("c.tbl").as("tbl"), col("c.bkt").as("bkt"))
     val cand = bucketed.select(col("tbl"), col("bkt"), col("id").as("id_a"))
-      .join(bucketed.select(col("tbl").as("tbl_b"), col("bkt").as("bkt_b"),
-          col("id").as("id_b")),
+      .join(corpusSide(bucketed.select(col("tbl").as("tbl_b"), col("bkt").as("bkt_b"),
+          col("id").as("id_b"))),
         col("tbl") === col("tbl_b") && col("bkt") === col("bkt_b") &&
           col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
-      .join(base.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
+      .join(corpusSide(base.select(col("id").as("id_a"), col("emb").as("emb_a"))), "id_a")
+      .join(corpusSide(base.select(col("id").as("id_b"), col("emb").as("emb_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
       .filter(col("cos") >= minCosine)
@@ -521,7 +554,7 @@ object Dedup {
     // hamming per collision, then hash-agg collapse (same pattern as
     // minhashPairs: tiny shuffle rows, map-side combine of multi-slice
     // collisions)
-    l.join(r, col("slice") === col("slice_b") && col("key") === col("key_b") &&
+    l.join(corpusSide(r), col("slice") === col("slice_b") && col("key") === col("key_b") &&
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingCol(col("fp_a"), col("fp_b")).as("pair_ham"))
@@ -576,7 +609,7 @@ object Dedup {
     // corpus-wide first occurrence per distinct segment text
     val firsts = segs.groupBy("seg")
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
-    val kept = segs.join(firsts, "seg")
+    val kept = segs.join(corpusSide(firsts), "seg")
       .filter(col("doc_id") === col("first.doc_id") &&
         col("seg_idx") === col("first.seg_idx"))
     val base = segs.groupBy("doc_id").agg(count(lit(1)).as("n_seg"))
@@ -585,7 +618,7 @@ object Dedup {
       array_join(transform(
         array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
         s => s.getField("seg")), " ").as("cleaned_text"))
-    base.join(reassembled, Seq("doc_id"), "left")
+    base.join(corpusSide(reassembled), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_seg"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
@@ -644,12 +677,12 @@ object Dedup {
       col("emb").as("emb_a"), col("cent_sim").as("cs_a"))
     val r = withSim.select(col("cluster").as("cl_b"), col("id").as("id_b"),
       col("emb").as("emb_b"), col("cent_sim").as("cs_b"))
-    val dropped = l.join(r, col("cl_a") === col("cl_b") &&
+    val dropped = l.join(corpusSide(r), col("cl_a") === col("cl_b") &&
         (col("cs_b") < col("cs_a") ||
           (col("cs_b") === col("cs_a") && col("id_b") < col("id_a"))))
       .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4) >= eps)
       .select(col("id_a").as("id")).distinct()
-    withSim.join(dropped.withColumn("hit", lit(true)), Seq("id"), "left")
+    withSim.join(corpusSide(dropped.withColumn("hit", lit(true))), Seq("id"), "left")
       .select(col("id"), col("cluster"), col("cent_sim"),
         col("hit").isNull.as("kept"))
   }
@@ -688,7 +721,7 @@ object Dedup {
       clusterCol: String, eps: Double): (DataFrame, DataFrame) = {
     val reps = semDeDup(df, idCol, embCol, clusterCol, eps)
       .filter(col("kept"))
-      .join(df.select(col(idCol).as("id"), col(embCol).as("emb")), "id")
+      .join(corpusSide(df.select(col(idCol).as("id"), col(embCol).as("emb"))), "id")
       .select("id", "emb", "cluster", "cent_sim")
     val cents = Similarity.labelCentroids(
         df.select(col(idCol).as("id"), col(embCol).as("emb"),
@@ -730,20 +763,20 @@ object Dedup {
         round(Similarity.cosine(col("emb"), col("cent")), 4))
       .select(col("id"), col("emb"), col("cluster"), col("cent_sim"))
     val repHit = withSim
-      .join(reps.select(col("cluster"), col("emb").as("emb_r")), Seq("cluster"))
+      .join(corpusSide(reps.select(col("cluster"), col("emb").as("emb_r"))), Seq("cluster"))
       .filter(round(Similarity.cosine(col("emb"), col("emb_r")), 4) >= eps)
       .select("id")
     val l = withSim.select(col("cluster").as("cl_a"), col("id").as("id_a"),
       col("emb").as("emb_a"), col("cent_sim").as("cs_a"))
     val r = withSim.select(col("cluster").as("cl_b"), col("id").as("id_b"),
       col("emb").as("emb_b"), col("cent_sim").as("cs_b"))
-    val batchHit = l.join(r, col("cl_a") === col("cl_b") &&
+    val batchHit = l.join(corpusSide(r), col("cl_a") === col("cl_b") &&
         (col("cs_b") < col("cs_a") ||
           (col("cs_b") === col("cs_a") && col("id_b") < col("id_a"))))
       .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4) >= eps)
       .select(col("id_a").as("id"))
     val dropped = repHit.union(batchHit).distinct().withColumn("hit", lit(true))
-    withSim.join(dropped, Seq("id"), "left")
+    withSim.join(corpusSide(dropped), Seq("id"), "left")
       .select(col("id"), col("cluster"), col("cent_sim"),
         col("hit").isNull.as("kept"))
   }

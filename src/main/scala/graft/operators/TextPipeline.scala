@@ -802,7 +802,11 @@ object TextPipeline {
         x => x("seg")), " ").as("clean_text"),
       count(lit(1)).as("n_seg"),
       sum(when(col("bp").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
-    toks.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+    // shuffle_merge: `rebuilt` reassembles documents inside an
+    // aggregate, whose output-size estimate uses the STRING type's
+    // constant defaultSize — Catalyst would underestimate this
+    // corpus-scale table and broadcast it (see Dedup.corpusSide)
+    toks.select("doc_id").join(rebuilt.hint("shuffle_merge"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_seg"), lit(0L)).as("n_seg"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))

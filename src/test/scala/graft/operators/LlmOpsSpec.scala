@@ -1091,6 +1091,49 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesian"), plan.take(2000))
   }
 
+  test("dedup plans never broadcast a corpus-derived side (size-misestimate guard)") {
+    // Catalyst's default size estimate for aggregates that output
+    // array columns (signatures, shingle arrays) is CONSTANT per row,
+    // so corpus-scale tables look broadcastable and the planner was
+    // choosing them as BroadcastHashJoin build sides — observed as a
+    // driver OOM on the 10x bench corpus. Every dedup join is pinned
+    // to shuffle-merge (Dedup.corpusSide); the only broadcast allowed
+    // anywhere in these plans is SemDeDup's deliberate bounded
+    // centroid table.
+    def nBroadcasts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .split("\n").count(_.contains("BroadcastExchange"))
+    assert(nBroadcasts(Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)) === 0)
+    assert(nBroadcasts(Dedup.simhashPairs(docs, "doc_id", "text")) === 0)
+    assert(nBroadcasts(Dedup.ngramPairsExact(docs, "doc_id", "text", 0.7)) === 0)
+    assert(nBroadcasts(Dedup.containmentPairsExact(docs, "doc_id", "text", 0.9)) === 0)
+    assert(nBroadcasts(Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.95)) === 0)
+    // semDeDup deliberately broadcasts its bounded (cluster → centroid)
+    // table; the plan references that subtree several times (withSim
+    // feeds both self-join sides), so the count is plan-layout
+    // dependent — the invariant is that EVERY broadcast subtree is the
+    // centroid aggregate (identified by its c_cluster key), never a
+    // corpus-derived side.
+    // inspect with AQE off: under AQE the exchanges are inserted inside
+    // AdaptiveSparkPlanExec's preparation, invisible to a tree walk of
+    // executedPlan before execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sem = Dedup.semDeDup(
+        emb.withColumnRenamed("label", "cluster"), "vec_id", "embedding", "cluster", 0.95)
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: p.children.flatMap(allNodes)
+      val bcasts = allNodes(sem.queryExecution.executedPlan)
+        .filter(_.getClass.getSimpleName.startsWith("BroadcastExchange"))
+      assert(bcasts.nonEmpty, "semDeDup must broadcast its centroid table")
+      bcasts.foreach { b =>
+        assert(b.toString.contains("c_cluster"),
+          s"non-centroid broadcast in semDeDup plan:\n${b.toString.take(1500)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("containment candidates scale linearly on 10x dissimilar copies (scale shape)") {
     import spark.implicits._
     // The scale_containment bench shape (Bench.docsAt): ten mutually
