@@ -758,18 +758,28 @@ object ComplexQueries {
         val l1 = l.filter(col("late"))
           .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
             .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
-        val others = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
-        val othersLate = l.filter(col("late"))
-          .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
-        l1.join(others, col("l_orderkey") === col("ok2") &&
-            col("l_suppkey") =!= col("sk2"), "left_semi")
-          .join(othersLate, col("l_orderkey") === col("ok3") &&
-            col("l_suppkey") =!= col("sk3"), "left_anti")
-          .join(broadcast(t(s, dir, "supplier")
+        // Both EXISTS tests are per-order set predicates, so ONE thin
+        // per-order aggregate replaces the two corpus-sized semi/anti
+        // joins: "another supplier exists" ⇔ min(supp) != max(supp)
+        // over the order's lineitems, and "no OTHER supplier was late"
+        // ⇔ the order's late-supplier set is exactly {l_suppkey} ⇔
+        // min(late supp) == max(late supp) (this row is itself late,
+        // so its supplier is IN that set). min/max, not countDistinct:
+        // single-pass partial aggregation, no Expand. At scale this
+        // turns two full-fact shuffles into one map-side-combining
+        // aggregate of (orderkey, 4 longs) + one equi-join.
+        val perOrder = l.groupBy(col("l_orderkey").as("ok"))
+          .agg(min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"),
+            min(when(col("late"), col("l_suppkey"))).as("min_ls"),
+            max(when(col("late"), col("l_suppkey"))).as("max_ls"))
+        l1.join(broadcast(t(s, dir, "supplier")
               .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
                 col("s_nationkey") === col("n_nationkey"))
               .select(col("s_suppkey"), col("s_name"))),
             col("l_suppkey") === col("s_suppkey"))
+          .join(perOrder, col("l_orderkey") === col("ok"))
+          .filter(col("min_s") =!= col("max_s") &&
+            col("min_ls") === col("max_ls"))
           .groupBy("s_name")
           .agg(count(lit(1)).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))

@@ -81,10 +81,15 @@ class ComplexQueriesSpec extends AnyFunSuite {
     assert(!p20.contains("CartesianProduct"))
   }
 
-  test("q21: EXISTS / NOT EXISTS compile to left-semi / left-anti joins") {
+  test("q21: EXISTS / NOT EXISTS fold into ONE per-order aggregate (no semi/anti fact joins)") {
+    // both EXISTS tests are per-order set predicates, re-spelled as
+    // min/max aggregates joined once — the plan must carry NO
+    // semi/anti join (each would re-shuffle the full fact) and a
+    // partial_min/partial_max aggregate on the fact side
     val p = plan("q_tpch_q21")
-    assert(p.contains("LeftSemi"), p.take(2000))
-    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("LeftAnti"), p.take(2000))
+    assert(p.contains("partial_min") || p.contains("min("), p.take(2000))
     assert(!p.contains("CartesianProduct"))
   }
 
