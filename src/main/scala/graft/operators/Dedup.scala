@@ -320,43 +320,55 @@ object Dedup {
       * dropping those keys loses NOTHING (any shared element has
       * df >= 2 by definition) and removes the bulk of the self-join
       * input — in a mostly-unique corpus the vast majority of prefix
-      * shingles are df=1. */
-    def keys(len: Option[Column]): DataFrame = ordered
-      .select(col("id"), size(col("dg")).as("n"),
-        posexplode(len.map(l => slice(col("dg"), lit(1), l))
-          .getOrElse(col("dg"))).as(Seq("p0", "dg")))
-      .filter(col("dg.df") > 1)
-      .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("dg.g").as("g"))
+      * shingles are df=1. Positions are reconstructed as n1 + j: the
+      * df=1 elements sort FIRST under the (df, g) rare-first order, so
+      * they occupy exactly positions 1..n1 and the j-th df>1 element
+      * sits at n1 + j in the full order. */
+    def keys(len: Option[Column]): DataFrame = {
+      val base = ordered
+        .select(col("id"), col("n"), col("n1"),
+          posexplode(col("dg2")).as(Seq("j0", "dg")))
+        .select(col("id"), col("n"),
+          (col("n1") + col("j0") + 1).as("p"), col("dg.g").as("g"))
+      len.map(l => base.filter(col("p") <= l)).getOrElse(base)
+        .select("id", "n", "p", "g")
+    }
   }
 
   private def prefixOrdered(shingled: DataFrame, theta: Double): PrefixOrdered = {
     require(theta > 0.0 && theta <= 1.0, s"theta=$theta outside (0, 1]")
     // global df per shingle, then each doc's shingles reordered
     // rare-first: sort_array over (df, g) structs — lexicographic on
-    // field order, a deterministic TOTAL order (hash tie-break)
+    // field order, a deterministic TOTAL order (hash tie-break).
+    // Only the df>1 structs are COLLECTED (collect_list skips the
+    // nulls the when() emits for df=1): a df=1 shingle exists in
+    // exactly one document corpus-wide, so it can produce no candidate
+    // key (singleton join bucket) and no intersection element — all
+    // any stage needs of the df=1 block is how MANY elements it holds
+    // (n1, for position reconstruction) and the true set size (n). In
+    // a mostly-unique corpus this shrinks the heaviest aggregate of
+    // the whole pipeline — the per-doc collect — and every downstream
+    // shuffle of its output by the df=1 fraction.
     val ex = shingled.select(col("id"), explode(col("sh")).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
     val ordered = ex.join(corpusSide(dfreq), "g")
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("dg"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n1"),
+        sort_array(collect_list(when(col("df") > 1,
+          struct(col("df"), col("g"))))).as("dg2"))
     // +1 beyond the theoretical |S| - ⌈θ|S|⌉ + 1: double ceil(θ·n) can
     // land one high when θ·n sits on an ulp boundary (0.2*5 →
     // 1.0000000000000002 → 2), which would SHORTEN the prefix and void
     // the recall guarantee; one extra key per document only adds
     // candidates, never loses any
-    val prefixLen = (size(col("dg"))
-      - ceil(lit(theta) * size(col("dg"))).cast("int") + 2)
-    // Verify arrays carry only the df>1 shingles plus the FULL set
-    // size as a scalar: a df=1 shingle exists in exactly one document
-    // corpus-wide, so it can never contribute to any |A∩B| — dropping
-    // it from the arrays changes no intersection, while |A|, |B| and
-    // hence J = i/(n_a+n_b-i) and C = i/n_a come from the carried
-    // counts. In a mostly-unique corpus this strips the bulk of every
-    // array, so the two verify-side shuffles move a fraction of the
-    // bytes and array_intersect scans a fraction of the elements.
-    val arrays = ordered.select(col("id"), size(col("dg")).as("n"),
-      transform(filter(col("dg"), x => x.getField("df") > 1),
-        x => x.getField("g")).as("sh"))
+    val prefixLen = (col("n")
+      - ceil(lit(theta) * col("n")).cast("long") + 2L)
+    // Verify arrays: the df>1 shingles plus the FULL set size as a
+    // scalar — J = i/(n_a+n_b-i) and C = i/n_a come from the carried
+    // counts, the intersection only ever touches df>1 elements.
+    val arrays = ordered.select(col("id"), col("n"),
+      transform(col("dg2"), x => x.getField("g")).as("sh"))
     PrefixOrdered(ordered, prefixLen, arrays)
   }
 
