@@ -326,6 +326,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming native sink: micro-batches land in native storage, replayed epoch is a no-op") {
+    // the production tail of the streaming surface: foreachBatch
+    // appends each epoch to a clickhouse_native table with
+    // insertDedup=true, so foreachBatch's documented at-least-once
+    // replay (a restart re-emitting the last uncommitted epoch)
+    // becomes exactly-once via part-level content identity.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("native_sink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("native_sink_ckpt_").toString
+    val input = MemoryStream[Event]
+    val q = EventStreams.nativeSink(input.toDF(), s"$dir/events_native")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(
+        Event(1, ts("00:01"), 10, "click", 1.0),
+        Event(2, ts("00:02"), 11, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts("00:06"), 12, "purchase", 3.0))
+      q.processAllAvailable()
+      val table = spark.read.format("clickhouse_native").load(s"$dir/events_native")
+      assert(table.count() === 3)
+      assert(table.select("event_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+
+      // replay contract, without a restart harness: re-append epoch 2's
+      // exact batch — byte-identical parts, dropped by insertDedup
+      val epoch2 = Seq(Event(3, ts("00:06"), 12, "purchase", 3.0)).toDF()
+      EventStreams.appendEpoch(epoch2, s"$dir/events_native")
+      val after = spark.read.format("clickhouse_native").load(s"$dir/events_native")
+      assert(after.count() === 3, "a replayed epoch must not duplicate rows")
+    } finally q.stop()
+  }
+
   test("streaming asof: latest at-or-before signup per purchase, late data handled") {
     implicit val ctx = spark.sqlContext
     implicit val sp = spark
