@@ -1058,6 +1058,43 @@ class LlmOpsSpec extends AnyFunSuite {
     snips.foreach { case (sid, _) => assert(!got.contains((sid - 1000, sid))) }
   }
 
+  test("prefix-filter family equals brute force across random corpora and thetas") {
+    // position-reconstruction fuzz for the df>1-only prefix aggregate:
+    // vocab size varies per seed so the df distribution swings between
+    // stop-shingle-heavy (small vocab — deep df>1 blocks) and
+    // mostly-unique (large vocab — long df=1 prefixes, n1 ≈ n), the
+    // two regimes whose boundary the n1 + j position arithmetic must
+    // get exactly right for the recall-1.0 contract to hold.
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3); theta <- Seq(0.5, 0.7, 0.9)) {
+      val rnd = new scala.util.Random(seed * 100 + (theta * 10).toInt)
+      val vocabSize = 6 + rnd.nextInt(40)
+      val vocab = Array.tabulate(vocabSize)(i => s"w$i")
+      val corpus = (0L until 24L).map(i =>
+        (i, Array.fill(6 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      val df = corpus.toDF("doc_id", "text")
+      val sets = corpus.map { case (i, t) =>
+        i -> graft.functions.TextHash.shingleHashes(t, 3).toSet }
+        .filter(_._2.nonEmpty)
+      val jaccTruth = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib
+        inter = sa.count(sb.contains).toDouble
+        if inter / (sa.size + sb.size - inter) >= theta
+      } yield (ia, ib)).toSet
+      val jaccGot = Dedup.ngramPairsExact(df, "doc_id", "text", theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(jaccGot === jaccTruth, s"ngram mismatch seed=$seed theta=$theta")
+      val contTruth = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia != ib && sa.count(sb.contains).toDouble / sa.size >= theta
+      } yield (ia, ib)).toSet
+      val contGot = Dedup.containmentPairsExact(df, "doc_id", "text", theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(contGot === contTruth, s"containment mismatch seed=$seed theta=$theta")
+    }
+  }
+
   test("containment candidates stay near-linear on a stop-shingle corpus") {
     import spark.implicits._
     // adversarial corpus (the ngram spec's construction): every
