@@ -183,21 +183,27 @@ object Dedup {
     val bSig = batch.select(col(idCol).as("bid"),
       call_function("fnv1a64", col(textCol)).as("bfp"),
       minhashSigCol(col(textCol), k, shingleN).as("bsig"))
-    val exactDup = bSig.join(index.select(col("fp").as("bfp")),
+    // the index is CORPUS-SCALE and its sig column is an array —
+    // exactly the constant-defaultSize misestimate corpusSide exists
+    // for: every index-derived join side is pinned shuffle-merge
+    val exactDup = bSig.join(corpusSide(index.select(col("fp").as("bfp"))),
       Seq("bfp"), "left_semi").select("bid")
     val bBuckets = bSig.select(col("bid"),
       posexplode(split_bands(col("bsig"), bands, rows)).as(Seq("band", "band_hash")))
     val cBuckets = index.select(col("id").as("cid"),
       posexplode(split_bands(col("sig"), bands, rows)).as(Seq("band", "band_hash")))
-    val cand = bBuckets.join(cBuckets, Seq("band", "band_hash"))
+    val cand = bBuckets.join(corpusSide(cBuckets), Seq("band", "band_hash"))
       .select("bid", "cid").distinct()
     val nearDup = cand
-      .join(bSig.select(col("bid"), col("bsig")), "bid")
-      .join(index.select(col("id").as("cid"), col("sig").as("csig")), "cid")
+      .join(corpusSide(bSig.select(col("bid"), col("bsig"))), "bid")
+      .join(corpusSide(index.select(col("id").as("cid"), col("sig").as("csig"))), "cid")
       .filter(estJaccardCol(col("bsig"), col("csig")) >= threshold)
       .select("bid").distinct()
-    batch.join(exactDup.union(nearDup).distinct()
-        .withColumnRenamed("bid", idCol),
+    // the kill list is BATCH-scale (every duplicate row id of a crawl
+    // snapshot) — at 100 TB a batch is TB-sized, so this side is
+    // pinned too
+    batch.join(corpusSide(exactDup.union(nearDup).distinct()
+        .withColumnRenamed("bid", idCol)),
       Seq(idCol), "left_anti")
   }
 

@@ -270,9 +270,15 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String],
       case other => throw new IllegalArgumentException(
         s"clickhouse_native write option insertDedup must be 'true' or 'false', got '$other'")
     }
+    // dedup-identity scope (CH's insert_deduplication_token): when set,
+    // a new part only dedups against pre-existing parts carrying the
+    // SAME token — so two epochs/jobs with legitimately identical
+    // content both land, while a RETRY of one job (same token) stays a
+    // no-op. Empty (default) = pure content identity, as before.
+    val insertDedupToken = opt(info, "insertDedupToken").getOrElse("")
     new NativeWriteBuilder(info.schema(), paths.headOption.getOrElse(
         throw new IllegalArgumentException("clickhouse_native write requires a path")),
-      maxRows, dictEncode, compression, bucket, sortBy, insertDedup)
+      maxRows, dictEncode, compression, bucket, sortBy, insertDedup, insertDedupToken)
   }
 }
 
@@ -902,7 +908,7 @@ private[native] class NativePartitionReader(part: NativeInputPartition, required
 private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRowsPerFile: Int,
     dictEncode: Boolean, compression: String = "none",
     bucket: Option[(String, Int)] = None, sortBy: Seq[String] = Seq.empty,
-    insertDedup: Boolean = false)
+    insertDedup: Boolean = false, dedupToken: String = "")
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -939,7 +945,7 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
       new Write {
         override def toBatch: BatchWrite =
           new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
-            compression, bucket, insertDedup)
+            compression, bucket, insertDedup, dedupToken)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           // validated but not implemented for streaming epochs — fail
           // loudly rather than silently appending duplicate batches
@@ -977,7 +983,7 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
             Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
         override def toBatch: BatchWrite =
           new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
-            compression, bucket, insertDedup)
+            compression, bucket, insertDedup, dedupToken)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           // validated but not implemented for streaming epochs — fail
           // loudly rather than silently appending duplicate batches
@@ -1067,7 +1073,8 @@ private[native] case class NativeStreamingWriterFactory(schema: StructType, path
 
 private[native] class NativeBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
     maxRowsPerFile: Int, dictEncode: Boolean, compression: String = "none",
-    bucket: Option[(String, Int)] = None, insertDedup: Boolean = false) extends BatchWrite {
+    bucket: Option[(String, Int)] = None, insertDedup: Boolean = false,
+    dedupToken: String = "") extends BatchWrite {
   // Unique token embedded in every part name this write produces. Two
   // jobs must never collide on names: partitionId AND taskId both
   // restart from 0 in a fresh session, so the deterministic
@@ -1104,7 +1111,7 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
     // of this very write's input stay consistent and an aborted
     // overwrite leaves the previous data fully intact.
     new NativeWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf, compression,
-      bucket, writeToken)
+      bucket, writeToken, dedupToken)
   }
 
   // Spark's default useCommitCoordinator() (true) guarantees at most one
@@ -1159,9 +1166,15 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
       if (fs.exists(dir)) {
         val tokenTag = s"-$writeToken-"
         // header-bounded 3-line sidecar read — the pass stays
-        // O(parts) driver work, never O(total blocks)
-        def hashOf(p: Path): Option[String] =
-          NativeIndex.readMeta(fs, p).get("contentHash")
+        // O(parts) driver work, never O(total blocks). Identity =
+        // (contentHash, dedupToken): parts written under different
+        // tokens NEVER dedup against each other (distinct epochs/jobs
+        // with legitimately identical content both land); absent
+        // token = "" preserves the pure-content identity.
+        def identityOf(p: Path): Option[(String, String)] = {
+          val m = NativeIndex.readMeta(fs, p)
+          m.get("contentHash").map(h => (h, m.getOrElse("dedupToken", "")))
+        }
         def sameBytes(a: Path, b: Path): Boolean = {
           val ia = new java.io.BufferedInputStream(fs.open(a), 1 << 16)
           try {
@@ -1187,9 +1200,9 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
         // never to data loss.
         val existing = dataParts.iterator
           .filter(st => preexistingSnapshot.contains(st.getPath.getName))
-          .flatMap(st => hashOf(st.getPath).map(_ -> st)).toMap
+          .flatMap(st => identityOf(st.getPath).map(_ -> st)).toMap
         if (existing.nonEmpty) mine.foreach { st =>
-          val prior = hashOf(st.getPath).flatMap(existing.get)
+          val prior = identityOf(st.getPath).flatMap(existing.get)
           val isDup = prior.exists(p => p.getLen == st.getLen &&
             sameBytes(st.getPath, p.getPath))
           if (isDup) {
@@ -1222,16 +1235,17 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
 private[native] class NativeWriterFactory(schema: StructType, path: String,
     maxRowsPerFile: Int, dictEncode: Boolean, conf: SerializableHadoopConf,
     compression: String = "none", bucket: Option[(String, Int)] = None,
-    writeToken: String = "w0")
+    writeToken: String = "w0", dedupToken: String = "")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     bucket match {
       case Some((col, n)) =>
         new BucketedNativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile,
-          conf.value, col, n, "", dictEncode, compression, writeToken)
+          conf.value, col, n, "", dictEncode, compression, writeToken, dedupToken)
       case None =>
         new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
-          dictEncode = dictEncode, compression = compression, writeToken = writeToken)
+          dictEncode = dictEncode, compression = compression, writeToken = writeToken,
+          dedupToken = dedupToken)
     }
 }
 
@@ -1246,7 +1260,8 @@ private[native] class NativeWriterFactory(schema: StructType, path: String,
 private[native] class BucketedNativeDataWriter(schema: StructType, dir: String,
     partitionId: Int, taskId: Long, rowsPerFile: Int, conf: Configuration,
     bucketCol: String, numBuckets: Int, filePrefix: String,
-    dictEncode: Boolean, compression: String, writeToken: String = "w0")
+    dictEncode: Boolean, compression: String, writeToken: String = "w0",
+    dedupToken: String = "")
     extends DataWriter[InternalRow] {
   private val keyIdx = schema.fieldIndex(bucketCol)
   private val keyType = schema.fields(keyIdx).dataType
@@ -1256,7 +1271,8 @@ private[native] class BucketedNativeDataWriter(schema: StructType, dir: String,
     var w = writers(b)
     if (w == null) {
       w = new NativeDataWriter(schema, dir, partitionId, taskId, rowsPerFile, conf,
-        filePrefix + NativeBucket.filePrefix(b), dictEncode, compression, writeToken)
+        filePrefix + NativeBucket.filePrefix(b), dictEncode, compression, writeToken,
+        dedupToken)
       writers(b) = w
     }
     w
@@ -1284,7 +1300,7 @@ private[native] class BucketedNativeDataWriter(schema: StructType, dir: String,
 private[native] class NativeDataWriter(schema: StructType, dir: String,
     partitionId: Int, taskId: Long, rowsPerFile: Int, conf: Configuration,
     filePrefix: String = "", dictEncode: Boolean = true, compression: String = "none",
-    writeToken: String = "w0")
+    writeToken: String = "w0", dedupToken: String = "")
     extends DataWriter[InternalRow] {
 
   private val rowsPerBlock = 65536
@@ -1439,8 +1455,10 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
       NativeIndex.write(currentFile.getFileSystem(conf), currentFile, blockIndex.toSeq, len,
         // authoritative compression declaration: readers of files this
         // writer produced never have to sniff frame headers; the
-        // content hash is the part's identity for insert-dedup
-        meta = Map("compression" -> compression, "contentHash" -> hasher.hashHex))
+        // content hash (+ optional dedup-scope token) is the part's
+        // identity for insert-dedup
+        meta = Map("compression" -> compression, "contentHash" -> hasher.hashHex) ++
+          (if (dedupToken.nonEmpty) Map("dedupToken" -> dedupToken) else Map.empty))
       hasher = null
     }
     blockIndex.clear()

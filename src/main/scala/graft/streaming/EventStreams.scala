@@ -214,14 +214,21 @@ object EventStreams {
   def nativeSink(stream: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        appendEpoch(batch.toDF(), path)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        appendEpoch(batch.toDF(), path, epochId)
       }
 
   /** The per-epoch append — exposed so the replay contract is testable
-    * without a restart harness: appending the SAME batch twice must
-    * leave exactly one copy in the table. */
-  def appendEpoch(batch: DataFrame, path: String): Unit =
+    * without a restart harness: appending the SAME batch twice under
+    * the SAME epoch id must leave exactly one copy in the table, while
+    * a LATER epoch whose content is legitimately byte-identical to an
+    * earlier one (heartbeats, metrics with coarse columns) must still
+    * land. The epoch id scopes the dedup identity (insertDedupToken —
+    * CH's insert_deduplication_token), so only a genuine REPLAY of the
+    * same epoch is a no-op. */
+  def appendEpoch(batch: DataFrame, path: String, epochId: Long): Unit =
     batch.write.format("clickhouse_native")
-      .option("insertDedup", "true").mode("append").save(path)
+      .option("insertDedup", "true")
+      .option("insertDedupToken", s"epoch-$epochId")
+      .mode("append").save(path)
 }

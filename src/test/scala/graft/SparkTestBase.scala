@@ -21,4 +21,27 @@ object SparkTestBase {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Every node of a physical plan, recursing through
+    * AdaptiveSparkPlanExec's inner plan AND expression-hosted subquery
+    * plans (scalar subqueries hang off expressions, not children — a
+    * children-only walk misses e.g. a global window inside one). */
+  def walkPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p +: (p.children.flatMap(walkPlan) ++
+      p.subqueries.flatMap(walkPlan) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walkPlan(a.inputPlan)
+        case _ => Seq.empty
+      }))
+
+  /** Run `body` with AQE off (exchanges are inserted inside
+    * AdaptiveSparkPlanExec's preparation, invisible to a plan walk of
+    * an un-executed query), restoring the PRIOR setting afterwards. */
+  def withAqeDisabled[A](body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prior)
+  }
 }

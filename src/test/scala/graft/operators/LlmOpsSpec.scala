@@ -1154,21 +1154,23 @@ class LlmOpsSpec extends AnyFunSuite {
     // inspect with AQE off: under AQE the exchanges are inserted inside
     // AdaptiveSparkPlanExec's preparation, invisible to a tree walk of
     // executedPlan before execution
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    graft.SparkTestBase.withAqeDisabled {
       val sem = Dedup.semDeDup(
         emb.withColumnRenamed("label", "cluster"), "vec_id", "embedding", "cluster", 0.95)
-      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] =
-        p +: p.children.flatMap(allNodes)
-      val bcasts = allNodes(sem.queryExecution.executedPlan)
+      val bcasts = graft.SparkTestBase.walkPlan(sem.queryExecution.executedPlan)
         .filter(_.getClass.getSimpleName.startsWith("BroadcastExchange"))
       assert(bcasts.nonEmpty, "semDeDup must broadcast its centroid table")
       bcasts.foreach { b =>
         assert(b.toString.contains("c_cluster"),
           s"non-centroid broadcast in semDeDup plan:\n${b.toString.take(1500)}")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // incremental dedup: batch vs corpus-INDEX joins (array sig
+      // column — the same misestimate) must never broadcast either
+      val incr = Dedup.incrementalSurvivors(docs, Dedup.dedupIndex(
+        docs.withColumn("doc_id", col("doc_id") + 5000), "doc_id", "text"),
+        "doc_id", "text")
+      assert(nBroadcasts(incr) === 0, "incrementalSurvivors must not broadcast")
+    }
   }
 
   test("containment candidates scale linearly on 10x dissimilar copies (scale shape)") {

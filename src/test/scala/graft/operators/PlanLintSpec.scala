@@ -2,8 +2,6 @@ package graft.operators
 
 import graft.SparkTestBase
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -87,35 +85,31 @@ class PlanLintSpec extends AnyFunSuite {
     "q_dsir_resample" -> "rank over limit(100) survivors (TakeOrdered first)",
     "q_lang_mix" -> "min-count window over per-language count table")
 
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
-    p +: (p.children.flatMap(allNodes) ++ (p match {
-      case a: AdaptiveSparkPlanExec => allNodes(a.inputPlan)
-      case _ => Seq.empty
-    }))
-
   /** Build each registered key ONCE (engine keys write fixtures at
     * construction — a second build would redo that work), with AQE off
     * while the physical plan is extracted: under AQE the exchanges are
     * inserted inside AdaptiveSparkPlanExec's preparation and a tree
-    * walk of the un-executed plan would miss them. */
+    * walk of the un-executed plan would miss them. The walk
+    * (SparkTestBase.walkPlan) recurses into expression-hosted subquery
+    * plans too, so a global window inside a scalar subquery is seen. */
   private lazy val built
-      : Map[String, (org.apache.spark.sql.types.StructType, Boolean, Boolean)] = {
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try QueryRegistry.queries.map { case (key, mk) =>
-      val df = mk(spark, dir)
-      val plan = df.queryExecution.executedPlan
-      val nodes = allNodes(plan)
-      val s = plan.toString
-      val allPairs = s.contains("CartesianProduct") ||
-        s.contains("BroadcastNestedLoopJoin")
-      val globalWindow = nodes.exists {
-        case w: WindowExec => w.partitionSpec.isEmpty
-        case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
-        case _ => false
+      : Map[String, (org.apache.spark.sql.types.StructType, Boolean, Boolean)] =
+    SparkTestBase.withAqeDisabled {
+      QueryRegistry.queries.map { case (key, mk) =>
+        val df = mk(spark, dir)
+        val plan = df.queryExecution.executedPlan
+        val nodes = SparkTestBase.walkPlan(plan)
+        val s = plan.toString
+        val allPairs = s.contains("CartesianProduct") ||
+          s.contains("BroadcastNestedLoopJoin")
+        val globalWindow = nodes.exists {
+          case w: WindowExec => w.partitionSpec.isEmpty
+          case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
+          case _ => false
+        }
+        key -> ((df.schema, allPairs, globalWindow))
       }
-      key -> ((df.schema, allPairs, globalWindow))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-  }
+    }
 
   private lazy val lint: Map[String, (Boolean, Boolean)] =
     built.map { case (k, (_, ap, gw)) => k -> ((ap, gw)) }

@@ -383,6 +383,34 @@ class NativeSourceSpec extends AnyFunSuite {
     assert(spark.read.format("clickhouse_native").load(dir).count() === 10)
   }
 
+  test("insertDedupToken scopes the dedup identity (CH insert_deduplication_token)") {
+    import spark.implicits._
+    val dir = tmpDir("insdeduptok")
+    def batch() = (0 until 50).map(i => (i.toLong, s"row$i"))
+      .toDF("id", "s").coalesce(1).sortWithinPartitions("id")
+    def write(token: String) = batch().write.format("clickhouse_native")
+      .option("insertDedup", "true").option("insertDedupToken", token)
+      .mode("append").save(dir)
+    write("epoch-1")
+    // RETRY of the same epoch: same token, same content → no-op
+    write("epoch-1")
+    assert(spark.read.format("clickhouse_native").load(dir).count() === 50)
+    // a LATER epoch with legitimately identical content: different
+    // token → NOT a replay, must land (unscoped content dedup would
+    // silently drop it — data loss)
+    write("epoch-2")
+    assert(spark.read.format("clickhouse_native").load(dir).count() === 100)
+    // tokened part never dedups against a token-less pre-existing part
+    // and vice versa — "" is its own scope
+    batch().write.format("clickhouse_native")
+      .option("insertDedup", "true").mode("append").save(dir)
+    assert(spark.read.format("clickhouse_native").load(dir).count() === 150)
+    // ...but a token-less re-insert dedups against the token-less part
+    batch().write.format("clickhouse_native")
+      .option("insertDedup", "true").mode("append").save(dir)
+    assert(spark.read.format("clickhouse_native").load(dir).count() === 150)
+  }
+
   test("insertDedup: a sidecar hash match alone never deletes (collision safety)") {
     // FNV-1a-64 is a 64-bit non-crypto hash: a collision between NEW
     // content and an old part must not silently drop the new data —

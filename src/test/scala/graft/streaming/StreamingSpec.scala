@@ -350,12 +350,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(table.count() === 3)
       assert(table.select("event_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
 
-      // replay contract, without a restart harness: re-append epoch 2's
-      // exact batch — byte-identical parts, dropped by insertDedup
-      val epoch2 = Seq(Event(3, ts("00:06"), 12, "purchase", 3.0)).toDF()
-      EventStreams.appendEpoch(epoch2, s"$dir/events_native")
+      // replay contract, without a restart harness: re-append epoch 1's
+      // exact batch UNDER ITS OWN epoch id — byte-identical parts with
+      // the same dedup token, dropped by insertDedup
+      val epoch1 = Seq(Event(3, ts("00:06"), 12, "purchase", 3.0)).toDF()
+      EventStreams.appendEpoch(epoch1, s"$dir/events_native", epochId = 1L)
       val after = spark.read.format("clickhouse_native").load(s"$dir/events_native")
       assert(after.count() === 3, "a replayed epoch must not duplicate rows")
+
+      // a LATER epoch with legitimately identical content is NOT a
+      // replay — different token, must land (the data-loss hazard of
+      // unscoped content dedup: heartbeat-like streams re-emit equal
+      // row sets)
+      EventStreams.appendEpoch(epoch1, s"$dir/events_native", epochId = 2L)
+      val after2 = spark.read.format("clickhouse_native").load(s"$dir/events_native")
+      assert(after2.count() === 4,
+        "identical content under a NEW epoch id is new data, not a replay")
     } finally q.stop()
   }
 
