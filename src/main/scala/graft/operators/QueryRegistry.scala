@@ -135,8 +135,10 @@ object Q {
    * integers first.
    */
   def strArr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.array_join
-    array_join(c.cast("array<string>"), "|")
+    import org.apache.spark.sql.functions.{array_join, coalesce, lit}
+    // coalesce mirrors strArrSql's NULL→'' so a NULL array (e.g. from an
+    // outer-join miss) serializes identically on both engines.
+    coalesce(array_join(c.cast("array<string>"), "|"), lit(""))
   }
 
   /** Oracle mirror of [[strArr]]. The coalesce matters: DuckDB's
@@ -147,12 +149,17 @@ object Q {
 
   /**
    * [[strArr]] for double elements: fixed "%.4f" rendering on both
-   * engines. printf of the SAME double is engine-identical — both
-   * engines round the exact binary value, and a tie at the 4th decimal
-   * would need the double to equal k/(2·10⁴) exactly, impossible in
-   * binary (denominator carries 5⁴) — PROVIDED the doubles themselves
-   * are engine-identical (each caller's exact-regime arithmetic) and
-   * non-negative (Java renders -0.0 as "-0.0000", DuckDB as "0.0000").
+   * engines. printf of the SAME double is engine-identical PROVIDED the
+   * doubles are engine-identical (each caller's exact-regime
+   * arithmetic), non-negative (Java renders -0.0 as "-0.0000", DuckDB
+   * as "0.0000"), and can never be an odd multiple of 2⁻⁵. That last
+   * precondition is what rules out a 4th-decimal tie: a tie value
+   * (2k+1)/(2·10⁴) IS exactly representable whenever 5⁴ divides 2k+1
+   * (e.g. 0.03125 = 1/32), and on such values Java's %.4f (HALF_UP)
+   * and DuckDB's printf (half-even) disagree. Callers whose values are
+   * integer-valued or coarser dyadic rationals (integer sums, counts)
+   * satisfy it; anything that could hit 2⁻⁵ granularity must serialize
+   * as scaled integers instead (the q_fn_array_sort approach).
    */
   def strArr4dp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{array_join, format_string, transform}

@@ -146,6 +146,21 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
   private def tableDir(ident: Identifier): Path =
     new Path(nsPath(ident.namespace), ident.name)
   private def metaFile(dir: Path): Path = new Path(dir, NativeCatalog.MetaName)
+  private def metaBackup(dir: Path): Path = new Path(dir, NativeCatalog.MetaBackupName)
+
+  /**
+   * Crash recovery for [[alterTable]]'s meta swap: if a crash landed
+   * between `rename(meta, bak)` and `rename(tmp, meta)`, the table has
+   * no meta file but the pre-ALTER schema survives under the
+   * deterministic backup name — restore it. A backup alongside a live
+   * meta is the other (benign) crash residue: the swap completed but
+   * the backup delete didn't; leave it, the next ALTER clears it.
+   */
+  private def recoverMeta(dir: Path): Unit = {
+    val meta = metaFile(dir)
+    val bak = metaBackup(dir)
+    if (!fs.exists(meta) && fs.exists(bak)) fs.rename(bak, meta)
+  }
 
   // ---------------------------------------------------------------- namespaces
 
@@ -198,11 +213,15 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    fs.exists(metaFile(tableDir(ident)))
+  override def tableExists(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    recoverMeta(dir)
+    fs.exists(metaFile(dir))
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
+    recoverMeta(dir)
     val meta = metaFile(dir)
     if (!fs.exists(meta)) throw new NoSuchTableException((ident.namespace.toSeq :+ ident.name))
     val props = new util.Properties()
@@ -285,6 +304,7 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
    */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
+    recoverMeta(dir)
     val meta = metaFile(dir)
     if (!fs.exists(meta)) throw new NoSuchTableException((ident.namespace.toSeq :+ ident.name))
     val props = new util.Properties()
@@ -325,23 +345,31 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
           s"graft catalog: ALTER TABLE change not supported: $other")
     }
     props.setProperty("schema", schema.json)
-    // write-temp + rename, never create(meta, overwrite=true): an
-    // in-place rewrite has a window between truncate and store where a
-    // crash leaves an empty/torn meta file and the table schema is
-    // gone (createTable has no such window — nothing existed before).
-    // rename is the same atomic-swap primitive renameTable relies on.
+    // write-temp + backup + rename, never create(meta, overwrite=true):
+    // an in-place rewrite has a window between truncate and store where
+    // a crash leaves an empty/torn meta file and the table schema is
+    // gone. A bare delete+rename swap still has a window with NO meta
+    // file at all; instead the old meta moves to a deterministic backup
+    // name first, so every crash point leaves either the old meta, the
+    // backup (recovered by [[recoverMeta]] on next load), or the new
+    // meta. rename is the same primitive renameTable relies on.
     val tmp = new Path(meta.getParent,
       s".${NativeCatalog.MetaName}.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try props.store(out, null) finally out.close()
-    if (fs.exists(meta) && !fs.delete(meta, false)) {
+    val bak = metaBackup(dir)
+    fs.delete(bak, false) // stale residue from a completed prior swap
+    if (fs.exists(meta) && !fs.rename(meta, bak)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(s"alterTable: cannot replace $meta")
+      throw new IllegalStateException(s"alterTable: cannot back up $meta")
     }
     if (!fs.rename(tmp, meta)) {
+      // restore the pre-ALTER meta so the table stays loadable
+      fs.rename(bak, meta)
       fs.delete(tmp, false)
       throw new IllegalStateException(s"alterTable: rename $tmp -> $meta failed")
     }
+    fs.delete(bak, false)
     loadTable(ident)
   }
 
@@ -372,6 +400,7 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
 
 private[native] object NativeCatalog {
   val MetaName = "_graft_table.meta"
+  val MetaBackupName = "_graft_table.meta.bak"
   /** Engine-managed table properties Spark passes through CREATE TABLE. */
   val ReservedProps: Set[String] = Set("provider", "location", "owner",
     "external", "comment")

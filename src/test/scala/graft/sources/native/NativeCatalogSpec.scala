@@ -377,6 +377,31 @@ class NativeCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.evons.docs")
   }
 
+  test("alterTable crash window: meta stranded at backup name recovers on load") {
+    // simulate a crash between rename(meta, bak) and rename(tmp, meta):
+    // the table dir has NO meta file, only the deterministic backup.
+    // loadTable/tableExists must restore it rather than report NoSuchTable.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evons")
+    spark.sql("DROP TABLE IF EXISTS graft.evons.crashy")
+    spark.sql("CREATE TABLE graft.evons.crashy (id BIGINT, name STRING) USING clickhouse_native")
+    spark.sql("INSERT INTO graft.evons.crashy VALUES (1, 'ada')")
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dir = new java.io.File(s"$warehouse/evons/crashy")
+    val meta = new java.io.File(dir, "_graft_table.meta")
+    val bak = new java.io.File(dir, "_graft_table.meta.bak")
+    assert(meta.renameTo(bak) && !meta.exists())
+    // recovery is transparent: the query plans and returns the row,
+    // the meta file is back, the backup consumed
+    assert(spark.sql("SELECT id, name FROM graft.evons.crashy").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "ada")))
+    assert(meta.exists() && !bak.exists(), "recoverMeta must restore meta and consume the backup")
+    // benign residue (completed swap, backup delete lost): live meta wins
+    val stale = new java.io.FileOutputStream(bak)
+    try stale.write("schema=GARBAGE".getBytes) finally stale.close()
+    assert(spark.sql("SELECT count(*) FROM graft.evons.crashy").head().getLong(0) === 1L)
+    spark.sql("DROP TABLE graft.evons.crashy")
+  }
+
   test("mutations preserve an evolved column across heterogeneous parts") {
     // the regression the mergeSchema loads in NativeTableOps prevent:
     // a DELETE whose rewrite set spans pre- and post-ALTER parts must
