@@ -276,6 +276,20 @@ object Bench {
     // set exploded, not the data.
     def scaleContainment(copies: Int) = graft.operators.Dedup
       .containmentPairsExact(docsAt(copies), "doc_id", "text", theta = 0.9)
+    // IVF-PQ scaling runs the APPROXIMATE production regime (sampled
+    // codebook, fixed nprobe, nlist ∝ N — same knob discipline as
+    // scale_knn): per-cell size stays constant so candidate pairs per
+    // query stay constant; the corpus-proportional costs are the
+    // codebook train pass and the encode argmin — both single passes.
+    // The query set is FIXED while the corpus grows (how serving
+    // scales), like scale_bm25. The exact-gate regime the ORACLE key
+    // runs (nprobe = nlist, lossless codebook) is brute force by
+    // design; THIS point proves the scaling.
+    def scaleIvfpq(copies: Int) = graft.operators.Similarity.ivfPqTopK(
+      embAt(copies).select(col("vec_id"), col("embedding")),
+      embAt(1).select(col("vec_id"), col("embedding")).filter(col("vec_id") < 20),
+      k = 10, nlist = 16 * copies, nprobe = 4, m = 4,
+      codebook = null, lossless = false, trainFraction = 0.5)
     val scalePoints = Seq(
       "scale_agg_1x" -> (() => scaleAgg(1)), "scale_agg_10x" -> (() => scaleAgg(10)),
       "scale_join_1x" -> (() => scaleJoin(1)), "scale_join_10x" -> (() => scaleJoin(10)),
@@ -287,17 +301,21 @@ object Bench {
       "scale_bm25_1x" -> (() => scaleBm25(1)),
       "scale_bm25_10x" -> (() => scaleBm25(10)),
       "scale_containment_1x" -> (() => scaleContainment(1)),
-      "scale_containment_10x" -> (() => scaleContainment(10)))
+      "scale_containment_10x" -> (() => scaleContainment(10)),
+      "scale_ivfpq_1x" -> (() => scaleIvfpq(1)),
+      "scale_ivfpq_10x" -> (() => scaleIvfpq(10)))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
         val pinShuffleJoin = name.startsWith("scale_join")
         if (pinShuffleJoin)
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try {
+          // min-of-3, same discipline as TPC-H: the 10×/1× ratio gate
+          // divides two of these numbers, so a single noise excursion
+          // on either point (observed up to 5×, r6 round notes) first
+          // polluted a round verdict before min-of-3 was extended here.
           name -> (try {
-            val t1 = time(force(mk()))
-            val t2 = time(force(mk()))
-            math.min(t1, t2)
+            (1 to 3).map(_ => time(force(mk()))).min
           } catch { case _: Throwable => -1.0 })
         } finally if (pinShuffleJoin)
           spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -355,7 +373,7 @@ object Bench {
     // leaves the measurements on record.
     val byName = all.toMap
     val tripped = Seq("agg", "join", "dedup", "semdedup", "knn",
-      "bm25", "containment").flatMap { k =>
+      "bm25", "containment", "ivfpq").flatMap { k =>
       if (!byName.contains(s"scale_${k}_1x")) None // filtered out (local iteration)
       else {
       val (t1x, t10x) = (byName(s"scale_${k}_1x"), byName(s"scale_${k}_10x"))

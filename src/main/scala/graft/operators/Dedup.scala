@@ -49,7 +49,54 @@ object Dedup {
    * SemDeDup centroids, small dimension tables — stay explicit
    * `broadcast(...)` calls).
    */
-  private def corpusSide(df: DataFrame): DataFrame = df.hint("shuffle_merge")
+  private def corpusSide(df: DataFrame): DataFrame =
+    if (leavesKnownSmall(df)) df else df.hint("shuffle_merge")
+
+  /**
+   * True iff EVERY leaf of the relation's optimized plan reports a
+   * real, small size — total leaf bytes within the session's own
+   * `autoBroadcastJoinThreshold`. The derived tables these pins guard
+   * (signature/shingle-array/embedding fetches) are O(input bytes) —
+   * a shingle-hash array is ~8 B per input token against ~6 B of
+   * source text — so when the WHOLE input provably fits the user's
+   * broadcast bound, anything derived from it is within a small
+   * constant factor of that bound and the planner can be left free to
+   * broadcast (the verify stage then probes in place instead of
+   * re-shuffling a wide candidate×array intermediate — measured ~45%
+   * of containment's cost at the 10× bench point). The failure mode
+   * the pins exist for — Catalyst's constant-defaultSize estimate
+   * making a TB-scale aggregate LOOK broadcastable — is exactly the
+   * case where leaf bytes are huge or unknown (streaming sources,
+   * RDD-backed plans report the default/max size), so the pin stays.
+   */
+  private def leavesKnownSmall(df: DataFrame): Boolean = {
+    val conf = df.sparkSession.sessionState.conf
+    val thr = conf.autoBroadcastJoinThreshold
+    thr > 0 && {
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      leaves.nonEmpty && leaves.map(_.stats.sizeInBytes).sum <= BigInt(thr)
+    }
+  }
+
+  /**
+   * Pin a corpus-scale FETCH relation — one row per unique id (a
+   * signature/shingle-array/embedding table) or per distinct key (the
+   * df vocabulary) — to a shuffled HASH join build side. Same
+   * broadcast-OOM protection as [[corpusSide]] (the relation still
+   * never broadcasts, whatever Catalyst's array-defaultSize
+   * misestimate says), but without sort-merge's sort of the STREAM
+   * side: in the verify stage that stream is candidate pairs already
+   * carrying one wide array payload, and sorting millions of such rows
+   * was measured at ~70% of the whole containment pipeline (isolated
+   * r5-vs-r6 bisect, BENCH_NOTES round 7). The build side is safe by
+   * construction: keys are unique per row, so a partition's build size
+   * is |corpus|/shuffle.partitions — the operator's own scaling knob —
+   * with NO skew amplification (unlike content keys such as shingle
+   * hashes, where one stop-shingle's df-sized row group must stream,
+   * which is why candidate joins stay [[corpusSide]]).
+   */
+  private def fetchSide(df: DataFrame): DataFrame =
+    if (leavesKnownSmall(df)) df else df.hint("shuffle_hash")
 
   /** Per-row MinHash signature of a text column (codegen'd). */
   def minhashSigCol(text: Column, k: Int, shingleN: Int): Column =
@@ -135,8 +182,8 @@ object Dedup {
 
     // --- verify: fetch both signatures by id, estimate, threshold --------
     cand
-      .join(corpusSide(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))), "id_a")
-      .join(corpusSide(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))), "id_b")
+      .join(fetchSide(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))), "id_a")
+      .join(fetchSide(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
         estJaccardCol(col("sig_a"), col("sig_b")).as("est_sim"))
       .filter(col("est_sim") >= threshold)
@@ -195,14 +242,14 @@ object Dedup {
     val cand = bBuckets.join(corpusSide(cBuckets), Seq("band", "band_hash"))
       .select("bid", "cid").distinct()
     val nearDup = cand
-      .join(corpusSide(bSig.select(col("bid"), col("bsig"))), "bid")
-      .join(corpusSide(index.select(col("id").as("cid"), col("sig").as("csig"))), "cid")
+      .join(fetchSide(bSig.select(col("bid"), col("bsig"))), "bid")
+      .join(fetchSide(index.select(col("id").as("cid"), col("sig").as("csig"))), "cid")
       .filter(estJaccardCol(col("bsig"), col("csig")) >= threshold)
       .select("bid").distinct()
     // the kill list is BATCH-scale (every duplicate row id of a crawl
     // snapshot) — at 100 TB a batch is TB-sized, so this side is
     // pinned too
-    batch.join(corpusSide(exactDup.union(nearDup).distinct()
+    batch.join(fetchSide(exactDup.union(nearDup).distinct()
         .withColumnRenamed("bid", idCol)),
       Seq(idCol), "left_anti")
   }
@@ -229,8 +276,8 @@ object Dedup {
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     candidates
-      .join(corpusSide(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a"))), "id_a")
-      .join(corpusSide(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b"))), "id_b")
+      .join(fetchSide(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a"))), "id_a")
+      .join(fetchSide(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b"))), "id_b")
       .withColumn("jaccard", when(union === 0.0, 1.0).otherwise(inter / union))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "est_sim", "jaccard")
@@ -284,9 +331,9 @@ object Dedup {
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (col("n_a") + col("n_b")).cast("double") - inter
     cand
-      .join(corpusSide(arrays.select(col("id").as("id_a"),
+      .join(fetchSide(arrays.select(col("id").as("id_a"),
         col("n").as("n_a"), col("sh").as("sh_a"))), "id_a")
-      .join(corpusSide(arrays.select(col("id").as("id_b"),
+      .join(fetchSide(arrays.select(col("id").as("id_b"),
         col("n").as("n_b"), col("sh").as("sh_b"))), "id_b")
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= theta)
@@ -357,12 +404,22 @@ object Dedup {
     // shuffle of its output by the df=1 fraction.
     val ex = shingled.select(col("id"), explode(col("sh")).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    val ordered = ex.join(corpusSide(dfreq), "g")
+    // EXACTLY two aggregate expressions, with n DERIVED as n1+|dg2|
+    // rather than aggregated as a third count: every consumer branch
+    // (candidate keys, both verify-array sides) then needs the SAME
+    // two aggregate outputs, so column pruning cannot specialize the
+    // aggregate per branch and the partial-aggregate exchange is
+    // REUSED across all of them. With a third count() column, pruning
+    // produced three different aggregates over the same child and the
+    // whole shingle→df-join→collect pipeline re-ran once per verify
+    // side — measured as the dominant cost of containment at the 10×
+    // bench point (BENCH_NOTES round 7).
+    val ordered = ex.join(fetchSide(dfreq), "g")
       .groupBy("id")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n1"),
+      .agg(sum(when(col("df") === 1, 1L).otherwise(0L)).as("n1"),
         sort_array(collect_list(when(col("df") > 1,
           struct(col("df"), col("g"))))).as("dg2"))
+      .withColumn("n", col("n1") + size(col("dg2")))
     // +1 beyond the theoretical |S| - ⌈θ|S|⌉ + 1: double ceil(θ·n) can
     // land one high when θ·n sits on an ulp boundary (0.2*5 →
     // 1.0000000000000002 → 2), which would SHORTEN the prefix and void
@@ -435,12 +492,21 @@ object Dedup {
     val (cand, arrays) = containmentCandidatesAndArrays(
       shingledOf(df, idCol, textCol, shingleN), theta)
     // same df>1-restricted verify arrays as ngramPairsExact: inter is
-    // exact, the containee's TRUE set size rides as n_a
+    // exact, the containee's TRUE set size rides as n_a. Side B
+    // re-checks the (already candidate-enforced, hence redundant)
+    // container-size condition so that BOTH verify sides project the
+    // identical (id, n, sh) shape — otherwise column pruning drops n_b,
+    // the B-side aggregate diverges from the A-side's, and the arrays
+    // subtree is computed twice instead of reused (same pruning trap
+    // as prefixOrdered's derived n; the predicate costs two longs).
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     cand
-      .join(corpusSide(arrays.select(col("id").as("id_a"),
+      .join(fetchSide(arrays.select(col("id").as("id_a"),
         col("n").as("n_a"), col("sh").as("sh_a"))), "id_a")
-      .join(corpusSide(arrays.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
+      .join(fetchSide(arrays.select(col("id").as("id_b"),
+        col("n").as("n_b"), col("sh").as("sh_b"))), "id_b")
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(theta) * col("n_a") - lit(1e-6))
       .withColumn("containment", inter / col("n_a"))
       .filter(col("containment") >= theta)
       .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
@@ -517,8 +583,8 @@ object Dedup {
           col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
-      .join(corpusSide(base.select(col("id").as("id_a"), col("emb").as("emb_a"))), "id_a")
-      .join(corpusSide(base.select(col("id").as("id_b"), col("emb").as("emb_b"))), "id_b")
+      .join(fetchSide(base.select(col("id").as("id_a"), col("emb").as("emb_a"))), "id_a")
+      .join(fetchSide(base.select(col("id").as("id_b"), col("emb").as("emb_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
       .filter(col("cos") >= minCosine)
@@ -627,7 +693,7 @@ object Dedup {
     // corpus-wide first occurrence per distinct segment text
     val firsts = segs.groupBy("seg")
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
-    val kept = segs.join(corpusSide(firsts), "seg")
+    val kept = segs.join(fetchSide(firsts), "seg")
       .filter(col("doc_id") === col("first.doc_id") &&
         col("seg_idx") === col("first.seg_idx"))
     val base = segs.groupBy("doc_id").agg(count(lit(1)).as("n_seg"))
@@ -636,7 +702,7 @@ object Dedup {
       array_join(transform(
         array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
         s => s.getField("seg")), " ").as("cleaned_text"))
-    base.join(corpusSide(reassembled), Seq("doc_id"), "left")
+    base.join(fetchSide(reassembled), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_seg"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
@@ -700,7 +766,7 @@ object Dedup {
           (col("cs_b") === col("cs_a") && col("id_b") < col("id_a"))))
       .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4) >= eps)
       .select(col("id_a").as("id")).distinct()
-    withSim.join(corpusSide(dropped.withColumn("hit", lit(true))), Seq("id"), "left")
+    withSim.join(fetchSide(dropped.withColumn("hit", lit(true))), Seq("id"), "left")
       .select(col("id"), col("cluster"), col("cent_sim"),
         col("hit").isNull.as("kept"))
   }
@@ -739,7 +805,7 @@ object Dedup {
       clusterCol: String, eps: Double): (DataFrame, DataFrame) = {
     val reps = semDeDup(df, idCol, embCol, clusterCol, eps)
       .filter(col("kept"))
-      .join(corpusSide(df.select(col(idCol).as("id"), col(embCol).as("emb"))), "id")
+      .join(fetchSide(df.select(col(idCol).as("id"), col(embCol).as("emb"))), "id")
       .select("id", "emb", "cluster", "cent_sim")
     val cents = Similarity.labelCentroids(
         df.select(col(idCol).as("id"), col(embCol).as("emb"),
@@ -794,7 +860,7 @@ object Dedup {
       .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4) >= eps)
       .select(col("id_a").as("id"))
     val dropped = repHit.union(batchHit).distinct().withColumn("hit", lit(true))
-    withSim.join(corpusSide(dropped), Seq("id"), "left")
+    withSim.join(fetchSide(dropped), Seq("id"), "left")
       .select(col("id"), col("cluster"), col("cent_sim"),
         col("hit").isNull.as("kept"))
   }
