@@ -62,8 +62,8 @@ object Dedup {
    * broadcast bound, anything derived from it is within a small
    * constant factor of that bound and the planner can be left free to
    * broadcast (the verify stage then probes in place instead of
-   * re-shuffling a wide candidate×array intermediate — measured ~45%
-   * of containment's cost at the 10× bench point). The failure mode
+   * re-shuffling a wide candidate×array intermediate — see the
+   * BENCH_NOTES round-8 isolated A/B). The failure mode
    * the pins exist for — Catalyst's constant-defaultSize estimate
    * making a TB-scale aggregate LOOK broadcastable — is exactly the
    * case where leaf bytes are huge or unknown (streaming sources,
@@ -72,8 +72,17 @@ object Dedup {
   private def leavesKnownSmall(df: DataFrame): Boolean = {
     val conf = df.sparkSession.sessionState.conf
     val thr = conf.autoBroadcastJoinThreshold
+    // Leaf stats come from the ANALYZED plan: leaf-node sizeInBytes
+    // (file footers / LocalRelation bytes) is identical before and
+    // after optimization, and analysis is cheap where full
+    // optimization of the sub-DataFrame per join side is not. The
+    // threshold is read at PLAN-CONSTRUCTION time — a conf change
+    // between building and executing the returned DataFrame keeps the
+    // build-time decision (deliberate: the pins exist for safety, and
+    // re-deciding at execution would make the plan shape
+    // non-deterministic for tests and EXPLAIN).
     thr > 0 && {
-      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      val leaves = df.queryExecution.analyzed.collectLeaves()
       leaves.nonEmpty && leaves.map(_.stats.sizeInBytes).sum <= BigInt(thr)
     }
   }
@@ -86,14 +95,25 @@ object Dedup {
    * never broadcasts, whatever Catalyst's array-defaultSize
    * misestimate says), but without sort-merge's sort of the STREAM
    * side: in the verify stage that stream is candidate pairs already
-   * carrying one wide array payload, and sorting millions of such rows
-   * was measured at ~70% of the whole containment pipeline (isolated
-   * r5-vs-r6 bisect, BENCH_NOTES round 7). The build side is safe by
-   * construction: keys are unique per row, so a partition's build size
-   * is |corpus|/shuffle.partitions — the operator's own scaling knob —
-   * with NO skew amplification (unlike content keys such as shingle
-   * hashes, where one stop-shingle's df-sized row group must stream,
-   * which is why candidate joins stay [[corpusSide]]).
+   * carrying one wide array payload, and sort-merge would sort those
+   * wide rows on both fetches (isolated A/B measurements in
+   * BENCH_NOTES round 8). The build side is safe by construction:
+   * keys are unique per row, so a partition's build size is
+   * |corpus|/shuffle.partitions — with NO skew amplification (unlike
+   * content keys such as shingle hashes, where one stop-shingle's
+   * df-sized row group must stream, which is why candidate joins stay
+   * [[corpusSide]]).
+   *
+   * Memory caveat — partitions must scale with the corpus: unlike
+   * sort-merge, a ShuffledHashJoin BUILD side does not spill its hash
+   * map; each task materializes its |corpus|/shuffle.partitions slice
+   * on the heap. The operating assumption is the standard one for any
+   * hash-build operator (HashAggregate has the same bound): the
+   * deployment sizes `spark.sql.shuffle.partitions` proportionally to
+   * input (AQE coalescing makes over-provisioning free), keeping the
+   * per-task build a few hundred MB at any corpus size. A deployment
+   * that pins partitions constant while growing the corpus unboundedly
+   * would need [[corpusSide]] semantics here instead.
    */
   private def fetchSide(df: DataFrame): DataFrame =
     if (leavesKnownSmall(df)) df else df.hint("shuffle_hash")

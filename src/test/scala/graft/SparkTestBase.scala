@@ -38,10 +38,17 @@ object SparkTestBase {
   /** Run `body` with AQE off (exchanges are inserted inside
     * AdaptiveSparkPlanExec's preparation, invisible to a plan walk of
     * an un-executed query), restoring the PRIOR setting afterwards. */
-  def withAqeDisabled[A](body: => A): A = {
-    val key = "spark.sql.adaptive.enabled"
-    val prior = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, prior)
+  def withAqeDisabled[A](body: => A): A =
+    withSQLConf("spark.sql.adaptive.enabled" -> "false")(body)
+
+  /** Run `body` with the given SQL confs set, restoring the PRIOR
+    * values (or unsetting) afterwards. */
+  def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val priors = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally priors.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 }

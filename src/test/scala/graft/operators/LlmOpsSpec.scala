@@ -1128,48 +1128,116 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesian"), plan.take(2000))
   }
 
+  private def nBroadcasts(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("BroadcastExchange"))
+
   test("dedup plans never broadcast a corpus-derived side (size-misestimate guard)") {
     // Catalyst's default size estimate for aggregates that output
     // array columns (signatures, shingle arrays) is CONSTANT per row,
     // so corpus-scale tables look broadcastable and the planner was
     // choosing them as BroadcastHashJoin build sides — observed as a
     // driver OOM on the 10x bench corpus. Every dedup join is pinned
-    // to shuffle-merge (Dedup.corpusSide); the only broadcast allowed
-    // anywhere in these plans is SemDeDup's deliberate bounded
-    // centroid table.
-    def nBroadcasts(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.executedPlan.toString
-        .split("\n").count(_.contains("BroadcastExchange"))
-    assert(nBroadcasts(Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)) === 0)
-    assert(nBroadcasts(Dedup.simhashPairs(docs, "doc_id", "text")) === 0)
-    assert(nBroadcasts(Dedup.ngramPairsExact(docs, "doc_id", "text", 0.7)) === 0)
-    assert(nBroadcasts(Dedup.containmentPairsExact(docs, "doc_id", "text", 0.9)) === 0)
-    assert(nBroadcasts(Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.95)) === 0)
-    // semDeDup deliberately broadcasts its bounded (cluster → centroid)
-    // table; the plan references that subtree several times (withSim
-    // feeds both self-join sides), so the count is plan-layout
-    // dependent — the invariant is that EVERY broadcast subtree is the
-    // centroid aggregate (identified by its c_cluster key), never a
-    // corpus-derived side.
-    // inspect with AQE off: under AQE the exchanges are inserted inside
-    // AdaptiveSparkPlanExec's preparation, invisible to a tree walk of
-    // executedPlan before execution
-    graft.SparkTestBase.withAqeDisabled {
-      val sem = Dedup.semDeDup(
-        emb.withColumnRenamed("label", "cluster"), "vec_id", "embedding", "cluster", 0.95)
-      val bcasts = graft.SparkTestBase.walkPlan(sem.queryExecution.executedPlan)
-        .filter(_.getClass.getSimpleName.startsWith("BroadcastExchange"))
-      assert(bcasts.nonEmpty, "semDeDup must broadcast its centroid table")
-      bcasts.foreach { b =>
-        assert(b.toString.contains("c_cluster"),
-          s"non-centroid broadcast in semDeDup plan:\n${b.toString.take(1500)}")
+    // to shuffle-merge/shuffle-hash (Dedup.corpusSide / fetchSide);
+    // the only broadcast allowed anywhere in these plans is SemDeDup's
+    // deliberate bounded centroid table.
+    //
+    // The pins carry a provably-small bypass (Dedup.leavesKnownSmall):
+    // when ALL leaf stats are real and the whole input fits the user's
+    // own autoBroadcastJoinThreshold, the hints are skipped and the
+    // planner may broadcast — which is true for this tiny test corpus
+    // at the default 10 MB threshold (that positive branch is pinned
+    // in the next test). So assert the PIN here under
+    // autoBroadcastJoinThreshold=-1: the bypass requires a positive
+    // threshold, so it is provably off and the pins must hold
+    // unconditionally — and since -1 also disables planner-chosen
+    // broadcasts, any BroadcastExchange that still appears can only be
+    // an explicit broadcast() wrapping a corpus-derived side, the
+    // exact bug class this guard exists for.
+    graft.SparkTestBase.withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      assert(nBroadcasts(Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)) === 0)
+      assert(nBroadcasts(Dedup.simhashPairs(docs, "doc_id", "text")) === 0)
+      assert(nBroadcasts(Dedup.ngramPairsExact(docs, "doc_id", "text", 0.7)) === 0)
+      assert(nBroadcasts(Dedup.containmentPairsExact(docs, "doc_id", "text", 0.9)) === 0)
+      assert(nBroadcasts(Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.95)) === 0)
+      // semDeDup deliberately broadcasts its bounded (cluster →
+      // centroid) table (explicit broadcast() — unaffected by the
+      // threshold); the plan references that subtree several times
+      // (withSim feeds both self-join sides), so the count is
+      // plan-layout dependent — the invariant is that EVERY broadcast
+      // subtree is the centroid aggregate (identified by its c_cluster
+      // key), never a corpus-derived side.
+      // inspect with AQE off: under AQE the exchanges are inserted
+      // inside AdaptiveSparkPlanExec's preparation, invisible to a
+      // tree walk of executedPlan before execution
+      graft.SparkTestBase.withAqeDisabled {
+        val sem = Dedup.semDeDup(
+          emb.withColumnRenamed("label", "cluster"), "vec_id", "embedding", "cluster", 0.95)
+        val bcasts = graft.SparkTestBase.walkPlan(sem.queryExecution.executedPlan)
+          .filter(_.getClass.getSimpleName.startsWith("BroadcastExchange"))
+        assert(bcasts.nonEmpty, "semDeDup must broadcast its centroid table")
+        bcasts.foreach { b =>
+          assert(b.toString.contains("c_cluster"),
+            s"non-centroid broadcast in semDeDup plan:\n${b.toString.take(1500)}")
+        }
+        // incremental dedup: batch vs corpus-INDEX joins (array sig
+        // column — the same misestimate) must never broadcast either
+        val incr = Dedup.incrementalSurvivors(docs, Dedup.dedupIndex(
+          docs.withColumn("doc_id", col("doc_id") + 5000), "doc_id", "text"),
+          "doc_id", "text")
+        assert(nBroadcasts(incr) === 0, "incrementalSurvivors must not broadcast")
       }
-      // incremental dedup: batch vs corpus-INDEX joins (array sig
-      // column — the same misestimate) must never broadcast either
-      val incr = Dedup.incrementalSurvivors(docs, Dedup.dedupIndex(
-        docs.withColumn("doc_id", col("doc_id") + 5000), "doc_id", "text"),
-        "doc_id", "text")
-      assert(nBroadcasts(incr) === 0, "incrementalSurvivors must not broadcast")
+    }
+  }
+
+  test("leavesKnownSmall bypass engages on a provably-small corpus (broadcast allowed)") {
+    // Positive branch of the pin bypass: the sf0.001 parquet corpus
+    // has REAL leaf stats (file bytes) far under the default 10 MB
+    // autoBroadcastJoinThreshold, so corpusSide/fetchSide skip their
+    // hints and the planner is free to broadcast the verify fetches —
+    // probing candidates in place instead of re-shuffling a wide
+    // candidate×array intermediate. If this assertion fails, the
+    // bypass stopped engaging and every small-corpus dedup pays
+    // corpus-scale shuffle plans.
+    graft.SparkTestBase.withAqeDisabled {
+      assert(nBroadcasts(Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)) > 0,
+        "known-small corpus must leave the planner free to broadcast")
+      assert(nBroadcasts(Dedup.containmentPairsExact(docs, "doc_id", "text", 0.9)) > 0,
+        "known-small corpus must leave the planner free to broadcast")
+    }
+  }
+
+  test("past the threshold, fetch joins pin to ShuffledHashJoin and candidate joins to SortMergeJoin") {
+    // The round-7 strategy split (corpusSide=shuffle_merge for
+    // skew-prone content-key joins, fetchSide=shuffle_hash for
+    // unique-key verify fetches) has to survive Catalyst upgrades —
+    // pin the physical strategies, not just "no broadcast". A 1-byte
+    // threshold makes this corpus "past the threshold" (leaf bytes
+    // > 1 ⇒ bypass off ⇒ hints active) while keeping auto-broadcast
+    // nominally ON — proving the hints, not the threshold, force the
+    // strategies.
+    graft.SparkTestBase.withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "1") {
+      graft.SparkTestBase.withAqeDisabled {
+        def strategies(df: org.apache.spark.sql.DataFrame): Seq[String] =
+          graft.SparkTestBase.walkPlan(df.queryExecution.executedPlan)
+            .map(_.getClass.getSimpleName).filter(_.contains("Join"))
+        val mh = strategies(Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5))
+        // two verify fetches by unique id → hash join without the
+        // wide-row stream-side sort
+        assert(mh.count(_ == "ShuffledHashJoinExec") === 2,
+          s"minhash verify fetches must be ShuffledHashJoin, got $mh")
+        // candidate join on content keys (band hashes — skewable) →
+        // spill-safe sort-merge
+        assert(mh.contains("SortMergeJoinExec"),
+          s"minhash candidate join must be SortMergeJoin, got $mh")
+        assert(!mh.exists(_.startsWith("Broadcast")), s"no broadcast allowed: $mh")
+        val ng = strategies(Dedup.ngramPairsExact(docs, "doc_id", "text", 0.7))
+        assert(ng.count(_ == "ShuffledHashJoinExec") >= 2,
+          s"ngram verify fetches must be ShuffledHashJoin, got $ng")
+        assert(!ng.exists(_.startsWith("Broadcast")), s"no broadcast allowed: $ng")
+      }
     }
   }
 
