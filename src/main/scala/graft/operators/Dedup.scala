@@ -62,8 +62,9 @@ object Dedup {
    * broadcast bound, anything derived from it is within a small
    * constant factor of that bound and the planner can be left free to
    * broadcast (the verify stage then probes in place instead of
-   * re-shuffling a wide candidate×array intermediate — see the
-   * BENCH_NOTES round-8 isolated A/B). The failure mode
+   * re-shuffling a wide candidate×array intermediate; measured at
+   * sf0.1 as a containment win and an ngram loss — a documented
+   * tradeoff, BENCH_NOTES round-8 variant matrix). The failure mode
    * the pins exist for — Catalyst's constant-defaultSize estimate
    * making a TB-scale aggregate LOOK broadcastable — is exactly the
    * case where leaf bytes are huge or unknown (streaming sources,
@@ -95,9 +96,13 @@ object Dedup {
    * never broadcasts, whatever Catalyst's array-defaultSize
    * misestimate says), but without sort-merge's sort of the STREAM
    * side: in the verify stage that stream is candidate pairs already
-   * carrying one wide array payload, and sort-merge would sort those
-   * wide rows on both fetches (isolated A/B measurements in
-   * BENCH_NOTES round 8). The build side is safe by construction:
+   * carrying one wide array payload that a sort-merge fetch would sort
+   * on both fetches. (At sf0.1 the two strategies measure within noise
+   * of each other — BENCH_NOTES round-8 variant matrix; the hash join
+   * is kept for the asymptotic argument: the stream side's sort is
+   * O(C log C) in candidate count where the hash build is O(corpus),
+   * and candidates dominate corpus exactly when dedup is expensive.)
+   * The build side is safe by construction:
    * keys are unique per row, so a partition's build size is
    * |corpus|/shuffle.partitions — with NO skew amplification (unlike
    * content keys such as shingle hashes, where one stop-shingle's
@@ -432,8 +437,11 @@ object Dedup {
     // REUSED across all of them. With a third count() column, pruning
     // produced three different aggregates over the same child and the
     // whole shingle→df-join→collect pipeline re-ran once per verify
-    // side — measured as the dominant cost of containment at the 10×
-    // bench point (BENCH_NOTES round 7).
+    // side. Round-8 isolated A/B (BENCH_NOTES variant matrix): this
+    // change is a containment win (3.38→2.76-3.05 at sf0.1, and 21%
+    // at the 10× point) and an ngram loss (3.16→4.16) — kept because
+    // containment's 10× point is the repo's heaviest key and the
+    // family net favors it.
     val ordered = ex.join(fetchSide(dfreq), "g")
       .groupBy("id")
       .agg(sum(when(col("df") === 1, 1L).otherwise(0L)).as("n1"),

@@ -421,13 +421,17 @@ object TextPipeline {
    * non-overlapping occurrences left-to-right.
    *
    * Scale design: the corpus is read ONCE (a map-side-combined word
-   * count); every merge round then iterates over the DISTINCT-WORD
+   * count); every counting pass then iterates over the DISTINCT-WORD
    * table, which is vocabulary-sized, not corpus-sized — the reason
-   * BPE training is tractable at all. Each round's driver traffic is
-   * a single 1-row collect (the argmax pair — a scalar probe, like a
-   * KMeans centroid fetch); the merge APPLY is a per-row array fold,
-   * fully distributed. At 100 TB one would additionally cap or sample
-   * the word table (standard practice); the loop itself is unchanged.
+   * BPE training is tractable at all. Counting passes are BATCHED:
+   * one distributed pair-count collects the top-M stale counts, and
+   * the driver then accepts as many merge steps from that one list as
+   * remain PROVABLY identical to step-by-step recounting (see
+   * [[bpeTrain]]'s safe-prefix argument), so the job count is
+   * O(merges / batch), not O(merges). The merge APPLY is a per-row
+   * array fold, fully distributed. At 100 TB one would additionally
+   * cap or sample the word table (standard practice); the loop itself
+   * is unchanged.
    *
    * The left-to-right fold (merge into `acc` when `last(acc) = lhs ∧
    * x = rhs`) implements exactly the "greedy non-overlapping"
@@ -449,7 +453,38 @@ object TextPipeline {
   /** The BPE training loop shared by [[bpeMerges]] (which returns the
     * learned rules) and [[bpeEncode]] (which also needs the final
     * per-word segmentation): the merge table plus the word table with
-    * its `toks` column after all merges applied. */
+    * its `toks` column after all merges applied.
+    *
+    * BATCHED counting with a sequential-equivalence proof. One
+    * distributed pass collects the top-M stale pair counts; the driver
+    * then accepts a PREFIX of that list as merge steps, stopping the
+    * moment the next step's argmax can no longer be decided from stale
+    * counts. Applying merge (l, r) can change the count of a pair
+    * (x, y) only when:
+    *  - x or y is l, r, or the concatenated token l+r (occurrences
+    *    consumed, or — when l+r collides with a pre-existing token
+    *    string — created): a candidate whose tokens touch any accepted
+    *    merge's {l, r, l+r} set is unsafe and ENDS the batch (it sits
+    *    in stale order ahead of everything later, so skipping instead
+    *    of stopping could mask the true argmax);
+    *  - (x, y) is newly created, of the form (x, l+r) or (l+r, y):
+    *    each created instance comes from a stale adjacency (x, l) or
+    *    (r, y), so its count is bounded by the largest STALE count
+    *    among pairs with rhs = l or lhs = r (pairs beyond the
+    *    collected M bounded by the M-th count). A candidate is
+    *    accepted only while its stale count is STRICTLY above every
+    *    such creation bound, so no created pair can outrank or tie it
+    *    (a tie would need the (cnt, lhs, rhs) order, which an upper
+    *    bound cannot resolve).
+    * All other counts are invariant, and candidates are scanned in the
+    * exact (cnt desc, lhs asc, rhs asc) tie-break order, so the
+    * accepted prefix reproduces step-by-step recounting verbatim — the
+    * property the DuckDB oracle (which replays the sequential
+    * algorithm) checks end-to-end, and BpeBatchEquivalence fuzzes
+    * against a driver-side sequential reference. The first candidate
+    * of every batch is always safe, so each pass advances ≥ 1 step:
+    * the distributed job count is O(merges / batch), worst case
+    * numMerges, typically far fewer. */
   private def bpeTrain(df: DataFrame, textCol: String, numMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     def lit1(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
@@ -458,9 +493,11 @@ object TextPipeline {
       .withColumn("toks",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
     var exhausted = false
-    for (step <- 1 to numMerges if !exhausted) {
-      val best = words
+    val m = math.max(64, 8 * numMerges) // top-M stale window per pass
+    while (step <= numMerges && !exhausted) {
+      val top = words
         .filter(size(col("toks")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(toks) - 1)," +
@@ -468,20 +505,42 @@ object TextPipeline {
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(m).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((step, l, r, cnt))
-        // greedy left-to-right merge of (l, r): the AND short-circuits,
-        // so element_at(acc, -1) never sees an empty acc under ANSI
-        words = words.withColumn("toks", expr(
-          s"""aggregate(toks, cast(array() as array<string>),
-              (acc, x) -> if(size(acc) > 0 AND element_at(acc, -1) = ${lit1(l)}
-                              AND x = ${lit1(r)},
-                            concat(slice(acc, 1, size(acc) - 1), array(${lit1(l + r)})),
-                            concat(acc, array(x))))"""))
-          .localCheckpoint()
+        // pairs past the collected window are bounded by the M-th count
+        val unseenBound = if (top.length == m) top.last._3 else 0L
+        var touched = Set.empty[String] // {l, r, l+r} of accepted merges
+        var creationBound = -1L         // max possible created-pair count
+        var stop = false
+        val it = top.iterator
+        while (!stop && step <= numMerges && it.hasNext) {
+          val (l, r, cnt) = it.next()
+          if (touched(l) || touched(r)) stop = true
+          else if (creationBound >= 0 && cnt <= creationBound) stop = true
+          else {
+            merges += ((step, l, r, cnt))
+            step += 1
+            touched ++= Set(l, r, l + r)
+            creationBound = math.max(creationBound,
+              top.iterator.filter(p => p._2 == l || p._1 == r)
+                .map(_._3).foldLeft(unseenBound)(math.max))
+            // greedy left-to-right merge of (l, r): the AND
+            // short-circuits, so element_at(acc, -1) never sees an
+            // empty acc under ANSI
+            words = words.withColumn("toks", expr(
+              s"""aggregate(toks, cast(array() as array<string>),
+                  (acc, x) -> if(size(acc) > 0 AND element_at(acc, -1) = ${lit1(l)}
+                                  AND x = ${lit1(r)},
+                                concat(slice(acc, 1, size(acc) - 1), array(${lit1(l + r)})),
+                                concat(acc, array(x))))"""))
+          }
+        }
+        // one materialization per BATCH (not per merge): the next pass
+        // counts over the folded result instead of re-deriving the
+        // whole in-batch merge chain per row
+        words = words.localCheckpoint()
       }
     }
     (merges.result(), words)

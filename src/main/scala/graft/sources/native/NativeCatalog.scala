@@ -155,6 +155,16 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
    * deterministic backup name — restore it. A backup alongside a live
    * meta is the other (benign) crash residue: the swap completed but
    * the backup delete didn't; leave it, the next ALTER clears it.
+   *
+   * Called from EVERY table-path entry point (exists/load/alter/list/
+   * drop/rename/create), so a crash-stranded table is indistinguishable
+   * from a healthy one at the public surface. SINGLE-WRITER assumption:
+   * recovery renames from read paths too, so a reader racing an
+   * in-flight alterTable swap on a non-overwriting filesystem (HDFS)
+   * could rename the backup back mid-swap — this catalog, like the
+   * MergeTree writer it fronts, assumes one metadata writer at a time
+   * (concurrent READS of a quiescent table are fine: recovery is a
+   * no-op whenever the meta file exists).
    */
   private def recoverMeta(dir: Path): Unit = {
     val meta = metaFile(dir)
@@ -171,8 +181,12 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     val p = nsPath(namespace)
     if (!fs.exists(p)) throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
-    fs.listStatus(p).filter(st => st.isDirectory && !fs.exists(metaFile(st.getPath)))
-      .map(st => namespace :+ st.getPath.getName)
+    fs.listStatus(p).filter { st =>
+      // a crash-stranded TABLE dir (meta at backup name) must not be
+      // misreported as a child namespace
+      recoverMeta(st.getPath)
+      st.isDirectory && !fs.exists(metaFile(st.getPath))
+    }.map(st => namespace :+ st.getPath.getName)
   }
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
@@ -209,7 +223,8 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val p = nsPath(namespace)
     if (!fs.exists(p)) throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
-    fs.listStatus(p).filter(st => st.isDirectory && fs.exists(metaFile(st.getPath)))
+    fs.listStatus(p).filter(_.isDirectory)
+      .filter { st => recoverMeta(st.getPath); fs.exists(metaFile(st.getPath)) }
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
@@ -248,6 +263,9 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
     }
     val dir = tableDir(ident)
     val meta = metaFile(dir)
+    // a crash-stranded table (meta at backup name) must collide here,
+    // not get a fresh meta written over its existing data parts
+    recoverMeta(dir)
     if (fs.exists(meta)) throw new TableAlreadyExistsException((ident.namespace.toSeq :+ ident.name))
     schema.fields.foreach(f => ChType.forSpark(f.dataType, f.nullable)) // fail fast
     fs.mkdirs(dir)
@@ -364,10 +382,18 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
       throw new IllegalStateException(s"alterTable: cannot back up $meta")
     }
     if (!fs.rename(tmp, meta)) {
-      // restore the pre-ALTER meta so the table stays loadable
-      fs.rename(bak, meta)
+      // restore the pre-ALTER meta so the table stays loadable; if the
+      // restore itself fails (e.g. a concurrent reader's recoverMeta
+      // already moved the backup back on a non-overwriting filesystem —
+      // see the single-writer note on recoverMeta), say so: the table
+      // may still be loadable via that racing recovery, but this writer
+      // can no longer prove it
+      val restored = fs.rename(bak, meta) || fs.exists(meta)
       fs.delete(tmp, false)
-      throw new IllegalStateException(s"alterTable: rename $tmp -> $meta failed")
+      throw new IllegalStateException(
+        s"alterTable: rename $tmp -> $meta failed" +
+          (if (restored) " (pre-ALTER meta restored)"
+           else s" AND restore of $bak failed — table meta needs manual recovery"))
     }
     fs.delete(bak, false)
     loadTable(ident)
@@ -375,15 +401,23 @@ class NativeCatalog extends TableCatalog with SupportsNamespaces with FunctionCa
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
+    recoverMeta(dir)
     if (!fs.exists(metaFile(dir))) false else fs.delete(dir, true)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = tableDir(oldIdent)
+    recoverMeta(from)
     if (!fs.exists(metaFile(from))) throw new NoSuchTableException((oldIdent.namespace.toSeq :+ oldIdent.name))
     val to = tableDir(newIdent)
     if (fs.exists(to)) throw new TableAlreadyExistsException((newIdent.namespace.toSeq :+ newIdent.name))
-    fs.mkdirs(to.getParent)
+    // cross-namespace renames are allowed, but only into a namespace
+    // that EXISTS: silently mkdirs-ing the target would turn a typo'd
+    // multipart name (e.g. a catalog-qualified RENAME TO, which Spark
+    // parses as a namespace inside this catalog) into a table quietly
+    // relocated under a ghost namespace
+    if (!fs.exists(nsPath(newIdent.namespace)))
+      throw new NoSuchNamespaceException(catalogName +: newIdent.namespace.toSeq)
     if (!fs.rename(from, to))
       throw new IllegalStateException(s"rename $from -> $to failed")
   }

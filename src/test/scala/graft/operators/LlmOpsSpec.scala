@@ -622,6 +622,64 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(1) === ((2, "an", "a", 2L)))
   }
 
+  test("BpeBatchEquivalence: batched training equals the sequential reference (fuzz)") {
+    import spark.implicits._
+    // bpeTrain batches several merge steps per distributed pair-count
+    // pass behind a safe-prefix proof (see its scaladoc). This fuzz
+    // pins the proof's implementation: random corpora over a TINY
+    // alphabet (maximizing pair-count ties, token collisions between
+    // merged strings and pre-existing tokens, and created pairs that
+    // outrank stale candidates — every hazard the batch must stop
+    // for), 12 merges deep, against a driver-side step-by-step
+    // reference of the classic algorithm.
+    def applyMerge(toks: Vector[String], l: String, r: String): Vector[String] =
+      toks.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    def refBpe(words: Seq[(String, Long)], numMerges: Int): Seq[(Int, String, String, Long)] = {
+      var segs: Seq[(Vector[String], Long)] =
+        words.map { case (w, f) => w.map(_.toString).toVector -> f }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var step = 1
+      var done = false
+      while (step <= numMerges && !done) {
+        val counts = collection.mutable.Map.empty[(String, String), Long]
+        for ((toks, f) <- segs; i <- 0 until toks.length - 1)
+          counts.updateWith((toks(i), toks(i + 1)))(v => Some(v.getOrElse(0L) + f))
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((step, l, r, c))
+          segs = segs.map { case (toks, f) => applyMerge(toks, l, r) -> f }
+          step += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 4).foreach { trial =>
+      val alphabet = "abc"
+      val nWords = 25
+      val words = (0 until nWords).map { _ =>
+        val len = 2 + rnd.nextInt(6)
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      // repeat words to create a frequency distribution with many ties
+      val reps = words.map(w => w -> (1L + rnd.nextInt(4)))
+      val docs = reps.zipWithIndex.map { case ((w, f), i) =>
+        (i.toLong, Seq.fill(f.toInt)(w).mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = TextPipeline.bpeMerges(docs, "doc_id", "text", numMerges = 12)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      // the reference counts word frequency across the whole corpus
+      // (duplicate word strings across docs merge)
+      val freq = reps.groupBy(_._1).map { case (w, fs) => w -> fs.map(_._2).sum }.toSeq
+      val want = refBpe(freq, 12)
+      assert(got === want, s"trial $trial: batched=$got reference=$want")
+    }
+  }
+
   test("bpe encode: sequence lengths reflect the learned segmentation") {
     import spark.implicits._
     // rules over this corpus: (a,n) cnt 5, then (b,an) cnt 3 —

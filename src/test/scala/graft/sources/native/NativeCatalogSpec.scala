@@ -402,6 +402,60 @@ class NativeCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.evons.crashy")
   }
 
+  test("crash-stranded table recovers at every catalog entry point (list/create/rename/drop)") {
+    // recoverMeta must run from ALL public table paths, not just
+    // load/exists: before this, a stranded table vanished from SHOW
+    // TABLES, DROP returned false, RENAME threw NoSuchTable, and a
+    // direct createTable would write a fresh meta OVER its data parts.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evons")
+    spark.sql("DROP TABLE IF EXISTS graft.evons.strand")
+    spark.sql("DROP TABLE IF EXISTS graft.evons.strand2")
+    spark.sql("CREATE TABLE graft.evons.strand (id BIGINT) USING clickhouse_native")
+    spark.sql("INSERT INTO graft.evons.strand VALUES (7)")
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dir = new java.io.File(s"$warehouse/evons/strand")
+    val meta = new java.io.File(dir, "_graft_table.meta")
+    val bak = new java.io.File(dir, "_graft_table.meta.bak")
+    def strand(): Unit = assert(meta.exists() && meta.renameTo(bak))
+
+    // listTables: the stranded table is still listed (and repaired)
+    strand()
+    val listed = spark.sql("SHOW TABLES IN graft.evons").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("strand"), s"stranded table missing from $listed")
+    assert(meta.exists() && !bak.exists())
+
+    // createTable: a stranded table must collide, never get a fresh
+    // meta written over its existing data parts
+    strand()
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.evons.strand (x INT) USING clickhouse_native"))
+    assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+    assert(spark.sql("SELECT id FROM graft.evons.strand").head().getLong(0) === 7L,
+      "original data must survive the rejected CREATE")
+
+    // renameTable: finds and moves the stranded table. NOTE the target
+    // is NOT catalog-qualified: Spark parses the RENAME TO name as a
+    // multipart identifier WITHIN the source's catalog, so
+    // "graft.evons.strand2" would mean namespace [graft, evons] — a
+    // namespace that doesn't exist, which renameTable now rejects
+    // (pinned below) instead of silently creating
+    val badNs = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.evons.strand RENAME TO graft.evons.strand2"))
+    assert(badNs.getMessage.toLowerCase.matches("(?s).*(schema|namespace).*not.*found.*"),
+      badNs.getMessage)
+    strand()
+    spark.sql("ALTER TABLE graft.evons.strand RENAME TO evons.strand2")
+    assert(spark.sql("SELECT id FROM graft.evons.strand2").head().getLong(0) === 7L)
+
+    // dropTable: deletes the stranded table instead of returning false
+    val dir2 = new java.io.File(s"$warehouse/evons/strand2")
+    val meta2 = new java.io.File(dir2, "_graft_table.meta")
+    assert(meta2.renameTo(new java.io.File(dir2, "_graft_table.meta.bak")))
+    spark.sql("DROP TABLE graft.evons.strand2")
+    assert(!dir2.exists(), "dropTable must remove the stranded table dir")
+  }
+
   test("mutations preserve an evolved column across heterogeneous parts") {
     // the regression the mergeSchema loads in NativeTableOps prevent:
     // a DELETE whose rewrite set spans pre- and post-ALTER parts must
