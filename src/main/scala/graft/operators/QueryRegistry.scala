@@ -135,17 +135,24 @@ object Q {
    * integers first.
    */
   def strArr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{array_join, coalesce, lit}
-    // coalesce mirrors strArrSql's NULL→'' so a NULL array (e.g. from an
-    // outer-join miss) serializes identically on both engines.
-    coalesce(array_join(c.cast("array<string>"), "|"), lit(""))
+    import org.apache.spark.sql.functions.{array_join, coalesce, lit, when}
+    // A NULL ARRAY (outer-join miss) serializes as the sentinel '\N',
+    // distinct from an EMPTY array's '' — so a genuine engine
+    // divergence (one side NULL, the other []) shows up in the oracle
+    // diff instead of both collapsing to ''. The sentinel test runs on
+    // the raw column; the inner coalesce only covers DuckDB's
+    // array_to_string returning NULL for an empty (non-NULL) list,
+    // mirrored in [[strArrSql]].
+    when(c.isNull, lit("\\N"))
+      .otherwise(coalesce(array_join(c.cast("array<string>"), "|"), lit("")))
   }
 
-  /** Oracle mirror of [[strArr]]. The coalesce matters: DuckDB's
-    * array_to_string returns NULL for an empty list where Spark's
-    * array_join returns ''. */
+  /** Oracle mirror of [[strArr]]: NULL array → '\N' sentinel; the
+    * coalesce matters for the non-NULL empty list, where DuckDB's
+    * array_to_string returns NULL but Spark's array_join returns ''. */
   def strArrSql(inner: String): String =
-    s"coalesce(array_to_string($inner, '|'), '')"
+    s"CASE WHEN ($inner) IS NULL THEN '\\N' " +
+      s"ELSE coalesce(array_to_string($inner, '|'), '') END"
 
   /**
    * [[strArr]] for double elements: fixed "%.4f" rendering on both
@@ -162,13 +169,19 @@ object Q {
    * as scaled integers instead (the q_fn_array_sort approach).
    */
   def strArr4dp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{array_join, format_string, transform}
-    array_join(transform(c, x => format_string("%.4f", x)), "|")
+    import org.apache.spark.sql.functions.{array_join, coalesce, format_string, lit, transform, when}
+    // same NULL-array sentinel discipline as [[strArr]] (previously the
+    // Spark side passed NULL through while the oracle coalesced to '' —
+    // a latent mismatch no 4dp query happened to trigger)
+    when(c.isNull, lit("\\N"))
+      .otherwise(coalesce(
+        array_join(transform(c, x => format_string("%.4f", x)), "|"), lit("")))
   }
 
   /** Oracle mirror of [[strArr4dp]]. */
   def strArr4dpSql(inner: String): String =
-    s"coalesce(array_to_string(list_transform($inner, x -> printf('%.4f', x)), '|'), '')"
+    s"CASE WHEN ($inner) IS NULL THEN '\\N' ELSE coalesce(" +
+      s"array_to_string(list_transform($inner, x -> printf('%.4f', x)), '|'), '') END"
 }
 
 /** Every declared query key, in SURVEY §2 order. */
