@@ -163,10 +163,19 @@ object Bench {
     // for local iteration; the driver always runs the full set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // The heavy dedup/ANN keys get a pre-measurement GC: they run
+    // mid-sweep behind hundreds of keys of heap debt, and every
+    // recorded 2-3× "regression" on them (r6 scale_dedup_1x, the whole
+    // r7 dedup family) evaporated when measured isolated — the swing
+    // is collection landing inside the timed window, not the plans.
+    val gcBefore = Set("q_dedup_minhash", "q_dedup_ngram",
+      "q_dedup_containment", "q_dedup_simhash", "q_knn_graph",
+      "q_sim_cosine_topk")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val reps = if (name.startsWith("q_tpch_") || name == "q_union_all") 3 else 2
+      if (gcBefore(name)) System.gc()
       name -> (try {
         (1 to reps).map(_ => time(force(fn(spark, sfDir)))).min
       } catch { case _: Throwable => -1.0 })
@@ -309,6 +318,15 @@ object Bench {
         val pinShuffleJoin = name.startsWith("scale_join")
         if (pinShuffleJoin)
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // Shed the GC debt of the ~250 preceding oracle keys OUTSIDE
+        // the timed window: the documented late-sweep artifact
+        // (semdedup 13.3 in-sweep vs 2.3 isolated, r11 notes; the r7
+        // sweep's 2-3× dedup "regressions" all vanished isolated,
+        // BENCH_NOTES round 8) is accumulated-heap pressure landing on
+        // whichever key GC happens to hit — and the scale keys feed
+        // the ratio GATES, where one polluted numerator fails a round.
+        // ~16 forced GCs ≈ seconds of untimed sweep cost.
+        System.gc()
         try {
           // min-of-3, same discipline as TPC-H: the 10×/1× ratio gate
           // divides two of these numbers, so a single noise excursion
