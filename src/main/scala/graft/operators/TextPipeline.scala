@@ -476,6 +476,22 @@ object TextPipeline {
     *    such creation bound, so no created pair can outrank or tie it
     *    (a tie would need the (cnt, lhs, rhs) order, which an upper
     *    bound cannot resolve).
+    * One could worry the two cases COMBINE — a created (x, l+r) whose
+    * string key equals a surviving STALE pair's key would carry
+    * stale + created occurrences, exceeding the per-case bound. The
+    * unique-tiling lemma rules that out: within a word, a merge can
+    * only alter the tokens of a char span by consuming a token at its
+    * boundary (the greedy fold's state entering a span is just
+    * last(acc), i.e. the span's left neighbor), so every char span
+    * that is cleanly tiled by whole tokens is tokenized as a pure
+    * function of (its characters, the merge sequence) — identically in
+    * every context. A stale pair (x, s) needs spans tiling s as the
+    * single token s while a created one needs spans tiling the same
+    * string s as [l, r] under the same merge prefix — contradiction,
+    * so at any time at most one decomposition of any string carries a
+    * nonzero count and the case bounds never need to be summed
+    * (cross-checked by a 200k-corpus driver-side search for a
+    * divergence, none found).
     * All other counts are invariant, and candidates are scanned in the
     * exact (cnt desc, lhs asc, rhs asc) tie-break order, so the
     * accepted prefix reproduces step-by-step recounting verbatim — the
@@ -485,8 +501,8 @@ object TextPipeline {
     * of every batch is always safe, so each pass advances ≥ 1 step:
     * the distributed job count is O(merges / batch), worst case
     * numMerges, typically far fewer. */
-  private def bpeTrain(df: DataFrame, textCol: String, numMerges: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
+  private[operators] def bpeTrain(df: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame, Int) = {
     def lit1(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     var words = df.select(explode(wordTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -494,9 +510,11 @@ object TextPipeline {
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
+    var passes = 0 // distributed pair-count passes — the batching's whole point
     var exhausted = false
     val m = math.max(64, 8 * numMerges) // top-M stale window per pass
     while (step <= numMerges && !exhausted) {
+      passes += 1
       val top = words
         .filter(size(col("toks")) >= 2)
         .select(col("freq"), explode(expr(
@@ -543,7 +561,7 @@ object TextPipeline {
         words = words.localCheckpoint()
       }
     }
-    (merges.result(), words)
+    (merges.result(), words, passes)
   }
 
   /**
@@ -562,7 +580,7 @@ object TextPipeline {
    */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       numMerges: Int = 3): DataFrame = {
-    val (_, words) = bpeTrain(df, textCol, numMerges)
+    val (_, words, _) = bpeTrain(df, textCol, numMerges)
     val wc = words.select(col("word"), size(col("toks")).as("n_tok"))
     df.select(col(idCol).as("doc_id"), explode(wordTokens(col(textCol))).as("word"))
       .join(wc, "word")

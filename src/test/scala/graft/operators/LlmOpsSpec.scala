@@ -680,6 +680,27 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe batching: independent merges train in O(1) distributed passes") {
+    import spark.implicits._
+    // Twelve high-frequency pairs over DISJOINT letters with strictly
+    // descending, tie-free counts: no candidate ever touches an
+    // accepted merge's tokens and no created pair can outrank anything
+    // (two-letter words create nothing), so the safe-prefix proof
+    // admits the WHOLE list in the first pass — the mechanism that
+    // makes the job count O(merges / batch) instead of the sequential
+    // loop's one pass per merge (12 here). Pass 2 only discovers
+    // exhaustion (every word is a single token).
+    val pairs = Seq("ab", "cd", "ef", "gh", "ij", "kl",
+      "mn", "op", "qr", "st", "uv", "wx")
+    val docsDf = pairs.zipWithIndex.map { case (w, i) =>
+      (i.toLong, Seq.fill(100 - 5 * i)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (merges, _, passes) = TextPipeline.bpeTrain(docsDf, "text", 12)
+    assert(merges.map(m => (m._1, m._2 + m._3, m._4)) ===
+      pairs.zipWithIndex.map { case (w, i) => (i + 1, w, (100 - 5 * i).toLong) })
+    assert(passes <= 2, s"batching degenerated: $passes passes for 12 merges")
+  }
+
   test("bpe encode: sequence lengths reflect the learned segmentation") {
     import spark.implicits._
     // rules over this corpus: (a,n) cnt 5, then (b,an) cnt 3 —
