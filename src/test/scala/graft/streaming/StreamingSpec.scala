@@ -408,4 +408,65 @@ class StreamingSpec extends AnyFunSuite {
       assert(!rows.exists(_._2 == 92L), "event above the watermark must stay pending")
     } finally q.stop()
   }
+
+  // deterministic ~50-word documents for the dedup stream: near-dups
+  // share all but one word (shingle Jaccard ≈ 0.94, far above the 0.5
+  // threshold); distinct seeds share no vocabulary at all
+  private def doc(seed: Int): String =
+    (0 until 50).map(i => s"w${seed}x$i").mkString(" ")
+  private def nearDoc(seed: Int): String =
+    (0 until 50).map(i => if (i == 25) "CHANGED" else s"w${seed}x$i").mkString(" ")
+
+  test("streaming dedup: intra-batch clusters then index kills across epochs") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val (idx, out, ckpt) = (s"$dir/idx", s"$dir/out", s"$dir/ckpt")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.dedupStream(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // epoch 0: 1 and 2 are near-dups (min id 1 represents), 3 unique
+      input.addData((1L, doc(1)), (2L, nearDoc(1)), (3L, doc(3)))
+      q.processAllAvailable()
+      // epoch 1: 10 is an EXACT re-crawl of doc 1 (different id — the
+      // fp path must kill it), 11 unique, 12 near-dup of 11 intra-batch
+      input.addData((10L, doc(1)), (11L, doc(11)), (12L, nearDoc(11)))
+      q.processAllAvailable()
+      val outIds = spark.read.format("clickhouse_native").load(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(outIds.sorted === Seq(1L, 3L, 11L))
+      val idxRows = spark.read.format("clickhouse_native").load(idx)
+        .select("id", "epoch").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(idxRows === Map(1L -> 0L, 3L -> 0L, 11L -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup: epoch replay is a no-op, content recurrence is not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup-r").toString
+    val (idx, out) = (s"$dir/idx", s"$dir/out")
+    def run(batch: Seq[(Long, String)], epoch: Long): Unit =
+      StreamingDedup.dedupEpoch(batch.toDF("doc_id", "text"),
+        "doc_id", "text", idx, out, epoch)
+    run(Seq((1L, doc(1)), (3L, doc(3))), epoch = 0L)
+    run(Seq((11L, doc(11))), epoch = 1L)
+    def outCounts = spark.read.format("clickhouse_native").load(out)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outCounts === Map(1L -> 1L, 3L -> 1L, 11L -> 1L))
+    // at-least-once REPLAY of epoch 1 (same batch, same epoch id): the
+    // index read pins to epoch < 1, so the replay recomputes the same
+    // survivors and the epoch-scoped part identity drops the re-append
+    run(Seq((11L, doc(11))), epoch = 1L)
+    assert(outCounts === Map(1L -> 1L, 3L -> 1L, 11L -> 1L),
+      "replayed epoch must not double any row")
+    // the same CONTENT under a NEW epoch and id is a genuine duplicate:
+    // the dedup logic itself must drop it (opposite of the appendEpoch
+    // heartbeat contract, where later identical content must land)
+    run(Seq((20L, doc(11)), (21L, doc(21))), epoch = 2L)
+    assert(outCounts === Map(1L -> 1L, 3L -> 1L, 11L -> 1L, 21L -> 1L),
+      "re-crawled content must be deduped, fresh content admitted")
+  }
 }
