@@ -1,0 +1,66 @@
+// 100x scale certification (spark-shell -i script; see BENCH_NOTES).
+// Builds a 100x corpus whose per-copy word-suffix transform is a word
+// BIJECTION: within-copy shingle structure (hence every pair's Jaccard)
+// is preserved exactly, and cross-copy word sets are disjoint, so the
+// expected verified-pair count at C copies is EXACTLY C x pairs(1x) --
+// any super-linearity in pairs or wall time is the PLAN's, not the
+// data's. Usage:
+//   /opt/spark/bin/spark-shell --master 'local[32]' \
+//     --conf spark.sql.shuffle.partitions=32 \
+//     --conf spark.sql.extensions=graft.GraftExtensions \
+//     --jars target/scala-2.13/duckdbextensionclickhousenativespark_2.13-0.1.0.jar \
+//     -i tools/scale100.scala
+import org.apache.spark.sql.functions._
+val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+val keyShift = 100000000L
+def docsAt(copies: Int) = {
+  val d = spark.read.parquet(s"$sf/documents.parquet")
+  (0 until copies).map { i =>
+    val t = if (i == 0) col("text")
+      else regexp_replace(col("text"), "(?i)([a-z0-9]+)", "$1q" + i + "z")
+    d.select((col("doc_id") + lit(i * keyShift)).as("doc_id"), t.as("text"))
+  }.reduce(_ unionByName _)
+}
+def lineitemAt(copies: Int) = {
+  val l = spark.read.parquet(s"$sf/lineitem.parquet")
+  (0 until copies).map(i =>
+    l.withColumn("l_orderkey", col("l_orderkey") + lit(i * keyShift)))
+    .reduce(_ unionByName _)
+}
+def ordersAt(copies: Int) = {
+  val o = spark.read.parquet(s"$sf/orders.parquet")
+  (0 until copies).map(i =>
+    o.withColumn("o_orderkey", col("o_orderkey") + lit(i * keyShift)))
+    .reduce(_ unionByName _)
+}
+def time(f: => Unit): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+def force(df: org.apache.spark.sql.DataFrame): Unit =
+  df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+
+// warm
+force(docsAt(1).select(call_function("fnv1a64", col("text"))))
+
+def agg(c: Int) = lineitemAt(c).groupBy("l_returnflag", "l_linestatus")
+  .agg(round(sum(col("l_quantity")), 2).as("sq"), count(lit(1)).as("n"))
+def join(c: Int) = lineitemAt(c)
+  .join(ordersAt(c), col("l_orderkey") === col("o_orderkey"))
+  .groupBy("o_orderpriority")
+  .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+def dedup(c: Int) = graft.operators.Dedup.minhashPairs(docsAt(c), "doc_id", "text", threshold = 0.5)
+
+val p1 = dedup(1).count()
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // pin one strategy across both points
+val tAgg1 = (1 to 2).map(_ => time(force(agg(1)))).min
+val tAgg100 = (1 to 2).map(_ => time(force(agg(100)))).min
+val tJoin1 = (1 to 2).map(_ => time(force(join(1)))).min
+val tJoin100 = (1 to 2).map(_ => time(force(join(100)))).min
+spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+val tDedup1 = (1 to 2).map(_ => time(force(dedup(1)))).min
+System.gc()
+val t0 = System.nanoTime()
+val p100 = dedup(100).count()
+val tDedup100 = (System.nanoTime() - t0) / 1e9
+println(f"SCALE100 agg: 1x=$tAgg1%.2f 100x=$tAgg100%.2f ratio=${tAgg100 / tAgg1}%.1f")
+println(f"SCALE100 join: 1x=$tJoin1%.2f 100x=$tJoin100%.2f ratio=${tJoin100 / tJoin1}%.1f")
+println(f"SCALE100 dedup: 1x=$tDedup1%.2f 100x=$tDedup100%.2f ratio=${tDedup100 / tDedup1}%.1f pairs1=$p1 pairs100=$p100 pairRatio=${p100.toDouble / p1}%.1f")
+System.exit(0)
