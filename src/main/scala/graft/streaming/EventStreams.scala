@@ -171,6 +171,96 @@ object EventStreams {
       }
   }
 
+  /** One [[streamingFunnel]] emission: the user reached a NEW deepest
+    * funnel step at event time `reached_us` (µs epoch). The per-user
+    * max over the stream equals the batch `funnel_agg` result. */
+  final case class FunnelProgress(user_id: Long, funnel_step: Int, reached_us: Long)
+
+  /** Per-user [[streamingFunnel]] state: the latest chain-start time
+    * per funnel level (µs; Long.MinValue = level unreached), the
+    * deepest step emitted so far, and the (ts µs, level) events still
+    * at-or-above the watermark. */
+  final case class FunnelState(chainStart: Array[Long], best: Int,
+      pending: List[(Long, Int)])
+
+  /**
+   * STREAMING windowFunnel — ClickHouse's signature behavioral
+   * aggregate ([[graft.functions.FunnelAgg]], the batch `q_funnel`)
+   * over unbounded input: per user, the deepest step K such that
+   * events matching steps 0..K-1 occur in timestamp order with every
+   * step inside `windowUs` of ITS CHAIN'S step-0 event; a later
+   * step-0 restarts the chain clock. Spark has no incremental funnel;
+   * flatMapGroupsWithState supplies it:
+   *
+   *  - events buffer per user until the watermark passes them — the
+   *    (ts, level)-sorted order the fold needs is only final below
+   *    the watermark (streamingAsof's finalize-strictly-below
+   *    discipline; equal-timestamp events always finalize together);
+   *  - the batch eval's single pass IS an incremental DP over that
+   *    order — `chainStart(lv)` = the chain-start of the latest chain
+   *    reaching level lv, `best` = the depth high-water mark — so the
+   *    state carries the two arrays across micro-batches and each
+   *    invocation folds only the newly-finalized events;
+   *  - a row is emitted each time a user's depth high-water mark
+   *    RISES (append mode — monotone output, never retracted), so the
+   *    per-user running max equals the batch aggregate at every
+   *    watermark and exactly once the watermark passes all input
+   *    (StreamingSpec pins the equivalence against `funnel_agg`).
+   *
+   * State per user = `steps` longs + the above-watermark tail the
+   * watermark bounds; keyed by user_id it shuffles and scales like
+   * any keyed aggregation — no corpus-sized state anywhere.
+   *
+   * @param stepOf 0-based funnel level per event_type; types absent
+   *               from the map are ignored (CH's unmatched-condition
+   *               rows)
+   * @param windowUs funnel window in µs of chain-start-to-step span
+   */
+  def streamingFunnel(events: Dataset[Event],
+      stepOf: Map[String, Int] = Map("view" -> 0, "click" -> 1, "purchase" -> 2),
+      windowUs: Long = 3600L * 1000000L)(implicit s: SparkSession): Dataset[FunnelProgress] = {
+    import s.implicits._
+    val steps = stepOf.values.max + 1
+    require(stepOf.values.min == 0 && stepOf.values.toSet == (0 until steps).toSet,
+      s"stepOf must cover 0..${steps - 1} exactly, got $stepOf")
+    events
+      .filter(e => stepOf.contains(e.event_type))
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(
+            FunnelState(Array.fill(steps)(Long.MinValue), 0, Nil))
+          // µs precision, same key as batch q_funnel's unix_micros
+          def us(t: java.sql.Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          val incoming = batch.map(e => (us(e.ts), stepOf(e.event_type))).toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) =
+            (st.pending ++ incoming).partition(_._1 < wmUs)
+          val chainStart = st.chainStart.clone()
+          var best = st.best
+          val out = List.newBuilder[FunnelProgress]
+          // FunnelAgg.eval's pass, verbatim, over the finalized tail
+          ready.sortBy { case (t, lv) => (t, lv) }.foreach { case (t, lv) =>
+            if (lv == 0) {
+              chainStart(0) = t // latest step-0 restarts the chain clock (CH)
+              if (best < 1) { best = 1; out += FunnelProgress(userId, 1, t) }
+            } else if (chainStart(lv - 1) != Long.MinValue &&
+                t <= chainStart(lv - 1) + windowUs) {
+              chainStart(lv) = chainStart(lv - 1) // chain-start propagates
+              if (best < lv + 1) { best = lv + 1; out += FunnelProgress(userId, lv + 1, t) }
+            }
+          }
+          state.update(FunnelState(chainStart, best, pending))
+          // wake this key when the watermark can finalize its tail
+          pending.map(_._1).minOption.foreach(t =>
+            state.setTimeoutTimestamp(t / 1000L + 1L))
+          out.result().iterator
+      }
+  }
+
   /** File-based streaming read of the harness events table (handles
     * both micros-timestamp and nanos-as-long parquet, like Q.events —
     * and like it, via an explicit schema rather than mutating the

@@ -469,4 +469,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(outCounts === Map(1L -> 1L, 3L -> 1L, 11L -> 1L, 21L -> 1L),
       "re-crawled content must be deduped, fresh content admitted")
   }
+
+  test("streaming funnel: running depth equals batch funnel_agg, window + restart honored") {
+    implicit val ctx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    // user 1: clean 3-step conversion inside the hour
+    // user 2: click with no view — depth stays 0, nothing emitted
+    // user 3: click 2h after the only view — outside the window, depth 1
+    // user 4: a SECOND view restarts the chain clock (CH semantics), so
+    //         the late purchase fits the restarted chain — depth 3
+    // user 5: its view arrives a micro-batch AFTER its click but below
+    //         the watermark — the pending buffer must reorder, depth 2
+    // batches keep max-seen event time low enough that every
+    // out-of-order arrival stays above the 10-minute watermark (the
+    // admission contract; genuinely-late data is dropped by design)
+    val batch1 = Seq(
+      Event(101, ts("00:01"), 1, "view", 0.0),
+      Event(102, ts("00:10"), 1, "click", 0.0),
+      Event(201, ts("00:05"), 2, "click", 0.0),
+      Event(301, ts("00:01"), 3, "view", 0.0),
+      Event(401, ts("00:01"), 4, "view", 0.0),
+      Event(502, ts("00:08"), 5, "click", 0.0))
+    val batch2 = Seq(
+      Event(501, ts("00:03"), 5, "view", 0.0), // out-of-order vs 502
+      Event(103, ts("00:30"), 1, "purchase", 0.0),
+      Event(402, ts("00:45"), 4, "view", 0.0),
+      Event(403, ts("00:50"), 4, "click", 0.0))
+    val batch3 = Seq(
+      Event(404, ts("01:30"), 4, "purchase", 0.0),
+      Event(302, ts("02:00"), 3, "click", 0.0))
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingFunnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_t").outputMode("append").start()
+    try {
+      Seq(batch1, batch2, batch3).foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      // sentinel batches advance the watermark so every event finalizes
+      // (the EventTimeTimeout wakeups flush keys with no new data)
+      Seq("04:00", "05:00", "05:10").zipWithIndex.foreach { case (m, i) =>
+        input.addData(Event(900L + i, ts(m), 9, "view", 0.0))
+        q.processAllAvailable()
+      }
+      val emitted = spark.table("funnel_t").as[EventStreams.FunnelProgress]
+        .collect().filter(_.user_id != 9L)
+      // monotone append-only output: per user, depths emit strictly
+      // rising in event-time order, never retracted
+      emitted.groupBy(_.user_id).foreach { case (u, rows) =>
+        val inOrder = rows.sortBy(_.reached_us).map(_.funnel_step).toList
+        assert(inOrder == inOrder.sorted && inOrder.distinct == inOrder,
+          s"user $u depths must rise strictly: $inOrder")
+      }
+      val streamed = emitted.groupBy(_.user_id)
+        .map { case (u, rows) => u -> rows.map(_.funnel_step).max }
+      // the batch oracle: the SAME events through the batch aggregate
+      val all = batch1 ++ batch2 ++ batch3
+      val batch = all.toDF()
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+          when(col("event_type") === "view", 0)
+            .when(col("event_type") === "click", 1)
+            .when(col("event_type") === "purchase", 2).otherwise(-1).as("lvl"))
+        .where(col("lvl") >= 0)
+        .groupBy("user_id")
+        .agg(call_function("funnel_agg",
+          col("tus"), col("lvl"), lit(3600L * 1000000L), lit(3)).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      all.map(_.user_id).distinct.foreach { u =>
+        assert(streamed.getOrElse(u, 0) === batch(u),
+          s"user $u: streamed max ${streamed.get(u)} != batch ${batch(u)}")
+      }
+    } finally q.stop()
+  }
 }
