@@ -261,6 +261,106 @@ object EventStreams {
       }
   }
 
+  /** One [[streamingSequenceMatch]] emission: the user's event history
+    * first matched the pattern at event time `matched_us` (µs epoch);
+    * exactly one row per user ever (a containment match never
+    * un-matches). */
+  final case class SeqMatchProgress(user_id: Long, matched_us: Long)
+
+  /** Per-user [[streamingSequenceMatch]] state: the NFA token-position
+    * set as a bitmask (bit t = "first t tokens consumed"; bit
+    * `tokens.length` = accepted), whether the match row was emitted,
+    * and the (ts µs, mask) events still at-or-above the watermark. */
+  final case class SeqMatchState(positions: Long, matched: Boolean,
+      pending: List[(Long, Int)])
+
+  /**
+   * STREAMING sequenceMatch — CH's `sequenceMatch('pattern')(ts,
+   * cond1, …)` ([[graft.functions.SequenceMatchAgg]], the batch
+   * `q_agg_sequence_match`) over unbounded input: does the user's
+   * event sequence, ordered by time, contain a subsequence matching
+   * the pattern? Same pattern subset as the batch aggregate ((?N),
+   * `.`, `.*`; time constraints rejected at construction).
+   *
+   * The batch eval's containment check is equivalent to an
+   * EVENT-DRIVEN position-set NFA (the same automaton
+   * `SequenceMatchAgg.countMatches` steps): state bit t means "the
+   * first t pattern tokens are consumed"; each event advances `Cond`/
+   * `AnyOne` bits, `AnyGap` bits self-loop, the start bit persists
+   * (implicit leading `.*`) and ε-closure expands gaps. That state is
+   * ONE LONG — so unlike the batch aggregate (which buffers the
+   * group's events), the streaming form carries no event history at
+   * all: per-user state = the bitmask + the above-watermark tail the
+   * watermark bounds. Events finalize strictly below the watermark in
+   * (ts, mask) order — the batch sort order — so the streamed verdict
+   * per user equals the batch aggregate's once the watermark passes
+   * the input (StreamingSpec pins the equivalence). Rows matching no
+   * condition still participate (mask 0 — `.`/`.*` fodder), so pass
+   * every event of the key, not just condition hits.
+   *
+   * @param maskOf condition bitmask per event_type (bit N-1 ⇔ CH's
+   *               condN); absent types carry mask 0
+   */
+  def streamingSequenceMatch(events: Dataset[Event], pattern: String,
+      maskOf: Map[String, Int] = Map("signup" -> 1, "purchase" -> 2))(
+      implicit s: SparkSession): Dataset[SeqMatchProgress] = {
+    import s.implicits._
+    import graft.functions.SequenceMatchAgg.{AnyGap, AnyOne, Cond, parse}
+    val tokens = parse(pattern) // rejects (?t…) and malformed input here
+    val m = tokens.length
+    require(m < 63, s"pattern too long for the bitmask state: $m tokens")
+    def closure(set: Long): Long = {
+      var st = set
+      var t = 0
+      while (t < m) {
+        if ((st >> t & 1L) == 1L && tokens(t) == AnyGap) st |= 1L << (t + 1)
+        t += 1
+      }
+      st
+    }
+    def step(states: Long, ev: Int): Long = {
+      var next = 1L // the start state persists: a match may begin anywhere
+      var t = 0
+      while (t < m) {
+        if ((states >> t & 1L) == 1L) tokens(t) match {
+          case Cond(bit) => if (((ev >> bit) & 1) == 1) next |= 1L << (t + 1)
+          case AnyOne => next |= 1L << (t + 1)
+          case AnyGap => next |= 1L << t // gap swallows this event
+        }
+        t += 1
+      }
+      closure(next)
+    }
+    val init = closure(1L)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqMatchState, SeqMatchProgress](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SeqMatchState]) =>
+          val st = state.getOption.getOrElse(SeqMatchState(init, matched = false, Nil))
+          def us(t: java.sql.Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          val incoming = batch.map(e => (us(e.ts), maskOf.getOrElse(e.event_type, 0))).toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = (st.pending ++ incoming).partition(_._1 < wmUs)
+          var positions = st.positions
+          var matched = st.matched
+          var matchedUs = Long.MinValue
+          if (!matched) ready.sortBy { case (t, mk) => (t, mk) }.foreach { case (t, mk) =>
+            if (!matched) {
+              positions = step(positions, mk)
+              if ((positions >> m & 1L) == 1L) { matched = true; matchedUs = t }
+            }
+          }
+          state.update(SeqMatchState(positions, matched, if (matched) Nil else pending))
+          if (!matched) pending.map(_._1).minOption.foreach(t =>
+            state.setTimeoutTimestamp(t / 1000L + 1L))
+          if (matchedUs != Long.MinValue) Iterator.single(SeqMatchProgress(userId, matchedUs))
+          else Iterator.empty
+      }
+  }
+
   /** File-based streaming read of the harness events table (handles
     * both micros-timestamp and nanos-as-long parquet, like Q.events —
     * and like it, via an explicit schema rather than mutating the

@@ -542,4 +542,105 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming funnel fuzz: random events in arrival-time batches match batch funnel_agg") {
+    implicit val ctx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    // Randomized equivalence: 120 events over 6 users with random
+    // types/timestamps, streamed in event-time-ordered slices with
+    // BOUNDED shuffling inside each slice (out-of-order arrival within
+    // the 10-minute watermark — the admission contract; arbitrary
+    // global shuffling would make events genuinely late, which the
+    // watermark DROPS by design and the batch aggregate would count).
+    val rnd = new scala.util.Random(42)
+    val types = Vector("view", "click", "purchase", "other")
+    val events = (0 until 120).map { i =>
+      val tsec = rnd.nextInt(7200) // 2h span, frequent window misses
+      Event(i.toLong, new Timestamp(ts("00:00").getTime + tsec * 1000L),
+        1L + rnd.nextInt(6), types(rnd.nextInt(types.length)), 0.0)
+    }
+    // sort by event time, then swap within a 4-minute jitter window
+    val ordered = events.sortBy(_.ts.getTime).toArray
+    for (k <- ordered.indices.reverse) {
+      val j = math.max(0, k - rnd.nextInt(4))
+      if (math.abs(ordered(k).ts.getTime - ordered(j).ts.getTime) < 240000L) {
+        val t = ordered(k); ordered(k) = ordered(j); ordered(j) = t
+      }
+    }
+    val slices = ordered.grouped(17).toSeq
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingFunnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_fuzz_t").outputMode("append").start()
+    try {
+      slices.foreach { sl => input.addData(sl.toSeq: _*); q.processAllAvailable() }
+      Seq("05:00", "06:00", "06:10").zipWithIndex.foreach { case (m, i) =>
+        input.addData(Event(900L + i, ts(m), 99, "view", 0.0))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("funnel_fuzz_t").as[EventStreams.FunnelProgress]
+        .collect().filter(_.user_id != 99L)
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.map(_.funnel_step).max }
+      val batch = events.toDF()
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+          when(col("event_type") === "view", 0)
+            .when(col("event_type") === "click", 1)
+            .when(col("event_type") === "purchase", 2).otherwise(-1).as("lvl"))
+        .where(col("lvl") >= 0)
+        .groupBy("user_id")
+        .agg(call_function("funnel_agg",
+          col("tus"), col("lvl"), lit(3600L * 1000000L), lit(3)).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      (1L to 6L).foreach { u =>
+        assert(streamed.getOrElse(u, 0) === batch.getOrElse(u, 0),
+          s"user $u: streamed ${streamed.get(u)} != batch ${batch.get(u)}")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming sequenceMatch: NFA state equals batch verdict across patterns (fuzz)") {
+    implicit val ctx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    // the streaming NFA carries ONE LONG of state per user (no event
+    // history); equivalence with the buffering batch aggregate is the
+    // whole contract — fuzz it across pattern shapes including `.`
+    // (exactly-one) and mask-0 fodder rows
+    val types = Vector("signup", "purchase", "other")
+    val maskOf = Map("signup" -> 1, "purchase" -> 2)
+    val patterns = Seq("(?1).*(?2)", "(?1).(?2)", "(?1)(?2)", "(?2).*(?1).*(?1)")
+    val rnd = new scala.util.Random(7)
+    val events = (0 until 90).map { i =>
+      Event(i.toLong, new Timestamp(ts("00:00").getTime + rnd.nextInt(3600) * 1000L),
+        1L + rnd.nextInt(5), types(rnd.nextInt(types.length)), 0.0)
+    }
+    val slices = events.sortBy(e => (e.ts.getTime, e.event_id)).grouped(23).toSeq
+    patterns.foreach { pat =>
+      val qn = s"seqm_t_${patterns.indexOf(pat)}"
+      val input = MemoryStream[Event]
+      val q = EventStreams.streamingSequenceMatch(input.toDS(), pat, maskOf)
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try {
+        slices.foreach { sl => input.addData(sl: _*); q.processAllAvailable() }
+        Seq("03:00", "04:00", "04:10").zipWithIndex.foreach { case (m, i) =>
+          input.addData(Event(900L + i, ts(m), 99, "other", 0.0))
+          q.processAllAvailable()
+        }
+        val streamedRows = spark.table(qn).as[EventStreams.SeqMatchProgress]
+          .collect().filter(_.user_id != 99L)
+        assert(streamedRows.groupBy(_.user_id).forall(_._2.length == 1),
+          "at most one emission per user, ever")
+        val streamed = streamedRows.map(_.user_id).toSet
+        val batch = events.toDF()
+          .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+            coalesce(typedLit(maskOf).apply(col("event_type")), lit(0)).as("mask"))
+          .groupBy("user_id")
+          .agg(call_function("sequence_match_agg",
+            col("tus"), col("mask"), lit(pat)).as("hit"))
+          .collect().filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+        assert(streamed === batch,
+          s"pattern $pat: streamed $streamed != batch $batch")
+      } finally q.stop()
+    }
+  }
 }

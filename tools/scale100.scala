@@ -60,7 +60,31 @@ System.gc()
 val t0 = System.nanoTime()
 val p100 = dedup(100).count()
 val tDedup100 = (System.nanoTime() - t0) / 1e9
+
+// the two heaviest LLM shapes beyond MinHash -- same dissimilar-copy
+// discipline (the word bijection preserves intra-copy containment
+// structure verbatim; cross-copy word sets are disjoint), so expected
+// containment pairs at 100x = exactly 100 x pairs(1x)
+def containment(c: Int) = graft.operators.Dedup
+  .containmentPairsExact(docsAt(c), "doc_id", "text", theta = 0.9)
+// fixed query-term set while the corpus grows (how retrieval scales):
+// the measured cost is the pre-shuffle corpus tokenize+filter pass
+def bm25(c: Int) = graft.operators.TextPipeline.bm25TopK(
+  docsAt(c), "doc_id", "text", Seq("dup", "merge", "window"), k = 10)
+
+val pc1 = containment(1).count()
+val tCont1 = (1 to 2).map(_ => time(force(containment(1)))).min
+System.gc()
+val tc0 = System.nanoTime()
+val pc100 = containment(100).count()
+val tCont100 = (System.nanoTime() - tc0) / 1e9
+val tBm1 = (1 to 2).map(_ => time(force(bm25(1)))).min
+System.gc()
+val tBm100 = time(force(bm25(100)))
+
 println(f"SCALE100 agg: 1x=$tAgg1%.2f 100x=$tAgg100%.2f ratio=${tAgg100 / tAgg1}%.1f")
 println(f"SCALE100 join: 1x=$tJoin1%.2f 100x=$tJoin100%.2f ratio=${tJoin100 / tJoin1}%.1f")
 println(f"SCALE100 dedup: 1x=$tDedup1%.2f 100x=$tDedup100%.2f ratio=${tDedup100 / tDedup1}%.1f pairs1=$p1 pairs100=$p100 pairRatio=${p100.toDouble / p1}%.1f")
+println(f"SCALE100 containment: 1x=$tCont1%.2f 100x=$tCont100%.2f ratio=${tCont100 / tCont1}%.1f pairs1=$pc1 pairs100=$pc100 pairRatio=${pc100.toDouble / pc1}%.1f")
+println(f"SCALE100 bm25: 1x=$tBm1%.2f 100x=$tBm100%.2f ratio=${tBm100 / tBm1}%.1f")
 System.exit(0)
