@@ -299,6 +299,16 @@ object Bench {
       embAt(1).select(col("vec_id"), col("embedding")).filter(col("vec_id") < 20),
       k = 10, nlist = 16 * copies, nprobe = 4, m = 4,
       codebook = null, lossless = false, trainFraction = 0.5)
+    // kNN graph via the TWO-LEVEL router (Similarity.knnGraphHier) —
+    // same knob discipline as scale_knn (nlist ∝ N, fixed nprobe), but
+    // encode/probe are O(√nlist) per-row expressions instead of the
+    // flat form's O(N·nlist) argmin + probe-ranking window. The 100×
+    // certification measured the flat form at a 152× wall ratio on
+    // 100× data (the quadratic router); this point watches the fix.
+    def scaleKnnHier(copies: Int) = graft.operators.Similarity.knnGraphHier(
+      embAt(copies).select(col("vec_id"), col("embedding")),
+      k = 3, nlist = 16 * copies, nprobe = 4, superProbe = 2,
+      trainCap = math.max(100000, 16 * copies))
     val scalePoints = Seq(
       "scale_agg_1x" -> (() => scaleAgg(1)), "scale_agg_10x" -> (() => scaleAgg(10)),
       "scale_join_1x" -> (() => scaleJoin(1)), "scale_join_10x" -> (() => scaleJoin(10)),
@@ -307,6 +317,8 @@ object Bench {
       "scale_semdedup_10x" -> (() => scaleSemdedup(10)),
       "scale_knn_1x" -> (() => scaleKnn(1)),
       "scale_knn_10x" -> (() => scaleKnn(10)),
+      "scale_knn_hier_1x" -> (() => scaleKnnHier(1)),
+      "scale_knn_hier_10x" -> (() => scaleKnnHier(10)),
       "scale_bm25_1x" -> (() => scaleBm25(1)),
       "scale_bm25_10x" -> (() => scaleBm25(10)),
       "scale_containment_1x" -> (() => scaleContainment(1)),
@@ -390,7 +402,7 @@ object Bench {
     // explosion. Checked after the JSON line so a tripped gate still
     // leaves the measurements on record.
     val byName = all.toMap
-    val tripped = Seq("agg", "join", "dedup", "semdedup", "knn",
+    val tripped = Seq("agg", "join", "dedup", "semdedup", "knn", "knn_hier",
       "bm25", "containment", "ivfpq").flatMap { k =>
       if (!byName.contains(s"scale_${k}_1x")) None // filtered out (local iteration)
       else {

@@ -920,6 +920,33 @@ object LlmQueries {
                 CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
          FROM s QUALIFY rn <= 3""")),
 
+    "q_knn_graph_hier" -> Q(
+      // kNN graph via the TWO-LEVEL router (Similarity.knnGraphHier) —
+      // the quadratic-free form: encode and probe are per-row
+      // codegen'd expressions over a driver-trained hierarchical
+      // quantizer, O(√nlist) per row, so the corpus × nlist probe
+      // ranking the flat form pays never exists. Oracle gate
+      // superProbe = k1 (= ⌈√nlist⌉ = 4) and nprobe = nlist probes
+      // every cell; each vector lives in exactly one cell, so every
+      // pair is scored exactly once ⇒ graph ≡ brute force regardless
+      // of the learned tree. Approximate-regime recall + the
+      // plan-shape claim (no probe window) are pinned in LlmOpsSpec.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnGraphHier(emb, k = 3, nlist = 16, nprobe = 16,
+          superProbe = 4)
+      },
+      Some("""WITH c AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+                FROM embeddings),
+              s AS (SELECT q.vec_id AS q_id, c.vec_id,
+                round(list_dot_product(c.ed, q.ed) /
+                  (sqrt(list_dot_product(c.ed, c.ed)) * sqrt(list_dot_product(q.ed, q.ed))), 4) AS sim
+                FROM c, c q WHERE c.vec_id != q.vec_id)
+         SELECT q_id, vec_id, sim,
+                CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
+         FROM s QUALIFY rn <= 3""")),
+
     "q_sim_index_persist" -> Q(
       // build-once-serve-many ANN: Similarity.buildIvfIndex writes the
       // IVF artifact — (vec_id, embedding, cell) assignments plus the

@@ -224,6 +224,95 @@ object Similarity {
     scoreProbedCells(cand, probes, k, broadcastProbes = false)
   }
 
+  import graft.functions.{AnnRouter, IvfProbe, IvfRoute, IvfRouterModel}
+  import org.apache.spark.sql.graft.Bridge
+
+  private def routeCol(emb: Column, model: IvfRouterModel): Column =
+    Bridge.column(IvfRoute(Bridge.expression(emb), model))
+  private def probeCol(emb: Column, model: IvfRouterModel,
+      superProbe: Int, nprobe: Int): Column =
+    Bridge.column(IvfProbe(Bridge.expression(emb), model,
+      superProbe, nprobe))
+
+  /**
+   * TWO-LEVEL (hierarchical) router training: driver-local
+   * hierarchical Lloyd on a seeded, BOUNDED sample (`trainCap` rows —
+   * the FAISS discipline: quantizers train on an in-memory sample, so
+   * the train pass costs O(trainCap · nlist) regardless of corpus
+   * size, plus one distributed count+sample pass over the corpus).
+   *
+   * Why this exists: with the production knob `nlist ∝ N` (constant
+   * cell size ⇒ linear pair scoring), the FLAT quantizer's encode
+   * argmin and probe ranking are each O(N · nlist) = O(N²) — the 100×
+   * certification measured the flat kNN graph at a 152× wall ratio on
+   * 100× data (BENCH_NOTES). The two-level router routes every row in
+   * O(√nlist): supers first, then only that super's children.
+   */
+  def trainHierRouter(candidates: DataFrame, nlist: Int,
+      trainCap: Int = 100000, iters: Int = 5, seed: Long = 42L): IvfRouterModel = {
+    require(trainCap >= nlist, s"trainCap=$trainCap must be >= nlist=$nlist")
+    val embOnly = candidates.select(col("embedding"))
+    val n = embOnly.count()
+    val sampled =
+      if (n <= trainCap) embOnly
+      else embOnly.sample(withReplacement = false,
+        math.min(1.0, trainCap * 1.2 / n), seed).limit(trainCap)
+    val rows = sampled.collect().map { r =>
+      r.getSeq[Any](0).map {
+        case f: Float => f
+        case d: Double => d.toFloat
+      }.toArray
+    }
+    // collect order depends on task scheduling — sort by content so
+    // the model is a function of (data, seed), not of the run
+    val sample = rows.sortBy(a => (java.util.Arrays.hashCode(a), a.headOption.getOrElse(0f)))
+    AnnRouter.train(sample, nlist, iters, seed)
+  }
+
+  /** [[buildIvfIndex]] with the two-level router: same (cells,
+    * centroids) output seam, plus the router model for probe-side
+    * reuse. Encode is a codegen'd per-row expression — no ML transform
+    * pass, no join, O(√nlist) per row. */
+  def buildIvfIndexHier(candidates: DataFrame, nlist: Int,
+      trainCap: Int = 100000, iters: Int = 5, seed: Long = 42L)
+      : (DataFrame, DataFrame, IvfRouterModel) = {
+    val model = trainHierRouter(candidates, nlist, trainCap, iters, seed)
+    val cells = candidates.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", routeCol(col("embedding"), model))
+    val centroids = candidates.sparkSession
+      .createDataFrame(model.leaves.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
+      .toDF("cell", "centroid")
+    (cells, centroids, model)
+  }
+
+  /**
+   * kNN graph via the two-level router — [[knnGraph]]'s 100-TB form:
+   * encode AND probe are per-row codegen'd expressions
+   * (O(k1 + superProbe·k2) each), so the only corpus-scale operations
+   * left are one shuffle of the cell assignments, one shuffle of the
+   * (corpus × nprobe) thin probe rows, and the per-cell pair scoring
+   * the constant cell size keeps linear. The flat form's
+   * corpus × nlist probe ranking window — the piece the 100×
+   * certification caught growing quadratically — does not exist here.
+   *
+   * Exact gate (the oracle regime): superProbe >= k1 and nprobe >=
+   * nlist probes every cell, and since each corpus vector lives in
+   * exactly one cell, every ordered pair is scored exactly once ⇒ the
+   * graph equals brute force regardless of the learned tree. The
+   * approximate regime (small superProbe/nprobe) is recall-tested in
+   * LlmOpsSpec.
+   */
+  def knnGraphHier(corpus: DataFrame, k: Int, nlist: Int,
+      nprobe: Int = 4, superProbe: Int = 4, trainCap: Int = 100000,
+      seed: Long = 42L): DataFrame = {
+    val (cand, _, model) = buildIvfIndexHier(corpus, nlist, trainCap, seed = seed)
+    val probes = corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
+      .withColumn("cell", explode(probeCol(col("q_emb"), model, superProbe, nprobe)))
+      .select("q_id", "q_emb", "q_norm", "cell")
+    scoreProbedCells(cand, probes, k, broadcastProbes = false)
+  }
+
   /**
    * Product-quantization codebooks as a DATAFRAME (s, code, centroid):
    * nothing is collected to the driver — codebooks are relations and

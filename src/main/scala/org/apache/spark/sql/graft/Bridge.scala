@@ -13,4 +13,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object Bridge {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** Column ⇄ Catalyst expression, for expressions that carry
+    * non-literal construction-time state (the IVF router model) and so
+    * can't go through the SQL function registry. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

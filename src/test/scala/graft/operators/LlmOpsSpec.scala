@@ -79,6 +79,65 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("hier router: model invariants, two-level argmin, exhaustive probe covers every cell") {
+    import graft.functions.AnnRouter
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(11)
+    val sample = Array.fill(400)(Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val nlist = 25
+    val m = AnnRouter.train(sample, nlist, iters = 4, seed = 3L)
+    assert(m.nlist === nlist)
+    assert(m.supers.length === 5) // ceil(sqrt(25))
+    // route = argmin super, then argmin among THAT super's leaves —
+    // checked against an independent reference fold
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    (0 until 50).foreach { _ =>
+      val v = Array.fill(8)(rnd.nextFloat() * 2f - 1f)
+      val p = m.supers.indices.minBy(p => (l2(v, m.supers(p)), p))
+      val expect = (m.offsets(p) until m.offsets(p + 1))
+        .minBy(c => (l2(v, m.leaves(c)), c))
+      val got = AnnRouter.route(
+        new GenericArrayData(v.map(_.toDouble)), isFloat = false, m)
+      assert(got === expect)
+      // exhaustive probe = every cell exactly once, ascending
+      val all = AnnRouter.probe(new GenericArrayData(v.map(_.toDouble)),
+        isFloat = false, m, superProbe = m.supers.length, nprobe = nlist)
+      assert(all.toIntArray().toSeq === (0 until nlist))
+    }
+  }
+
+  test("hier kNN graph: exact gate equals the flat exact gate (both = brute force)") {
+    val flat = Similarity.knnGraph(emb, k = 3, nlist = 16, nprobe = 16,
+      trainFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val hier = Similarity.knnGraphHier(emb, k = 3, nlist = 16, nprobe = 16,
+      superProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(hier === flat)
+  }
+
+  test("hier kNN graph: approximate regime holds recall; no probe-ranking window in the plan") {
+    val exact = Similarity.knnGraphHier(emb, k = 3, nlist = 16, nprobe = 16,
+      superProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.knnGraphHier(emb, k = 3, nlist = 16, nprobe = 4,
+      superProbe = 2)
+    val got = approx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // the quadratic the 100x cert caught was the flat corpus x nlist
+    // probe RANKING window; the hier plan must carry exactly ONE
+    // window — the final per-query top-k
+    def windows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.length
+    assert(windows(approx) === 1, "hier plan must have only the top-k window")
+    assert(windows(Similarity.knnGraph(emb, k = 3, nlist = 16, nprobe = 4)) === 2,
+      "flat plan carries the probe-ranking window the hier form removes")
+  }
+
   test("cluster assignment matches driver-side union-find") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
     val pairList = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))

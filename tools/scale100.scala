@@ -72,6 +72,31 @@ def containment(c: Int) = graft.operators.Dedup
 def bm25(c: Int) = graft.operators.TextPipeline.bm25TopK(
   docsAt(c), "doc_id", "text", Seq("dup", "merge", "window"), k = 10)
 
+// ANN at 100x: the corpus-vs-corpus kNN graph in the APPROXIMATE
+// production regime (sampled 5-iteration quantizer, nlist prop. to N keeps
+// per-cell size constant, fixed nprobe) -- candidate pairs grow
+// linearly by construction; the measured wall is the encode argmin +
+// the per-cell pair scoring. Copies rotate the vector by i dims
+// (intra-copy structure preserved, copies mutually background-similar).
+def embAt(c: Int) = {
+  val e = spark.read.parquet(s"$sf/embeddings.parquet")
+  (0 until c).map { i =>
+    val emb = if (i == 0) col("embedding")
+      else concat(slice(col("embedding"), i % 64 + 1, 64 - i % 64),
+        slice(col("embedding"), 1, i % 64))
+    e.select((col("vec_id") + lit(i * keyShift)).as("vec_id"), emb.as("embedding"))
+  }.reduce(_ unionByName _)
+}
+// FLAT form kept for the record: measured ratio 152 at 100x (the
+// O(N x nlist) encode argmin + probe-ranking window with nlist prop.
+// to N -- the quadratic the cert caught; BENCH_NOTES). The TWO-LEVEL
+// router (knnGraphHier) is the fix this cert now watches.
+def knnFlat(c: Int) = graft.operators.Similarity.knnGraph(
+  embAt(c), k = 3, nlist = 16 * c, nprobe = 4, trainFraction = 0.5)
+def knn(c: Int) = graft.operators.Similarity.knnGraphHier(
+  embAt(c), k = 3, nlist = 16 * c, nprobe = 4, superProbe = 2,
+  trainCap = math.max(100000, 16 * c))
+
 val pc1 = containment(1).count()
 val tCont1 = (1 to 2).map(_ => time(force(containment(1)))).min
 System.gc()
@@ -81,10 +106,14 @@ val tCont100 = (System.nanoTime() - tc0) / 1e9
 val tBm1 = (1 to 2).map(_ => time(force(bm25(1)))).min
 System.gc()
 val tBm100 = time(force(bm25(100)))
+val tKnn1 = (1 to 2).map(_ => time(force(knn(1)))).min
+System.gc()
+val tKnn100 = time(force(knn(100)))
 
 println(f"SCALE100 agg: 1x=$tAgg1%.2f 100x=$tAgg100%.2f ratio=${tAgg100 / tAgg1}%.1f")
 println(f"SCALE100 join: 1x=$tJoin1%.2f 100x=$tJoin100%.2f ratio=${tJoin100 / tJoin1}%.1f")
 println(f"SCALE100 dedup: 1x=$tDedup1%.2f 100x=$tDedup100%.2f ratio=${tDedup100 / tDedup1}%.1f pairs1=$p1 pairs100=$p100 pairRatio=${p100.toDouble / p1}%.1f")
 println(f"SCALE100 containment: 1x=$tCont1%.2f 100x=$tCont100%.2f ratio=${tCont100 / tCont1}%.1f pairs1=$pc1 pairs100=$pc100 pairRatio=${pc100.toDouble / pc1}%.1f")
 println(f"SCALE100 bm25: 1x=$tBm1%.2f 100x=$tBm100%.2f ratio=${tBm100 / tBm1}%.1f")
+println(f"SCALE100 knn_hier: 1x=$tKnn1%.2f 100x=$tKnn100%.2f ratio=${tKnn100 / tKnn1}%.1f")
 System.exit(0)
