@@ -294,11 +294,16 @@ object Bench {
     // scales), like scale_bm25. The exact-gate regime the ORACLE key
     // runs (nprobe = nlist, lossless codebook) is brute force by
     // design; THIS point proves the scaling.
+    // hierRouting (round 8): the flat encode argmin is O(N·nlist) —
+    // quadratic under this point's own nlist ∝ N knob (the 100× cert
+    // caught it on the kNN shape; same router, same fix). The probe
+    // side is query-bounded here, so routing is the only change.
     def scaleIvfpq(copies: Int) = graft.operators.Similarity.ivfPqTopK(
       embAt(copies).select(col("vec_id"), col("embedding")),
       embAt(1).select(col("vec_id"), col("embedding")).filter(col("vec_id") < 20),
       k = 10, nlist = 16 * copies, nprobe = 4, m = 4,
-      codebook = null, lossless = false, trainFraction = 0.5)
+      codebook = null, lossless = false, trainFraction = 0.5,
+      hierRouting = true)
     // kNN graph via the TWO-LEVEL router (Similarity.knnGraphHier) —
     // same knob discipline as scale_knn (nlist ∝ N, fixed nprobe), but
     // encode/probe are O(√nlist) per-row expressions instead of the

@@ -897,6 +897,22 @@ object LlmQueries {
       },
       Some(bruteForceTopKSql)),
 
+    "q_sim_cosine_ivf_hier" -> Q(
+      // IVF-Flat with the TWO-LEVEL router on the encode side
+      // (Similarity.ivfTopK(hierRouting=true)): the corpus routes in
+      // O(√nlist) per row via the codegen'd IvfRoute expression — the
+      // flat encode argmin is the corpus-side quadratic under
+      // nlist ∝ N (BENCH_NOTES round-8 cert). Same exact gate as
+      // q_sim_cosine_ivf: nprobe = nlist probes every cell and each
+      // candidate scores exactly once ⇒ ≡ brute force regardless of
+      // the learned tree.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          nlist = 16, nprobe = 16, hierRouting = true)
+      },
+      Some(bruteForceTopKSql)),
+
     "q_knn_graph" -> Q(
       // kNN graph over the corpus (Similarity.knnGraph): every vector's
       // top-3 neighbours via the IVF cell layout — probes equi-join the

@@ -188,14 +188,28 @@ object Similarity {
     flatTopK(cells, probeCells(queries, centroids, nprobe), k)
 
   private def ivfCells(candidates: DataFrame, queries: DataFrame,
-      nlist: Int, nprobe: Int, trainFraction: Double): (DataFrame, DataFrame) = {
-    val (cand, centroidDf) = buildIvfIndex(candidates, nlist, trainFraction)
+      nlist: Int, nprobe: Int, trainFraction: Double,
+      hierRouting: Boolean = false): (DataFrame, DataFrame) = {
+    // hierRouting swaps the ENCODE side to the two-level router
+    // (O(√nlist) per corpus row instead of the flat O(nlist) argmin —
+    // the corpus-side quadratic under nlist ∝ N, see [[trainHierRouter]]).
+    // The probe side here serves a BOUNDED query set, so its flat
+    // nlist-row ranking stays O(queries · nlist) — never corpus-scale —
+    // and cell semantics at the exact gate are unchanged either way.
+    val (cand, centroidDf) =
+      if (hierRouting) {
+        val (c, cents, _) = buildIvfIndexHier(candidates, nlist,
+          trainCap = math.max(100000, nlist))
+        (c, cents)
+      } else buildIvfIndex(candidates, nlist, trainFraction)
     (cand, probeCells(queries, centroidDf, nprobe))
   }
 
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, trainFraction: Double = 1.0): DataFrame = {
-    val (cand, probes) = ivfCells(candidates, queries, nlist, nprobe, trainFraction)
+      nlist: Int = 16, nprobe: Int = 4, trainFraction: Double = 1.0,
+      hierRouting: Boolean = false): DataFrame = {
+    val (cand, probes) = ivfCells(candidates, queries, nlist, nprobe,
+      trainFraction, hierRouting)
     flatTopK(cand, probes, k)
   }
 
@@ -531,9 +545,11 @@ object Similarity {
   def ivfPqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
       codebook: DataFrame = null, lossless: Boolean = true,
-      trainFraction: Double = 1.0, dim: Int = -1): DataFrame = {
+      trainFraction: Double = 1.0, dim: Int = -1,
+      hierRouting: Boolean = false): DataFrame = {
     val d = if (dim > 0) dim else deriveDim(candidates, "embedding")
-    val (cellOf, probes) = ivfCells(candidates, queries, nlist, nprobe, trainFraction)
+    val (cellOf, probes) = ivfCells(candidates, queries, nlist, nprobe,
+      trainFraction, hierRouting)
     // IVF candidate set: (q_id, vec_id) pairs in probed cells
     val allowed = cellOf.select(col("vec_id"), col("cell"))
       .join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")

@@ -138,6 +138,22 @@ class LlmOpsSpec extends AnyFunSuite {
       "flat plan carries the probe-ranking window the hier form removes")
   }
 
+  test("hier routing through the IVF/IVF-PQ query paths keeps the exact gate") {
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // exact gate: nprobe = nlist scores every candidate once whatever
+    // the cell layout — flat and hier must agree exactly
+    assert(rows(Similarity.ivfTopK(emb, queries, k = 10, nlist = 16,
+        nprobe = 16, hierRouting = true)) ===
+      rows(Similarity.ivfTopK(emb, queries, k = 10, nlist = 16,
+        nprobe = 16, trainFraction = 0.5)))
+    assert(rows(Similarity.ivfPqTopK(emb, queries, k = 10, nlist = 16,
+        nprobe = 16, m = 4, hierRouting = true)) ===
+      rows(Similarity.ivfPqTopK(emb, queries, k = 10, nlist = 16,
+        nprobe = 16, m = 4)))
+  }
+
   test("cluster assignment matches driver-side union-find") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
     val pairList = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
