@@ -244,13 +244,20 @@ object EngineQueries {
       // (exact mean, then centered power sums) — an independent
       // numeric path, so agreement at 4 dp is a real differential test
       // of the moment algebra, not a shared rounding artifact.
+      // `+ 0.0` after every round: a skew that is statistically zero
+      // rounds to ±0.0 with a SIGN chosen by each engine's summation
+      // order (observed at sf0.001: Spark +0.0 vs DuckDB -0.0 — a
+      // run-order-dependent flake, since Spark's float sum order
+      // varies with partitioning). IEEE -0.0 + 0.0 = +0.0 normalizes
+      // the sign on both engines and is the identity for every other
+      // value.
       (s, dir) => {
         t(s, dir, "lineitem").createOrReplaceTempView("li_moments")
         s.sql("""SELECT l_returnflag,
-                        round(skewPop(l_quantity), 4)  AS skew_pop,
-                        round(skewSamp(l_quantity), 4) AS skew_samp,
-                        round(kurtPop(l_quantity), 4)  AS kurt_pop,
-                        round(kurtSamp(l_quantity), 4) AS kurt_samp
+                        round(skewPop(l_quantity), 4) + 0.0  AS skew_pop,
+                        round(skewSamp(l_quantity), 4) + 0.0 AS skew_samp,
+                        round(kurtPop(l_quantity), 4) + 0.0  AS kurt_pop,
+                        round(kurtSamp(l_quantity), 4) + 0.0 AS kurt_samp
                  FROM li_moments GROUP BY l_returnflag""")
       },
       Some("""WITH mu AS (SELECT l_returnflag, avg(l_quantity) AS mu
@@ -263,10 +270,10 @@ object EngineQueries {
                                 sum(d*d*d*d)/count(*) AS m4
                          FROM d GROUP BY l_returnflag)
               SELECT l_returnflag,
-                     round(m3/pow(m2, 1.5), 4)                     AS skew_pop,
-                     round(m3/pow(m2, 1.5)*sqrt((n-1.0)/n), 4)     AS skew_samp,
-                     round(m4/(m2*m2), 4)                          AS kurt_pop,
-                     round(m4/(m2*m2)*(n-1.0)/n, 4)                AS kurt_samp
+                     round(m3/pow(m2, 1.5), 4) + 0.0                 AS skew_pop,
+                     round(m3/pow(m2, 1.5)*sqrt((n-1.0)/n), 4) + 0.0 AS skew_samp,
+                     round(m4/(m2*m2), 4) + 0.0                      AS kurt_pop,
+                     round(m4/(m2*m2)*(n-1.0)/n, 4) + 0.0            AS kurt_samp
               FROM m""")),
 
     "q_agg_ttest" -> Q(
