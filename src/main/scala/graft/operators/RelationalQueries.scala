@@ -1320,17 +1320,21 @@ object RelationalQueries {
               FROM lineitem""")),
 
     "q_fn_array" -> Q(
+      // + 0.0 after each round: a tiny negative element rounds to -0.0
+      // in DuckDB but +0.0 in Spark (observed on one sf0.1 embedding);
+      // IEEE -0.0 + 0.0 = +0.0 normalizes the sign on both engines and
+      // is the identity everywhere else (same fix as q_agg_moments).
       (s, dir) => t(s, dir, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_elem"),
-        round(aggregate(transform(col("embedding"), x => x.cast("double")),
-          lit(0.0), (acc, x) => acc + x), 4).as("elem_sum"),
+        (round(element_at(col("embedding"), 1).cast("double"), 4) + 0.0).as("first_elem"),
+        (round(aggregate(transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 4) + 0.0).as("elem_sum"),
         array_contains(array(lit(1), lit(2), lit(3)), col("label")).as("label_in_123")),
       Some("""SELECT vec_id,
                      CAST(len(embedding) AS INTEGER) AS dim,
-                     round(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
-                     round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS elem_sum,
+                     round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_elem,
+                     round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) + 0.0 AS elem_sum,
                      list_contains([1, 2, 3], label) AS label_in_123
               FROM embeddings""")),
 
