@@ -154,6 +154,27 @@ class LlmOpsSpec extends AnyFunSuite {
         nprobe = 16, m = 4)))
   }
 
+  test("hier-built index persists to native storage and serves the exact gate") {
+    // build-once/serve-many with the two-level router: the (cells,
+    // centroids) seam is identical to the flat builder's, so
+    // serveIvfTopK answers from the persisted native tables with no
+    // router, no KMeans, no corpus pass at serve time — and at
+    // nprobe = nlist the result is provably brute force, which also
+    // proves the cell assignments survived the native roundtrip.
+    val dir = java.nio.file.Files.createTempDirectory("graft-hier-idx").toString
+    val (cells, centroids, _) = Similarity.buildIvfIndexHier(emb, nlist = 16)
+    cells.write.format("clickhouse_native").mode("overwrite").save(s"$dir/cells")
+    centroids.write.format("clickhouse_native").mode("overwrite").save(s"$dir/cents")
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val served = rows(Similarity.serveIvfTopK(
+      spark.read.format("clickhouse_native").load(s"$dir/cells"),
+      spark.read.format("clickhouse_native").load(s"$dir/cents"),
+      queries, k = 10, nprobe = 16))
+    assert(served === rows(Similarity.bruteForceTopK(emb, queries, 10)))
+  }
+
   test("cluster assignment matches driver-side union-find") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
     val pairList = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
