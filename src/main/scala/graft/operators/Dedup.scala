@@ -123,6 +123,62 @@ object Dedup {
   private def fetchSide(df: DataFrame): DataFrame =
     if (leavesKnownSmall(df)) df else df.hint("shuffle_hash")
 
+  /**
+   * Per-operator physical strategy for the prefix-filtered exact dedup
+   * family ([[ngramPairsExact]] vs [[containmentPairsExact]]). The
+   * round-8 five-variant bisect (BENCH_NOTES "isolated A/B" matrix)
+   * proved the two operators want OPPOSITE plan shapes and that no
+   * single global choice serves both: ngram is fast ONLY under the
+   * exact r6 combination — every pin an UNCONDITIONAL shuffle-merge
+   * (no small-corpus broadcast bypass) and the per-doc prefix
+   * aggregate carrying n as a THIRD count() column (3.16 s vs
+   * 4.16-4.61 s for every other combination at sf0.1) — while
+   * containment is fastest with the bypass + shuffle-hash fetches +
+   * the 2-column aggregate with n DERIVED (3.05 s, vs 3.38-4.38 s
+   * under the r6 shape, and 21% faster at the 10× scale point, its
+   * scale-critical regime). Round 8 shipped one global choice and ate
+   * a documented +30% on ngram; this strategy object is the round-9
+   * fix: each call site names its measured optimum instead of sharing
+   * a compromise.
+   *
+   * Correctness is strategy-independent: both shapes compute the same
+   * rare-first order, prefix length, df=1 pruning, and verify
+   * arithmetic — only join physical strategies and aggregate column
+   * layout differ (both oracle-checked per round).
+   */
+  private[operators] sealed trait PrefixStrategy {
+    /** Pin for the corpus-scale verify/df fetch joins. */
+    def fetch(df: DataFrame): DataFrame
+    /** Pin for the prefix-key candidate self-join side. */
+    def candidate(df: DataFrame): DataFrame
+    /** n as a third count() aggregate (true) or derived n1+|dg2| (false). */
+    def aggregatedN: Boolean
+  }
+  /** r6 shape — ngram's measured optimum: unconditional sort-merge
+    * everywhere (skew-safe, spills; no bypass so the small-SF plan is
+    * the same shape as the at-scale plan) + 3-column aggregate. The
+    * third count() lets column pruning specialize the aggregate per
+    * consumer branch — nominally re-running the shingle pipeline per
+    * verify side, yet measured FASTER for the symmetric Jaccard join:
+    * the specialized aggregates are thinner than one shared wide
+    * aggregate whose exchange every branch must re-read. */
+  private[operators] case object NgramStrategy extends PrefixStrategy {
+    def fetch(df: DataFrame): DataFrame = df.hint("shuffle_merge")
+    def candidate(df: DataFrame): DataFrame = df.hint("shuffle_merge")
+    def aggregatedN: Boolean = true
+  }
+  /** r8 shape — containment's measured optimum: provably-small bypass
+    * (small corpora may broadcast the fetches), shuffle-hash verify
+    * fetches (no stream-side sort of wide candidate rows), sort-merge
+    * candidates (content keys skew), n derived so every branch needs
+    * the SAME two aggregate outputs and the partial-aggregate exchange
+    * is reused across candidate keys and both verify sides. */
+  private[operators] case object ContainmentStrategy extends PrefixStrategy {
+    def fetch(df: DataFrame): DataFrame = fetchSide(df)
+    def candidate(df: DataFrame): DataFrame = corpusSide(df)
+    def aggregatedN: Boolean = false
+  }
+
   /** Per-row MinHash signature of a text column (codegen'd). */
   def minhashSigCol(text: Column, k: Int, shingleN: Int): Column =
     call_function("minhash_sig", text, lit(k), lit(shingleN))
@@ -356,9 +412,9 @@ object Dedup {
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (col("n_a") + col("n_b")).cast("double") - inter
     cand
-      .join(fetchSide(arrays.select(col("id").as("id_a"),
+      .join(NgramStrategy.fetch(arrays.select(col("id").as("id_a"),
         col("n").as("n_a"), col("sh").as("sh_a"))), "id_a")
-      .join(fetchSide(arrays.select(col("id").as("id_b"),
+      .join(NgramStrategy.fetch(arrays.select(col("id").as("id_b"),
         col("n").as("n_b"), col("sh").as("sh_b"))), "id_b")
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= theta)
@@ -413,7 +469,8 @@ object Dedup {
     }
   }
 
-  private def prefixOrdered(shingled: DataFrame, theta: Double): PrefixOrdered = {
+  private def prefixOrdered(shingled: DataFrame, theta: Double,
+      strat: PrefixStrategy): PrefixOrdered = {
     require(theta > 0.0 && theta <= 1.0, s"theta=$theta outside (0, 1]")
     // global df per shingle, then each doc's shingles reordered
     // rare-first: sort_array over (df, g) structs — lexicographic on
@@ -429,25 +486,30 @@ object Dedup {
     // shuffle of its output by the df=1 fraction.
     val ex = shingled.select(col("id"), explode(col("sh")).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    // EXACTLY two aggregate expressions, with n DERIVED as n1+|dg2|
-    // rather than aggregated as a third count: every consumer branch
+    // Aggregate column layout is STRATEGY-CHOSEN (see PrefixStrategy):
+    // with aggregatedN=false (containment), EXACTLY two aggregate
+    // expressions and n DERIVED as n1+|dg2| — every consumer branch
     // (candidate keys, both verify-array sides) then needs the SAME
     // two aggregate outputs, so column pruning cannot specialize the
     // aggregate per branch and the partial-aggregate exchange is
-    // REUSED across all of them. With a third count() column, pruning
-    // produced three different aggregates over the same child and the
-    // whole shingle→df-join→collect pipeline re-ran once per verify
-    // side. Round-8 isolated A/B (BENCH_NOTES variant matrix): this
-    // change is a containment win (3.38→2.76-3.05 at sf0.1, and 21%
-    // at the 10× point) and an ngram loss (3.16→4.16) — kept because
-    // containment's 10× point is the repo's heaviest key and the
-    // family net favors it.
-    val ordered = ex.join(fetchSide(dfreq), "g")
-      .groupBy("id")
-      .agg(sum(when(col("df") === 1, 1L).otherwise(0L)).as("n1"),
-        sort_array(collect_list(when(col("df") > 1,
-          struct(col("df"), col("g"))))).as("dg2"))
-      .withColumn("n", col("n1") + size(col("dg2")))
+    // REUSED across all of them. With aggregatedN=true (ngram), n is
+    // a third count() column, pruning DOES specialize three thinner
+    // aggregates over the same child, and the round-8 bisect measured
+    // that shape 24% faster for the symmetric Jaccard join (3.16 vs
+    // 4.16 at sf0.1) while the shared-exchange shape wins for
+    // containment (3.05 vs 3.38, and 21% at the 10× point).
+    val grouped = ex.join(strat.fetch(dfreq), "g").groupBy("id")
+    val ordered =
+      if (strat.aggregatedN)
+        grouped.agg(count(lit(1)).as("n"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n1"),
+          sort_array(collect_list(when(col("df") > 1,
+            struct(col("df"), col("g"))))).as("dg2"))
+      else
+        grouped.agg(sum(when(col("df") === 1, 1L).otherwise(0L)).as("n1"),
+            sort_array(collect_list(when(col("df") > 1,
+              struct(col("df"), col("g"))))).as("dg2"))
+          .withColumn("n", col("n1") + size(col("dg2")))
     // +1 beyond the theoretical |S| - ⌈θ|S|⌉ + 1: double ceil(θ·n) can
     // land one high when θ·n sits on an ulp boundary (0.2*5 →
     // 1.0000000000000002 → 2), which would SHORTEN the prefix and void
@@ -465,12 +527,12 @@ object Dedup {
 
   private def ngramCandidatesAndArrays(shingled: DataFrame,
       theta: Double): (DataFrame, DataFrame) = {
-    val po = prefixOrdered(shingled, theta)
+    val po = prefixOrdered(shingled, theta, NgramStrategy)
     val keys = po.keys(Some(po.prefixLen))
     // equivalent-overlap threshold: J >= θ ⇔ |A∩B| >= θ/(1+θ)·(n_a+n_b)
     val alpha = lit(theta / (1.0 + theta)) * (col("n_a") + col("n_b"))
     val cand = keys.select(col("g"), col("id").as("id_a"), col("n").as("n_a"), col("p").as("p_a"))
-      .join(corpusSide(keys.select(col("g").as("g_b"), col("id").as("id_b"),
+      .join(NgramStrategy.candidate(keys.select(col("g").as("g_b"), col("id").as("id_b"),
           col("n").as("n_b"), col("p").as("p_b"))),
         col("g") === col("g_b") && col("id_a") < col("id_b") &&
           // length filter: J >= θ ⇒ min(|A|,|B|) >= θ·max(|A|,|B|).
@@ -529,9 +591,9 @@ object Dedup {
     // as prefixOrdered's derived n; the predicate costs two longs).
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     cand
-      .join(fetchSide(arrays.select(col("id").as("id_a"),
+      .join(ContainmentStrategy.fetch(arrays.select(col("id").as("id_a"),
         col("n").as("n_a"), col("sh").as("sh_a"))), "id_a")
-      .join(fetchSide(arrays.select(col("id").as("id_b"),
+      .join(ContainmentStrategy.fetch(arrays.select(col("id").as("id_b"),
         col("n").as("n_b"), col("sh").as("sh_b"))), "id_b")
       .filter(least(col("n_a"), col("n_b")).cast("double") >=
         lit(theta) * col("n_a") - lit(1e-6))
@@ -550,7 +612,7 @@ object Dedup {
 
   private def containmentCandidatesAndArrays(shingled: DataFrame,
       theta: Double): (DataFrame, DataFrame) = {
-    val po = prefixOrdered(shingled, theta)
+    val po = prefixOrdered(shingled, theta, ContainmentStrategy)
     val aKeys = po.keys(Some(po.prefixLen))
     val bKeys = po.keys(None)
     // the verify accepts overlap/n_a >= θ, i.e. overlap >= θ·n_a as a
@@ -564,7 +626,7 @@ object Dedup {
     val minOverlap = lit(theta) * col("n_a")
     val cand = aKeys.select(col("g"), col("id").as("id_a"),
         col("n").as("n_a"), col("p").as("p_a"))
-      .join(corpusSide(bKeys.select(col("g").as("g_b"), col("id").as("id_b"),
+      .join(ContainmentStrategy.candidate(bKeys.select(col("g").as("g_b"), col("id").as("id_b"),
           col("n").as("n_b"), col("p").as("p_b"))),
         col("g") === col("g_b") && col("id_a") =!= col("id_b") &&
           // container must be large enough to hold the overlap; same

@@ -1380,6 +1380,12 @@ class LlmOpsSpec extends AnyFunSuite {
         "known-small corpus must leave the planner free to broadcast")
       assert(nBroadcasts(Dedup.containmentPairsExact(docs, "doc_id", "text", 0.9)) > 0,
         "known-small corpus must leave the planner free to broadcast")
+      // ngram deliberately has NO bypass (NgramStrategy pins are
+      // unconditional): the round-8 bisect measured the bypass itself
+      // as part of ngram's regression — the small-SF plan must keep
+      // the same sort-merge shape the at-scale plan has.
+      assert(nBroadcasts(Dedup.ngramPairsExact(docs, "doc_id", "text", 0.7)) === 0,
+        "ngram must stay pinned (no broadcast) even on a known-small corpus")
     }
   }
 
@@ -1408,10 +1414,20 @@ class LlmOpsSpec extends AnyFunSuite {
         assert(mh.contains("SortMergeJoinExec"),
           s"minhash candidate join must be SortMergeJoin, got $mh")
         assert(!mh.exists(_.startsWith("Broadcast")), s"no broadcast allowed: $mh")
+        // ngram runs the r6-optimal NgramStrategy (round-9 per-key
+        // split, see Dedup.PrefixStrategy): EVERY join unconditionally
+        // sort-merge — fetches included — and never hash or broadcast.
         val ng = strategies(Dedup.ngramPairsExact(docs, "doc_id", "text", 0.7))
-        assert(ng.count(_ == "ShuffledHashJoinExec") >= 2,
-          s"ngram verify fetches must be ShuffledHashJoin, got $ng")
-        assert(!ng.exists(_.startsWith("Broadcast")), s"no broadcast allowed: $ng")
+        assert(ng.nonEmpty && ng.forall(_ == "SortMergeJoinExec"),
+          s"ngram joins must all be SortMergeJoin under NgramStrategy, got $ng")
+        // containment keeps the r8 shape: shuffle-hash verify fetches,
+        // sort-merge candidate join.
+        val ct = strategies(Dedup.containmentPairsExact(docs, "doc_id", "text", 0.9))
+        assert(ct.count(_ == "ShuffledHashJoinExec") >= 2,
+          s"containment verify fetches must be ShuffledHashJoin, got $ct")
+        assert(ct.contains("SortMergeJoinExec"),
+          s"containment candidate join must be SortMergeJoin, got $ct")
+        assert(!ct.exists(_.startsWith("Broadcast")), s"no broadcast allowed: $ct")
       }
     }
   }
