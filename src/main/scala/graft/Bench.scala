@@ -255,7 +255,15 @@ object Bench {
       .map { case (name, fn) =>
       val cleaned = maybeCleanup()
       val baseReps = if (name.startsWith("q_tpch_") || name == "q_union_all") 3 else 2
-      val reps = baseReps + (if (cleaned) 1 else 0)
+      // q_stream_* keys run a full Structured Streaming choreography
+      // (5+ micro-batches, sentinel-file watermark advancement, temp
+      // checkpoint dirs) per invocation — wall time is micro-batch
+      // scheduling, not operator throughput, and each invocation is
+      // already an internal multi-run. One rep; they are correctness
+      // keys first (round-9 verdict item 4), not perf-graded shapes.
+      val reps =
+        if (name.startsWith("q_stream_")) 1
+        else baseReps + (if (cleaned) 1 else 0)
       if (sentinelAround(name)) sentinelProbe(s"${name}_pre")
       val r = name -> (try {
         val (w, g) = timeReps(reps, name)(force(fn(spark, sfDir)))

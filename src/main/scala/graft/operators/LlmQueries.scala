@@ -34,13 +34,13 @@ object LlmQueries {
    * regime (thresholds < 1, where recall is probabilistic) stays
    * property-tested in LlmOpsSpec.
    */
-  private def dupCorpus(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[operators] def dupCorpus(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
-  private val dupCorpusSql =
+  private[operators] val dupCorpusSql =
     """(SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id, text FROM documents

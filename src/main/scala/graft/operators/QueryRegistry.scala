@@ -190,7 +190,7 @@ object QueryRegistry {
     ScanQueries.all ++ RelationalQueries.all ++ ComplexQueries.all ++
       LlmQueries.all ++ EngineQueries.all ++ AnalyticsQueries.all ++
       CurationQueries.all ++ BitmapQueries.all ++ SpatialQueries.all ++
-      MetricsQueries.all
+      MetricsQueries.all ++ StreamingQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }.toMap

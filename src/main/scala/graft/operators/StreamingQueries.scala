@@ -1,0 +1,204 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{EventStreams, StreamingDedup}
+import graft.streaming.EventStreams.Event
+
+/**
+ * Registry keys that run the STRUCTURED STREAMING execution path to
+ * completion over the batch fixtures and gate it against the batch
+ * DuckDB oracle. The batch-equivalence guarantee these operators carry
+ * (StreamingSpec: streamed result == batch aggregate once the
+ * watermark passes all input) is what makes the batch oracle valid for
+ * a streaming run — these keys put that guarantee on the correctness
+ * board instead of leaving it spec-only.
+ *
+ * Each key REQUIRES evidence that the streaming path actually executed
+ * (micro-batch progress with keyed-state rows, or a foreachBatch epoch
+ * count) and fails loudly otherwise — a silent batch fallback can
+ * never go green here.
+ *
+ * Choreography: the fixture is consumed through a file-stream source
+ * (the data never routes through the driver); sentinel events written
+ * to a side directory advance the event-time watermark in three extra
+ * micro-batches so every fixture event finalizes — the same
+ * finalize-below-watermark discipline StreamingSpec exercises with
+ * MemoryStream sentinels. Sentinel rows carry an out-of-band user id
+ * and are filtered from every result.
+ */
+object StreamingQueries {
+
+  /** Sentinel user id — no fixture user is negative. */
+  private val SentinelUser = -9L
+
+  private def normalized(df: DataFrame): DataFrame =
+    df.select(col("event_id").cast("long").as("event_id"),
+      col("ts").cast("timestamp").as("ts"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_type").cast("string").as("event_type"),
+      col("value").cast("double").as("value"))
+
+  /**
+   * Run `build`'s streaming transform over the events fixture to
+   * completion and return the append-mode sink contents as a batch
+   * DataFrame. `sentinelType` must be an event type the transform's
+   * pre-watermark filter admits, or the sentinels cannot advance the
+   * watermark.
+   */
+  private def runEventStream(s: SparkSession, dir: String, sentinelType: String)(
+      build: Dataset[Event] => DataFrame): DataFrame = {
+    import s.implicits._
+    val sentDir = Files.createTempDirectory("graft-stream-sentinel").toString
+    val maxTs = Q.events(s, dir)
+      .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    val fixture = normalized(EventStreams.readEventStream(s, dir))
+    val sentinels = normalized(
+      s.readStream.schema(fixture.schema).parquet(sentDir))
+    val unioned = fixture.unionByName(sentinels).as[Event]
+    val qn = "stream_q_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = build(unioned)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      query.processAllAvailable()
+      // three sentinel batches: batch k's data advances the watermark
+      // applied in batch k+1, so by the third every fixture event (and
+      // the first sentinel) has finalized and flushed
+      (1 to 3).foreach { i =>
+        Seq((1000000000L + i,
+            new Timestamp(maxTs.getTime + i * 3600L * 1000L),
+            SentinelUser, sentinelType, 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(sentDir)
+        query.processAllAvailable()
+      }
+      // the streaming-path proof: micro-batches ran with keyed state
+      val progs = query.recentProgress
+      require(progs.exists(p => p.stateOperators.nonEmpty &&
+          p.stateOperators.exists(_.numRowsTotal > 0)),
+        s"streaming path did not execute for $qn: no stateful micro-batch progress")
+    } finally query.stop()
+    s.table(qn)
+  }
+
+  private lazy val batchOracles: Map[String, Q] = RelationalQueries.all.toMap
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "q_stream_funnel" -> Q(
+      // CH windowFunnel over UNBOUNDED input (EventStreams
+      // .streamingFunnel: flatMapGroupsWithState carries the chain-DP
+      // across micro-batches; append-mode emissions are the rising
+      // per-user depth high-water mark), run to completion over the
+      // events fixture. The per-user max emission equals the batch
+      // funnel_agg depth (StreamingSpec equivalence), so the
+      // distribution — with never-emitting users folded back in at
+      // depth 0 — matches q_funnel's EXISTS-chain oracle verbatim.
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val streamed = runEventStream(s, dir, "view")(ds =>
+          EventStreams.streamingFunnel(ds).toDF())
+        val perUser = streamed.filter(col("user_id") =!= SentinelUser)
+          .groupBy("user_id").agg(max(col("funnel_step")).as("step"))
+        val users = Q.events(s, dir)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select("user_id").distinct()
+        users.join(perUser, Seq("user_id"), "left")
+          .select(coalesce(col("step"), lit(0)).as("funnel_step"))
+          .groupBy("funnel_step").agg(count(lit(1)).as("users"))
+          .orderBy("funnel_step")
+      },
+      batchOracles("q_funnel").oracle),
+
+    "q_stream_sequence_match" -> Q(
+      // CH sequenceMatch over unbounded input (EventStreams
+      // .streamingSequenceMatch: ONE LONG of NFA position-set state
+      // per user, no event history), both batch patterns streamed to
+      // completion; a user's single emission ⇔ the batch aggregate's
+      // true verdict, so the (m_gap, m_adj) distribution over all
+      // users matches q_agg_sequence_match's oracle verbatim.
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val maskOf = Map("signup" -> 1, "purchase" -> 2)
+        def matchedUsers(pattern: String, flag: String): DataFrame =
+          runEventStream(s, dir, "other")(ds =>
+            EventStreams.streamingSequenceMatch(ds, pattern, maskOf).toDF())
+            .filter(col("user_id") =!= SentinelUser)
+            .select(col("user_id")).withColumn(flag, lit(true))
+        val gap = matchedUsers("(?1).*(?2)", "g")
+        val adj = matchedUsers("(?1)(?2)", "a")
+        Q.events(s, dir).select("user_id").distinct()
+          .join(gap, Seq("user_id"), "left")
+          .join(adj, Seq("user_id"), "left")
+          .select(coalesce(col("g"), lit(false)).as("m_gap"),
+            coalesce(col("a"), lit(false)).as("m_adj"))
+          .groupBy("m_gap", "m_adj").agg(count(lit(1)).as("users"))
+          .orderBy("m_gap", "m_adj")
+      },
+      batchOracles("q_agg_sequence_match").oracle),
+
+    "q_stream_asof" -> Q(
+      // STREAMING ASOF JOIN (EventStreams.streamingAsof: per-user
+      // latest-signup fold over watermark-finalized event order) run
+      // to completion — each purchase pairs with the same user's
+      // latest at-or-before signup, µs epochs on both engines
+      // (epoch_us ⇄ the operator's unix_micros-equivalent key; UTC
+      // session). Same DuckDB ASOF JOIN oracle as the batch
+      // q_join_asof, third independent implementation of the
+      // semantics (window fold, custom exec, streaming state).
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val matched = runEventStream(s, dir, "purchase")(ds =>
+          EventStreams.streamingAsof(ds).toDF())
+        matched.filter(col("user_id") =!= SentinelUser && col("signup_us") =!= -1L)
+          .select(col("purchase_id").as("event_id"),
+            col("signup_us").as("last_signup_us"))
+      },
+      Some(s"""SELECT p.event_id, epoch_us(s.ts) AS last_signup_us
+              FROM (SELECT * FROM ${Q.eventsOracle} WHERE event_type = 'purchase') p
+              ASOF JOIN (SELECT * FROM ${Q.eventsOracle} WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id AND p.ts >= s.ts""")),
+
+    "q_stream_dedup" -> Q(
+      // STREAMING MINHASH DEDUP (StreamingDedup.dedupStream) over the
+      // known-duplicate corpus in two epochs: epoch 0 streams the
+      // original documents, epoch 1 the re-crawled copies (id + 1M) —
+      // intra-epoch LSH pairs → connected components → min-id
+      // representative, then the exact-fingerprint kill against the
+      // index of strictly-earlier epochs, state carried ONLY in the
+      // persisted native index table. Oracle-gate regime (threshold
+      // 1.0 + md5 pair confirm + fp-only cross-epoch kill): survivors
+      // are exactly the min doc_id per equal-text group — the ordered
+      // epoch split keeps each group's min id in the earliest epoch
+      // containing the group, so first-admitted == global min and the
+      // batch q_dedup_apply window oracle states the result. The
+      // near-dup regime stays spec-gated in StreamingSpec.
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft-stream-dedup").toString
+        val (srcDir, idx, out, ckpt) =
+          (s"$base/src", s"$base/idx", s"$base/out", s"$base/ckpt")
+        val corpus = LlmQueries.dupCorpus(s, dir)
+        corpus.filter(col("doc_id") < 1000000).write.mode("append").parquet(srcDir)
+        val stream = s.readStream.schema(corpus.schema).parquet(srcDir)
+        val query = StreamingDedup.dedupStream(stream, "doc_id", "text",
+            idx, out, threshold = 1.0, exactConfirm = true, indexNearKill = false)
+          .option("checkpointLocation", ckpt).start()
+        try {
+          query.processAllAvailable()
+          corpus.filter(col("doc_id") >= 1000000).write.mode("append").parquet(srcDir)
+          query.processAllAvailable()
+          // the streaming-path proof: two foreachBatch epochs committed
+          require(query.recentProgress.map(_.batchId).distinct.length >= 2,
+            "streaming dedup did not run two epochs")
+        } finally query.stop()
+        s.read.format("clickhouse_native").load(out).select("doc_id", "text")
+      },
+      Some(s"""SELECT doc_id, text FROM ${LlmQueries.dupCorpusSql}
+               QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)"""))
+  )
+}

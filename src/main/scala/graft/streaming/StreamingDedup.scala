@@ -78,19 +78,42 @@ object StreamingDedup {
   def dedupEpoch(batch: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, epochId: Long,
       threshold: Double = 0.5, k: Int = 128, bands: Int = 32,
-      shingleN: Int = 3): Unit = {
+      shingleN: Int = 3, exactConfirm: Boolean = false,
+      indexNearKill: Boolean = true): Unit = {
     val spark = batch.sparkSession
-    // 1. intra-batch: pairs → clusters → min-id representative
-    val pairs = Dedup.minhashPairs(batch, idCol, textCol, k, bands,
+    // 1. intra-batch: pairs → clusters → min-id representative.
+    // exactConfirm is the ORACLE-GATE regime (the q_dedup_minhash /
+    // q_dedup_apply convention): candidate pairs are confirmed
+    // text-equal via an md5 re-join before clustering, so at
+    // threshold 1.0 the pipeline's output is exactly the equal-text
+    // cluster structure and a SQL window oracle can state it. The
+    // probabilistic near-dup regime (exactConfirm=false) stays
+    // spec-gated in StreamingSpec.
+    val rawPairs = Dedup.minhashPairs(batch, idCol, textCol, k, bands,
       shingleN, threshold)
+    val pairs =
+      if (!exactConfirm) rawPairs
+      else {
+        val fp = batch.select(col(idCol).as("cid"), md5(col(textCol).cast("binary")).as("h"))
+        rawPairs
+          .join(fp.select(col("cid").as("id_a"), col("h").as("h_a")), "id_a")
+          .join(fp.select(col("cid").as("id_b"), col("h").as("h_b")), "id_b")
+          .filter(col("h_a") === col("h_b"))
+          .drop("h_a", "h_b")
+      }
     val reps = DedupClusters.applyKeepList(batch, idCol, pairs)
     // 2. cross-epoch, against strictly-earlier epochs only (see
-    // scaladoc: replay determinism)
+    // scaladoc: replay determinism). indexNearKill=false keeps only
+    // the unconditional exact-fingerprint kill (est_sim can never
+    // reach the sentinel threshold 2.0), so in the oracle-gate regime
+    // the cross-epoch decision rests on fp equality alone — the
+    // signature-collision false-kill a SQL oracle cannot express is
+    // ruled out by construction.
     val index = readIndex(spark, indexPath, batch, idCol, textCol, k, shingleN)
       .filter(col("epoch") < lit(epochId))
       .select("id", "fp", "sig")
     val survivors = Dedup.incrementalSurvivors(reps, index, idCol, textCol,
-      k, bands, shingleN, threshold)
+      k, bands, shingleN, if (indexNearKill) threshold else 2.0)
       .localCheckpoint() // computed once, appended twice (out + index)
     // 3. idempotent appends; either order is safe — a crash between
     // them replays the epoch and the already-landed side no-ops
@@ -108,11 +131,12 @@ object StreamingDedup {
    */
   def dedupStream(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, threshold: Double = 0.5,
-      k: Int = 128, bands: Int = 32, shingleN: Int = 3)
+      k: Int = 128, bands: Int = 32, shingleN: Int = 3,
+      exactConfirm: Boolean = false, indexNearKill: Boolean = true)
       : DataStreamWriter[Row] =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], epochId: Long) =>
         dedupEpoch(batch.toDF(), idCol, textCol, indexPath, outPath,
-          epochId, threshold, k, bands, shingleN)
+          epochId, threshold, k, bands, shingleN, exactConfirm, indexNearKill)
       }
 }

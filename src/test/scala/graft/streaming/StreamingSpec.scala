@@ -598,6 +598,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("registry key q_stream_funnel: streamed choreography equals the batch q_funnel result") {
+    // the round-9 oracle-board wiring (operators/StreamingQueries):
+    // file-stream fixture + sentinel watermark advancement, run to
+    // completion inside the registry fn — must reproduce the batch
+    // key's distribution exactly (the same equivalence the driver's
+    // DuckDB oracle gates at sf0.01)
+    val reg = graft.operators.QueryRegistry.queries
+    def rows(k: String) = reg(k)(spark, SparkTestBase.sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rows("q_stream_funnel") === rows("q_funnel"))
+  }
+
+  test("registry key q_stream_dedup: two-epoch streamed survivors equal the batch apply result") {
+    val reg = graft.operators.QueryRegistry.queries
+    def ids(k: String) = reg(k)(spark, SparkTestBase.sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids("q_stream_dedup") === ids("q_dedup_apply"))
+    assert(ids("q_stream_dedup").nonEmpty)
+  }
+
   test("streaming sequenceMatch: NFA state equals batch verdict across patterns (fuzz)") {
     implicit val ctx = spark.sqlContext
     implicit val s = spark
