@@ -115,7 +115,10 @@ object AnnRouter {
       var bestD = Double.MaxValue
       p = 0
       while (p < k1) {
-        if (!taken(p) && (sd(p) < bestD || (sd(p) == bestD && best >= 0 && p < best))) {
+        // strict < plus the ascending scan already yields the
+        // lowest-index super on distance ties — the first equal-
+        // distance candidate is taken and later ones can never beat it
+        if (!taken(p) && sd(p) < bestD) {
           bestD = sd(p); best = p
         }
         p += 1

@@ -205,6 +205,16 @@ object Similarity {
     (cand, probeCells(queries, centroidDf, nprobe))
   }
 
+  /**
+   * IVF top-k: route corpus and queries to learned cells, score only
+   * probed cells. NOTE `hierRouting = true` SUPERSEDES `trainFraction`:
+   * the two-level router always trains on its own bounded
+   * `max(100000, nlist)`-row sample (the FAISS fixed-budget
+   * discipline — a corpus-proportional train sample is exactly the
+   * scaling hazard the router exists to remove), so the fraction knob
+   * is inert on that path. Exact-gate results (nprobe = nlist) are
+   * identical either way; only approximate-regime cell layouts differ.
+   */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, trainFraction: Double = 1.0,
       hierRouting: Boolean = false): DataFrame = {
@@ -267,10 +277,18 @@ object Similarity {
     require(trainCap >= nlist, s"trainCap=$trainCap must be >= nlist=$nlist")
     val embOnly = candidates.select(col("embedding"))
     val n = embOnly.count()
+    // DETERMINISTIC selection: rank every row by a seeded content hash
+    // and take the trainCap smallest (TakeOrderedAndProject — a
+    // per-partition bounded heap + one merge, never a full sort
+    // shuffle). A Bernoulli sample().limit() here would pick rows
+    // dependent on partition layout and task order, so the router
+    // model — hence approximate-regime results — could differ across
+    // runs with different parallelism (round-9 advice). Hash-ranking
+    // is a uniform pseudo-random sample that is a pure function of
+    // (data, seed).
     val sampled =
       if (n <= trainCap) embOnly
-      else embOnly.sample(withReplacement = false,
-        math.min(1.0, trainCap * 1.2 / n), seed).limit(trainCap)
+      else embOnly.orderBy(xxhash64(col("embedding"), lit(seed))).limit(trainCap)
     val rows = sampled.collect().map { r =>
       r.getSeq[Any](0).map {
         case f: Float => f
@@ -278,8 +296,12 @@ object Similarity {
       }.toArray
     }
     // collect order depends on task scheduling — sort by content so
-    // the model is a function of (data, seed), not of the run
-    val sample = rows.sortBy(a => (java.util.Arrays.hashCode(a), a.headOption.getOrElse(0f)))
+    // the model is a function of (data, seed), not of the run; the
+    // full lexicographic key breaks hash-collision ties completely
+    // (a head-element tiebreak left equal-hash equal-head pairs
+    // order-unstable)
+    import scala.math.Ordering.Implicits.seqOrdering
+    val sample = rows.sortBy(a => (java.util.Arrays.hashCode(a), a.toIndexedSeq))
     AnnRouter.train(sample, nlist, iters, seed)
   }
 
@@ -541,6 +563,12 @@ object Similarity {
    * is exactly brute force, whatever the trained cell layout did.
    * Real configs (nprobe < nlist, sampled codebook) are recall-tested
    * in LlmOpsSpec.
+   *
+   * NOTE `trainFraction` here feeds only the COARSE quantizer, so
+   * `hierRouting = true` makes it fully inert (see [[ivfTopK]]: the
+   * two-level router trains on its own bounded sample); the PQ
+   * codebook is supplied via `codebook`/`lossless`, not trained from
+   * a fraction.
    */
   def ivfPqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 4,

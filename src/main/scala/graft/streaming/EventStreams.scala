@@ -253,9 +253,15 @@ object EventStreams {
               if (best < lv + 1) { best = lv + 1; out += FunnelProgress(userId, lv + 1, t) }
             }
           }
-          state.update(FunnelState(chainStart, best, pending))
-          // wake this key when the watermark can finalize its tail
-          pending.map(_._1).minOption.foreach(t =>
+          // once best == steps no further emission is possible (the
+          // high-water mark is at its ceiling), so drop the pending
+          // tail and stop scheduling wakeups for this key — the same
+          // early-out sequenceMatch takes on match (round-9 advice);
+          // without it a converted user pays buffer+sort+timeout
+          // forever
+          val done = best == steps
+          state.update(FunnelState(chainStart, best, if (done) Nil else pending))
+          if (!done) pending.map(_._1).minOption.foreach(t =>
             state.setTimeoutTimestamp(t / 1000L + 1L))
           out.result().iterator
       }
