@@ -189,20 +189,38 @@ object Similarity {
 
   private def ivfCells(candidates: DataFrame, queries: DataFrame,
       nlist: Int, nprobe: Int, trainFraction: Double,
-      hierRouting: Boolean = false): (DataFrame, DataFrame) = {
-    // hierRouting swaps the ENCODE side to the two-level router
-    // (O(√nlist) per corpus row instead of the flat O(nlist) argmin —
-    // the corpus-side quadratic under nlist ∝ N, see [[trainHierRouter]]).
-    // The probe side here serves a BOUNDED query set, so its flat
-    // nlist-row ranking stays O(queries · nlist) — never corpus-scale —
-    // and cell semantics at the exact gate are unchanged either way.
-    val (cand, centroidDf) =
-      if (hierRouting) {
-        val (c, cents, _) = buildIvfIndexHier(candidates, nlist,
-          trainCap = math.max(100000, nlist))
-        (c, cents)
-      } else buildIvfIndex(candidates, nlist, trainFraction)
-    (cand, probeCells(queries, centroidDf, nprobe))
+      hierRouting: Boolean = false, superProbe: Int = 4): (DataFrame, DataFrame) = {
+    // hierRouting swaps BOTH sides to the two-level router: encode is
+    // O(√nlist) per corpus row instead of the flat O(nlist) argmin —
+    // the corpus-side quadratic under nlist ∝ N (see
+    // [[trainHierRouter]]) — and since round 9 the PROBE side routes
+    // through the same codegen'd [[IvfProbe]] expression
+    // (O(k1 + superProbe·k2) per query row instead of the flat
+    // queries × nlist ranking window). The flat probe was safe only
+    // while the query set stayed bounded; a corpus-sized query batch
+    // through the serving API (the kNN-graph shape) re-created the
+    // exact quadratic the router removed — round-9 verdict item 7.
+    //
+    // Exact gate preserved: nprobe >= nlist auto-widens superProbe to
+    // ALL supers, so every cell is probed and (each corpus vector
+    // living in exactly one cell) the result is provably brute force —
+    // the same argument [[knnGraphHier]] pins. Approximate-regime cell
+    // choice differs from the flat path (L2 router ranking vs cosine
+    // centroid ranking) exactly as the encode side already does.
+    if (hierRouting) {
+      val (cand, _, model) = buildIvfIndexHier(candidates, nlist,
+        trainCap = math.max(100000, nlist))
+      val sp = if (nprobe >= nlist) model.supers.length else superProbe
+      val probes = queries
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
+        .withColumn("cell", explode(probeCol(col("q_emb"), model, sp, nprobe)))
+        .select("q_id", "q_emb", "q_norm", "cell")
+      (cand, probes)
+    } else {
+      val (cand, centroidDf) = buildIvfIndex(candidates, nlist, trainFraction)
+      (cand, probeCells(queries, centroidDf, nprobe))
+    }
   }
 
   /**
@@ -214,12 +232,14 @@ object Similarity {
    * scaling hazard the router exists to remove), so the fraction knob
    * is inert on that path. Exact-gate results (nprobe = nlist) are
    * identical either way; only approximate-regime cell layouts differ.
+   * `superProbe` (hier path only) is the probe router's level-1
+   * fan-out; it auto-widens to all supers at the exact gate.
    */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, trainFraction: Double = 1.0,
-      hierRouting: Boolean = false): DataFrame = {
+      hierRouting: Boolean = false, superProbe: Int = 4): DataFrame = {
     val (cand, probes) = ivfCells(candidates, queries, nlist, nprobe,
-      trainFraction, hierRouting)
+      trainFraction, hierRouting, superProbe)
     flatTopK(cand, probes, k)
   }
 
@@ -574,11 +594,17 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
       codebook: DataFrame = null, lossless: Boolean = true,
       trainFraction: Double = 1.0, dim: Int = -1,
-      hierRouting: Boolean = false): DataFrame = {
+      hierRouting: Boolean = false, superProbe: Int = 4): DataFrame = {
     val d = if (dim > 0) dim else deriveDim(candidates, "embedding")
     val (cellOf, probes) = ivfCells(candidates, queries, nlist, nprobe,
-      trainFraction, hierRouting)
-    // IVF candidate set: (q_id, vec_id) pairs in probed cells
+      trainFraction, hierRouting, superProbe)
+    // IVF candidate set: (q_id, vec_id) pairs in probed cells. The
+    // probe-side BROADCAST (and flatTopK's) is the one remaining
+    // queries-bounded shape in the serving APIs: with hierRouting the
+    // routing cost is per-row O(√nlist) on both sides, but a
+    // corpus-sized query batch would still broadcast corpus × nprobe
+    // thin rows here — that shape belongs to [[knnGraphHier]], which
+    // shuffle-joins the probes instead.
     val allowed = cellOf.select(col("vec_id"), col("cell"))
       .join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")
       .filter(col("vec_id") =!= col("q_id"))

