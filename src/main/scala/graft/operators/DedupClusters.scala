@@ -28,7 +28,21 @@ object DedupClusters {
    * @throws IllegalStateException if not converged in maxIterations
    *         (silently wrong clusters are worse than an error)
    */
-  def assign(pairs: DataFrame, maxIterations: Int = 15): DataFrame = {
+  def assign(pairs: DataFrame, maxIterations: Int = 15): DataFrame =
+    assignWithRounds(pairs, maxIterations)._1
+
+  /**
+   * [[assign]] plus the number of label-propagation rounds it took to
+   * converge (including the round that observes the fixpoint). The
+   * round count is the scale certification's instrument: components
+   * that are DISJOINT COPIES of a base corpus have the same diameters
+   * as the base, so rounds at C× data must EQUAL rounds at 1× — per-
+   * round cost is two shuffle joins over the edge set (linear in
+   * edges), making total wall ∝ edges × rounds. A growing round count
+   * at fixed diameter would flag a convergence-detection bug long
+   * before wall time does (see tools/scale100.scala `cc`).
+   */
+  def assignWithRounds(pairs: DataFrame, maxIterations: Int = 15): (DataFrame, Int) = {
     // undirected edges, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -80,7 +94,7 @@ object DedupClusters {
       throw new IllegalStateException(
         s"DedupClusters.assign did not converge in $maxIterations iterations " +
           "- raise maxIterations (component diameter exceeds 2^iterations)")
-    labels
+    (labels, i)
   }
 
   /**

@@ -60,12 +60,11 @@ class PlanLintSpec extends AnyFunSuite {
     "q_sim_cosine_topk" -> "query-batch side bounded (brute-force anchor)",
     "q_sim_cosine_lsh" -> "query-batch / plane-constant side bounded",
     "q_sim_cosine_ivf" -> "centroid table bounded by nlist",
-    // NOTE the asymmetry proving the round-8 router fix: the hier IVF
-    // key keeps the flat QUERY-side probe (bounded centroid cross
-    // join, like its flat sibling), while q_knn_graph_hier — whose
-    // probe side is the CORPUS — needs no allowlist entry at all: the
-    // codegen'd IvfProbe expression replaced the corpus-scale join.
-    "q_sim_cosine_ivf_hier" -> "centroid table bounded by nlist",
+    // NOTE q_sim_cosine_ivf_hier needs no allowlist entry since the
+    // round-9 probe-side routing (Similarity.ivfCells hierRouting now
+    // routes PROBES through the codegen'd IvfProbe expression too, not
+    // just encodes): like q_knn_graph_hier, no corpus- OR query-scale
+    // nested-loop join remains anywhere in the hier plan.
     "q_sim_cosine_ivfpq" -> "centroid + codebook tables bounded",
     "q_sim_index_persist" -> "centroid routing table bounded by nlist",
     "q_sim_hard_negatives" -> "query-batch side bounded",
