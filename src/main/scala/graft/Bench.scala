@@ -36,16 +36,18 @@ object Bench {
       // collections never touch) — left to the 30min default, later
       // queries pay eviction stalls (q_tpch_q3 5.9s mid-sweep vs 1.0s
       // fresh, r5 notes). Rounds 5-8 set this to 60s — and round 9
-      // measured that each periodic System.gc() POISONS the next
-      // several seconds of execution (wall 7.0/5.1s on a 2.9s plan
-      // with gc-in-window a mere 0.2/0.04s — the cost is post-GC
-      // recompilation/cleanup drain, not collection time), landing at
-      // a random point every 60s of sweep — i.e. preferentially
-      // inside the LONGEST keys' timed windows. That is the recorded
-      // mechanism behind the r8 driver-sweep-only anomalies the round-9
-      // verdict flagged (scale_containment_10x 34.9 vs 7.7 isolated,
-      // q_tpch_q21 1.86 vs 1.08: the longer the key, the more storms
-      // its min-of-N absorbs, while short isolated runs dodge them).
+      // measured that each System.gc() POISONS the next several
+      // seconds of execution (recorded A/B, BENCH_NOTES round-9
+      // section: gc-before-every-rep walls 9.4/3.0/7.7/5.4s on a
+      // plan whose steady state is 2.33s, while gc-IN-window reads
+      // only 0.08-0.18s — the cost is post-GC recompilation/cleanup
+      // drain, not collection time), landing at a random point every
+      // 60s of sweep — i.e. preferentially inside the LONGEST keys'
+      // timed windows. That is the recorded mechanism behind the r8
+      // driver-sweep-only anomalies the round-9 verdict flagged
+      // (scale_containment_10x 34.9 vs 7.7 isolated, q_tpch_q21 1.86
+      // vs 1.08: the longer the key, the more storms its min-of-N
+      // absorbs, while short isolated runs dodge them).
       // Round 9: periodic GC pushed past sweep length; cleanup instead
       // runs DETERMINISTICALLY at key boundaries (see maybeCleanup),
       // outside every timed window, with an untimed heal pass.
@@ -205,10 +207,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Deterministic heap hygiene (round 9; replaces the r8 per-key
-    // forced GC, which was measured to POISON the following ~2 reps:
-    // ngram with a System.gc() immediately before it benched
-    // 4.4-4.9 s against 2.9 s without — wall inflated while
-    // gc-in-window read 0.04-0.2 s, so the cost is post-GC execution
+    // forced GC, which was measured to POISON the following reps:
+    // recorded A/B in BENCH_NOTES round-9 section — ngram with a
+    // System.gc() immediately before every rep benched 9.4/3.0/7.7/
+    // 5.4 s against a 2.33 s steady state without, while gc-in-window
+    // read only 0.08-0.18 s, so the cost is post-GC execution
     // slowdown, invisible to GC accounting and therefore the WORST
     // kind of measurement pollution). Cleanup now runs at KEY
     // BOUNDARIES, at most once per ~90 s of sweep: a full GC (frees
@@ -216,8 +219,8 @@ object Bench {
     // can RPC the removals — the r5 heap-debt problem stays solved)
     // followed by an untimed heal pass absorbing the bulk of the
     // poison; the FIRST key measured after a cleanup gets one extra
-    // rep so min-of-N lands beyond the residual (measured: rep1 7.0,
-    // rep2 3.6, rep3 ~2.9 on the 2.9 s plan).
+    // rep so min-of-N lands beyond the residual (recorded heal curve:
+    // first rep after one GC 3.11 s vs 2.33 steady).
     var lastCleanupNs = System.nanoTime()
     def maybeCleanup(): Boolean = {
       if ((System.nanoTime() - lastCleanupNs) / 1e9 < 90.0) false
@@ -529,6 +532,12 @@ object Bench {
     // 15: above every observed noise excursion, far below any real
     // explosion. Checked after the JSON line so a tripped gate still
     // leaves the measurements on record.
+    // Gate regime (round-9 verdict item 8): with the periodic-GC
+    // poisoning removed (see maybeCleanup), in-sweep numbers are
+    // expected to track isolated numbers (r8 isolated containment
+    // ratio 3.8 vs the poisoned in-sweep 10.4) — the gate therefore
+    // stays on in-sweep numbers at 15, and the per-key gc/sentinel
+    // columns in the output are the evidence trail if they diverge.
     val byName = all.toMap
     val tripped = Seq("agg", "join", "dedup", "semdedup", "knn", "knn_hier",
       "bm25", "containment", "ivfpq").flatMap { k =>

@@ -221,6 +221,34 @@ if (fam("cc")) {
   val tCc100 = (System.nanoTime() - tcc0) / 1e9
   println(f"SCALE100 cc: 1x=$tCc1%.2f 100x=$tCc100%.2f ratio=${tCc100 / tCc1}%.1f edges1=$n1 edges100=$n100 rounds1=$r1 rounds100=$r100 nodes100=$c100")
 }
+// Span dedup (ExactSubstr) at 100x: the word bijection keeps each
+// copy's w-token segment TEXTS disjoint from every other copy's, so
+// per-copy first-occurrence structure is preserved verbatim =>
+// sum(n_seg) and sum(n_kept) at C copies = EXACTLY C x the 1x sums.
+// Plan is two thin shuffles (segment min-occurrence agg + doc
+// reassembly agg) -- the wall ratio watches those staying linear.
+def spans(c: Int) = graft.operators.Dedup.spanDedup(docsAt(c), "doc_id", "text", w = 8)
+if (fam("spans")) {
+  val s1 = spans(1).agg(sum("n_seg"), sum("n_kept")).head()
+  val tSp1 = (1 to 2).map(_ => time(force(spans(1)))).min
+  System.gc()
+  val tsp0 = System.nanoTime()
+  val s100 = spans(100).agg(sum("n_seg"), sum("n_kept")).head()
+  val tSp100 = (System.nanoTime() - tsp0) / 1e9
+  println(f"SCALE100 spans: 1x=$tSp1%.2f 100x=$tSp100%.2f ratio=${tSp100 / tSp1}%.1f seg1=${s1.getLong(0)} seg100=${s100.getLong(0)} kept1=${s1.getLong(1)} kept100=${s100.getLong(1)} segRatio=${s100.getLong(0).toDouble / s1.getLong(0)}%.1f keptRatio=${s100.getLong(1).toDouble / s1.getLong(1)}%.1f")
+}
+// BPE trainer at 100x: numMerges FIXED while the corpus grows -- the
+// batched top-M counting keeps the distributed pass count a function
+// of merges (not corpus), so wall must scale with the corpus
+// word-count pass alone. (The per-copy word suffixes change which
+// pairs win, but not the pass structure or per-pass cost shape.)
+def bpe(c: Int) = graft.operators.TextPipeline.bpeMerges(docsAt(c), "doc_id", "text", numMerges = 12)
+if (fam("bpe")) {
+  val tBp1 = (1 to 2).map(_ => time(force(bpe(1)))).min
+  System.gc()
+  val tBp100 = time(force(bpe(100)))
+  println(f"SCALE100 bpe: 1x=$tBp1%.2f 100x=$tBp100%.2f ratio=${tBp100 / tBp1}%.1f")
+}
 if (fam("pq")) {
   val tPt1 = (1 to 2).map(_ => time(force(pqTrain(1)))).min
   System.gc()
