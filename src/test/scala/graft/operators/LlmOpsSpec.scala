@@ -231,6 +231,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(keepers === clusters)
   }
 
+  test("connected-components rounds grow with diameter, NOT with disjoint copies") {
+    import spark.implicits._
+    // the 100x-cert linearity instrument (tools/scale100.scala `cc`):
+    // C disjoint copies of an edge set have the 1x component diameters,
+    // so label propagation must converge in the SAME number of rounds —
+    // a round count that grew with copies would make total work
+    // super-linear (rounds x edges) without any wall-clock measurement
+    // noticing at small C
+    def chain(ids: Seq[Long]) = ids.zip(ids.tail)
+    val base = chain(1L to 6L) ++ Seq((10L, 11L)) // diameter-5 chain + an edge
+    def copies(c: Int) = (0 until c).flatMap(i =>
+      base.map { case (a, b) => (a + i * 1000L, b + i * 1000L) })
+      .toDF("id_a", "id_b")
+    val (l1, r1) = DedupClusters.assignWithRounds(copies(1))
+    val (l8, r8) = DedupClusters.assignWithRounds(copies(8))
+    assert(r8 === r1, "disjoint copies must not add propagation rounds")
+    assert(l8.count() === 8 * l1.count())
+    // and the contrast: rounds DO grow with diameter (pointer jumping
+    // is O(log diameter), so a 24-node chain needs more rounds than a
+    // 6-node one) — proving the counter measures convergence, not a
+    // constant
+    val (_, rLong) = DedupClusters.assignWithRounds(chain(1L to 24L).toDF("id_a", "id_b"))
+    assert(rLong > r1, s"24-chain rounds $rLong should exceed 6-chain rounds $r1")
+  }
+
   test("applyKeepList keeps min-id per component and every unpaired row") {
     import spark.implicits._
     val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "e"))
