@@ -423,6 +423,25 @@ object Bench {
       embAt(copies).select(col("vec_id"), col("embedding")),
       k = 3, nlist = 16 * copies, nprobe = 4, superProbe = 2,
       trainCap = math.max(100000, 16 * copies))
+    // Span dedup (ExactSubstr) scaling: the dissimilar-copy discipline
+    // keeps each copy's segment texts disjoint (per-copy character
+    // substitution), so first-occurrence structure is preserved
+    // verbatim per copy — kept segments grow exactly linearly; the
+    // point watches the two thin shuffles (segment min-occurrence,
+    // doc reassembly) staying linear. 100× cert: ratio 40.9 at counts
+    // exactly 100.0× (BENCH_NOTES round-9).
+    def scaleSpans(copies: Int) = graft.operators.Dedup.spanDedup(
+      docsAt(copies), "doc_id", "text", w = 8)
+    // Connected-components scaling: edges = the MinHash pairs of the
+    // C× corpus (disjoint copies ⇒ same component diameters ⇒ SAME
+    // convergence-round count — pinned in LlmOpsSpec); per-round cost
+    // is two shuffle joins over the edge set. Pair generation is part
+    // of the measured plan here (unlike the cert, which isolates the
+    // clustering); the gate still watches the composite staying
+    // far from quadratic. 100× cert: clustering alone ratio 3.2.
+    def scaleCc(copies: Int) = graft.operators.DedupClusters.assign(
+      graft.operators.Dedup.minhashPairs(docsAt(copies), "doc_id", "text",
+        threshold = 0.5).select(col("id_a"), col("id_b")))
     val scalePoints = Seq(
       "scale_agg_1x" -> (() => scaleAgg(1)), "scale_agg_10x" -> (() => scaleAgg(10)),
       "scale_join_1x" -> (() => scaleJoin(1)), "scale_join_10x" -> (() => scaleJoin(10)),
@@ -438,7 +457,11 @@ object Bench {
       "scale_containment_1x" -> (() => scaleContainment(1)),
       "scale_containment_10x" -> (() => scaleContainment(10)),
       "scale_ivfpq_1x" -> (() => scaleIvfpq(1)),
-      "scale_ivfpq_10x" -> (() => scaleIvfpq(10)))
+      "scale_ivfpq_10x" -> (() => scaleIvfpq(10)),
+      "scale_spans_1x" -> (() => scaleSpans(1)),
+      "scale_spans_10x" -> (() => scaleSpans(10)),
+      "scale_cc_1x" -> (() => scaleCc(1)),
+      "scale_cc_10x" -> (() => scaleCc(10)))
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
         val pinShuffleJoin = name.startsWith("scale_join")
@@ -553,7 +576,7 @@ object Bench {
     // columns in the output are the evidence trail if they diverge.
     val byName = all.toMap
     val tripped = Seq("agg", "join", "dedup", "semdedup", "knn", "knn_hier",
-      "bm25", "containment", "ivfpq").flatMap { k =>
+      "bm25", "containment", "ivfpq", "spans", "cc").flatMap { k =>
       if (!byName.contains(s"scale_${k}_1x")) None // filtered out (local iteration)
       else {
       val (t1x, t10x) = (byName(s"scale_${k}_1x"), byName(s"scale_${k}_10x"))
