@@ -116,22 +116,25 @@ object StreamingQueries {
       batchOracles("q_funnel").oracle),
 
     "q_stream_sequence_match" -> Q(
-      // CH sequenceMatch over unbounded input (EventStreams
-      // .streamingSequenceMatch: ONE LONG of NFA position-set state
-      // per user, no event history), both batch patterns streamed to
-      // completion; a user's single emission ⇔ the batch aggregate's
-      // true verdict, so the (m_gap, m_adj) distribution over all
-      // users matches q_agg_sequence_match's oracle verbatim.
+      // CH sequenceMatch over unbounded input — BOTH batch patterns
+      // through ONE stream pass (EventStreams
+      // .streamingSequenceMatchMulti: one NFA position-set long per
+      // pattern per user, one shared pending tail, no event history);
+      // a (user, pattern) emission ⇔ the batch aggregate's true
+      // verdict, so the (m_gap, m_adj) distribution over all users
+      // matches q_agg_sequence_match's oracle verbatim.
       (s, dir) => {
         implicit val sp: SparkSession = s
         val maskOf = Map("signup" -> 1, "purchase" -> 2)
-        def matchedUsers(pattern: String, flag: String): DataFrame =
-          runEventStream(s, dir, "other")(ds =>
-            EventStreams.streamingSequenceMatch(ds, pattern, maskOf).toDF())
-            .filter(col("user_id") =!= SentinelUser)
-            .select(col("user_id")).withColumn(flag, lit(true))
-        val gap = matchedUsers("(?1).*(?2)", "g")
-        val adj = matchedUsers("(?1)(?2)", "a")
+        val multi = runEventStream(s, dir, "other")(ds =>
+          EventStreams.streamingSequenceMatchMulti(ds,
+            Seq("(?1).*(?2)", "(?1)(?2)"), maskOf).toDF())
+          .filter(col("user_id") =!= SentinelUser)
+        def matchedUsers(idx: Int, flag: String): DataFrame = multi
+          .filter(col("pattern_idx") === idx)
+          .select(col("user_id")).withColumn(flag, lit(true))
+        val gap = matchedUsers(0, "g")
+        val adj = matchedUsers(1, "a")
         Q.events(s, dir).select("user_id").distinct()
           .join(gap, Seq("user_id"), "left")
           .join(adj, Seq("user_id"), "left")

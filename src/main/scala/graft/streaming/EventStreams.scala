@@ -311,23 +311,71 @@ object EventStreams {
       maskOf: Map[String, Int] = Map("signup" -> 1, "purchase" -> 2))(
       implicit s: SparkSession): Dataset[SeqMatchProgress] = {
     import s.implicits._
+    // one implementation: the single-pattern form is the multi form
+    // with one NFA, so the two can never drift (the single-pattern
+    // fuzz in StreamingSpec exercises the multi machinery end to end)
+    streamingSequenceMatchMulti(events, Seq(pattern), maskOf)
+      .map(p => SeqMatchProgress(p.user_id, p.matched_us))
+  }
+
+  /** One [[streamingSequenceMatchMulti]] emission: the user's history
+    * first matched `patterns(pattern_idx)` at event time `matched_us`;
+    * exactly one row per (user, pattern) ever. */
+  final case class SeqMatchMultiProgress(user_id: Long, pattern_idx: Int,
+      matched_us: Long)
+
+  /** Per-user [[streamingSequenceMatchMulti]] state: one NFA
+    * position-set bitmask and matched flag PER PATTERN, plus the ONE
+    * shared above-watermark (ts µs, mask) tail — N patterns cost N
+    * longs of extra state, not N buffered event streams. */
+  final case class SeqMatchMultiState(positions: Seq[Long],
+      matched: Seq[Boolean], pending: List[(Long, Int)])
+
+  /**
+   * [[streamingSequenceMatch]] for SEVERAL patterns in ONE stream
+   * pass — the production shape (a funnel-health job watches many
+   * patterns over the same events; running one keyed state per
+   * pattern would re-shuffle and re-buffer the stream N times). Every
+   * watermark-finalized event steps all N automata; per-user state is
+   * N longs + N booleans + the single shared pending tail, and the
+   * tail is dropped (with its event-time timeouts) once EVERY pattern
+   * has matched — the multi-pattern generalization of the single
+   * form's early-out.
+   *
+   * Emissions are append-only: one (user, pattern_idx, matched_us)
+   * row at each pattern's first match, independent across patterns.
+   * Equivalence with running N independent single-pattern streams is
+   * pinned in StreamingSpec (the automata share nothing but the
+   * event feed).
+   */
+  def streamingSequenceMatchMulti(events: Dataset[Event],
+      patterns: Seq[String],
+      maskOf: Map[String, Int] = Map("signup" -> 1, "purchase" -> 2))(
+      implicit s: SparkSession): Dataset[SeqMatchMultiProgress] = {
+    import s.implicits._
     import graft.functions.SequenceMatchAgg.{AnyGap, AnyOne, Cond, parse}
-    val tokens = parse(pattern) // rejects (?t…) and malformed input here
-    val m = tokens.length
-    require(m < 63, s"pattern too long for the bitmask state: $m tokens")
-    def closure(set: Long): Long = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val tokenSets = patterns.map(parse).toArray // rejects (?t…) here
+    tokenSets.zipWithIndex.foreach { case (ts, i) =>
+      require(ts.length < 63,
+        s"pattern ${i} too long for the bitmask state: ${ts.length} tokens")
+    }
+    val nPat = tokenSets.length
+    def closure(pi: Int, set: Long): Long = {
+      val tokens = tokenSets(pi)
       var st = set
       var t = 0
-      while (t < m) {
+      while (t < tokens.length) {
         if ((st >> t & 1L) == 1L && tokens(t) == AnyGap) st |= 1L << (t + 1)
         t += 1
       }
       st
     }
-    def step(states: Long, ev: Int): Long = {
+    def step(pi: Int, states: Long, ev: Int): Long = {
+      val tokens = tokenSets(pi)
       var next = 1L // the start state persists: a match may begin anywhere
       var t = 0
-      while (t < m) {
+      while (t < tokens.length) {
         if ((states >> t & 1L) == 1L) tokens(t) match {
           case Cond(bit) => if (((ev >> bit) & 1) == 1) next |= 1L << (t + 1)
           case AnyOne => next |= 1L << (t + 1)
@@ -335,35 +383,46 @@ object EventStreams {
         }
         t += 1
       }
-      closure(next)
+      closure(pi, next)
     }
-    val init = closure(1L)
+    val inits = Seq.tabulate(nPat)(pi => closure(pi, 1L))
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SeqMatchState, SeqMatchProgress](
+      .flatMapGroupsWithState[SeqMatchMultiState, SeqMatchMultiProgress](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[SeqMatchState]) =>
-          val st = state.getOption.getOrElse(SeqMatchState(init, matched = false, Nil))
+        (userId: Long, batch: Iterator[Event], state: GroupState[SeqMatchMultiState]) =>
+          val st = state.getOption.getOrElse(
+            SeqMatchMultiState(inits, Seq.fill(nPat)(false), Nil))
           def us(t: java.sql.Timestamp): Long =
             math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           val incoming = batch.map(e => (us(e.ts), maskOf.getOrElse(e.event_type, 0))).toList
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ready, pending) = (st.pending ++ incoming).partition(_._1 < wmUs)
-          var positions = st.positions
-          var matched = st.matched
-          var matchedUs = Long.MinValue
-          if (!matched) ready.sortBy { case (t, mk) => (t, mk) }.foreach { case (t, mk) =>
-            if (!matched) {
-              positions = step(positions, mk)
-              if ((positions >> m & 1L) == 1L) { matched = true; matchedUs = t }
+          val positions = st.positions.toArray
+          val matched = st.matched.toArray
+          val matchedUs = Array.fill(nPat)(Long.MinValue)
+          if (!matched.forall(identity))
+            ready.sortBy { case (t, mk) => (t, mk) }.foreach { case (t, mk) =>
+              var pi = 0
+              while (pi < nPat) {
+                if (!matched(pi)) {
+                  positions(pi) = step(pi, positions(pi), mk)
+                  if ((positions(pi) >> tokenSets(pi).length & 1L) == 1L) {
+                    matched(pi) = true; matchedUs(pi) = t
+                  }
+                }
+                pi += 1
+              }
             }
-          }
-          state.update(SeqMatchState(positions, matched, if (matched) Nil else pending))
-          if (!matched) pending.map(_._1).minOption.foreach(t =>
+          val allMatched = matched.forall(identity)
+          state.update(SeqMatchMultiState(positions.toSeq, matched.toSeq,
+            if (allMatched) Nil else pending))
+          if (!allMatched) pending.map(_._1).minOption.foreach(t =>
             state.setTimeoutTimestamp(t / 1000L + 1L))
-          if (matchedUs != Long.MinValue) Iterator.single(SeqMatchProgress(userId, matchedUs))
-          else Iterator.empty
+          (0 until nPat).iterator
+            .filter(pi => matchedUs(pi) != Long.MinValue)
+            .map(pi => SeqMatchMultiProgress(userId, pi, matchedUs(pi)))
       }
   }
 

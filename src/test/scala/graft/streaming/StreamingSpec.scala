@@ -618,6 +618,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids("q_stream_dedup").nonEmpty)
   }
 
+  test("multi-pattern sequenceMatch: one stream pass equals N independent batch verdicts") {
+    implicit val ctx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    // all four fuzz patterns through ONE keyed state (N longs + one
+    // shared pending tail) — per-pattern matched sets must equal the
+    // batch aggregate's verdicts, emissions at most one per
+    // (user, pattern), independent across patterns
+    val types = Vector("signup", "purchase", "other")
+    val maskOf = Map("signup" -> 1, "purchase" -> 2)
+    val patterns = Seq("(?1).*(?2)", "(?1).(?2)", "(?1)(?2)", "(?2).*(?1).*(?1)")
+    val rnd = new scala.util.Random(7)
+    val events = (0 until 90).map { i =>
+      Event(i.toLong, new Timestamp(ts("00:00").getTime + rnd.nextInt(3600) * 1000L),
+        1L + rnd.nextInt(5), types(rnd.nextInt(types.length)), 0.0)
+    }
+    val slices = events.sortBy(e => (e.ts.getTime, e.event_id)).grouped(23).toSeq
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingSequenceMatchMulti(input.toDS(), patterns, maskOf)
+      .writeStream.format("memory").queryName("seqm_multi").outputMode("append").start()
+    try {
+      slices.foreach { sl => input.addData(sl: _*); q.processAllAvailable() }
+      Seq("03:00", "04:00", "04:10").zipWithIndex.foreach { case (m, i) =>
+        input.addData(Event(900L + i, ts(m), 99, "other", 0.0))
+        q.processAllAvailable()
+      }
+      val streamedRows = spark.table("seqm_multi")
+        .as[EventStreams.SeqMatchMultiProgress]
+        .collect().filter(_.user_id != 99L)
+      assert(streamedRows.groupBy(r => (r.user_id, r.pattern_idx))
+        .forall(_._2.length == 1), "at most one emission per (user, pattern)")
+      patterns.zipWithIndex.foreach { case (pat, pi) =>
+        val streamed = streamedRows.filter(_.pattern_idx == pi).map(_.user_id).toSet
+        val batch = events.toDF()
+          .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+            coalesce(typedLit(maskOf).apply(col("event_type")), lit(0)).as("mask"))
+          .groupBy("user_id")
+          .agg(call_function("sequence_match_agg",
+            col("tus"), col("mask"), lit(pat)).as("hit"))
+          .collect().filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+        assert(streamed === batch, s"pattern $pat (idx $pi): $streamed != $batch")
+      }
+    } finally q.stop()
+  }
+
   test("streaming sequenceMatch: NFA state equals batch verdict across patterns (fuzz)") {
     implicit val ctx = spark.sqlContext
     implicit val s = spark
