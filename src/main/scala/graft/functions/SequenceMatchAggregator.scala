@@ -16,11 +16,15 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType}
  * matching the pattern?
  *
  * Supported pattern subset — the structural core of CH's language:
- *   `(?N)` an event where condition N holds (N in 1..32)
- *   `.`    exactly one event of any kind
- *   `.*`   any number of events (including none)
- * Time-bound constraints (`(?t<=n)`) are NOT supported — reject at
- * plan time rather than silently mis-match.
+ *   `(?N)`     an event where condition N holds (N in 1..32)
+ *   `.`        exactly one event of any kind
+ *   `.*`       any number of events (including none)
+ *   `(?t op n)` time constraint between the two events matched by the
+ *              ADJACENT consuming tokens (op ∈ {<, <=, >, >=, ==, !=};
+ *              n in the ts column's epoch units). Must sit directly
+ *              between two consuming tokens — a constraint across `.*`
+ *              is rejected at plan time rather than silently
+ *              mis-matched (it has no bounded-state evaluation).
  *
  * Input is pre-flattened for Spark (same convention as funnel_agg):
  * `sequence_match_agg(ts, mask, 'pattern')` where `mask` is the bitmask
@@ -89,7 +93,8 @@ case class SequenceMatchAgg(
     val idx = Array.range(0, n)
       .sortBy(i => (buffer(2 * i), buffer(2 * i + 1)))
     val masks = idx.map(i => buffer(2 * i + 1).toInt)
-    matches(masks, tokens)
+    val tss = idx.map(i => buffer(2 * i))
+    matches(masks, tokens, tss)
   }
 
   override def serialize(buffer: ArrayBuffer[Long]): Array[Byte] = {
@@ -172,7 +177,8 @@ case class SequenceCountAgg(
   override def eval(buffer: ArrayBuffer[Long]): Any = {
     val n = buffer.length / 2
     val idx = Array.range(0, n).sortBy(i => (buffer(2 * i), buffer(2 * i + 1)))
-    countMatches(idx.map(i => buffer(2 * i + 1).toInt), tokens)
+    countMatches(idx.map(i => buffer(2 * i + 1).toInt), tokens,
+      idx.map(i => buffer(2 * i)))
   }
 
   override def serialize(buffer: ArrayBuffer[Long]): Array[Byte] = {
@@ -205,6 +211,15 @@ object SequenceMatchAgg {
   case class Cond(bit: Int) extends Token // event with condition bit set
   case object AnyOne extends Token        // '.'  — exactly one event
   case object AnyGap extends Token        // '.*' — zero or more events
+  /** CH `(?t op N)`: a time constraint between the two events matched
+    * by the ADJACENT consuming tokens — `ts(next) − ts(prev)` must
+    * satisfy `op N` (units = the ts column's epoch units). Parse
+    * REQUIRES a consuming token ((?N) or `.`) directly on each side:
+    * under this repo's adjacency semantics those are consecutive
+    * events of the group, so the constraint is always a predicate on
+    * one inter-event delta — which is what keeps the streaming state
+    * bounded (one `lastTs` long; see EventStreams). */
+  case class TimeEdge(cmp: String, v: Long) extends Token
 
   /** Parse the CH pattern subset; fail with the position on anything else. */
   def parse(p: String): Array[Token] = {
@@ -216,13 +231,29 @@ object SequenceMatchAgg {
         if (close < 0) throw new IllegalArgumentException(
           s"sequence_match_agg: unclosed '(?' at position $i in '$p'")
         val body = p.substring(i + 2, close)
-        if (body.startsWith("t")) throw new IllegalArgumentException(
-          s"sequence_match_agg: time constraints '(?t…)' are not supported ('$p')")
-        val n = body.toIntOption.getOrElse(throw new IllegalArgumentException(
-          s"sequence_match_agg: expected (?N) with integer N, got '(?$body)' in '$p'"))
-        if (n < 1 || n > 32) throw new IllegalArgumentException(
-          s"sequence_match_agg: condition number $n outside [1, 32] in '$p'")
-        out += Cond(n - 1)
+        if (body.startsWith("t")) {
+          val rest = body.substring(1)
+          val (cmp, numStr) =
+            if (rest.startsWith("<=")) ("<=", rest.substring(2))
+            else if (rest.startsWith(">=")) (">=", rest.substring(2))
+            else if (rest.startsWith("==")) ("==", rest.substring(2))
+            else if (rest.startsWith("!=")) ("!=", rest.substring(2))
+            else if (rest.startsWith("<")) ("<", rest.substring(1))
+            else if (rest.startsWith(">")) (">", rest.substring(1))
+            else throw new IllegalArgumentException(
+              s"sequence_match_agg: expected (?t<op><n> with op in {<, <=, >, >=, ==, !=}, got '(?$body)' in '$p'")
+          val v = numStr.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"sequence_match_agg: expected integer time value, got '(?$body)' in '$p'"))
+          if (v < 0) throw new IllegalArgumentException(
+            s"sequence_match_agg: negative time value in '(?$body)' ('$p')")
+          out += TimeEdge(cmp, v)
+        } else {
+          val n = body.toIntOption.getOrElse(throw new IllegalArgumentException(
+            s"sequence_match_agg: expected (?N) with integer N, got '(?$body)' in '$p'"))
+          if (n < 1 || n > 32) throw new IllegalArgumentException(
+            s"sequence_match_agg: condition number $n outside [1, 32] in '$p'")
+          out += Cond(n - 1)
+        }
         i = close + 1
       } else if (p.startsWith(".*", i)) { out += AnyGap; i += 2 }
       else if (p.charAt(i) == '.') { out += AnyOne; i += 1 }
@@ -231,7 +262,45 @@ object SequenceMatchAgg {
     }
     if (!out.exists(_.isInstanceOf[Cond])) throw new IllegalArgumentException(
       s"sequence_match_agg: pattern '$p' has no (?N) condition")
+    val toks = out.toArray
+    def consuming(t: Token): Boolean = t match {
+      case Cond(_) | AnyOne => true
+      case _ => false
+    }
+    toks.indices.foreach { i =>
+      if (toks(i).isInstanceOf[TimeEdge]) {
+        val ok = i > 0 && i < toks.length - 1 &&
+          consuming(toks(i - 1)) && consuming(toks(i + 1))
+        if (!ok) throw new IllegalArgumentException(
+          s"sequence_match_agg: '(?t…)' must sit directly between two " +
+            s"consuming tokens ((?N) or '.') in '$p' — a constraint across " +
+            "'.*' has no bounded-state evaluation")
+      }
+    }
+    toks
+  }
+
+  /** Tokens with each [[TimeEdge]] folded onto the FOLLOWING consuming
+    * token as its incoming-edge constraint — the positional alphabet
+    * every matcher below runs on (edges occupy no NFA position). */
+  def compile(tokens: Array[Token]): Array[(Token, Option[TimeEdge])] = {
+    val out = ArrayBuffer.empty[(Token, Option[TimeEdge])]
+    var pending: Option[TimeEdge] = None
+    tokens.foreach {
+      case e: TimeEdge => pending = Some(e)
+      case t => out += ((t, pending)); pending = None
+    }
     out.toArray
+  }
+
+  /** Does inter-event delta `d` satisfy the edge constraint? */
+  def edgeOk(e: TimeEdge, d: Long): Boolean = e.cmp match {
+    case "<" => d < e.v
+    case "<=" => d <= e.v
+    case ">" => d > e.v
+    case ">=" => d >= e.v
+    case "==" => d == e.v
+    case _ => d != e.v
   }
 
   /**
@@ -242,12 +311,26 @@ object SequenceMatchAgg {
    * and the NFA restarts on the NEXT event — greedy earliest-end,
    * which never overlaps chains.
    */
-  def countMatches(masks: Array[Int], tokens: Array[Token]): Int = {
-    val m = tokens.length
+  def countMatches(masks: Array[Int], tokens: Array[Token]): Int =
+    countMatches(masks, tokens, null)
+
+  /** `tss` may be null for edge-free patterns. Time-edge soundness:
+    * non-gap NFA bits never persist across events (each event rebuilds
+    * `next` from scratch; only `AnyGap` self-loops and the start bit
+    * carry over), and parse forbids edges adjacent to `.*` — so a bit
+    * feeding an edge-guarded transition at event i was necessarily set
+    * while processing event i−1, making `tss(i) − tss(i−1)` exactly
+    * the delta the constraint ranges over. */
+  def countMatches(masks: Array[Int], tokens: Array[Token],
+      tss: Array[Long]): Int = {
+    val steps = compile(tokens)
+    require(steps.forall(_._2.isEmpty) || tss != null,
+      "time-constrained pattern needs the timestamp array")
+    val m = steps.length
     def closure(states: java.util.BitSet): java.util.BitSet = {
       var t = 0
       while (t < m) {
-        if (states.get(t) && tokens(t) == AnyGap) states.set(t + 1)
+        if (states.get(t) && steps(t)._1 == AnyGap) states.set(t + 1)
         t += 1
       }
       states
@@ -262,13 +345,16 @@ object SequenceMatchAgg {
     var i = 0
     while (i < masks.length) {
       val ev = masks(i)
+      def edgeHolds(edge: Option[TimeEdge]): Boolean =
+        edge.forall(e => i >= 1 && edgeOk(e, tss(i) - tss(i - 1)))
       val next = new java.util.BitSet(m + 1)
       var t = 0
       while (t < m) {
-        if (states.get(t)) tokens(t) match {
-          case Cond(bit) => if (((ev >> bit) & 1) == 1) next.set(t + 1)
-          case AnyOne => next.set(t + 1)
-          case AnyGap => next.set(t) // gap swallows this event
+        if (states.get(t)) steps(t) match {
+          case (Cond(bit), edge) =>
+            if (((ev >> bit) & 1) == 1 && edgeHolds(edge)) next.set(t + 1)
+          case (AnyOne, edge) => if (edgeHolds(edge)) next.set(t + 1)
+          case _ => next.set(t) // gap swallows this event (never edge-guarded)
         }
         t += 1
       }
@@ -289,25 +375,43 @@ object SequenceMatchAgg {
    * = "after consuming the tokens so far, the match cursor can stand
    * just before event p".
    */
-  def matches(masks: Array[Int], tokens: Array[Token]): Boolean = {
+  def matches(masks: Array[Int], tokens: Array[Token]): Boolean =
+    matches(masks, tokens, null)
+
+  /** `tss` may be null for edge-free patterns. Time-edge soundness:
+    * `reach(p)` set by a CONSUMING token means that token consumed
+    * event p−1 exactly, and parse forbids edges adjacent to `.*` — so
+    * an edge-guarded token applied from `reach(p)` constrains
+    * `tss(p) − tss(p−1)`, the delta of the two consecutive events its
+    * adjacent tokens match. */
+  def matches(masks: Array[Int], tokens: Array[Token],
+      tss: Array[Long]): Boolean = {
+    val steps = compile(tokens)
+    require(steps.forall(_._2.isEmpty) || tss != null,
+      "time-constrained pattern needs the timestamp array")
     val n = masks.length
     var reach = Array.fill(n + 1)(true) // implicit leading .*
-    tokens.foreach { tok =>
+    steps.foreach { case (tok, edge) =>
       val next = Array.fill(n + 1)(false)
+      // p >= 1 always holds where an edge applies (the mandatory
+      // preceding consuming token cleared reach(0)); guarded anyway
+      def edgeHolds(p: Int): Boolean =
+        edge.forall(e => p >= 1 && edgeOk(e, tss(p) - tss(p - 1)))
       tok match {
         case Cond(bit) =>
           var p = 0
           while (p < n) {
-            if (reach(p) && ((masks(p) >> bit) & 1) == 1) next(p + 1) = true
+            if (reach(p) && ((masks(p) >> bit) & 1) == 1 && edgeHolds(p))
+              next(p + 1) = true
             p += 1
           }
         case AnyOne =>
           var p = 0
           while (p < n) {
-            if (reach(p)) next(p + 1) = true
+            if (reach(p) && edgeHolds(p)) next(p + 1) = true
             p += 1
           }
-        case AnyGap =>
+        case _ => // AnyGap (never edge-guarded)
           // upward closure: from p the cursor may stand anywhere >= p
           var seen = false
           var p = 0

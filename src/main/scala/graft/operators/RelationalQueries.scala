@@ -724,6 +724,43 @@ object RelationalQueries {
                  GROUP BY user_id)
                GROUP BY pairs ORDER BY pairs""")),
 
+    "q_agg_sequence_match_time" -> Q(
+      // CH sequenceMatch with a TIME CONSTRAINT — '(?1)(?t<=n)(?2)':
+      // a signup immediately followed by a purchase within n µs (and
+      // the '>' direction as the second aggregate). The (?t) edge is
+      // exact under this repo's adjacency semantics (it constrains
+      // the delta of two CONSECUTIVE events), so it reduces to a
+      // lead()-pair predicate — which is the oracle. Same no-same-µs
+      // tie justification as q_agg_sequence_match.
+      (s, dir) => {
+        val m = when(col("event_type") === "signup", 1)
+          .when(col("event_type") === "purchase", 2).otherwise(0)
+        Q.events(s, dir)
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("tus"), m.as("mask"))
+          .groupBy("user_id")
+          .agg(
+            call_function("sequence_match_agg", col("tus"), col("mask"),
+              lit("(?1)(?t<=600000000)(?2)")).as("m_within"),
+            call_function("sequence_match_agg", col("tus"), col("mask"),
+              lit("(?1)(?t>600000000)(?2)")).as("m_beyond"))
+          .groupBy("m_within", "m_beyond").agg(count(lit(1)).as("users"))
+          .orderBy("m_within", "m_beyond")
+      },
+      Some(s"""SELECT m_within, m_beyond, count(*) AS users FROM (
+                 SELECT user_id,
+                        coalesce(bool_or(cur = 'signup' AND nxt = 'purchase'
+                                         AND dus <= 600000000), false) AS m_within,
+                        coalesce(bool_or(cur = 'signup' AND nxt = 'purchase'
+                                         AND dus > 600000000), false) AS m_beyond
+                 FROM (SELECT user_id, event_type AS cur,
+                              lead(event_type) OVER w AS nxt,
+                              epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dus
+                       FROM ${Q.eventsOracle}
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts)) o
+                 GROUP BY user_id)
+               GROUP BY m_within, m_beyond ORDER BY m_within, m_beyond""")),
+
     "q_agg_conditional" -> Q(
       // CH countIf/sumIf/avgIf — conditional aggregation without a
       // pre-filter (each aggregate sees a different predicate). Spark

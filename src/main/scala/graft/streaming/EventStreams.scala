@@ -327,9 +327,14 @@ object EventStreams {
   /** Per-user [[streamingSequenceMatchMulti]] state: one NFA
     * position-set bitmask and matched flag PER PATTERN, plus the ONE
     * shared above-watermark (ts µs, mask) tail — N patterns cost N
-    * longs of extra state, not N buffered event streams. */
+    * longs of extra state, not N buffered event streams. `lastTs` is
+    * the timestamp of the last FINALIZED event (Long.MinValue before
+    * the first): time-edge constraints always compare consecutive
+    * finalized events (parse forbids edges across `.*`), so one long
+    * serves every pattern's every constraint. */
   final case class SeqMatchMultiState(positions: Seq[Long],
-      matched: Seq[Boolean], pending: List[(Long, Int)])
+      matched: Seq[Boolean], pending: List[(Long, Int)],
+      lastTs: Long = Long.MinValue)
 
   /**
    * [[streamingSequenceMatch]] for SEVERAL patterns in ONE stream
@@ -353,33 +358,43 @@ object EventStreams {
       maskOf: Map[String, Int] = Map("signup" -> 1, "purchase" -> 2))(
       implicit s: SparkSession): Dataset[SeqMatchMultiProgress] = {
     import s.implicits._
-    import graft.functions.SequenceMatchAgg.{AnyGap, AnyOne, Cond, parse}
+    import graft.functions.SequenceMatchAgg.{AnyGap, AnyOne, Cond, TimeEdge, compile, edgeOk, parse}
     require(patterns.nonEmpty, "need at least one pattern")
-    val tokenSets = patterns.map(parse).toArray // rejects (?t…) here
-    tokenSets.zipWithIndex.foreach { case (ts, i) =>
+    // compiled alphabet: TimeEdge constraints folded onto their
+    // following consuming token (they occupy no NFA position); the
+    // same soundness argument as the batch countMatches applies —
+    // non-gap bits never persist across events and edges can't sit
+    // next to `.*`, so an edge always compares against the
+    // immediately-preceding finalized event (state.lastTs)
+    val stepSets: Array[Array[(graft.functions.SequenceMatchAgg.Token, Option[TimeEdge])]] =
+      patterns.map(p => compile(parse(p))).toArray
+    stepSets.zipWithIndex.foreach { case (ts, i) =>
       require(ts.length < 63,
         s"pattern ${i} too long for the bitmask state: ${ts.length} tokens")
     }
-    val nPat = tokenSets.length
+    val nPat = stepSets.length
     def closure(pi: Int, set: Long): Long = {
-      val tokens = tokenSets(pi)
+      val steps = stepSets(pi)
       var st = set
       var t = 0
-      while (t < tokens.length) {
-        if ((st >> t & 1L) == 1L && tokens(t) == AnyGap) st |= 1L << (t + 1)
+      while (t < steps.length) {
+        if ((st >> t & 1L) == 1L && steps(t)._1 == AnyGap) st |= 1L << (t + 1)
         t += 1
       }
       st
     }
-    def step(pi: Int, states: Long, ev: Int): Long = {
-      val tokens = tokenSets(pi)
+    def step(pi: Int, states: Long, ev: Int, delta: Long, hasPrev: Boolean): Long = {
+      val steps = stepSets(pi)
+      def eok(edge: Option[TimeEdge]): Boolean =
+        edge.forall(e => hasPrev && edgeOk(e, delta))
       var next = 1L // the start state persists: a match may begin anywhere
       var t = 0
-      while (t < tokens.length) {
-        if ((states >> t & 1L) == 1L) tokens(t) match {
-          case Cond(bit) => if (((ev >> bit) & 1) == 1) next |= 1L << (t + 1)
-          case AnyOne => next |= 1L << (t + 1)
-          case AnyGap => next |= 1L << t // gap swallows this event
+      while (t < steps.length) {
+        if ((states >> t & 1L) == 1L) steps(t) match {
+          case (Cond(bit), edge) =>
+            if (((ev >> bit) & 1) == 1 && eok(edge)) next |= 1L << (t + 1)
+          case (AnyOne, edge) => if (eok(edge)) next |= 1L << (t + 1)
+          case _ => next |= 1L << t // gap swallows this event (never edge-guarded)
         }
         t += 1
       }
@@ -402,22 +417,27 @@ object EventStreams {
           val positions = st.positions.toArray
           val matched = st.matched.toArray
           val matchedUs = Array.fill(nPat)(Long.MinValue)
+          var prevTs = st.lastTs
+          val readySorted = ready.sortBy { case (t, mk) => (t, mk) }
           if (!matched.forall(identity))
-            ready.sortBy { case (t, mk) => (t, mk) }.foreach { case (t, mk) =>
+            readySorted.foreach { case (t, mk) =>
               var pi = 0
               while (pi < nPat) {
                 if (!matched(pi)) {
-                  positions(pi) = step(pi, positions(pi), mk)
-                  if ((positions(pi) >> tokenSets(pi).length & 1L) == 1L) {
+                  positions(pi) = step(pi, positions(pi), mk,
+                    t - prevTs, prevTs != Long.MinValue)
+                  if ((positions(pi) >> stepSets(pi).length & 1L) == 1L) {
                     matched(pi) = true; matchedUs(pi) = t
                   }
                 }
                 pi += 1
               }
+              prevTs = t
             }
+          val lastTs = readySorted.lastOption.map(_._1).getOrElse(st.lastTs)
           val allMatched = matched.forall(identity)
           state.update(SeqMatchMultiState(positions.toSeq, matched.toSeq,
-            if (allMatched) Nil else pending))
+            if (allMatched) Nil else pending, lastTs))
           if (!allMatched) pending.map(_._1).minOption.foreach(t =>
             state.setTimeoutTimestamp(t / 1000L + 1L))
           (0 until nPat).iterator

@@ -152,4 +152,98 @@ class SequenceMatchAggSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getBoolean(1))).toSeq ===
       Seq((1L, true), (2L, false), (3L, false)))
   }
+
+  test("time edges: parse validation") {
+    assert(parse("(?1)(?t<=3600)(?2)").toSeq ===
+      Seq(Cond(0), TimeEdge("<=", 3600L), Cond(1)))
+    assert(parse("(?1)(?t>10).(?t<5)(?2)").toSeq ===
+      Seq(Cond(0), TimeEdge(">", 10L), AnyOne, TimeEdge("<", 5L), Cond(1)))
+    // an edge needs a CONSUMING token directly on each side
+    intercept[IllegalArgumentException](parse("(?t<=1)(?1)"))      // nothing before
+    intercept[IllegalArgumentException](parse("(?1)(?t<=1)"))      // nothing after
+    intercept[IllegalArgumentException](parse("(?1).*(?t<=1)(?2)")) // gap before
+    intercept[IllegalArgumentException](parse("(?1)(?t<=1).*(?2)")) // gap after
+    intercept[IllegalArgumentException](parse("(?1)(?t~5)(?2)"))   // bad operator
+    intercept[IllegalArgumentException](parse("(?1)(?t<=x)(?2)"))  // bad value
+    intercept[IllegalArgumentException](parse("(?1)(?t<=-5)(?2)")) // negative
+  }
+
+  test("time edges: constraint between consecutive events, all operators") {
+    val masks = Array(1, 2)
+    def m(pat: String, tss: Array[Long]): Boolean = matches(masks, parse(pat), tss)
+    // delta = 100
+    val tss = Array(0L, 100L)
+    assert(m("(?1)(?t<=100)(?2)", tss) && !m("(?1)(?t<100)(?2)", tss))
+    assert(m("(?1)(?t>=100)(?2)", tss) && !m("(?1)(?t>100)(?2)", tss))
+    assert(m("(?1)(?t==100)(?2)", tss) && !m("(?1)(?t!=100)(?2)", tss))
+    assert(m("(?1)(?t<=99)(?2)", Array(0L, 99L)) && !m("(?1)(?t<=99)(?2)", tss))
+    // the constraint binds CONSECUTIVE events: cond1 at t=0, fodder at
+    // t=1000, cond2 at t=1001 — '(?1)(?2)' fails on adjacency anyway;
+    // '(?1).(?2)' with an edge on the final step sees delta 1, not 1001
+    val masks3 = Array(1, 0, 2)
+    assert(matches(masks3, parse("(?1).(?t<=1)(?2)"), Array(0L, 1000L, 1001L)))
+    assert(!matches(masks3, parse("(?1).(?t>1)(?2)"), Array(0L, 1000L, 1001L)))
+    assert(matches(masks3, parse("(?1)(?t<=2000).(?2)"), Array(0L, 1000L, 1001L)))
+    // count: only pairs within the window are counted
+    val cm = Array(1, 2, 1, 2)
+    assert(countMatches(cm, parse("(?1)(?t<=10)(?2)"), Array(0L, 5L, 100L, 200L)) === 1)
+    assert(countMatches(cm, parse("(?1)(?t<=10)(?2)"), Array(0L, 5L, 100L, 105L)) === 2)
+  }
+
+  /** Time-aware exponential reference (same consecutive-delta
+    * semantics as the compiled steps — edges never cross gaps). */
+  private def refT(tss: Array[Long], masks: Array[Int],
+      steps: List[(Token, Option[TimeEdge])], from: Int): Boolean =
+    steps match {
+      case Nil => true
+      case (Cond(bit), e) :: rest =>
+        from < masks.length && ((masks(from) >> bit) & 1) == 1 &&
+          e.forall(ed => from >= 1 && edgeOk(ed, tss(from) - tss(from - 1))) &&
+          refT(tss, masks, rest, from + 1)
+      case (AnyOne, e) :: rest =>
+        from < masks.length &&
+          e.forall(ed => from >= 1 && edgeOk(ed, tss(from) - tss(from - 1))) &&
+          refT(tss, masks, rest, from + 1)
+      case (AnyGap, _) :: rest =>
+        (from to masks.length).exists(p => refT(tss, masks, rest, p))
+      case _ => false
+    }
+
+  test("time-edge fuzz: NFA matcher equals time-aware brute force") {
+    val rnd = new Random(1234)
+    val patterns = Seq(
+      "(?1)(?t<=50)(?2)", "(?1)(?t>50)(?2)", "(?1).*(?2)(?t<100)(?3)",
+      "(?1)(?t>=30).(?t<30)(?2)", "(?2)(?t!=40)(?1)", ".(?t<=60)(?1)")
+      .map(p => p -> parse(p))
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(10)
+      val masks = Array.fill(n)(rnd.nextInt(8))
+      // non-decreasing timestamps with deltas straddling the thresholds
+      val tss = masks.scanLeft(0L)((t, _) => t + rnd.nextInt(80)).drop(1)
+      patterns.foreach { case (p, toks) =>
+        val steps = compile(toks).toList
+        assert(matches(masks, toks, tss) ===
+          (0 to masks.length).exists(s => refT(tss, masks, steps, s)),
+          s"pattern $p masks=${masks.mkString(",")} tss=${tss.mkString(",")}")
+      }
+    }
+  }
+
+  test("time edges: SQL surface") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L, "signup"), (1L, 100L, "purchase"),   // within 200
+      (2L, 0L, "signup"), (2L, 500L, "purchase"),   // beyond 200
+      (3L, 0L, "signup"), (3L, 100L, "view"), (3L, 150L, "purchase") // not adjacent
+    ).toDF("user_id", "tus", "event_type")
+      .withColumn("mask", when($"event_type" === "signup", 1)
+        .when($"event_type" === "purchase", 2).otherwise(0))
+    df.createOrReplaceTempView("seq_events_t")
+    val out = spark.sql(
+      """SELECT user_id,
+                sequence_match_agg(tus, mask, '(?1)(?t<=200)(?2)') AS w
+         FROM seq_events_t GROUP BY user_id ORDER BY user_id""").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(1))).toSeq ===
+      Seq((1L, true), (2L, false), (3L, false)))
+  }
 }

@@ -628,7 +628,12 @@ class StreamingSpec extends AnyFunSuite {
     // (user, pattern), independent across patterns
     val types = Vector("signup", "purchase", "other")
     val maskOf = Map("signup" -> 1, "purchase" -> 2)
-    val patterns = Seq("(?1).*(?2)", "(?1).(?2)", "(?1)(?2)", "(?2).*(?1).*(?1)")
+    // includes a TIME-CONSTRAINED pattern: the streaming NFA evaluates
+    // (?t…) from ONE extra long of state (lastTs — edges always
+    // compare consecutive finalized events), and must still equal the
+    // buffering batch aggregate
+    val patterns = Seq("(?1).*(?2)", "(?1).(?2)", "(?1)(?2)", "(?2).*(?1).*(?1)",
+      "(?1)(?t<=600000000)(?2)")
     val rnd = new scala.util.Random(7)
     val events = (0 until 90).map { i =>
       Event(i.toLong, new Timestamp(ts("00:00").getTime + rnd.nextInt(3600) * 1000L),
