@@ -724,6 +724,38 @@ object RelationalQueries {
                  GROUP BY user_id)
                GROUP BY pairs ORDER BY pairs""")),
 
+    "q_agg_sequence_count_time" -> Q(
+      // CH sequenceCount with a TIME CONSTRAINT — '(?1)(?t<=n)(?2)':
+      // how many view→click adjacent pairs land within n µs? A 2-token
+      // adjacency chain over differing types can never overlap another
+      // (q_agg_sequence_count's argument), and the (?t) edge filters
+      // by the same consecutive-event delta the oracle's lead() pair
+      // computes — so the count equals the lead()-pair count under the
+      // delta predicate.
+      (s, dir) => {
+        val m = when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2).otherwise(0)
+        Q.events(s, dir)
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("tus"), m.as("mask"))
+          .groupBy("user_id")
+          .agg(call_function("sequence_count_agg", col("tus"), col("mask"),
+            lit("(?1)(?t<=600000000)(?2)")).cast("long").as("quick_pairs"))
+          .groupBy("quick_pairs").agg(count(lit(1)).as("users"))
+          .orderBy("quick_pairs")
+      },
+      Some(s"""SELECT quick_pairs, count(*) AS users FROM (
+                 SELECT user_id,
+                        count(*) FILTER (WHERE cur = 'view' AND nxt = 'click'
+                                         AND dus <= 600000000) AS quick_pairs
+                 FROM (SELECT user_id, event_type AS cur,
+                              lead(event_type) OVER w AS nxt,
+                              epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dus
+                       FROM ${Q.eventsOracle}
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts)) o
+                 GROUP BY user_id)
+               GROUP BY quick_pairs ORDER BY quick_pairs""")),
+
     "q_agg_sequence_match_time" -> Q(
       // CH sequenceMatch with a TIME CONSTRAINT — '(?1)(?t<=n)(?2)':
       // a signup immediately followed by a purchase within n µs (and

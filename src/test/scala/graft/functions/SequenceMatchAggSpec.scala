@@ -229,6 +229,50 @@ class SequenceMatchAggSpec extends AnyFunSuite {
     }
   }
 
+  /** Time-aware earliest-end reference counter (mirrors refCount with
+    * refT as the containment probe). */
+  private def refCountT(tss: Array[Long], masks: Array[Int],
+      tokens: Array[Token]): Int = {
+    val steps = compile(tokens).toList
+    def containsT(from: Int, until: Int): Boolean =
+      (from to until).exists(s => refT(tss.slice(from, until), masks.slice(from, until), steps, s - from))
+    var pos = 0
+    var count = 0
+    var found = true
+    while (found && pos <= masks.length) {
+      val ends = (pos to masks.length).find { e =>
+        containsT(pos, e) && (e == pos || !containsT(pos, e - 1))
+      }
+      ends match {
+        case Some(e) if containsT(pos, e) =>
+          count += 1
+          pos = e.max(pos + 1)
+        case _ => found = false
+      }
+    }
+    count
+  }
+
+  test("count time-edge fuzz: agrees with time-aware earliest-end reference") {
+    // slicing in containsT is sound: parse guarantees the FIRST token
+    // of any pattern is unconstrained, so an edge-guarded token always
+    // consumes at slice position >= 1 and its delta pairs two events
+    // both inside the window — identical to the full-array delta
+    // (slicing preserves adjacency)
+    val rnd = new Random(4242)
+    val patterns = Seq("(?1)(?t<=50)(?2)", "(?1)(?t>40)(?2)", "(?1)(?t!=30)(?1)")
+      .map(p => p -> parse(p))
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(12)
+      val masks = Array.fill(n)(rnd.nextInt(4))
+      val tss = masks.scanLeft(0L)((t, _) => t + rnd.nextInt(60)).drop(1)
+      patterns.foreach { case (p, toks) =>
+        assert(countMatches(masks, toks, tss) === refCountT(tss, masks, toks),
+          s"pattern $p masks=${masks.mkString(",")} tss=${tss.mkString(",")}")
+      }
+    }
+  }
+
   test("time edges: SQL surface") {
     import spark.implicits._
     val df = Seq(
