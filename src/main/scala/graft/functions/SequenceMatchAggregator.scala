@@ -218,7 +218,13 @@ object SequenceMatchAgg {
     * under this repo's adjacency semantics those are consecutive
     * events of the group, so the constraint is always a predicate on
     * one inter-event delta — which is what keeps the streaming state
-    * bounded (one `lastTs` long; see EventStreams). */
+    * bounded (one `lastTs` long; see EventStreams).
+    *
+    * Operator set: ClickHouse's sequenceMatch accepts `<, <=, >, >=,
+    * ==`; this parser ADDITIONALLY accepts `!=` — a graft EXTENSION,
+    * not CH-portable. A pattern using `(?t!=n)` will not run on the
+    * reference CH surface; everything else in the accepted grammar
+    * is the CH subset. */
   case class TimeEdge(cmp: String, v: Long) extends Token
 
   /** Parse the CH pattern subset; fail with the position on anything else. */

@@ -313,7 +313,14 @@ object EventStreams {
     import s.implicits._
     // one implementation: the single-pattern form is the multi form
     // with one NFA, so the two can never drift (the single-pattern
-    // fuzz in StreamingSpec exercises the multi machinery end to end)
+    // fuzz in StreamingSpec exercises the multi machinery end to end).
+    // CHECKPOINT COMPATIBILITY (state schema v2, round 9): this
+    // delegation changed the flatMapGroupsWithState state type from
+    // the old single-pattern SeqMatchState to SeqMatchMultiState. A
+    // streaming job restarting from a checkpoint written by the
+    // pre-round-9 single-pattern form will fail (or silently misread
+    // state) on the state-encoder schema mismatch — restart such jobs
+    // with a FRESH checkpoint directory.
     streamingSequenceMatchMulti(events, Seq(pattern), maskOf)
       .map(p => SeqMatchProgress(p.user_id, p.matched_us))
   }

@@ -13,7 +13,8 @@
 // Family selection for local iteration (the full run takes ~10min):
 //   SPARK_GRAFT_CERT_FAMILIES=semdedup,cc,pq  runs only those rows.
 // Families: agg join dedup containment bm25 knn  (round 8)
-//           semdedup cc pq                       (round 9 additions)
+//           semdedup cc pq spans bpe             (round 9 additions)
+//           stream parts                         (round 10 additions)
 import org.apache.spark.sql.functions._
 val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 val famSel = sys.env.get("SPARK_GRAFT_CERT_FAMILIES")
