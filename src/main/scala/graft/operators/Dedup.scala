@@ -143,40 +143,33 @@ object Dedup {
    *
    * Correctness is strategy-independent: both shapes compute the same
    * rare-first order, prefix length, df=1 pruning, and verify
-   * arithmetic — only join physical strategies and aggregate column
-   * layout differ (both oracle-checked per round).
+   * arithmetic — only join physical strategies differ (both
+   * oracle-checked per round). The round-8 layout half of the split
+   * (n as a third count() vs derived) dissolved in round 10 when n
+   * became an INPUT column carried through the explode (see
+   * prefixOrdered) — both strategies now share the single thinnest
+   * aggregate, and only the join pins remain per-operator.
    */
   private[operators] sealed trait PrefixStrategy {
     /** Pin for the corpus-scale verify/df fetch joins. */
     def fetch(df: DataFrame): DataFrame
     /** Pin for the prefix-key candidate self-join side. */
     def candidate(df: DataFrame): DataFrame
-    /** n as a third count() aggregate (true) or derived n1+|dg2| (false). */
-    def aggregatedN: Boolean
   }
   /** r6 shape — ngram's measured optimum: unconditional sort-merge
     * everywhere (skew-safe, spills; no bypass so the small-SF plan is
-    * the same shape as the at-scale plan) + 3-column aggregate. The
-    * third count() lets column pruning specialize the aggregate per
-    * consumer branch — nominally re-running the shingle pipeline per
-    * verify side, yet measured FASTER for the symmetric Jaccard join:
-    * the specialized aggregates are thinner than one shared wide
-    * aggregate whose exchange every branch must re-read. */
+    * the same shape as the at-scale plan). */
   private[operators] case object NgramStrategy extends PrefixStrategy {
     def fetch(df: DataFrame): DataFrame = df.hint("shuffle_merge")
     def candidate(df: DataFrame): DataFrame = df.hint("shuffle_merge")
-    def aggregatedN: Boolean = true
   }
   /** r8 shape — containment's measured optimum: provably-small bypass
     * (small corpora may broadcast the fetches), shuffle-hash verify
     * fetches (no stream-side sort of wide candidate rows), sort-merge
-    * candidates (content keys skew), n derived so every branch needs
-    * the SAME two aggregate outputs and the partial-aggregate exchange
-    * is reused across candidate keys and both verify sides. */
+    * candidates (content keys skew). */
   private[operators] case object ContainmentStrategy extends PrefixStrategy {
     def fetch(df: DataFrame): DataFrame = fetchSide(df)
     def candidate(df: DataFrame): DataFrame = corpusSide(df)
-    def aggregatedN: Boolean = false
   }
 
   /** Per-row MinHash signature of a text column (codegen'd). */
@@ -475,41 +468,43 @@ object Dedup {
     // global df per shingle, then each doc's shingles reordered
     // rare-first: sort_array over (df, g) structs — lexicographic on
     // field order, a deterministic TOTAL order (hash tie-break).
-    // Only the df>1 structs are COLLECTED (collect_list skips the
-    // nulls the when() emits for df=1): a df=1 shingle exists in
-    // exactly one document corpus-wide, so it can produce no candidate
-    // key (singleton join bucket) and no intersection element — all
-    // any stage needs of the df=1 block is how MANY elements it holds
-    // (n1, for position reconstruction) and the true set size (n). In
-    // a mostly-unique corpus this shrinks the heaviest aggregate of
-    // the whole pipeline — the per-doc collect — and every downstream
-    // shuffle of its output by the df=1 fraction.
-    val ex = shingled.select(col("id"), explode(col("sh")).as("g"))
+    // The true per-doc set size n is known BEFORE the explode
+    // (size(sh) — shingle_array emits distinct hashes), so it rides
+    // the exploded rows as one fixed-width long instead of being
+    // re-counted downstream. That frees the df map to drop its df=1
+    // entries AT THE SOURCE (round 10): a df=1 shingle exists in one
+    // document corpus-wide — it can produce no candidate key and no
+    // intersection element, and with n carried it no longer needs to
+    // be counted per doc either. The inner join below then removes
+    // the df=1 bulk (the vast majority in a mostly-unique corpus)
+    // from the join OUTPUT and from the per-doc collect shuffle —
+    // previously those rows rode the whole second shuffle just to be
+    // counted into n1, which now derives as n − |dg2|. Measured
+    // same-session A/B (BENCH_NOTES round-10): containment sf0.1
+    // 1×/10× 1.73/8.41 → 1.37/6.38 s, ngram 1.47/7.86 → 1.29/4.15 s
+    // (identical pair sets) — the 10× points, where the exploded
+    // stream's heap debt lives (r9 driver recorded 0.66 s in-window
+    // GC there), gain the most: −24% and −47%.
+    // n rides as an INT (a doc's distinct-shingle count is far below
+    // 2^31): the ngram probe side SORTS these rows for its
+    // sort-merge join, so probe width is the one cost the n-carry
+    // adds — 4 bytes beats 8. Widened back to long per-doc below.
+    val ex = shingled.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    // Aggregate column layout is STRATEGY-CHOSEN (see PrefixStrategy):
-    // with aggregatedN=false (containment), EXACTLY two aggregate
-    // expressions and n DERIVED as n1+|dg2| — every consumer branch
-    // (candidate keys, both verify-array sides) then needs the SAME
-    // two aggregate outputs, so column pruning cannot specialize the
-    // aggregate per branch and the partial-aggregate exchange is
-    // REUSED across all of them. With aggregatedN=true (ngram), n is
-    // a third count() column, pruning DOES specialize three thinner
-    // aggregates over the same child, and the round-8 bisect measured
-    // that shape 24% faster for the symmetric Jaccard join (3.16 vs
-    // 4.16 at sf0.1) while the shared-exchange shape wins for
-    // containment (3.05 vs 3.38, and 21% at the 10× point).
+      .filter(col("df") > 1)
+    // Join/fetch physical pins stay STRATEGY-CHOSEN (see
+    // PrefixStrategy); the aggregate itself collapsed to one
+    // collect_list for both strategies once n stopped being an
+    // aggregate output (the old 3-column vs derived-n layout split —
+    // round-8 bisect — was about WHERE n was counted; n is now an
+    // input column, so both branches share the thinnest possible
+    // exchange, with max(n) a free rider on the per-doc aggregate).
     val grouped = ex.join(strat.fetch(dfreq), "g").groupBy("id")
-    val ordered =
-      if (strat.aggregatedN)
-        grouped.agg(count(lit(1)).as("n"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n1"),
-          sort_array(collect_list(when(col("df") > 1,
-            struct(col("df"), col("g"))))).as("dg2"))
-      else
-        grouped.agg(sum(when(col("df") === 1, 1L).otherwise(0L)).as("n1"),
-            sort_array(collect_list(when(col("df") > 1,
-              struct(col("df"), col("g"))))).as("dg2"))
-          .withColumn("n", col("n1") + size(col("dg2")))
+    val ordered = grouped
+      .agg(max(col("n")).cast("long").as("n"),
+        sort_array(collect_list(struct(col("df"), col("g")))).as("dg2"))
+      .withColumn("n1", col("n") - size(col("dg2")))
     // +1 beyond the theoretical |S| - ⌈θ|S|⌉ + 1: double ceil(θ·n) can
     // land one high when θ·n sits on an ulp boundary (0.2*5 →
     // 1.0000000000000002 → 2), which would SHORTEN the prefix and void

@@ -191,6 +191,32 @@ object ScanQueries {
           .option("compression", "lz4").mode("overwrite").save(fx)
         s.read.format("clickhouse_native").load(fx)
       },
-      Some("SELECT * FROM orders"))
+      Some("SELECT * FROM orders")),
+
+    "scan_native_map_tuple" -> Q(
+      // Map(String, String) + named Tuple through the native
+      // write → read path — the two nested types the reference
+      // degrades to the `<unsupported:T>` sentinel (src/lib.rs:137);
+      // here they serialize as the real CH wire layouts (Map =
+      // Array(Tuple(K,V)) offsets+flats, Tuple = element-by-element
+      // columns — NativeBlock) and decode to Spark MapType/StructType.
+      // The read-back extracts scalars so the DuckDB oracle can state
+      // the result over the parquet original.
+      (s, dir) => {
+        val fx = fixtureDir(dir, "customer_map_tuple_native")
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            map(lit("name"), col("c_name"),
+              lit("segment"), col("c_mktsegment")).as("m"),
+            struct(col("c_nationkey").as("nk"), col("c_acctbal").as("bal")).as("tp"))
+          .write.format("clickhouse_native").mode("overwrite").save(fx)
+        s.read.format("clickhouse_native").load(fx)
+          .select(col("c_custkey"),
+            element_at(col("m"), "name").as("m_name"),
+            element_at(col("m"), "segment").as("m_segment"),
+            col("tp.nk").as("tp_nk"), col("tp.bal").as("tp_bal"))
+      },
+      Some("""SELECT c_custkey, c_name AS m_name, c_mktsegment AS m_segment,
+              c_nationkey AS tp_nk, c_acctbal AS tp_bal FROM customer"""))
   )
 }
