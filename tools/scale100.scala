@@ -15,7 +15,7 @@
 // Families: agg join dedup containment bm25 knn  (round 8)
 //           semdedup cc pq spans bpe             (round 9 additions)
 // Round 10: streaming state boundedness and storage-maintenance parts
-// scaling are certified by spec gates instead of rows here — see
+// scaling are certified by spec gates instead of rows here -- see
 // StreamingScaleSpec and NativeMaintenanceScaleSpec.
 import org.apache.spark.sql.functions._
 val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
