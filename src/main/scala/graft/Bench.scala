@@ -288,7 +288,11 @@ object Bench {
       "q_dedup_incremental", "q_dsir_weights", "q_bpe_encode",
       "q_graph_triangles", "q_lm_perplexity", "q_engine_mutate",
       "q_dedup_semdedup_incremental", "q_agg_quantile_weighted",
-      "q_dedup_spans", "scale_dedup_1x")
+      "q_dedup_spans", "scale_dedup_1x",
+      // round-10 sweep crossers (both read ~3x their isolated 1.2/1.4 s
+      // mid-sweep with inflated sentinels around them — positional, but
+      // now fully pre/post-instrumented)
+      "q_dedup_semdedup")
     val sentinels = scala.collection.mutable.LinkedHashMap[String, Double]()
     def sentinelProbe(tag: String): Unit =
       sentinels(tag) = time {
@@ -316,7 +320,10 @@ object Bench {
       // recurrence attributable from BENCH_r10.json alone.
       val slowWarm = Set("q_dedup_ngram", "q_dedup_containment",
         "q_knn_graph", "q_knn_graph_hier",
-        "q_dedup_minhash", "q_dedup_minhash_grouped")
+        "q_dedup_minhash", "q_dedup_minhash_grouped",
+        // round-10: same positional signature as minhash (in-sweep
+        // ~2.5x their isolated 1.2/1.4 s steady state on min-of-2)
+        "q_dedup_semdedup", "q_dedup_semdedup_incremental")
       val baseReps =
         if (name.startsWith("q_tpch_") || name == "q_union_all" ||
           slowWarm(name)) 3
@@ -569,8 +576,12 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcMap,"sentinel":$sentMap,"reps":$repsMap,"sf":"$sfDir"}"""
     System.err.println(fullLine)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
+    // sidecars are written only for FULL sweeps: a filtered
+    // SPARK_GRAFT_BENCH_ONLY iteration run must not clobber the last
+    // full sweep's evidence files (it did once, round 10)
+    try if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () } // sidecar is best-effort
     val headliners = Seq("q_tpch_q1", "q_tpch_q21", "q_dedup_minhash",
       "q_sim_cosine_ivf", "q_count_star")
@@ -630,9 +641,10 @@ object Bench {
     // Fixed sidecar for the compact line too (round-9 verdict item 6:
     // BENCH_r08.json had parsed=null — the driver scrapes a stdout
     // tail where sbt noise can clip the line; the sidecar survives).
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench_compact.json"),
-      (compactLine + "\n").getBytes("UTF-8"))
+    try if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench_compact.json"),
+        (compactLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     // Path note FIRST so the compact JSON stays the very last stdout
     // line this program prints (sbt's own [success] noise follows, but
