@@ -217,6 +217,32 @@ object ScanQueries {
             col("tp.nk").as("tp_nk"), col("tp.bal").as("tp_bal"))
       },
       Some("""SELECT c_custkey, c_name AS m_name, c_mktsegment AS m_segment,
-              c_nationkey AS tp_nk, c_acctbal AS tp_bal FROM customer"""))
+              c_nationkey AS tp_nk, c_acctbal AS tp_bal FROM customer""")),
+
+    "scan_native_uuid_ip" -> Q(
+      // UUID / IPv4 / IPv6 as REAL native binary columns (16/4/16
+      // bytes on the wire — NetworkTypesSpec pins the public layouts
+      // against hand-built bytes) via the columnTypes write option,
+      // decoded back to the canonical strings. The reference degrades
+      // all three to `<unsupported:T>` (lib.rs:137). Values derive
+      // from c_custkey with engine-exact integer/hex formatting, so
+      // the DuckDB oracle states the whole roundtrip from parquet.
+      (s, dir) => {
+        val fx = fixtureDir(dir, "customer_uuid_ip_native")
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            format_string("00000000-0000-4000-8000-%012x", col("c_custkey")).as("u"),
+            expr("concat(10, '.', 0, '.', (c_custkey div 256) % 256, '.', c_custkey % 256)").as("ip4"),
+            format_string("2001:db8:0:0:0:0:0:%x", col("c_custkey")).as("ip6"))
+          .write.format("clickhouse_native")
+          .option("columnTypes", "u:UUID,ip4:IPv4,ip6:IPv6")
+          .mode("overwrite").save(fx)
+        s.read.format("clickhouse_native").load(fx)
+      },
+      Some("""SELECT c_custkey,
+                     printf('00000000-0000-4000-8000-%012x', c_custkey) AS u,
+                     concat(10, '.', 0, '.', (c_custkey // 256) % 256, '.', c_custkey % 256) AS ip4,
+                     printf('2001:db8:0:0:0:0:0:%x', c_custkey) AS ip6
+              FROM customer"""))
   )
 }

@@ -116,8 +116,33 @@ object ChType {
     }.mkString("Tuple(", ", ", ")")
   }
   /**
+   * 16-byte UUID, decoded to the canonical lowercase 8-4-4-4-12
+   * string (round 10 — previously the opaque sentinel). Wire layout
+   * is ClickHouse's UInt128 spelling: the LITTLE-ENDIAN bytes of the
+   * most-significant 64 bits first, then the little-endian bytes of
+   * the least-significant 64 bits (the `<2Q` layout every public CH
+   * client implements; the reference degrades the type, lib.rs:137).
+   */
+  case object ChUuid extends ChType {
+    val sparkType = StringType; val name = "UUID"
+  }
+  /** UInt32 numeric IPv4 (`a.b.c.d` = a·2²⁴+b·2¹⁶+c·2⁸+d), stored LE
+    * like any UInt32; decoded to the dotted-quad string. */
+  case object ChIPv4 extends ChType {
+    val sparkType = StringType; val name = "IPv4"
+  }
+  /** 16 network-order bytes (the FixedString(16) layout CH uses);
+    * decoded to the EXPANDED lowercase hex-groups form
+    * (`2001:db8:0:0:0:0:0:1` — no `::` compression, rendered by pure
+    * arithmetic so v4-mapped addresses never flip to dotted-quad the
+    * way java.net.InetAddress would render them). The encoder accepts
+    * any RFC literal form, including compressed. */
+  case object ChIPv6 extends ChType {
+    val sparkType = StringType; val name = "IPv6"
+  }
+  /**
    * Recognized-but-not-decoded type with a KNOWN fixed byte width
-   * (UUID, IPv4/6, Int128/256, Decimal*): the reader consumes the
+   * (Int128/256, Decimal128/256): the reader consumes the
    * bytes and emits the literal string `<unsupported:T>` per cell —
    * the reference's degradation sentinel (src/lib.rs:137), but
    * without corrupting the positions of later columns (the reference
@@ -189,9 +214,9 @@ object ChType {
         val parts = splitTopLevel(params)
         if (parts.isEmpty) ChUnsupported(t)
         else ChTuple(parts.map(parseTupleElement))
-      case "UUID"               => ChOpaqueFixed(t, 16)
-      case "IPv4"               => ChOpaqueFixed(t, 4)
-      case "IPv6"               => ChOpaqueFixed(t, 16)
+      case "UUID"               => ChUuid
+      case "IPv4"               => ChIPv4
+      case "IPv6"               => ChIPv6
       case "Int128" | "UInt128" => ChOpaqueFixed(t, 16)
       case "Int256" | "UInt256" => ChOpaqueFixed(t, 32)
       case "Decimal32" =>

@@ -276,9 +276,35 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String],
     // content both land, while a RETRY of one job (same token) stays a
     // no-op. Empty (default) = pure content identity, as before.
     val insertDedupToken = opt(info, "insertDedupToken").getOrElse("")
+    // columnTypes: declare columns as CH types the writer cannot infer
+    // from Spark's type system — the CAST-at-insert ETL idiom. Today's
+    // use: STRING columns as UUID / IPv4 / IPv6 (16/4/16-byte binary
+    // on the wire instead of var-length text; decode back to the same
+    // strings). Validated here so a typo is one clean plan-time error.
+    val typeOverrides: Map[String, String] =
+      opt(info, "columnTypes").map(_.split(",").map(_.trim).filter(_.nonEmpty)
+        .map { e =>
+          val i = e.indexOf(':')
+          if (i <= 0 || i == e.length - 1) throw new IllegalArgumentException(
+            s"clickhouse_native write option columnTypes: expected 'col:Type', got '$e'")
+          val (c, tn) = (e.substring(0, i).trim, e.substring(i + 1).trim)
+          val f = info.schema().fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"clickhouse_native columnTypes: column '$c' not in write schema"))
+          val parsed = ChType.parse(tn)
+          if (parsed.isInstanceOf[ChType.ChUnsupported] ||
+              parsed.isInstanceOf[ChType.ChOpaqueFixed])
+            throw new IllegalArgumentException(
+              s"clickhouse_native columnTypes: type '$tn' is not writable")
+          if (parsed.sparkType != f.dataType) throw new IllegalArgumentException(
+            s"clickhouse_native columnTypes: column '$c' is ${f.dataType}, " +
+              s"but CH type '$tn' decodes as ${parsed.sparkType}")
+          c -> parsed.name
+        }.toMap).getOrElse(Map.empty)
     new NativeWriteBuilder(info.schema(), paths.headOption.getOrElse(
         throw new IllegalArgumentException("clickhouse_native write requires a path")),
-      maxRows, dictEncode, compression, bucket, sortBy, insertDedup, insertDedupToken)
+      maxRows, dictEncode, compression, bucket, sortBy, insertDedup, insertDedupToken,
+      typeOverrides)
   }
 }
 
@@ -908,7 +934,8 @@ private[native] class NativePartitionReader(part: NativeInputPartition, required
 private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRowsPerFile: Int,
     dictEncode: Boolean, compression: String = "none",
     bucket: Option[(String, Int)] = None, sortBy: Seq[String] = Seq.empty,
-    insertDedup: Boolean = false, dedupToken: String = "")
+    insertDedup: Boolean = false, dedupToken: String = "",
+    typeOverrides: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -945,7 +972,7 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
       new Write {
         override def toBatch: BatchWrite =
           new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
-            compression, bucket, insertDedup, dedupToken)
+            compression, bucket, insertDedup, dedupToken, typeOverrides)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           // validated but not implemented for streaming epochs — fail
           // loudly rather than silently appending duplicate batches
@@ -953,7 +980,7 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
           if (insertDedup) throw new UnsupportedOperationException(
             "clickhouse_native: insertDedup is not supported for streaming writes " +
               "(exactly-once replay protection comes from the epoch-scoped sink itself)")
-          new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
+          new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket, typeOverrides)
         }
       }
     else
@@ -983,7 +1010,7 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
             Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
         override def toBatch: BatchWrite =
           new NativeBatchWrite(schema, path, truncateFirst, maxRowsPerFile, dictEncode,
-            compression, bucket, insertDedup, dedupToken)
+            compression, bucket, insertDedup, dedupToken, typeOverrides)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           // validated but not implemented for streaming epochs — fail
           // loudly rather than silently appending duplicate batches
@@ -991,7 +1018,7 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
           if (insertDedup) throw new UnsupportedOperationException(
             "clickhouse_native: insertDedup is not supported for streaming writes " +
               "(exactly-once replay protection comes from the epoch-scoped sink itself)")
-          new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket)
+          new NativeStreamingWrite(schema, path, maxRowsPerFile, dictEncode, compression, bucket, typeOverrides)
         }
       }
   }
@@ -1008,7 +1035,8 @@ private[native] class NativeWriteBuilder(schema: StructType, path: String, maxRo
  */
 private[native] class NativeStreamingWrite(schema: StructType, path: String,
     maxRowsPerFile: Int, dictEncode: Boolean, compression: String = "none",
-    bucket: Option[(String, Int)] = None)
+    bucket: Option[(String, Int)] = None,
+    typeOverrides: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -1019,7 +1047,7 @@ private[native] class NativeStreamingWrite(schema: StructType, path: String,
     val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
     NativeStreamingWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf, compression,
-      bucket, java.util.UUID.randomUUID().toString.substring(0, 8))
+      bucket, java.util.UUID.randomUUID().toString.substring(0, 8), typeOverrides)
   }
 
   // Epoch commit is recorded by the streaming engine's own offset/commit
@@ -1055,18 +1083,19 @@ private[native] class NativeStreamingWrite(schema: StructType, path: String,
 private[native] case class NativeStreamingWriterFactory(schema: StructType, path: String,
     maxRowsPerFile: Int, dictEncode: Boolean, conf: SerializableHadoopConf,
     compression: String = "none", bucket: Option[(String, Int)] = None,
-    writeToken: String = "w0")
+    writeToken: String = "w0", typeOverrides: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     val prefix = f"epoch-$epochId%08d-"
     bucket match {
       case Some((col, n)) =>
         new BucketedNativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile,
-          conf.value, col, n, prefix, dictEncode, compression, writeToken)
+          conf.value, col, n, prefix, dictEncode, compression, writeToken,
+          typeOverrides = typeOverrides)
       case None =>
         new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
           filePrefix = prefix, dictEncode = dictEncode, compression = compression,
-          writeToken = writeToken)
+          writeToken = writeToken, typeOverrides = typeOverrides)
     }
   }
 }
@@ -1074,7 +1103,8 @@ private[native] case class NativeStreamingWriterFactory(schema: StructType, path
 private[native] class NativeBatchWrite(schema: StructType, path: String, truncateFirst: Boolean,
     maxRowsPerFile: Int, dictEncode: Boolean, compression: String = "none",
     bucket: Option[(String, Int)] = None, insertDedup: Boolean = false,
-    dedupToken: String = "") extends BatchWrite {
+    dedupToken: String = "",
+    typeOverrides: Map[String, String] = Map.empty) extends BatchWrite {
   // Unique token embedded in every part name this write produces. Two
   // jobs must never collide on names: partitionId AND taskId both
   // restart from 0 in a fresh session, so the deterministic
@@ -1111,7 +1141,7 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
     // of this very write's input stay consistent and an aborted
     // overwrite leaves the previous data fully intact.
     new NativeWriterFactory(schema, path, maxRowsPerFile, dictEncode, conf, compression,
-      bucket, writeToken, dedupToken)
+      bucket, writeToken, dedupToken, typeOverrides)
   }
 
   // Spark's default useCommitCoordinator() (true) guarantees at most one
@@ -1235,17 +1265,19 @@ private[native] class NativeBatchWrite(schema: StructType, path: String, truncat
 private[native] class NativeWriterFactory(schema: StructType, path: String,
     maxRowsPerFile: Int, dictEncode: Boolean, conf: SerializableHadoopConf,
     compression: String = "none", bucket: Option[(String, Int)] = None,
-    writeToken: String = "w0", dedupToken: String = "")
+    writeToken: String = "w0", dedupToken: String = "",
+    typeOverrides: Map[String, String] = Map.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     bucket match {
       case Some((col, n)) =>
         new BucketedNativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile,
-          conf.value, col, n, "", dictEncode, compression, writeToken, dedupToken)
+          conf.value, col, n, "", dictEncode, compression, writeToken, dedupToken,
+          typeOverrides)
       case None =>
         new NativeDataWriter(schema, path, partitionId, taskId, maxRowsPerFile, conf.value,
           dictEncode = dictEncode, compression = compression, writeToken = writeToken,
-          dedupToken = dedupToken)
+          dedupToken = dedupToken, typeOverrides = typeOverrides)
     }
 }
 
@@ -1261,7 +1293,7 @@ private[native] class BucketedNativeDataWriter(schema: StructType, dir: String,
     partitionId: Int, taskId: Long, rowsPerFile: Int, conf: Configuration,
     bucketCol: String, numBuckets: Int, filePrefix: String,
     dictEncode: Boolean, compression: String, writeToken: String = "w0",
-    dedupToken: String = "")
+    dedupToken: String = "", typeOverrides: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
   private val keyIdx = schema.fieldIndex(bucketCol)
   private val keyType = schema.fields(keyIdx).dataType
@@ -1272,7 +1304,7 @@ private[native] class BucketedNativeDataWriter(schema: StructType, dir: String,
     if (w == null) {
       w = new NativeDataWriter(schema, dir, partitionId, taskId, rowsPerFile, conf,
         filePrefix + NativeBucket.filePrefix(b), dictEncode, compression, writeToken,
-        dedupToken)
+        dedupToken, typeOverrides)
       writers(b) = w
     }
     w
@@ -1300,7 +1332,8 @@ private[native] class BucketedNativeDataWriter(schema: StructType, dir: String,
 private[native] class NativeDataWriter(schema: StructType, dir: String,
     partitionId: Int, taskId: Long, rowsPerFile: Int, conf: Configuration,
     filePrefix: String = "", dictEncode: Boolean = true, compression: String = "none",
-    writeToken: String = "w0", dedupToken: String = "")
+    writeToken: String = "w0", dedupToken: String = "",
+    typeOverrides: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
 
   private val rowsPerBlock = 65536
@@ -1309,7 +1342,16 @@ private[native] class NativeDataWriter(schema: StructType, dir: String,
   // write option maxRowsPerFile) keeps the writer's own output
   // parallelizable (scan side = one partition per file).
   private val chTypes: Array[ChType] =
-    schema.fields.map(f => ChType.forSpark(f.dataType, f.nullable))
+    schema.fields.map { f =>
+      typeOverrides.get(f.name) match {
+        case Some(tn) =>
+          // validated at plan time (newWriteBuilder): parseable,
+          // writable, sparkType matches the column
+          val base = ChType.parse(tn)
+          if (f.nullable) ChType.ChNullable(base) else base
+        case None => ChType.forSpark(f.dataType, f.nullable)
+      }
+    }
   // Adaptive dictionary encoding: decided ONCE per writer from the
   // first buffered block, so every block this task writes declares the
   // same column types (a reader infers schema from one header). A

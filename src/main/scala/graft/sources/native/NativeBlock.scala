@@ -200,6 +200,40 @@ object ColumnCodec {
           out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
           i += 1
         }
+      case ChUuid =>
+        // LE(msb64) ++ LE(lsb64) → canonical lowercase string
+        var i = 0
+        while (i < rows) {
+          val msb = in.readLongLE()
+          val lsb = in.readLongLE()
+          out(i) = UTF8String.fromString(new java.util.UUID(msb, lsb).toString)
+          i += 1
+        }
+      case ChIPv4 =>
+        var i = 0
+        while (i < rows) {
+          val v = in.readIntLE()
+          out(i) = UTF8String.fromString(
+            s"${(v >>> 24) & 0xff}.${(v >>> 16) & 0xff}.${(v >>> 8) & 0xff}.${v & 0xff}")
+          i += 1
+        }
+      case ChIPv6 =>
+        // 16 network-order bytes → expanded lowercase hex groups (pure
+        // arithmetic; see ChIPv6 scaladoc for why not InetAddress)
+        var i = 0
+        while (i < rows) {
+          val b = in.readBytes(16)
+          val sb = new java.lang.StringBuilder(39)
+          var g = 0
+          while (g < 8) {
+            if (g > 0) sb.append(':')
+            sb.append(java.lang.Integer.toHexString(
+              ((b(2 * g) & 0xff) << 8) | (b(2 * g + 1) & 0xff)))
+            g += 1
+          }
+          out(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
       case ChOpaqueFixed(raw, width) =>
         // Consume the bytes, emit the reference's degradation sentinel
         // (src/lib.rs:137) — later columns stay correctly aligned.
@@ -281,6 +315,8 @@ object ColumnCodec {
     case ChUInt64 | ChInt64 | ChFloat64 | _: ChDateTime64 => Some(8)
     case d: ChDecimal => Some(d.byteWidth)
     case ChFixedString(n) => Some(n)
+    case ChUuid | ChIPv6 => Some(16)
+    case ChIPv4 => Some(4)
     case ChOpaqueFixed(_, w) => Some(w)
     case _ => None
   }
@@ -439,6 +475,62 @@ object ColumnCodec {
         encode(out, ft, col)
         f += 1
       }
+    case ChUuid =>
+      var i = 0
+      while (i < values.length) {
+        val s = String.valueOf(values(i))
+        val u = try java.util.UUID.fromString(s)
+          catch { case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"clickhouse_native UUID column: '$s' is not a UUID") }
+        out.writeLongLE(u.getMostSignificantBits)
+        out.writeLongLE(u.getLeastSignificantBits)
+        i += 1
+      }
+    case ChIPv4 =>
+      var i = 0
+      while (i < values.length) {
+        val s = String.valueOf(values(i))
+        val parts = s.split('.')
+        def oct(p: String): Int = {
+          val v = p.toIntOption.getOrElse(-1)
+          if (v < 0 || v > 255) throw new IllegalArgumentException(
+            s"clickhouse_native IPv4 column: '$s' is not a dotted-quad address")
+          v
+        }
+        if (parts.length != 4) throw new IllegalArgumentException(
+          s"clickhouse_native IPv4 column: '$s' is not a dotted-quad address")
+        out.writeIntLE((oct(parts(0)) << 24) | (oct(parts(1)) << 16) |
+          (oct(parts(2)) << 8) | oct(parts(3)))
+        i += 1
+      }
+    case ChIPv6 =>
+      var i = 0
+      while (i < values.length) {
+        val s = String.valueOf(values(i))
+        // literal guard: ':' never appears in hostnames, so getByName
+        // on a colon-containing string can never trigger a DNS lookup;
+        // anything without a colon is rejected before the call
+        if (s.indexOf(':') < 0 || !s.forall(c =>
+            (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+            (c >= 'A' && c <= 'F') || c == ':' || c == '.'))
+          throw new IllegalArgumentException(
+            s"clickhouse_native IPv6 column: '$s' is not an IPv6 literal")
+        val addr = try java.net.InetAddress.getByName(s)
+          catch { case _: java.net.UnknownHostException =>
+            throw new IllegalArgumentException(
+              s"clickhouse_native IPv6 column: '$s' is not an IPv6 literal") }
+        val bytes = addr.getAddress match {
+          case b16 if b16.length == 16 => b16
+          case b4 => // v4-mapped literal parsed as Inet4Address → re-embed
+            val b = new Array[Byte](16)
+            b(10) = -1; b(11) = -1
+            System.arraycopy(b4, 0, b, 12, 4)
+            b
+        }
+        out.writeBytes(bytes)
+        i += 1
+      }
     case other =>
       throw new UnsupportedColumnException(other.name)
   }
@@ -508,6 +600,11 @@ object ColumnCodec {
     // container defaults, e.g. a tuple with nullable fields)
     case _: ChNullable => null
     case ChString | _: ChFixedString | _: ChEnum8 => UTF8String.fromString("")
+    // CH defaults for the decoded-string network types (null slots
+    // under Nullable encode these placeholder bytes)
+    case ChUuid => UTF8String.fromString("00000000-0000-0000-0000-000000000000")
+    case ChIPv4 => UTF8String.fromString("0.0.0.0")
+    case ChIPv6 => UTF8String.fromString("0:0:0:0:0:0:0:0")
     case ChBool => java.lang.Boolean.FALSE
     case ChUInt8 | ChInt8 | ChUInt16 | ChInt16 | ChInt32 | ChDate | ChDate32 => Integer.valueOf(0)
     case ChFloat32 => java.lang.Float.valueOf(0f)
