@@ -244,5 +244,44 @@ object ScanQueries {
                      concat(10, '.', 0, '.', (c_custkey // 256) % 256, '.', c_custkey % 256) AS ip4,
                      printf('2001:db8:0:0:0:0:0:%x', c_custkey) AS ip6
               FROM customer"""))
+      ,
+
+    "scan_native_decimal_enum" -> Q(
+      // Decimal128-tier Decimal(38, 4) + Enum16 through the native
+      // write → read path. The decimal's unscaled values are ~29
+      // digits (c_custkey · 10²⁰, alternating sign) so the 16-byte
+      // two's-complement wire tier is genuinely exercised — the
+      // reference degrades every decimal and enum to
+      // `<unsupported:T>` (lib.rs:137). The enum declares codes
+      // outside Int8 (300, 1000) to pin the 2-byte width; labels are
+      // the live c_mktsegment values so decode must invert encode on
+      // real data. Both sides serialize the decimal AS ITS CANONICAL
+      // STRING (fixed scale 4) — engine-exact because the value is
+      // constructed FROM that string.
+      (s, dir) => {
+        val fx = fixtureDir(dir, "customer_decimal_enum_native")
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            expr("""cast(concat(case when c_custkey % 2 = 0 then '-' else '' end,
+                                cast(c_custkey as string), '00000000000000000000.',
+                                lpad(cast(c_nationkey as string), 4, '0'))
+                         as decimal(38, 4))""").as("d"),
+            col("c_mktsegment").as("seg"))
+          .write.format("clickhouse_native")
+          .option("columnTypes", "seg:Enum16('AUTOMOBILE' = 300, 'BUILDING' = -2, " +
+            "'FURNITURE' = 7, 'HOUSEHOLD' = 1000, 'MACHINERY' = 0)")
+          .mode("overwrite").save(fx)
+        s.read.format("clickhouse_native").load(fx)
+          .select(col("c_custkey"), col("d").cast("string").as("dec_s"), col("seg"))
+      },
+      // the outer DECIMAL(38,4) cast canonicalizes the rendering (a
+      // c_custkey of 0 would otherwise keep its leading zeros / sign)
+      Some("""SELECT c_custkey,
+                     CAST(CAST(concat(CASE WHEN c_custkey % 2 = 0 THEN '-' ELSE '' END,
+                            CAST(c_custkey AS VARCHAR), '00000000000000000000.',
+                            lpad(CAST(c_nationkey AS VARCHAR), 4, '0'))
+                          AS DECIMAL(38, 4)) AS VARCHAR) AS dec_s,
+                     c_mktsegment AS seg
+              FROM customer"""))
   )
 }

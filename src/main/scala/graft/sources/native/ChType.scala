@@ -46,15 +46,19 @@ object ChType {
   /** Int32 days since unix epoch (signed — pre-1970 dates). */
   case object ChDate32 extends ChType { val sparkType = DateType; val name = "Date32" }
   /**
-   * Decimal(P,S) with P <= 18: stored as a little-endian scaled
-   * integer of 4 (P<=9) or 8 bytes. Decoded to a real DecimalType —
-   * the reference degrades every decimal to an `<unsupported>` string.
-   * P > 18 (16/32-byte storage) stays on the opaque-sentinel path.
+   * Decimal(P,S) with P <= 38: stored as a little-endian two's-
+   * complement scaled integer of 4 (P<=9), 8 (P<=18) or 16 (P<=38)
+   * bytes — the Decimal32/64/128 storage tiers. Decoded to a real
+   * DecimalType (Spark's precision cap is exactly 38, so the whole
+   * Decimal128 range maps losslessly) — the reference degrades every
+   * decimal to an `<unsupported>` string. P > 38 (Decimal256, 32-byte
+   * storage) exceeds Spark's DecimalType and stays on the
+   * opaque-sentinel path.
    */
   final case class ChDecimal(precision: Int, scale: Int) extends ChType {
     val sparkType = DecimalType(precision, scale)
     def name = s"Decimal($precision, $scale)"
-    def byteWidth: Int = if (precision <= 9) 4 else 8
+    def byteWidth: Int = if (precision <= 9) 4 else if (precision <= 18) 8 else 16
   }
   /** UInt32 seconds since unix epoch (optional tz parameter ignored for storage). */
   final case class ChDateTime(tz: Option[String]) extends ChType {
@@ -77,6 +81,15 @@ object ChType {
     val sparkType = StringType
     def name = values.map { case (k, v) => s"'$k' = $v" }.mkString("Enum8(", ", ", ")")
     lazy val byCode: Map[Byte, String] = values.map(_.swap).toMap
+    lazy val byLabel: Map[String, Byte] = values.toMap
+  }
+  /** Int16 code decoded to its label — same shape as [[ChEnum8]] with a
+    * 2-byte code (the reference degrades Enum16 to the sentinel). */
+  final case class ChEnum16(values: Seq[(String, Short)]) extends ChType {
+    val sparkType = StringType
+    def name = values.map { case (k, v) => s"'$k' = $v" }.mkString("Enum16(", ", ", ")")
+    lazy val byCode: Map[Short, String] = values.map(_.swap).toMap
+    lazy val byLabel: Map[String, Short] = values.toMap
   }
   final case class ChNullable(inner: ChType) extends ChType {
     def sparkType = inner.sparkType
@@ -202,6 +215,8 @@ object ChType {
         params.trim.toIntOption.map(ChFixedString).getOrElse(ChUnsupported(t))
       case "Enum8" =>
         parseEnumParams(params).map(ChEnum8).getOrElse(ChUnsupported(t))
+      case "Enum16" =>
+        parseEnum16Params(params).map(ChEnum16).getOrElse(ChUnsupported(t))
       case "Nullable" => ChNullable(parse(params))
       case "Array"    => ChArray(parse(params))
       case "LowCardinality" => ChLowCardinality(parse(params))
@@ -224,15 +239,17 @@ object ChType {
         params.trim.toIntOption.map(s => ChDecimal(9, s)).getOrElse(ChUnsupported(t))
       case "Decimal64" =>
         params.trim.toIntOption.map(s => ChDecimal(18, s)).getOrElse(ChUnsupported(t))
-      case "Decimal128"         => ChOpaqueFixed(t, 16)
+      case "Decimal128" =>
+        // Decimal128(S) = Decimal(38, S) — Spark's exact precision cap
+        params.trim.toIntOption.map(s => ChDecimal(38, s)).getOrElse(ChUnsupported(t))
       case "Decimal256"         => ChOpaqueFixed(t, 32)
       case "Decimal" =>
-        // P<=18 decodes natively; wider storage degrades to the sentinel
+        // P<=38 decodes natively (Spark's DecimalType cap); Decimal256
+        // storage degrades to the sentinel
         val parts = splitTopLevel(params)
         (parts.headOption.flatMap(_.trim.toIntOption),
           parts.drop(1).headOption.flatMap(_.trim.toIntOption)) match {
-          case (Some(p), Some(s)) if p <= 18 => ChDecimal(p, s)
-          case (Some(p), _) if p <= 38       => ChOpaqueFixed(t, 16)
+          case (Some(p), Some(s)) if p <= 38 => ChDecimal(p, s)
           case (Some(_), _)                  => ChOpaqueFixed(t, 32)
           case _                             => ChUnsupported(t)
         }
@@ -300,6 +317,19 @@ object ChType {
     if (pairs.isEmpty) None else Some(pairs)
   }
 
+  /** [[parseEnumParams]] with Enum16's Int16 code range. */
+  private[native] def parseEnum16Params(params: String): Option[Seq[(String, Short)]] = {
+    val pairs = splitTopLevel(params).flatMap { p =>
+      p.split("=", 2) match {
+        case Array(k, v) =>
+          val key = stripQuotes(k)
+          v.trim.toShortOption.map(key -> _)
+        case _ => None
+      }
+    }
+    if (pairs.isEmpty) None else Some(pairs)
+  }
+
   /** Whether values of this type can be null in the Spark schema. */
   def isNullable(t: ChType): Boolean = t match {
     case _: ChNullable => true
@@ -321,7 +351,7 @@ object ChType {
       case DateType      => ChDate32 // signed days roundtrip pre-1970 dates
       case TimestampType    => ChDateTime64(6, Some("UTC")) // instant semantics
       case TimestampNTZType => ChDateTime64(6, None)        // wall-clock
-      case d: DecimalType if d.precision <= 18 => ChDecimal(d.precision, d.scale)
+      case d: DecimalType if d.precision <= 38 => ChDecimal(d.precision, d.scale)
       case ArrayType(et, cn) => ChArray(forSpark(et, cn))
       case MapType(kt, vt, vcn) => ChMap(forSpark(kt, nullable = false), forSpark(vt, vcn))
       case st: StructType =>

@@ -277,12 +277,14 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String],
     // no-op. Empty (default) = pure content identity, as before.
     val insertDedupToken = opt(info, "insertDedupToken").getOrElse("")
     // columnTypes: declare columns as CH types the writer cannot infer
-    // from Spark's type system — the CAST-at-insert ETL idiom. Today's
-    // use: STRING columns as UUID / IPv4 / IPv6 (16/4/16-byte binary
-    // on the wire instead of var-length text; decode back to the same
-    // strings). Validated here so a typo is one clean plan-time error.
+    // from Spark's type system — the CAST-at-insert ETL idiom. Uses:
+    // STRING columns as UUID / IPv4 / IPv6 (16/4/16-byte binary on the
+    // wire instead of var-length text) or as Enum8/Enum16 (1/2-byte
+    // codes); decode returns the same strings. Entries split at
+    // TOP-LEVEL commas only — an Enum declaration's own commas stay
+    // inside it. Validated here so a typo is one clean plan-time error.
     val typeOverrides: Map[String, String] =
-      opt(info, "columnTypes").map(_.split(",").map(_.trim).filter(_.nonEmpty)
+      opt(info, "columnTypes").map(ChType.splitTopLevel(_).map(_.trim).filter(_.nonEmpty)
         .map { e =>
           val i = e.indexOf(':')
           if (i <= 0 || i == e.length - 1) throw new IllegalArgumentException(

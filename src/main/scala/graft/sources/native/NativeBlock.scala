@@ -108,7 +108,7 @@ object ColumnCodec {
         var i = 0
         while (i < rows) { out(i) = Integer.valueOf(in.readIntLE()); i += 1 }
       case d: ChDecimal =>
-        // little-endian scaled integer → Catalyst Decimal
+        // little-endian two's-complement scaled integer → Catalyst Decimal
         var i = 0
         if (d.byteWidth == 4) {
           while (i < rows) {
@@ -117,10 +117,23 @@ object ColumnCodec {
               d.precision, d.scale)
             i += 1
           }
-        } else {
+        } else if (d.byteWidth == 8) {
           while (i < rows) {
             out(i) = org.apache.spark.sql.types.Decimal(
               BigDecimal(java.math.BigDecimal.valueOf(in.readLongLE(), d.scale)),
+              d.precision, d.scale)
+            i += 1
+          }
+        } else {
+          // Decimal128 tier: 16 LE bytes → BigInteger (two's complement,
+          // big-endian constructor — reverse the wire order)
+          while (i < rows) {
+            val le = in.readBytes(16)
+            val be = new Array[Byte](16)
+            var j = 0
+            while (j < 16) { be(j) = le(15 - j); j += 1 }
+            out(i) = org.apache.spark.sql.types.Decimal(
+              BigDecimal(new java.math.BigDecimal(new java.math.BigInteger(be), d.scale)),
               d.precision, d.scale)
             i += 1
           }
@@ -143,6 +156,14 @@ object ColumnCodec {
         var i = 0
         while (i < rows) {
           val code = in.readByte().toByte
+          out(i) = UTF8String.fromString(e.byCode.getOrElse(code, s"Unknown($code)"))
+          i += 1
+        }
+      case e @ ChEnum16(_) =>
+        // Int16 LE code → declared label, same degradation as Enum8.
+        var i = 0
+        while (i < rows) {
+          val code = in.readShortLE()
           out(i) = UTF8String.fromString(e.byCode.getOrElse(code, s"Unknown($code)"))
           i += 1
         }
@@ -310,7 +331,7 @@ object ColumnCodec {
   /** Byte width for fixed-width types (None = variable). Used for skip-decode. */
   def fixedWidth(t: ChType): Option[Int] = t match {
     case ChUInt8 | ChInt8 | ChBool | _: ChEnum8 => Some(1)
-    case ChUInt16 | ChInt16 | ChDate => Some(2)
+    case ChUInt16 | ChInt16 | ChDate | _: ChEnum16 => Some(2)
     case ChUInt32 | ChInt32 | ChFloat32 | ChDate32 | _: ChDateTime => Some(4)
     case ChUInt64 | ChInt64 | ChFloat64 | _: ChDateTime64 => Some(8)
     case d: ChDecimal => Some(d.byteWidth)
@@ -395,14 +416,50 @@ object ColumnCodec {
       while (i < values.length) { out.writeIntLE(values(i).asInstanceOf[Number].intValue()); i += 1 }
     case d: ChDecimal =>
       var i = 0
-      while (i < values.length) {
-        val unscaled = values(i).asInstanceOf[org.apache.spark.sql.types.Decimal].toUnscaledLong
-        if (d.byteWidth == 4) out.writeIntLE(unscaled.toInt) else out.writeLongLE(unscaled)
-        i += 1
+      if (d.byteWidth <= 8) {
+        while (i < values.length) {
+          val unscaled = values(i).asInstanceOf[org.apache.spark.sql.types.Decimal].toUnscaledLong
+          if (d.byteWidth == 4) out.writeIntLE(unscaled.toInt) else out.writeLongLE(unscaled)
+          i += 1
+        }
+      } else {
+        // Decimal128 tier: unscaled BigInteger → 16 LE bytes,
+        // sign-extended two's complement (inverse of decode)
+        while (i < values.length) {
+          val unscaled = values(i).asInstanceOf[org.apache.spark.sql.types.Decimal]
+            .toJavaBigDecimal.setScale(d.scale).unscaledValue()
+          val be = unscaled.toByteArray // big-endian, minimal length
+          val fill = if (unscaled.signum() < 0) 0xff else 0x00
+          var j = 0
+          while (j < 16) {
+            val k = be.length - 1 - j // byte index counted from the LSB
+            out.writeByte(if (k >= 0) be(k) & 0xff else fill)
+            j += 1
+          }
+          i += 1
+        }
       }
     case ChUInt64 | ChInt64 =>
       var i = 0
       while (i < values.length) { out.writeLongLE(values(i).asInstanceOf[Number].longValue()); i += 1 }
+    case e @ ChEnum8(_) =>
+      // label → declared Int8 code; an undeclared label fails loudly
+      // (ClickHouse likewise rejects unknown enum values at INSERT)
+      var i = 0
+      while (i < values.length) {
+        val label = String.valueOf(values(i))
+        out.writeByte(e.byLabel.getOrElse(label, throw new IllegalArgumentException(
+          s"clickhouse_native ${e.name}: '$label' is not a declared enum value")).toInt & 0xff)
+        i += 1
+      }
+    case e @ ChEnum16(_) =>
+      var i = 0
+      while (i < values.length) {
+        val label = String.valueOf(values(i))
+        out.writeShortLE(e.byLabel.getOrElse(label, throw new IllegalArgumentException(
+          s"clickhouse_native ${e.name}: '$label' is not a declared enum value")))
+        i += 1
+      }
     case ChFloat32 =>
       var i = 0
       while (i < values.length) { out.writeFloatLE(values(i).asInstanceOf[Float]); i += 1 }
@@ -599,7 +656,12 @@ object ColumnCodec {
     // null mask and substitutes the inner default (only reachable from
     // container defaults, e.g. a tuple with nullable fields)
     case _: ChNullable => null
-    case ChString | _: ChFixedString | _: ChEnum8 => UTF8String.fromString("")
+    // an enum's default must be an ENCODABLE label (the null-slot
+    // stand-in under Nullable) — use the first declared value, which is
+    // also ClickHouse's implicit enum default
+    case e: ChEnum8 => UTF8String.fromString(e.values.head._1)
+    case e: ChEnum16 => UTF8String.fromString(e.values.head._1)
+    case ChString | _: ChFixedString => UTF8String.fromString("")
     // CH defaults for the decoded-string network types (null slots
     // under Nullable encode these placeholder bytes)
     case ChUuid => UTF8String.fromString("00000000-0000-0000-0000-000000000000")

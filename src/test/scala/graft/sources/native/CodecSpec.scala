@@ -88,7 +88,9 @@ class CodecSpec extends AnyFunSuite {
     assert(ChType.parse("IPv4") === ChIPv4)
     assert(ChType.parse("IPv6") === ChIPv6)
     assert(ChType.parse("Int128") === ChOpaqueFixed("Int128", 16))
-    assert(ChType.parse("Decimal(22, 2)") === ChOpaqueFixed("Decimal(22, 2)", 16))
+    // Decimal256 storage exceeds Spark's 38-digit DecimalType cap
+    assert(ChType.parse("Decimal(39, 2)") === ChOpaqueFixed("Decimal(39, 2)", 32))
+    assert(ChType.parse("Decimal256(4)") === ChOpaqueFixed("Decimal256(4)", 32))
     assert(ChType.parse("AggregateFunction(sum, UInt64)").isInstanceOf[ChUnsupported])
   }
 
@@ -107,11 +109,96 @@ class CodecSpec extends AnyFunSuite {
     assert(st.fieldNames.toSeq === Seq("_1", "_2"))
   }
 
-  test("type parser: decimals P<=18 and Date32 decode natively") {
+  test("type parser: decimals P<=38 and Date32 decode natively") {
     import ChType._
     assert(ChType.parse("Decimal(10, 2)") === ChDecimal(10, 2))
     assert(ChType.parse("Decimal32(4)") === ChDecimal(9, 4))
     assert(ChType.parse("Decimal64(6)") === ChDecimal(18, 6))
+    // round 10: the Decimal128 tier maps losslessly onto Spark's
+    // DecimalType (its precision cap is exactly 38)
+    assert(ChType.parse("Decimal(22, 2)") === ChDecimal(22, 2))
+    assert(ChType.parse("Decimal(38, 10)") === ChDecimal(38, 10))
+    assert(ChType.parse("Decimal128(4)") === ChDecimal(38, 4))
     assert(ChType.parse("Date32") === ChDate32)
+    assert(ChDecimal(9, 2).byteWidth === 4)
+    assert(ChDecimal(18, 4).byteWidth === 8)
+    assert(ChDecimal(19, 4).byteWidth === 16)
+    assert(ChDecimal(38, 4).byteWidth === 16)
+  }
+
+  test("type parser: Enum16 params (2-byte code range)") {
+    import ChType._
+    ChType.parse("Enum16('hot' = 300, 'cold' = -2)") match {
+      case e: ChEnum16 =>
+        assert(e.byCode(300.toShort) === "hot")
+        assert(e.byCode((-2).toShort) === "cold")
+      case other => fail(s"expected ChEnum16, got $other")
+    }
+    // a code outside Int16 is a malformed pair → skipped; all pairs
+    // malformed → unsupported (same degradation ladder as Enum8)
+    assert(ChType.parse("Enum16('x' = 40000)").isInstanceOf[ChUnsupported])
+    assert(ChType.parse("Enum16()").isInstanceOf[ChUnsupported])
+  }
+
+  /** Decode `rows` values of `t` from raw wire bytes. */
+  private def decodeBytes(t: ChType, rows: Int, bytes: Array[Byte]): Array[Any] =
+    ColumnCodec.decode(
+      new NativeCodec.Input(new ByteArrayInputStream(bytes)), t, rows)
+
+  private def encodeBytes(t: ChType, values: Array[Any]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ColumnCodec.encode(new NativeCodec.Output(bos), t, values)
+    bos.toByteArray
+  }
+
+  test("Decimal128 wire layout: 16-byte LE two's complement (hand-built bytes)") {
+    import ChType._
+    val t = ChDecimal(38, 2)
+    // -1.00 → unscaled -100 = 0x...FF9C (two's complement) → LE bytes
+    // 9C FF FF ... FF; +1.00 → unscaled 100 → 64 00 ... 00
+    val neg = Array.fill[Byte](16)(0xff.toByte); neg(0) = 0x9c.toByte
+    val pos = new Array[Byte](16); pos(0) = 0x64.toByte
+    val decoded = decodeBytes(t, 2, neg ++ pos)
+    assert(decoded(0).asInstanceOf[org.apache.spark.sql.types.Decimal]
+      .toJavaBigDecimal === new java.math.BigDecimal("-1.00"))
+    assert(decoded(1).asInstanceOf[org.apache.spark.sql.types.Decimal]
+      .toJavaBigDecimal === new java.math.BigDecimal("1.00"))
+    // encode is the exact inverse on the same values
+    assert(encodeBytes(t, decoded).toSeq === (neg ++ pos).toSeq)
+  }
+
+  test("Decimal128 round-trip at the 38-digit extremes") {
+    import ChType._
+    val t = ChDecimal(38, 6)
+    val vals = Seq("99999999999999999999999999999999.999999",
+      "-99999999999999999999999999999999.999999", "0.000000",
+      "12345678901234567890.123456", "-0.000001").map(s =>
+      org.apache.spark.sql.types.Decimal(BigDecimal(s), 38, 6): Any).toArray
+    val decoded = decodeBytes(t, vals.length, encodeBytes(t, vals))
+    decoded.zip(vals).foreach { case (d, v) =>
+      assert(d.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal ===
+        v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal)
+    }
+  }
+
+  test("Enum16 wire layout: Int16 LE codes (hand-built bytes)") {
+    import ChType._
+    val t = ChEnum16(Seq("hot" -> 300.toShort, "cold" -> (-2).toShort))
+    // 300 = 0x012C → LE 2C 01; -2 = 0xFFFE → LE FE FF; 7 undeclared
+    val bytes = Array[Byte](0x2c, 0x01, 0xfe.toByte, 0xff.toByte, 0x07, 0x00)
+    assert(decodeBytes(t, 3, bytes).map(String.valueOf(_)).toSeq ===
+      Seq("hot", "cold", "Unknown(7)"))
+    // encode: declared labels invert; an undeclared label fails loudly
+    assert(encodeBytes(t, Array[Any]("hot", "cold")).toSeq === bytes.take(4).toSeq)
+    intercept[IllegalArgumentException] { encodeBytes(t, Array[Any]("warm")) }
+  }
+
+  test("Enum8 encode inverts decode; undeclared label fails loudly") {
+    import ChType._
+    val t = ChEnum8(Seq("a" -> 1.toByte, "b" -> (-3).toByte))
+    val bytes = Array[Byte](1, -3)
+    assert(decodeBytes(t, 2, bytes).map(String.valueOf(_)).toSeq === Seq("a", "b"))
+    assert(encodeBytes(t, Array[Any]("a", "b")).toSeq === bytes.toSeq)
+    intercept[IllegalArgumentException] { encodeBytes(t, Array[Any]("z")) }
   }
 }

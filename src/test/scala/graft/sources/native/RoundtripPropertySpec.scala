@@ -20,7 +20,11 @@ class RoundtripPropertySpec extends AnyFunSuite {
   private val scalarTypes: Seq[ChType] = Seq(
     ChString, ChInt8, ChInt16, ChInt32, ChInt64, ChUInt8, ChUInt16,
     ChFloat32, ChFloat64, ChBool, ChDate, ChDateTime64(6, None),
-    ChDate32, ChDecimal(9, 2), ChDecimal(18, 4))
+    ChDate32, ChDecimal(9, 2), ChDecimal(18, 4),
+    // round 10: the 16-byte Decimal128 tier and both enum widths
+    ChDecimal(38, 6), ChDecimal(22, 0),
+    ChEnum8(Seq("a" -> 1.toByte, "b" -> 2.toByte, "neg" -> (-5).toByte)),
+    ChEnum16(Seq("hot" -> 300.toShort, "cold" -> (-2).toShort, "zero" -> 0.toShort)))
 
   private def randomValue(t: ChType, rnd: scala.util.Random): Any = t match {
     case ChString => UTF8String.fromString(rnd.alphanumeric.take(rnd.nextInt(12)).mkString)
@@ -36,6 +40,14 @@ class RoundtripPropertySpec extends AnyFunSuite {
     case ChDate => Integer.valueOf(rnd.nextInt(20000))
     // signed days: pre-1970 dates must survive (sign-extension bug class)
     case ChDate32 => Integer.valueOf(rnd.nextInt(40000) - 20000)
+    case d: ChDecimal if d.precision > 18 =>
+      // wide tier: random unscaled value of up to `precision` digits,
+      // signed — exercises the full 16-byte two's-complement range
+      val digits = (1 to d.precision).map(_ => rnd.nextInt(10)).mkString.dropWhile(_ == '0')
+      val unscaled = new java.math.BigInteger(
+        (if (rnd.nextBoolean()) "-" else "") + (if (digits.isEmpty) "0" else digits))
+      org.apache.spark.sql.types.Decimal(
+        BigDecimal(new java.math.BigDecimal(unscaled, d.scale)), d.precision, d.scale)
     case d: ChDecimal =>
       // negative unscaled values included; bound by the precision so the
       // value is representable in the declared (P, S)
@@ -43,6 +55,10 @@ class RoundtripPropertySpec extends AnyFunSuite {
       val unscaled = (math.abs(rnd.nextLong()) % bound) * (if (rnd.nextBoolean()) 1 else -1)
       org.apache.spark.sql.types.Decimal(
         BigDecimal(java.math.BigDecimal.valueOf(unscaled, d.scale)), d.precision, d.scale)
+    case e: ChEnum8 =>
+      UTF8String.fromString(e.values(rnd.nextInt(e.values.length))._1)
+    case e: ChEnum16 =>
+      UTF8String.fromString(e.values(rnd.nextInt(e.values.length))._1)
     case ChDateTime64(_, _) => java.lang.Long.valueOf(math.abs(rnd.nextLong()) % 4102444800000000L)
     case ChNullable(inner) => if (rnd.nextInt(4) == 0) null else randomValue(inner, rnd)
     case ChLowCardinality(inner) =>
