@@ -80,7 +80,32 @@ object Bench {
       gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
       s
     }
-    /** Runs f `reps` times; returns (min wall sec, gc sec within that rep). */
+    // Whole-VM stall meter (round-10 end-of-round sweeps): two
+    // same-binary sweeps showed 20–35 s rep excursions on keys whose
+    // same-sweep minima are 1–8 s with near-zero in-window GC — i.e.
+    // the VM itself pausing (hypervisor steal / host contention), a
+    // mechanism the gc row CANNOT see. A daemon heartbeat sleeps 50 ms
+    // in a loop; any gap between consecutive wakeups beyond 250 ms is
+    // counted as stall time (GC pauses also land here — subtract the
+    // separately-measured gc row to estimate pure steal). Per-rep
+    // stall rides next to gc, so a driver-sweep anomaly is attributed
+    // to the HOST from the JSON alone, without a rerun.
+    val stallNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    locally {
+      val t = new Thread(() => {
+        var last = System.nanoTime()
+        while (true) {
+          Thread.sleep(50)
+          val now = System.nanoTime()
+          val gap = now - last
+          if (gap > 250000000L) stallNanos.addAndGet(gap - 50000000L)
+          last = now
+        }
+      })
+      t.setDaemon(true); t.setName("graft-stall-meter"); t.start()
+    }
+    def stallMillis(): Long = stallNanos.get / 1000000L
+    /** Runs f `reps` times; returns (wall sec, gc sec, stall sec) per rep. */
     val benchDebug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     // Per-rep wall curves for every key whose winning rep exceeds ~1 s
     // (round-10, generalizing the q21 attribution discipline): the rep
@@ -90,21 +115,41 @@ object Bench {
     // a rerun. Full map in bench_full.json; watch keys in the compact
     // line.
     val repsByKey = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    def timeRepsFull(reps: Int, label: String = "")(f: => Unit): Seq[(Double, Double)] = {
-      val samples = (1 to reps).map { i =>
+    val stallByKey = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timeRepsFull(reps: Int, label: String = "")(f: => Unit): Seq[(Double, Double, Double)] = {
+      (1 to reps).map { i =>
         val g0 = gcMillis()
+        val s0 = stallMillis()
         val w = time(f)
         val g = (gcMillis() - g0) / 1e3
+        val st = (stallMillis() - s0) / 1e3
         if (benchDebug)
-          System.err.println(f"BENCHDBG $label rep$i wall=$w%.3f gc=$g%.3f")
-        (w, g)
+          System.err.println(f"BENCHDBG $label rep$i wall=$w%.3f gc=$g%.3f stall=$st%.3f")
+        (w, g, st)
+      }
+    }
+    def timeReps(reps: Int, label: String = "")(f: => Unit): (Double, Double) = {
+      var samples = timeRepsFull(reps, label)(f)
+      // Stall-contaminated minimum: when the WINNING rep itself
+      // overlapped a measured whole-VM stall big enough to be the
+      // number (>0.5 s and >25% of its wall), the estimate is provably
+      // host-poisoned — up to 2 extra reps buy a clean window. Bounded:
+      // extras only run under detected contamination, never on a quiet
+      // host, so the sweep budget is unchanged in the common case.
+      var extras = 0
+      while (extras < 2 && {
+        val m = samples.minBy(_._1)
+        m._1 > 1.0 && m._3 > math.max(0.5, 0.25 * m._1)
+      }) {
+        samples = samples ++ timeRepsFull(1, label)(f)
+        extras += 1
       }
       if (label.nonEmpty && samples.map(_._1).min > 1.0)
         repsByKey(label) = samples.map(_._1)
-      samples
+      val win = samples.minBy(_._1)
+      if (label.nonEmpty && win._3 > 0.05) stallByKey(label) = win._3
+      (win._1, win._2)
     }
-    def timeReps(reps: Int, label: String = "")(f: => Unit): (Double, Double) =
-      timeRepsFull(reps, label)(f).minBy(_._1)
 
     // JVM/codegen warmup so the first measured query isn't charged for
     // it: prime aggregation, string-expression projection, JSON, the
@@ -573,8 +618,10 @@ object Bench {
     val repsMap = repsByKey.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(j).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val stallMap = stallByKey.map { case (k, v) => "\"" + k + "\":" + j(v) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcMap,"sentinel":$sentMap,"reps":$repsMap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcMap,"stall":$stallMap,"sentinel":$sentMap,"reps":$repsMap,"sf":"$sfDir"}"""
     System.err.println(fullLine)
     // sidecars are written only for FULL sweeps: a filtered
     // SPARK_GRAFT_BENCH_ONLY iteration run must not clobber the last
@@ -636,8 +683,16 @@ object Bench {
       else s""","reps":${m.map(k => "\"" + k + "\":[" + repsByKey(k).map(j).mkString(",") + "]")
         .mkString("{", ",", "}")}"""
     }
+    // stall evidence in the compact line: the sweep-wide total (one
+    // number that says "quiet host" or "noisy host" at a glance) plus
+    // per-key entries for any winning rep that carried stall — on a
+    // quiet host this is one ~0 field.
+    val stallTotal = stallMillis() / 1e3
+    val watchStall = if (stallByKey.isEmpty) ""
+      else s""","stall":${stallByKey.toSeq.sortBy(-_._2).take(8)
+        .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")}"""
     val compactLine =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${all.length},"queries":$cqs$tpchStats$watchGc$watchSent$watchReps$sentStats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${all.length},"queries":$cqs$tpchStats$watchGc$watchSent$watchReps$sentStats,"stall_total":${j(stallTotal)}$watchStall,"sf":"$sfDir"}"""
     // Fixed sidecar for the compact line too (round-9 verdict item 6:
     // BENCH_r08.json had parsed=null — the driver scrapes a stdout
     // tail where sbt noise can clip the line; the sidecar survives).
