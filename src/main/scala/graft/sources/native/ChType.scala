@@ -154,15 +154,27 @@ object ChType {
     val sparkType = StringType; val name = "IPv6"
   }
   /**
-   * Recognized-but-not-decoded type with a KNOWN fixed byte width
-   * (Int128/256, Decimal128/256): the reader consumes the
-   * bytes and emits the literal string `<unsupported:T>` per cell —
-   * the reference's degradation sentinel (src/lib.rs:137), but
-   * without corrupting the positions of later columns (the reference
-   * never advances its cursor for unknown types and misparses
-   * whatever follows).
+   * 128/256-bit integer, decoded to its EXACT decimal-string value
+   * (round 10 — previously an `<unsupported:T>` sentinel, the
+   * reference's floor, src/lib.rs:137): Spark has no 128/256-bit
+   * integral type, so the faithful representation is the full decimal
+   * rendering as a string (UInt128 hash columns are the common real-
+   * world case). Wire layout: `width` little-endian bytes, two's
+   * complement when signed. Read-only — the writer has no Spark source
+   * type for these.
    */
-  final case class ChOpaqueFixed(raw: String, width: Int) extends ChType {
+  final case class ChBigInt(raw: String, width: Int, signed: Boolean) extends ChType {
+    val sparkType = StringType
+    def name = raw
+  }
+  /**
+   * Decimal wider than Spark's 38-digit DecimalType cap (Decimal256 /
+   * Decimal(P>38, S)): decoded to the exact plain decimal string at
+   * the declared scale (round 10 — previously the sentinel). Wire
+   * layout: 32 little-endian two's-complement bytes of the unscaled
+   * value. Read-only, like [[ChBigInt]].
+   */
+  final case class ChWideDecimal(raw: String, width: Int, scale: Int) extends ChType {
     val sparkType = StringType
     def name = raw
   }
@@ -232,8 +244,17 @@ object ChType {
       case "UUID"               => ChUuid
       case "IPv4"               => ChIPv4
       case "IPv6"               => ChIPv6
-      case "Int128" | "UInt128" => ChOpaqueFixed(t, 16)
-      case "Int256" | "UInt256" => ChOpaqueFixed(t, 32)
+      case "Int128"  => ChBigInt(t, 16, signed = true)
+      case "UInt128" => ChBigInt(t, 16, signed = false)
+      case "Int256"  => ChBigInt(t, 32, signed = true)
+      case "UInt256" => ChBigInt(t, 32, signed = false)
+      // SimpleAggregateFunction(f, T) stores PLAIN T values on the wire
+      // (unlike AggregateFunction's opaque state bytes) — decode as T
+      case "SimpleAggregateFunction" =>
+        splitTopLevel(params) match {
+          case Seq(_, inner) => parse(inner)
+          case _ => ChUnsupported(t)
+        }
       case "Decimal32" =>
         // Decimal32(S) = Decimal(9, S)
         params.trim.toIntOption.map(s => ChDecimal(9, s)).getOrElse(ChUnsupported(t))
@@ -242,15 +263,16 @@ object ChType {
       case "Decimal128" =>
         // Decimal128(S) = Decimal(38, S) — Spark's exact precision cap
         params.trim.toIntOption.map(s => ChDecimal(38, s)).getOrElse(ChUnsupported(t))
-      case "Decimal256"         => ChOpaqueFixed(t, 32)
+      case "Decimal256" =>
+        params.trim.toIntOption.map(s => ChWideDecimal(t, 32, s)).getOrElse(ChUnsupported(t))
       case "Decimal" =>
-        // P<=38 decodes natively (Spark's DecimalType cap); Decimal256
-        // storage degrades to the sentinel
+        // P<=38 decodes to a real DecimalType (Spark's cap); wider
+        // decodes to the exact decimal string
         val parts = splitTopLevel(params)
         (parts.headOption.flatMap(_.trim.toIntOption),
           parts.drop(1).headOption.flatMap(_.trim.toIntOption)) match {
           case (Some(p), Some(s)) if p <= 38 => ChDecimal(p, s)
-          case (Some(_), _)                  => ChOpaqueFixed(t, 32)
+          case (Some(_), Some(s))            => ChWideDecimal(t, 32, s)
           case _                             => ChUnsupported(t)
         }
       case _ => ChUnsupported(t)

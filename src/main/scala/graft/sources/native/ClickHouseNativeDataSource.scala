@@ -294,8 +294,11 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String],
             throw new IllegalArgumentException(
               s"clickhouse_native columnTypes: column '$c' not in write schema"))
           val parsed = ChType.parse(tn)
+          // read-only types: wide ints / wide decimals decode to exact
+          // strings but have no encoder (no Spark source type for them)
           if (parsed.isInstanceOf[ChType.ChUnsupported] ||
-              parsed.isInstanceOf[ChType.ChOpaqueFixed])
+              parsed.isInstanceOf[ChType.ChBigInt] ||
+              parsed.isInstanceOf[ChType.ChWideDecimal])
             throw new IllegalArgumentException(
               s"clickhouse_native columnTypes: type '$tn' is not writable")
           if (parsed.sparkType != f.dataType) throw new IllegalArgumentException(

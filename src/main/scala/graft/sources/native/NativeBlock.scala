@@ -125,15 +125,11 @@ object ColumnCodec {
             i += 1
           }
         } else {
-          // Decimal128 tier: 16 LE bytes → BigInteger (two's complement,
-          // big-endian constructor — reverse the wire order)
+          // Decimal128 tier: 16 LE two's-complement bytes → BigInteger
           while (i < rows) {
-            val le = in.readBytes(16)
-            val be = new Array[Byte](16)
-            var j = 0
-            while (j < 16) { be(j) = le(15 - j); j += 1 }
             out(i) = org.apache.spark.sql.types.Decimal(
-              BigDecimal(new java.math.BigDecimal(new java.math.BigInteger(be), d.scale)),
+              BigDecimal(new java.math.BigDecimal(
+                readWideInt(in, 16, signed = true), d.scale)),
               d.precision, d.scale)
             i += 1
           }
@@ -255,13 +251,21 @@ object ColumnCodec {
           out(i) = UTF8String.fromString(sb.toString)
           i += 1
         }
-      case ChOpaqueFixed(raw, width) =>
-        // Consume the bytes, emit the reference's degradation sentinel
-        // (src/lib.rs:137) — later columns stay correctly aligned.
-        val sentinel = UTF8String.fromString(s"<unsupported:$raw>")
-        in.skipFully(width.toLong * rows)
+      case ChBigInt(_, width, signed) =>
+        // LE bytes → BigInteger → exact decimal string (the reference
+        // emits `<unsupported:T>` sentinels here, src/lib.rs:137)
         var i = 0
-        while (i < rows) { out(i) = sentinel; i += 1 }
+        while (i < rows) {
+          out(i) = UTF8String.fromString(readWideInt(in, width, signed).toString)
+          i += 1
+        }
+      case ChWideDecimal(_, width, scale) =>
+        var i = 0
+        while (i < rows) {
+          out(i) = UTF8String.fromString(new java.math.BigDecimal(
+            readWideInt(in, width, signed = true), scale).toPlainString)
+          i += 1
+        }
       case lc: ChLowCardinality =>
         decodeLowCardinality(in, lc, rows, out)
       case _: ChUnsupported =>
@@ -338,8 +342,21 @@ object ColumnCodec {
     case ChFixedString(n) => Some(n)
     case ChUuid | ChIPv6 => Some(16)
     case ChIPv4 => Some(4)
-    case ChOpaqueFixed(_, w) => Some(w)
+    case ChBigInt(_, w, _) => Some(w)
+    case ChWideDecimal(_, w, _) => Some(w)
     case _ => None
+  }
+
+  /** `width` little-endian bytes → BigInteger (two's complement when
+    * signed, non-negative magnitude otherwise). */
+  private def readWideInt(in: Input, width: Int, signed: Boolean): java.math.BigInteger = {
+    val le = in.readBytes(width)
+    // reverse to big-endian; unsigned values get a 0x00 sign byte
+    val be = new Array[Byte](if (signed) width else width + 1)
+    val off = if (signed) 0 else 1
+    var j = 0
+    while (j < width) { be(off + j) = le(width - 1 - j); j += 1 }
+    new java.math.BigInteger(be)
   }
 
   /**

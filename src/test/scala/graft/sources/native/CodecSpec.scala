@@ -81,17 +81,53 @@ class CodecSpec extends AnyFunSuite {
     assert(ChType.parse("Enum8()").isInstanceOf[ChUnsupported])
   }
 
-  test("type parser: opaque fixed-width degrade") {
+  test("type parser: wide ints and wide decimals decode as exact strings") {
     import ChType._
     // UUID graduated to a native decode in round 10 (NetworkTypesSpec)
     assert(ChType.parse("UUID") === ChUuid)
     assert(ChType.parse("IPv4") === ChIPv4)
     assert(ChType.parse("IPv6") === ChIPv6)
-    assert(ChType.parse("Int128") === ChOpaqueFixed("Int128", 16))
-    // Decimal256 storage exceeds Spark's 38-digit DecimalType cap
-    assert(ChType.parse("Decimal(39, 2)") === ChOpaqueFixed("Decimal(39, 2)", 32))
-    assert(ChType.parse("Decimal256(4)") === ChOpaqueFixed("Decimal256(4)", 32))
+    // round 10: wide ints decode to exact decimal strings (previously
+    // the opaque `<unsupported:T>` sentinel)
+    assert(ChType.parse("Int128") === ChBigInt("Int128", 16, signed = true))
+    assert(ChType.parse("UInt128") === ChBigInt("UInt128", 16, signed = false))
+    assert(ChType.parse("Int256") === ChBigInt("Int256", 32, signed = true))
+    assert(ChType.parse("UInt256") === ChBigInt("UInt256", 32, signed = false))
+    // beyond Spark's 38-digit DecimalType cap → exact string form
+    assert(ChType.parse("Decimal(39, 2)") === ChWideDecimal("Decimal(39, 2)", 32, 2))
+    assert(ChType.parse("Decimal256(4)") === ChWideDecimal("Decimal256(4)", 32, 4))
+    // SimpleAggregateFunction stores plain T — decodes as T
+    assert(ChType.parse("SimpleAggregateFunction(sum, UInt64)") === ChUInt64)
+    assert(ChType.parse("SimpleAggregateFunction(max, Nullable(String))") ===
+      ChNullable(ChString))
+    // AggregateFunction state bytes stay unsupported (opaque, variable width)
     assert(ChType.parse("AggregateFunction(sum, UInt64)").isInstanceOf[ChUnsupported])
+  }
+
+  test("wide-int wire layout: LE two's complement / unsigned (hand-built bytes)") {
+    import ChType._
+    // Int128 = -1 → 16 0xFF bytes; UInt128 over the same bytes = 2^128-1
+    val allFF = Array.fill[Byte](16)(0xff.toByte)
+    assert(String.valueOf(decodeBytes(ChBigInt("Int128", 16, signed = true), 1, allFF)(0)) === "-1")
+    assert(String.valueOf(decodeBytes(ChBigInt("UInt128", 16, signed = false), 1, allFF)(0)) ===
+      java.math.BigInteger.TWO.pow(128).subtract(java.math.BigInteger.ONE).toString)
+    // 2^64 as Int128: byte 8 (0-indexed) = 1 in LE
+    val p64 = new Array[Byte](16); p64(8) = 1
+    assert(String.valueOf(decodeBytes(ChBigInt("Int128", 16, signed = true), 1, p64)(0)) ===
+      "18446744073709551616")
+    // Int256 = -2 → two's complement FE FF ... FF in LE
+    val neg2 = Array.fill[Byte](32)(0xff.toByte); neg2(0) = 0xfe.toByte
+    assert(String.valueOf(decodeBytes(ChBigInt("Int256", 32, signed = true), 1, neg2)(0)) === "-2")
+    // Decimal256 scale 4 over unscaled -2 → "-0.0002"
+    assert(String.valueOf(decodeBytes(ChWideDecimal("Decimal256(4)", 32, 4), 1, neg2)(0)) ===
+      "-0.0002")
+    // a 40-digit unscaled value renders exactly (beyond any 128-bit type)
+    val big = new java.math.BigInteger("9" * 40)
+    val beB = big.toByteArray
+    val le40 = new Array[Byte](32)
+    for (j <- 0 until beB.length) le40(j) = beB(beB.length - 1 - j)
+    assert(String.valueOf(decodeBytes(ChWideDecimal("Decimal(40, 2)", 32, 2), 1, le40)(0)) ===
+      "9" * 38 + "." + "99")
   }
 
   test("type parser: Map and Tuple decode natively (incl. named elements)") {
