@@ -255,6 +255,14 @@ object ChType {
           case Seq(_, inner) => parse(inner)
           case _ => ChUnsupported(t)
         }
+      // Geo types are structural aliases (ClickHouse serializes them
+      // exactly as the underlying Tuple/Array nesting): Point =
+      // Tuple(Float64, Float64), Ring = Array(Point), Polygon =
+      // Array(Ring), MultiPolygon = Array(Polygon)
+      case "Point"        => ChTuple(Seq(None -> ChFloat64, None -> ChFloat64))
+      case "Ring"         => ChArray(parse("Point"))
+      case "Polygon"      => ChArray(parse("Ring"))
+      case "MultiPolygon" => ChArray(parse("Polygon"))
       case "Decimal32" =>
         // Decimal32(S) = Decimal(9, S)
         params.trim.toIntOption.map(s => ChDecimal(9, s)).getOrElse(ChUnsupported(t))

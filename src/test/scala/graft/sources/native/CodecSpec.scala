@@ -104,6 +104,22 @@ class CodecSpec extends AnyFunSuite {
     assert(ChType.parse("AggregateFunction(sum, UInt64)").isInstanceOf[ChUnsupported])
   }
 
+  test("type parser: geo aliases expand to their structural layouts") {
+    import ChType._
+    val point = ChTuple(Seq(None -> ChFloat64, None -> ChFloat64))
+    assert(ChType.parse("Point") === point)
+    assert(ChType.parse("Ring") === ChArray(point))
+    assert(ChType.parse("Polygon") === ChArray(ChArray(point)))
+    assert(ChType.parse("MultiPolygon") === ChArray(ChArray(ChArray(point))))
+    // decode check on hand-built bytes: one Point = two LE Float64s
+    val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putDouble(1.5); bb.putDouble(-2.25)
+    val row = decodeBytes(point, 1, bb.array())(0)
+      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+    assert(row.getDouble(0) === 1.5)
+    assert(row.getDouble(1) === -2.25)
+  }
+
   test("wide-int wire layout: LE two's complement / unsigned (hand-built bytes)") {
     import ChType._
     // Int128 = -1 → 16 0xFF bytes; UInt128 over the same bytes = 2^128-1
