@@ -279,8 +279,10 @@ private[native] class NativeTable(tableSchema: StructType, paths: Seq[String],
     // columnTypes: declare columns as CH types the writer cannot infer
     // from Spark's type system — the CAST-at-insert ETL idiom. Uses:
     // STRING columns as UUID / IPv4 / IPv6 (16/4/16-byte binary on the
-    // wire instead of var-length text) or as Enum8/Enum16 (1/2-byte
-    // codes); decode returns the same strings. Entries split at
+    // wire instead of var-length text), Enum8/Enum16 (1/2-byte codes),
+    // or FixedString(n) (NUL-padded fixed slots; too-long values fail
+    // the write like a CH INSERT); decode returns the same strings.
+    // Entries split at
     // TOP-LEVEL commas only — an Enum declaration's own commas stay
     // inside it. Validated here so a typo is one clean plan-time error.
     val typeOverrides: Map[String, String] =

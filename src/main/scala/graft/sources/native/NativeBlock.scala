@@ -419,6 +419,22 @@ object ColumnCodec {
         }
         i += 1
       }
+    case ChFixedString(n) =>
+      // CH INSERT semantics: shorter values NUL-pad to n bytes, longer
+      // ones are an error (decode's sanitize strips the padding back)
+      var i = 0
+      while (i < values.length) {
+        val b = values(i) match {
+          case u: UTF8String => u.getBytes
+          case other => String.valueOf(other).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        if (b.length > n) throw new IllegalArgumentException(
+          s"clickhouse_native FixedString($n): value of ${b.length} bytes is too long")
+        out.writeBytes(b)
+        var p = b.length
+        while (p < n) { out.writeByte(0); p += 1 }
+        i += 1
+      }
     case ChUInt8 | ChInt8 =>
       var i = 0
       while (i < values.length) { out.writeByte(values(i).asInstanceOf[Number].intValue() & 0xff); i += 1 }

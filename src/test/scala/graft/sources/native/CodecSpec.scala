@@ -245,6 +245,16 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { encodeBytes(t, Array[Any]("warm")) }
   }
 
+  test("FixedString encode: NUL-pad short, reject too-long (CH INSERT semantics)") {
+    import ChType._
+    val t = ChFixedString(4)
+    val bytes = encodeBytes(t, Array[Any]("ab", "wxyz"))
+    assert(bytes.toSeq === "ab".getBytes.toSeq ++ Seq[Byte](0, 0) ++ "wxyz".getBytes.toSeq)
+    // decode strips the padding back (sanitize)
+    assert(decodeBytes(t, 2, bytes).map(String.valueOf(_)).toSeq === Seq("ab", "wxyz"))
+    intercept[IllegalArgumentException] { encodeBytes(t, Array[Any]("toolong")) }
+  }
+
   test("Enum8 encode inverts decode; undeclared label fails loudly") {
     import ChType._
     val t = ChEnum8(Seq("a" -> 1.toByte, "b" -> (-3).toByte))

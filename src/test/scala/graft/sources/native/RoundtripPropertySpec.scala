@@ -21,13 +21,16 @@ class RoundtripPropertySpec extends AnyFunSuite {
     ChString, ChInt8, ChInt16, ChInt32, ChInt64, ChUInt8, ChUInt16,
     ChFloat32, ChFloat64, ChBool, ChDate, ChDateTime64(6, None),
     ChDate32, ChDecimal(9, 2), ChDecimal(18, 4),
-    // round 10: the 16-byte Decimal128 tier and both enum widths
-    ChDecimal(38, 6), ChDecimal(22, 0),
+    // round 10: the 16-byte Decimal128 tier, both enum widths, and
+    // FixedString (now encodable — NUL-pad/strip roundtrip)
+    ChDecimal(38, 6), ChDecimal(22, 0), ChFixedString(8),
     ChEnum8(Seq("a" -> 1.toByte, "b" -> 2.toByte, "neg" -> (-5).toByte)),
     ChEnum16(Seq("hot" -> 300.toShort, "cold" -> (-2).toShort, "zero" -> 0.toShort)))
 
   private def randomValue(t: ChType, rnd: scala.util.Random): Any = t match {
     case ChString => UTF8String.fromString(rnd.alphanumeric.take(rnd.nextInt(12)).mkString)
+    case ChFixedString(n) => // <= n bytes; decode strips the NUL padding
+      UTF8String.fromString(rnd.alphanumeric.take(rnd.nextInt(n + 1)).mkString)
     case ChInt8 => Integer.valueOf(rnd.nextInt(256) - 128)
     case ChInt16 => Integer.valueOf(rnd.nextInt(65536) - 32768)
     case ChInt32 => Integer.valueOf(rnd.nextInt())
