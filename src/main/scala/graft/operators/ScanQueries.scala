@@ -266,13 +266,19 @@ object ScanQueries {
                                 cast(c_custkey as string), '00000000000000000000.',
                                 lpad(cast(c_nationkey as string), 4, '0'))
                          as decimal(38, 4))""").as("d"),
-            col("c_mktsegment").as("seg"))
+            col("c_mktsegment").as("seg"),
+            // same values through FixedString(12): segments are 8-10
+            // chars, so every row exercises real NUL padding on the
+            // wire and the strip on decode
+            col("c_mktsegment").as("segf"))
           .write.format("clickhouse_native")
           .option("columnTypes", "seg:Enum16('AUTOMOBILE' = 300, 'BUILDING' = -2, " +
-            "'FURNITURE' = 7, 'HOUSEHOLD' = 1000, 'MACHINERY' = 0)")
+            "'FURNITURE' = 7, 'HOUSEHOLD' = 1000, 'MACHINERY' = 0)," +
+            "segf:FixedString(12)")
           .mode("overwrite").save(fx)
         s.read.format("clickhouse_native").load(fx)
-          .select(col("c_custkey"), col("d").cast("string").as("dec_s"), col("seg"))
+          .select(col("c_custkey"), col("d").cast("string").as("dec_s"),
+            col("seg"), col("segf"))
       },
       // the outer DECIMAL(38,4) cast canonicalizes the rendering (a
       // c_custkey of 0 would otherwise keep its leading zeros / sign)
@@ -281,7 +287,8 @@ object ScanQueries {
                             CAST(c_custkey AS VARCHAR), '00000000000000000000.',
                             lpad(CAST(c_nationkey AS VARCHAR), 4, '0'))
                           AS DECIMAL(38, 4)) AS VARCHAR) AS dec_s,
-                     c_mktsegment AS seg
+                     c_mktsegment AS seg,
+                     c_mktsegment AS segf
               FROM customer"""))
   )
 }
