@@ -547,7 +547,7 @@ object Bench {
     def scaleCc(copies: Int) = graft.operators.DedupClusters.assign(
       graft.operators.Dedup.minhashPairs(docsAt(copies), "doc_id", "text",
         threshold = 0.5).select(col("id_a"), col("id_b")))
-    val scalePoints = Seq(
+    val scaleDefs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "scale_agg_1x" -> (() => scaleAgg(1)), "scale_agg_10x" -> (() => scaleAgg(10)),
       "scale_join_1x" -> (() => scaleJoin(1)), "scale_join_10x" -> (() => scaleJoin(10)),
       "scale_dedup_1x" -> (() => scaleDedup(1)), "scale_dedup_10x" -> (() => scaleDedup(10)),
@@ -567,6 +567,8 @@ object Bench {
       "scale_spans_10x" -> (() => scaleSpans(10)),
       "scale_cc_1x" -> (() => scaleCc(1)),
       "scale_cc_10x" -> (() => scaleCc(10)))
+    val scaleMakers = scaleDefs.toMap
+    val scalePoints = scaleDefs
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
         val pinShuffleJoin = name.startsWith("scale_join")
@@ -726,6 +728,30 @@ object Bench {
     // stays on in-sweep numbers at 15, and the per-key gc/sentinel
     // columns in the output are the evidence trail if they diverge.
     val byName = all.toMap
+    // Re-measure a tripped pair ONCE before failing the round: the
+    // failures this gate hunts (candidate/shuffle explosions) are
+    // properties of the PLAN and reproduce on every run, while a host
+    // storm (round-10: whole-VM stalls inflating one 10× point to a
+    // 21× ratio — rep curve [28.8, 78.8, 30.4] with the 1× point and
+    // every sibling pipeline clean in the same sweep) does not. Both
+    // points re-run min-of-2 and each keeps its best across rounds, so
+    // a genuine explosion still fails loudly — a quadratic 10× point
+    // cannot measure fast twice.
+    def remeasureRatio(k: String): Double = {
+      val pin = k == "join" // same strategy pin as the first pass
+      if (pin) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def best(name: String): Double = scaleMakers.get(name).map { mk =>
+          val re = timeRepsFull(2)(force(mk())).map(_._1).min
+          math.min(re, byName(name))
+        }.getOrElse(-1.0)
+        val t1 = best(s"scale_${k}_1x")
+        val t10 = best(s"scale_${k}_10x")
+        System.err.println(f"SCALE GATE RETRY scale_$k: best 1x=$t1%.3f 10x=$t10%.3f")
+        if (t1 <= 0 || t10 < 0) Double.MaxValue else t10 / t1
+      } catch { case scala.util.control.NonFatal(_) => Double.MaxValue }
+      finally if (pin) spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     val tripped = Seq("agg", "join", "dedup", "semdedup", "knn", "knn_hier",
       "bm25", "containment", "ivfpq", "spans", "cc").flatMap { k =>
       if (!byName.contains(s"scale_${k}_1x")) None // filtered out (local iteration)
@@ -733,8 +759,16 @@ object Bench {
       val (t1x, t10x) = (byName(s"scale_${k}_1x"), byName(s"scale_${k}_10x"))
       if (t1x <= 0 || t10x < 0)
         Some(s"scale_$k: missing/failed measurement (1x=$t1x 10x=$t10x)")
-      else if (t10x / t1x >= 15.0)
-        Some(f"scale_$k: 10x/1x ratio ${t10x / t1x}%.1f >= 15 — super-linear growth")
+      else if (t10x / t1x >= 15.0) {
+        val re = remeasureRatio(k)
+        if (re >= 15.0)
+          Some(f"scale_$k: 10x/1x ratio ${t10x / t1x}%.1f >= 15 (retry ${re}%.1f) — super-linear growth")
+        else {
+          System.err.println(f"SCALE GATE: scale_$k first-pass ratio " +
+            f"${t10x / t1x}%.1f did NOT reproduce (retry ${re}%.1f) — host noise, not plan")
+          None
+        }
+      }
       else None
       }
     }
