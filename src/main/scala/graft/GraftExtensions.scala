@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Fnv1a64, FunnelAgg, Hamming64, MinHashSig, MinHashSketchAgg, RollingFingerprintExpr, ShingleArray, ShingleHashes, SigAgree, SimHash64, TopKAgg, VecDot}
+import graft.functions.{Fnv1a64, FunnelAgg, Hamming64, MinHashSig, MinHashSketchAgg, RollingFingerprintExpr, ShingleArray, ShingleHashes, SigAgree, SimHash64, SipHash64Expr, TopKAgg, VecDot}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -36,6 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "simhash64 takes exactly one argument")
         SimHash64(children.head)
+      }))
+    // CH's sipHash64 (SQL names are case-insensitive, so the CH
+    // spelling resolves to this registration)
+    ext.injectFunction((
+      new FunctionIdentifier("siphash64"),
+      new ExpressionInfo(classOf[SipHash64Expr].getName, "siphash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "sipHash64 takes exactly one argument")
+        SipHash64Expr(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),

@@ -68,6 +68,18 @@ object ChDialect {
     one("toString")(Cast(_, StringType)),
     one("toDate")(date),
     one("toDateTime")(ts),
+    // toDateTime64(x, precision): Catalyst timestamps are fixed at
+    // micros, so the declared precision only matters on the native
+    // WIRE (ChDateTime64) — in a query it is a plain timestamp cast
+    "toDateTime64" -> { args: Seq[Expression] =>
+      require(args.length == 2, "toDateTime64 takes (value, precision)")
+      ts(args.head)
+    },
+    // the Decimal storage tiers: toDecimalN(x, scale) with a literal
+    // scale, mirroring ChType's Decimal32/64/128 precisions
+    two("toDecimal32")((x, s) => Cast(x, DecimalType(9, litScale(s, "toDecimal32", 9)))),
+    two("toDecimal64")((x, s) => Cast(x, DecimalType(18, litScale(s, "toDecimal64", 18)))),
+    two("toDecimal128")((x, s) => Cast(x, DecimalType(38, litScale(s, "toDecimal128", 38)))),
 
     // ----- date / time ---------------------------------------------------
     one("toYear")(Year(_)),
@@ -242,6 +254,17 @@ object ChDialect {
     one("arrayMin")(ArrayMin(_)),
     one("arrayMax")(ArrayMax(_)),
     one("arrayFlatten")(Flatten(_)),
+    two("arrayIntersect")((a, b) => ArrayIntersect(a, b)),
+    // CH arg order like splitByChar: (regexp, s)
+    two("splitByRegexp")((re, s) => StringSplit(s, re, Literal(-1))),
+    // arrayCount(arr): CH's 1-arg form — elements with x != 0. (The
+    // 2-arg lambda form cannot be registered: the analyzer requires a
+    // user lambda to sit DIRECTLY under a higher-order root, and the
+    // root here is Size — spell it size(arrayFilter(f, arr)) instead.)
+    one("arrayCount")(arr => {
+      val x = lv("x")
+      Size(ArrayFilter(arr, LambdaFunction(Not(EqualTo(x, Literal(0))), Seq(x))))
+    }),
     "arrayZip" -> { args: Seq[Expression] =>
       require(args.nonEmpty, "arrayZip takes at least one array")
       ArraysZip(args)
@@ -560,6 +583,14 @@ object ChDialect {
   }
 
   private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+
+  /** Literal integer scale for the toDecimalN conversions, bounded by
+    * the tier's precision. */
+  private def litScale(e: Expression, fn: String, precision: Int): Int = e match {
+    case Literal(v: Int, IntegerType) if v >= 0 && v <= precision => v
+    case other => throw new IllegalArgumentException(
+      s"$fn scale must be an integer literal in 0..$precision, got $other")
+  }
 
   /** Timestamp floored to a fixed bucket of epoch seconds (the
     * toStartOfNMinutes family). Matches CH for epochs >= 0; pre-1970

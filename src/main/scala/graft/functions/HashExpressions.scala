@@ -182,6 +182,30 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
 }
 
 /**
+ * `sipHash64(string) -> bigint` — ClickHouse's SipHash-2-4 content
+ * hash (zero key), codegen'd. Values ≥ 2^63 surface as negative Longs
+ * (the documented UInt64 policy); the keyed core is pinned against
+ * the SipHash paper's own test vectors in SipHashSpec.
+ */
+case class SipHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"sipHash64 requires a string argument, got ${child.dataType.simpleString}")
+  override def prettyName: String = "siphash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SipHash.hash64Zero(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SipHash.hash64Zero($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): SipHash64Expr =
+    copy(child = newChild)
+}
+
+/**
  * `minhash_sig(string, k, n) -> array<bigint>` — the k-wide MinHash
  * signature of a document's word-n-gram shingle set, codegen'd. This
  * is the hottest map of the dedup pipeline (every document, every

@@ -323,4 +323,31 @@ class ChDialectSpec extends AnyFunSuite {
     assert(q1("formatReadableQuantity(1234000)") == "1.23 million")
     assert(q1("formatReadableQuantity(10)") == "10.00")
   }
+
+  test("round-10b widening: decimal tiers, regexp split, array count/intersect, sipHash64") {
+    // toDecimalN(x, scale): the three storage-tier precisions
+    assert(q1("toString(toDecimal32('12.345', 2))") == "12.35")
+    assert(q1("toString(toDecimal64('12.345', 4))") == "12.3450")
+    assert(q1("toString(toDecimal128('12345678901234567890.5', 1))") ==
+      "12345678901234567890.5")
+    assert(q1("toString(toDateTime64('2024-03-15 13:45:56', 3))").toString
+      .startsWith("2024-03-15 13:45:56"))
+    intercept[Exception] { q1("toDecimal32('1', 99)") } // scale > precision
+
+    assert(q1("arrayIntersect(array(1, 2, 3), array(2, 3, 4))")
+      .asInstanceOf[scala.collection.Seq[_]].toSet == Set(2, 3))
+    // CH arg order (regexp, s), like splitByChar
+    assert(q1("splitByRegexp('[,;]', 'a,b;c')")
+      .asInstanceOf[scala.collection.Seq[_]] == Seq("a", "b", "c"))
+    assert(q1("arrayCount(array(1, 0, 3, 0))") == 2)
+
+    // sipHash64: ClickHouse's zero-key SipHash-2-4 instance — value
+    // parity with the library core that SipHashSpec pins against the
+    // specification paper's own vectors
+    assert(q1("sipHash64('abc')") ==
+      SipHash.hash64Zero("abc".getBytes("UTF-8")))
+    // CH camel-case spelling resolves case-insensitively
+    assert(q1("SIPHASH64('abc')") == q1("sipHash64('abc')"))
+    assert(q1("sipHash64('')") == SipHash.hash64Zero(Array.emptyByteArray))
+  }
 }
