@@ -76,10 +76,14 @@ object ChDialect {
       ts(args.head)
     },
     // the Decimal storage tiers: toDecimalN(x, scale) with a literal
-    // scale, mirroring ChType's Decimal32/64/128 precisions
-    two("toDecimal32")((x, s) => Cast(x, DecimalType(9, litScale(s, "toDecimal32", 9)))),
-    two("toDecimal64")((x, s) => Cast(x, DecimalType(18, litScale(s, "toDecimal64", 18)))),
-    two("toDecimal128")((x, s) => Cast(x, DecimalType(38, litScale(s, "toDecimal128", 38)))),
+    // scale, mirroring ChType's Decimal32/64/128 precisions.
+    // CH TRUNCATES excess fractional digits (round toward zero:
+    // toDecimal32('12.345', 2) = 12.34) while Spark's Cast rounds
+    // HALF_UP — so parse at a wider scale first, then floor (x ≥ 0)
+    // or ceil (x < 0) at the target scale before the final cast.
+    two("toDecimal32")((x, s) => truncDecimal(x, 9, litScale(s, "toDecimal32", 9))),
+    two("toDecimal64")((x, s) => truncDecimal(x, 18, litScale(s, "toDecimal64", 18))),
+    two("toDecimal128")((x, s) => truncDecimal(x, 38, litScale(s, "toDecimal128", 38))),
 
     // ----- date / time ---------------------------------------------------
     one("toYear")(Year(_)),
@@ -174,8 +178,8 @@ object ChDialect {
     // CH arg order: arrayMap(x -> f(x), arr) — lambda first
     two("arrayMap")((fn, arr) => ArrayTransform(arr, fn)),
     two("arrayFilter")((fn, arr) => ArrayFilter(arr, fn)),
-    // (no arrayCount: the analyzer requires a lambda's parent expression
-    // to itself be the higher-order function — spell it
+    // (the 2-arg lambda arrayCount(fn, arr) cannot be registered —
+    // see the 1-arg arrayCount registration below for why; spell it
     // size(arrayFilter(fn, arr)))
     two("arrayExists")((fn, arr) => ArrayExists(arr, fn)),
     two("arrayAll")((fn, arr) => ArrayForAll(arr, fn)),
@@ -590,6 +594,27 @@ object ChDialect {
     case Literal(v: Int, IntegerType) if v >= 0 && v <= precision => v
     case other => throw new IllegalArgumentException(
       s"$fn scale must be an integer literal in 0..$precision, got $other")
+  }
+
+  /** CH-semantics decimal conversion: TRUNCATE excess fractional
+    * digits (round toward zero) instead of Cast's HALF_UP. The value
+    * is first parsed at the target scale plus up to 10 guard digits
+    * (within Decimal's 38-digit budget), then floored (x ≥ 0) or
+    * ceiled (x < 0) at the target scale — RoundFloor/RoundCeil are
+    * codegen'd Catalyst expressions, so this stays in whole-stage
+    * codegen like the plain cast did. Documented edge: the guard
+    * digits reduce the wide parse's INTEGRAL capacity to 38-(s+10)
+    * digits, so toDecimal128 of values with more than 28-s integral
+    * digits nulls here where CH still accepts them (up to 38-s);
+    * fractional digits beyond s+10 round HALF_UP into the guard
+    * before truncation (CH reads them exactly) — both edges are far
+    * outside any value the tier is used for. */
+  private def truncDecimal(x: Expression, precision: Int, scale: Int): Expression = {
+    val wide = Cast(x, DecimalType(38, math.min(38, scale + 10)))
+    val sLit = Literal(scale)
+    Cast(If(GreaterThanOrEqual(wide, Literal(0)),
+      RoundFloor(wide, sLit), RoundCeil(wide, sLit)),
+      DecimalType(precision, scale))
   }
 
   /** Timestamp floored to a fixed bucket of epoch seconds (the

@@ -210,6 +210,40 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5,
       useAggregator: Boolean = false): DataFrame = {
+    val (sigs, cand) = minhashStages(df, idCol, textCol, k, bands, shingleN, useAggregator)
+
+    // --- verify: fetch both signatures by id, estimate, threshold --------
+    cand
+      .join(fetchSide(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))), "id_a")
+      .join(fetchSide(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))), "id_b")
+      .select(col("id_a"), col("id_b"),
+        estJaccardCol(col("sig_a"), col("sig_b")).as("est_sim"))
+      .filter(col("est_sim") >= threshold)
+  }
+
+  /** Candidate (id_a, id_b) pairs for [[minhashPairs]] BEFORE signature
+    * verification — the LSH banding join's output, i.e. the quantity
+    * that explodes if banding/bucketing ever degenerates. Exposed for
+    * the bench's count-based scale gate and the adversarial-corpus
+    * specs (mirroring [[ngramCandidates]]): candidate COUNTS are
+    * deterministic run-to-run, so super-linear growth in them flags a
+    * plan/data explosion regardless of wall-clock noise. */
+  private[graft] def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 128, bands: Int = 32, shingleN: Int = 3): DataFrame =
+    minhashStages(df, idCol, textCol, k, bands, shingleN, useAggregator = false)._2
+
+  /** (signatures, candidate pairs) — shared by [[minhashPairs]] and
+    * [[minhashCandidates]] so the instrument can never drift from the
+    * measured plan. */
+  private def minhashStages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      bands: Int,
+      shingleN: Int,
+      useAggregator: Boolean): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rows = k / bands
 
@@ -253,14 +287,7 @@ object Dedup {
         col("band") === col("band_b") && col("band_hash") === col("hash_b") &&
           col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-
-    // --- verify: fetch both signatures by id, estimate, threshold --------
-    cand
-      .join(fetchSide(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))), "id_a")
-      .join(fetchSide(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))), "id_b")
-      .select(col("id_a"), col("id_b"),
-        estJaccardCol(col("sig_a"), col("sig_b")).as("est_sim"))
-      .filter(col("est_sim") >= threshold)
+    (sigs, cand)
   }
 
   /**
@@ -599,8 +626,9 @@ object Dedup {
 
   /** Candidate (id_a, id_b) pairs for [[containmentPairsExact]] —
     * exposed package-private so the adversarial-corpus spec can assert
-    * the candidate-count bound, mirroring [[ngramCandidates]]. */
-  private[operators] def containmentCandidates(df: DataFrame, idCol: String,
+    * the candidate-count bound, mirroring [[ngramCandidates]]; widened
+    * to the bench's count-based scale gate in round 11. */
+  private[graft] def containmentCandidates(df: DataFrame, idCol: String,
       textCol: String, theta: Double, shingleN: Int = 3): DataFrame =
     containmentCandidatesAndArrays(
       shingledOf(df, idCol, textCol, shingleN), theta)._1

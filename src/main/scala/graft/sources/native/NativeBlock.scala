@@ -421,7 +421,12 @@ object ColumnCodec {
       }
     case ChFixedString(n) =>
       // CH INSERT semantics: shorter values NUL-pad to n bytes, longer
-      // ones are an error (decode's sanitize strips the padding back)
+      // ones are an error (decode's sanitize strips the padding back).
+      // Interior NULs are REJECTED here: decode's sanitize strips ALL
+      // NUL bytes (reference parity — lib.rs sanitizes the whole
+      // value, not just the tail), so a value containing one would
+      // silently fail to round-trip. FixedString support is therefore
+      // text-only; binary payloads belong in String columns.
       var i = 0
       while (i < values.length) {
         val b = values(i) match {
@@ -430,6 +435,10 @@ object ColumnCodec {
         }
         if (b.length > n) throw new IllegalArgumentException(
           s"clickhouse_native FixedString($n): value of ${b.length} bytes is too long")
+        if (b.contains(0.toByte)) throw new IllegalArgumentException(
+          s"clickhouse_native FixedString($n): interior NUL bytes do not " +
+            "round-trip (decode sanitizes all NULs, matching the reference); " +
+            "FixedString is text-only — use String for binary payloads")
         out.writeBytes(b)
         var p = b.length
         while (p < n) { out.writeByte(0); p += 1 }

@@ -325,10 +325,18 @@ class ChDialectSpec extends AnyFunSuite {
   }
 
   test("round-10b widening: decimal tiers, regexp split, array count/intersect, sipHash64") {
-    // toDecimalN(x, scale): the three storage-tier precisions
-    assert(q1("toString(toDecimal32('12.345', 2))") == "12.35")
+    // toDecimalN(x, scale): the three storage-tier precisions.
+    // CH TRUNCATES excess fractional digits (round toward zero), it
+    // does not round — toDecimal32('12.345', 2) = 12.34 on a real
+    // server; 12.35 (Spark Cast's HALF_UP) would be a divergence.
+    assert(q1("toString(toDecimal32('12.345', 2))") == "12.34")
+    assert(q1("toString(toDecimal32('-12.345', 2))") == "-12.34")
+    assert(q1("toString(toDecimal32('12.999', 0))") == "12")
     assert(q1("toString(toDecimal64('12.345', 4))") == "12.3450")
+    assert(q1("toString(toDecimal64(1.0060, 2))") == "1.00")
     assert(q1("toString(toDecimal128('12345678901234567890.5', 1))") ==
+      "12345678901234567890.5")
+    assert(q1("toString(toDecimal128('12345678901234567890.59', 1))") ==
       "12345678901234567890.5")
     assert(q1("toString(toDateTime64('2024-03-15 13:45:56', 3))").toString
       .startsWith("2024-03-15 13:45:56"))

@@ -253,6 +253,11 @@ class CodecSpec extends AnyFunSuite {
     // decode strips the padding back (sanitize)
     assert(decodeBytes(t, 2, bytes).map(String.valueOf(_)).toSeq === Seq("ab", "wxyz"))
     intercept[IllegalArgumentException] { encodeBytes(t, Array[Any]("toolong")) }
+    // interior NULs don't round-trip (decode sanitizes ALL NULs,
+    // reference parity) — reject at encode rather than corrupt silently
+    intercept[IllegalArgumentException] {
+      encodeBytes(t, Array[Any]("a\u0000b"))
+    }
   }
 
   test("Enum8 encode inverts decode; undeclared label fails loudly") {
