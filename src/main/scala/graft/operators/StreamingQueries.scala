@@ -61,15 +61,33 @@ object StreamingQueries {
       s.readStream.schema(fixture.schema).parquet(sentDir))
     val unioned = fixture.unionByName(sentinels).as[Event]
     val qn = "stream_q_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // HARNESS choreography knob, not operator semantics: the state
+    // partition count is captured from spark.sql.shuffle.partitions at
+    // query start, and every stateful micro-batch pays a fixed
+    // per-partition state-store commit — at the fixture's size, 32
+    // partitions × 4 batches is almost all of the key's wall time
+    // (measured ~2× the whole key at sf0.1: 11-18 s at 32 vs 5.7-6.7 s
+    // at 8). Eight partitions still exercise multi-partition state
+    // merge; a production deployment sizes this to its state volume.
+    // (restored only after query.stop(): start() is async, and the
+    // first micro-batch — which is what pins the state partition
+    // count into the checkpoint — may plan after start() returns)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val query = build(unioned)
       .writeStream.format("memory").queryName(qn)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       query.processAllAvailable()
-      // three sentinel batches: batch k's data advances the watermark
-      // applied in batch k+1, so by the third every fixture event (and
-      // the first sentinel) has finalized and flushed
-      (1 to 3).foreach { i =>
+      // two sentinel batches: the watermark applied in batch k+1 is
+      // derived from batch k's max event time minus the 10-minute
+      // delay, and sentinels sit 1 hour apart above maxTs — so batch 1
+      // (first sentinel) sets the watermark to maxTs+50min, and batch 2
+      // (second sentinel) finalizes and flushes EVERY fixture event
+      // under it. (A third batch would only finalize the first
+      // sentinel, which is filtered from every result anyway — trimmed
+      // round 11, one micro-batch per key.)
+      (1 to 2).foreach { i =>
         Seq((1000000000L + i,
             new Timestamp(maxTs.getTime + i * 3600L * 1000L),
             SentinelUser, sentinelType, 0.0))
@@ -82,7 +100,10 @@ object StreamingQueries {
       require(progs.exists(p => p.stateOperators.nonEmpty &&
           p.stateOperators.exists(_.numRowsTotal > 0)),
         s"streaming path did not execute for $qn: no stateful micro-batch progress")
-    } finally query.stop()
+    } finally {
+      try query.stop()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.table(qn)
   }
 
