@@ -223,12 +223,16 @@ object Dedup {
 
   /** Candidate (id_a, id_b) pairs for [[minhashPairs]] BEFORE signature
     * verification — the LSH banding join's output, i.e. the quantity
-    * that explodes if banding/bucketing ever degenerates. Exposed for
-    * the bench's count-based scale gate and the adversarial-corpus
-    * specs (mirroring [[ngramCandidates]]): candidate COUNTS are
-    * deterministic run-to-run, so super-linear growth in them flags a
-    * plan/data explosion regardless of wall-clock noise. */
-  private[graft] def minhashCandidates(
+    * that explodes if banding/bucketing ever degenerates, and the
+    * number an operator of a 100 TB dedup pipeline watches when tuning
+    * (k, bands): candidate volume IS the pipeline's join cost.
+    * Candidate COUNTS are deterministic run-to-run (deterministic
+    * hashing), so super-linear growth across corpus scales flags a
+    * plan/data explosion regardless of wall-clock noise — the bench's
+    * count-based scale gate, the 100× certification tool and the
+    * adversarial-corpus specs (mirroring [[ngramCandidates]]) all key
+    * off this. */
+  def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 128, bands: Int = 32, shingleN: Int = 3): DataFrame =
     minhashStages(df, idCol, textCol, k, bands, shingleN, useAggregator = false)._2

@@ -79,22 +79,25 @@ object StreamingQueries {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       query.processAllAvailable()
-      // two sentinel batches: the watermark applied in batch k+1 is
-      // derived from batch k's max event time minus the 10-minute
-      // delay, and sentinels sit 1 hour apart above maxTs — so batch 1
-      // (first sentinel) sets the watermark to maxTs+50min, and batch 2
-      // (second sentinel) finalizes and flushes EVERY fixture event
-      // under it. (A third batch would only finalize the first
-      // sentinel, which is filtered from every result anyway — trimmed
-      // round 11, one micro-batch per key.)
-      (1 to 2).foreach { i =>
-        Seq((1000000000L + i,
-            new Timestamp(maxTs.getTime + i * 3600L * 1000L),
-            SentinelUser, sentinelType, 0.0))
-          .toDF("event_id", "ts", "user_id", "event_type", "value")
-          .coalesce(1).write.mode("append").parquet(sentDir)
-        query.processAllAvailable()
-      }
+      // ONE sentinel batch suffices (round-11 trim, profiled via
+      // StreamingQueryProgress): each processAllAvailable produces the
+      // data batch PLUS Spark's automatic no-data micro-batch
+      // (noDataMicroBatches, on by default), and it is the no-data
+      // batch that applies the advanced watermark and fires the
+      // event-time timeouts — so after one sentinel at maxTs+1h the
+      // no-data batch runs at watermark maxTs+50min (10-minute delay)
+      // and finalizes and flushes EVERY fixture event. The original
+      // three sentinel rounds assumed the k→k+1 watermark application
+      // needed a DATA batch to ride on; the batch-duration profile
+      // (BENCH_NOTES round 11) shows batches pairing data+no-data per
+      // call, finalization complete by the first no-data batch after
+      // the sentinel, and the later rounds contributing nothing.
+      Seq((1000000001L,
+          new Timestamp(maxTs.getTime + 3600L * 1000L),
+          SentinelUser, sentinelType, 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(sentDir)
+      query.processAllAvailable()
       // the streaming-path proof: micro-batches ran with keyed state
       val progs = query.recentProgress
       require(progs.exists(p => p.stateOperators.nonEmpty &&

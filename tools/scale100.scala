@@ -179,7 +179,13 @@ if (fam("dedup")) {
   val t0 = System.nanoTime()
   val p100 = dedup(100).count()
   val tDedup100 = (System.nanoTime() - t0) / 1e9
-  println(f"SCALE100 dedup: 1x=$tDedup1%.2f 100x=$tDedup100%.2f ratio=${tDedup100 / tDedup1}%.1f pairs1=$p1 pairs100=$p100 pairRatio=${p100.toDouble / p1}%.1f")
+  // CANDIDATE pairs (pre-verification, round 11): the LSH banding
+  // join's output — the quantity that actually explodes if banding
+  // degenerates; verified pairs alone can stay linear while the
+  // candidate set goes quadratic upstream of the verify filter
+  val c1 = graft.operators.Dedup.minhashCandidates(docsAt(1), "doc_id", "text").count()
+  val c100 = graft.operators.Dedup.minhashCandidates(docsAt(100), "doc_id", "text").count()
+  println(f"SCALE100 dedup: 1x=$tDedup1%.2f 100x=$tDedup100%.2f ratio=${tDedup100 / tDedup1}%.1f pairs1=$p1 pairs100=$p100 pairRatio=${p100.toDouble / p1}%.1f cand1=$c1 cand100=$c100 candRatio=${c100.toDouble / c1}%.1f")
 }
 if (fam("containment")) {
   val pc1 = containment(1).count()
