@@ -786,8 +786,22 @@ object Bench {
     val watchStall = if (stallByKey.isEmpty) ""
       else s""","stall":${stallByKey.toSeq.sortBy(-_._2).take(8)
         .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")}"""
-    val compactLine =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${all.length},"queries":$cqs$tpchStats$watchGc$watchSent$watchReps$sentStats,"stall_total":${j(stallTotal)}$watchStall,"wl":$wlJson,"remeasure":$remJson,"sf":"$sfDir"}"""
+    // 2000-char budget guard: a stormy sweep can fill every optional
+    // block (12 sentinel entries + 8 stall entries + 6 remeasures) and
+    // the closest observed line is 1831 bytes — if the assembled line
+    // would exceed the driver's scrape window, drop the anomaly
+    // sentinel entries first, then the per-key stall entries (both
+    // remain verbatim in the stderr full line + bench_full.json).
+    def assembleCompact(sent: String, stall: String): String =
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${all.length},"queries":$cqs$tpchStats$watchGc$sent$watchReps$sentStats,"stall_total":${j(stallTotal)}$stall,"wl":$wlJson,"remeasure":$remJson,"sf":"$sfDir"}"""
+    val watchOnlySent = if (watchSentEntries.isEmpty) ""
+      else s""","sentinel":${watchSentEntries
+        .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")}"""
+    val compactLine = Seq(
+      assembleCompact(watchSent, watchStall),
+      assembleCompact(watchOnlySent, watchStall),
+      assembleCompact(watchOnlySent, ""))
+      .find(_.length <= 1990).getOrElse(assembleCompact("", ""))
     // Fixed sidecar for the compact line too (round-9 verdict item 6:
     // BENCH_r08.json had parsed=null — the driver scrapes a stdout
     // tail where sbt noise can clip the line; the sidecar survives).
