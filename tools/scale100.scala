@@ -180,7 +180,7 @@ if (fam("dedup")) {
   val p100 = dedup(100).count()
   val tDedup100 = (System.nanoTime() - t0) / 1e9
   // CANDIDATE pairs (pre-verification, round 11): the LSH banding
-  // join's output — the quantity that actually explodes if banding
+  // join's output -- the quantity that actually explodes if banding
   // degenerates; verified pairs alone can stay linear while the
   // candidate set goes quadratic upstream of the verify filter
   val c1 = graft.operators.Dedup.minhashCandidates(docsAt(1), "doc_id", "text").count()
