@@ -338,6 +338,31 @@ class ChDialectSpec extends AnyFunSuite {
       "12345678901234567890.5")
     assert(q1("toString(toDecimal128('12345678901234567890.59', 1))") ==
       "12345678901234567890.5")
+    // seeded fuzz: truncation must equal BigDecimal ROUND_DOWN (toward
+    // zero) for every sign/magnitude/scale combination — one query per
+    // scale, 120 values each, so a rounding-mode regression in
+    // truncDecimal cannot hide behind the pinned examples above
+    locally {
+      val rnd = new scala.util.Random(11)
+      val vals = (1 to 120).map { _ =>
+        val sign = if (rnd.nextBoolean()) "-" else ""
+        val ip = rnd.nextLong().abs % 10000000000L // <= 10 integral digits
+        val fd = 1 + rnd.nextInt(8)                // 1..8 fractional digits
+        val fp = (1 to fd).map(_ => rnd.nextInt(10)).mkString
+        s"$sign$ip.$fp"
+      }
+      for (sc <- Seq(0, 2, 4)) {
+        val rows = spark.sql(
+          s"SELECT toString(toDecimal64(v, $sc)) AS r FROM VALUES " +
+            vals.map(v => s"('$v')").mkString(",") + " AS t(v)")
+          .collect().map(_.getString(0))
+        vals.zip(rows).foreach { case (v, got) =>
+          val want = new java.math.BigDecimal(v)
+            .setScale(sc, java.math.RoundingMode.DOWN).toPlainString
+          assert(got == want, s"toDecimal64('$v', $sc): got $got want $want")
+        }
+      }
+    }
     assert(q1("toString(toDateTime64('2024-03-15 13:45:56', 3))").toString
       .startsWith("2024-03-15 13:45:56"))
     intercept[Exception] { q1("toDecimal32('1', 99)") } // scale > precision
