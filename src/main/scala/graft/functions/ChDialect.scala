@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types._
@@ -282,6 +283,22 @@ object ChDialect {
     one("mapKeys")(MapKeys(_)),
     one("mapValues")(MapValues(_)),
     two("mapContains")((m, k) => ArrayContains(MapKeys(m), k)),
+    // CH tupleElement(t, index|name): companion to the native Tuple
+    // decode (ChType maps unnamed elements to _1, _2, …). A 1-based
+    // integer index resolves by that _N convention — so it addresses
+    // unnamed tuples positionally, exactly the shape the scan
+    // produces; named tuples are addressed by name. (Positional access
+    // INTO a named tuple would need the resolved schema, which a
+    // name-level alias doesn't see — spell the field name instead.)
+    two("tupleElement")((t, k) => k match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        UnresolvedExtractValue(t, Literal(s.toString))
+      case Literal(i: Int, IntegerType) =>
+        require(i >= 1, s"tupleElement index is 1-based, got $i")
+        UnresolvedExtractValue(t, Literal("_" + i))
+      case other => throw new IllegalArgumentException(
+        s"tupleElement takes a literal index or name, got $other")
+    }),
     one("assumeNotNull")(KnownNotNull(_)),
     // CH arg order: splitByString(separator, s); literal separator
     two("splitByString")((sep, s) => sep match {
@@ -332,6 +349,13 @@ object ChDialect {
     },
     one("toMonday")(e => TruncDate(date(e), Literal("WEEK"))),
     one("toLastDayOfMonth")(e => LastDay(date(e))),
+    // (no dateDiff/date_diff: Spark's PARSER owns both spellings — it
+    // rewrites the 3-arg form to timestampdiff at parse time and
+    // rejects CH's quoted unit strings before function resolution can
+    // reach a registered alias, so the CH boundary-crossing semantics
+    // cannot be offered under the CH name; spell it
+    // timestampdiff(unit, date_trunc('unit', a), date_trunc('unit', b))
+    // — the truncation reproduces CH's boundary count exactly.)
     one("fromUnixTimestamp")(SecondsToTimestamp(_)),
     two("addWeeks")((d, n) => DateAdd(date(d), Multiply(n, Literal(7)))),
     two("subtractWeeks")((d, n) => DateSub(date(d), Multiply(n, Literal(7)))),

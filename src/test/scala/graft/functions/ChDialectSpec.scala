@@ -17,6 +17,23 @@ class ChDialectSpec extends AnyFunSuite {
 
   private def q1(sql: String): Any = spark.sql(s"SELECT $sql AS v").collect()(0).get(0)
 
+  test("round-11 widening: tupleElement; dateDiff spelling is parser-owned") {
+    // tupleElement: a 1-based index addresses the _N fields the native
+    // scan produces for unnamed CH Tuples (ChType: Tuple(String, Int64)
+    // → _1, _2); any struct is addressable by field name
+    assert(q1("tupleElement(named_struct('_1', 'a', '_2', 42), 1)") == "a")
+    assert(q1("tupleElement(named_struct('_1', 'a', '_2', 42), 2)") == 42)
+    assert(q1("tupleElement(named_struct('x', 7, 'y', 'b'), 'y')") == "b")
+    intercept[Exception] { q1("tupleElement(named_struct('_1', 1), 0)") } // 1-based
+
+    // dateDiff cannot be aliased (Spark's parser rewrites the 3-arg
+    // spelling before resolution — see the ChDialect comment); pin the
+    // documented CH-equivalent spelling so the workaround stays valid:
+    // boundary crossings = timestampdiff over date_trunc'd endpoints
+    assert(q1("timestampdiff(DAY, date_trunc('day', TIMESTAMP '2024-03-15 23:00:00'), date_trunc('day', TIMESTAMP '2024-03-16 01:00:00'))") == 1L)
+    assert(q1("timestampdiff(DAY, date_trunc('day', TIMESTAMP '2024-03-15 00:30:00'), date_trunc('day', TIMESTAMP '2024-03-15 23:30:00'))") == 0L)
+  }
+
   test("type conversions") {
     assert(q1("toInt32('42')") == 42)
     assert(q1("toInt64(7.9)") == 7L)
