@@ -210,11 +210,15 @@ object ScanQueries {
               lit("segment"), col("c_mktsegment")).as("m"),
             struct(col("c_nationkey").as("nk"), col("c_acctbal").as("bal")).as("tp"))
           .write.format("clickhouse_native").mode("overwrite").save(fx)
+        // tuple fields extract through the CH spelling (tupleElement by
+        // name — ChDialect, round 11), so the dialect function rides
+        // the same oracle gate as the wire layout it addresses
         s.read.format("clickhouse_native").load(fx)
-          .select(col("c_custkey"),
-            element_at(col("m"), "name").as("m_name"),
-            element_at(col("m"), "segment").as("m_segment"),
-            col("tp.nk").as("tp_nk"), col("tp.bal").as("tp_bal"))
+          .selectExpr("c_custkey",
+            "element_at(m, 'name') AS m_name",
+            "element_at(m, 'segment') AS m_segment",
+            "tupleElement(tp, 'nk') AS tp_nk",
+            "tupleElement(tp, 'bal') AS tp_bal")
       },
       Some("""SELECT c_custkey, c_name AS m_name, c_mktsegment AS m_segment,
               c_nationkey AS tp_nk, c_acctbal AS tp_bal FROM customer""")),
