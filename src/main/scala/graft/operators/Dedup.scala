@@ -859,33 +859,68 @@ object Dedup {
   def semDeDup(df: DataFrame, idCol: String, embCol: String,
       clusterCol: String, eps: Double): DataFrame = {
     require(eps > 0.0 && eps <= 1.0, s"eps=$eps outside (0, 1]")
+    val withSim = semDeDupWithSim(df, idCol, embCol, clusterCol)
+    val dropped = semDeDupRankPairs(withSim)
+      .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4) >= eps)
+      .select(col("id_a").as("id")).distinct()
+    withSim.join(fetchSide(dropped.withColumn("hit", lit(true))), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("cent_sim"),
+        col("hit").isNull.as("kept"))
+  }
+
+  /** The within-cluster rank-ordered pairs [[semDeDup]] verifies with
+    * an exact cosine — every (a, b) in one cluster with b ranked
+    * strictly before a (4dp cent_sim rank, id tiebreak). Pre-eps-
+    * filter: this join's cardinality IS the algorithm's by-design
+    * O(Σ cᵢ²) work, extracted so the candidate-count instrument
+    * shares the exact measured pipeline. */
+  private def semDeDupRankPairs(withSim: DataFrame): DataFrame = {
+    val l = withSim.select(col("cluster").as("cl_a"), col("id").as("id_a"),
+      col("emb").as("emb_a"), col("cent_sim").as("cs_a"))
+    val r = withSim.select(col("cluster").as("cl_b"), col("id").as("id_b"),
+      col("emb").as("emb_b"), col("cent_sim").as("cs_b"))
+    l.join(corpusSide(r), col("cl_a") === col("cl_b") &&
+      (col("cs_b") < col("cs_a") ||
+        (col("cs_b") === col("cs_a") && col("id_b") < col("id_a"))))
+  }
+
+  /**
+   * The (id_a, id_b) candidate pairs [[semDeDup]] scores — the
+   * SemDeDup workload-count instrument (Bench's `wl` gate). Drops are
+   * the WRONG sweep instrument on the natural corpus (it has zero
+   * ≥eps pairs at eps 0.85-0.95 — the 100× cert INJECTS duplicates to
+   * count them; BENCH_NOTES round 9); the rank-join cardinality is
+   * the quantity a degenerate clustering explodes, and it is nonzero
+   * on any multi-row cluster. Deterministic (fixed-point centroids,
+   * 4dp-rounded ranks) and exactly Σ cᵢ·(cᵢ−1)/2 over cluster sizes —
+   * linear under the paper's own nlist ∝ N knob. Built from the same
+   * stages as [[semDeDup]] so the instrument cannot drift from the
+   * plan (the [[minhashCandidates]] discipline).
+   */
+  def semDeDupCandidates(df: DataFrame, idCol: String, embCol: String,
+      clusterCol: String): DataFrame =
+    semDeDupRankPairs(semDeDupWithSim(df, idCol, embCol, clusterCol))
+      .select("id_a", "id_b")
+
+  /** [[semDeDup]]'s ranked rows: (id, emb, cluster, cent_sim) with
+    * the centroid similarity. 4dp rounding BEFORE the rank compare:
+    * the rank must be a total order both engines agree on, and raw
+    * last-ulp differences in the centroid dot product would make
+    * "cs_b < cs_a" flip between engines; at 4dp the compare is exact
+    * (same regime as every other embedding oracle here), ties broken
+    * by id. Shared by [[semDeDup]] and [[semDeDupCandidates]]. */
+  private def semDeDupWithSim(df: DataFrame, idCol: String, embCol: String,
+      clusterCol: String): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       col(clusterCol).as("cluster"))
     val cents = Similarity.labelCentroids(base, "emb", "cluster")
       .groupBy(col("label").as("c_cluster"))
       .agg(expr("transform(sort_array(collect_list(struct(dim, mean))), x -> x.mean)")
         .as("cent"))
-    // 4dp rounding BEFORE the rank compare: the rank must be a total
-    // order both engines agree on, and raw last-ulp differences in the
-    // centroid dot product would make "cs_b < cs_a" flip between
-    // engines; at 4dp the compare is exact (same regime as every other
-    // embedding oracle here), ties broken by id
-    val withSim = base.join(broadcast(cents), col("cluster") === col("c_cluster"))
+    base.join(broadcast(cents), col("cluster") === col("c_cluster"))
       .withColumn("cent_sim",
         round(Similarity.cosine(col("emb"), col("cent")), 4))
       .select(col("id"), col("emb"), col("cluster"), col("cent_sim"))
-    val l = withSim.select(col("cluster").as("cl_a"), col("id").as("id_a"),
-      col("emb").as("emb_a"), col("cent_sim").as("cs_a"))
-    val r = withSim.select(col("cluster").as("cl_b"), col("id").as("id_b"),
-      col("emb").as("emb_b"), col("cent_sim").as("cs_b"))
-    val dropped = l.join(corpusSide(r), col("cl_a") === col("cl_b") &&
-        (col("cs_b") < col("cs_a") ||
-          (col("cs_b") === col("cs_a") && col("id_b") < col("id_a"))))
-      .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4) >= eps)
-      .select(col("id_a").as("id")).distinct()
-    withSim.join(fetchSide(dropped.withColumn("hit", lit(true))), Seq("id"), "left")
-      .select(col("id"), col("cluster"), col("cent_sim"),
-        col("hit").isNull.as("kept"))
   }
 
   /**

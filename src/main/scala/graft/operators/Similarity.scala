@@ -159,17 +159,31 @@ object Similarity {
     * small-query-set path from the corpus-vs-corpus kNN-graph path. */
   private def scoreProbedCells(cand: DataFrame, probes: DataFrame, k: Int,
       broadcastProbes: Boolean): DataFrame = {
+    val scored = probedPairs(cand, probes, broadcastProbes)
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+  }
+
+  /** The scored candidate pairs the probed-cell join admits — the
+    * pre-ranking stage of [[scoreProbedCells]], extracted so the
+    * workload-count instruments ([[knnGraphCandidates]],
+    * [[knnGraphHierCandidates]]) count EXACTLY the pair set the
+    * measured pipeline ranks (the [[graft.operators.Dedup
+    * .minhashCandidates]] discipline — the instrument cannot drift
+    * from the plan). A count over just (q_id, vec_id) lets Catalyst
+    * prune the sim arithmetic, so the instrument pays the join, not
+    * the scoring. */
+  private def probedPairs(cand: DataFrame, probes: DataFrame,
+      broadcastProbes: Boolean): DataFrame = {
     val candN = cand.withColumn("e_norm",
       sqrt(dotD(col("embedding"), col("embedding"))))
     val probeSide = if (broadcastProbes) broadcast(probes) else probes
-    val scored = candN.join(probeSide, "cell")
+    candN.join(probeSide, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dotD(col("embedding"), col("q_emb"))
           / (col("e_norm") * col("q_norm")), 4).as("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    scored.select(col("q_id"), col("vec_id"), col("sim"), row_number().over(w).as("rn"))
-      .filter(col("rn") <= k)
   }
 
   /** Flat (exact-cosine) scoring of probed cells → per-query top-k. */
@@ -262,10 +276,34 @@ object Similarity {
    */
   def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16,
       nprobe: Int = 4, trainFraction: Double = 1.0): DataFrame = {
-    val (cand, centroidDf) = buildIvfIndex(corpus, nlist, trainFraction)
-    val probes = probeCells(corpus, centroidDf, nprobe)
+    val (cand, probes) = knnCellsAndProbes(corpus, nlist, nprobe, trainFraction)
     // both sides corpus-scale: shuffle on cell, no broadcast
     scoreProbedCells(cand, probes, k, broadcastProbes = false)
+  }
+
+  /** [[knnGraph]]'s (cell assignments, probes) — shared with
+    * [[knnGraphCandidates]] so the count instrument measures exactly
+    * the pipeline the scale point runs. */
+  private def knnCellsAndProbes(corpus: DataFrame, nlist: Int,
+      nprobe: Int, trainFraction: Double): (DataFrame, DataFrame) = {
+    val (cand, centroidDf) = buildIvfIndex(corpus, nlist, trainFraction)
+    (cand, probeCells(corpus, centroidDf, nprobe))
+  }
+
+  /**
+   * The (q_id, vec_id) candidate pairs [[knnGraph]] scores — the kNN
+   * workload-count instrument (Bench's `wl` gate). With the
+   * production knob nlist ∝ N and fixed nprobe, per-cell size stays
+   * ~constant so this cardinality grows ~linearly in the corpus; a
+   * super-linear count flags a degenerate cell layout or a routing
+   * regression REGARDLESS of wall time (counts are deterministic —
+   * seeded KMeans on a seeded sample — where walls storm).
+   */
+  def knnGraphCandidates(corpus: DataFrame, nlist: Int = 16,
+      nprobe: Int = 4, trainFraction: Double = 1.0): DataFrame = {
+    val (cand, probes) = knnCellsAndProbes(corpus, nlist, nprobe, trainFraction)
+    probedPairs(cand, probes, broadcastProbes = false)
+      .select("q_id", "vec_id")
   }
 
   import graft.functions.{AnnRouter, IvfProbe, IvfRoute, IvfRouterModel}
@@ -361,12 +399,37 @@ object Similarity {
   def knnGraphHier(corpus: DataFrame, k: Int, nlist: Int,
       nprobe: Int = 4, superProbe: Int = 4, trainCap: Int = 100000,
       seed: Long = 42L): DataFrame = {
+    val (cand, probes) = hierCellsAndProbes(corpus, nlist, nprobe,
+      superProbe, trainCap, seed)
+    scoreProbedCells(cand, probes, k, broadcastProbes = false)
+  }
+
+  /** [[knnGraphHier]]'s (cell assignments, probes) — shared with
+    * [[knnGraphHierCandidates]] so the count instrument measures
+    * exactly the pipeline the scale point runs. */
+  private def hierCellsAndProbes(corpus: DataFrame, nlist: Int,
+      nprobe: Int, superProbe: Int, trainCap: Int,
+      seed: Long): (DataFrame, DataFrame) = {
     val (cand, _, model) = buildIvfIndexHier(corpus, nlist, trainCap, seed = seed)
     val probes = corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
       .withColumn("cell", explode(probeCol(col("q_emb"), model, superProbe, nprobe)))
       .select("q_id", "q_emb", "q_norm", "cell")
-    scoreProbedCells(cand, probes, k, broadcastProbes = false)
+    (cand, probes)
+  }
+
+  /** The (q_id, vec_id) candidate pairs [[knnGraphHier]] scores — the
+    * two-level-router kNN workload-count instrument; fully
+    * deterministic (hash-ranked train sample, seeded Lloyd) and
+    * ~linear under nlist ∝ N with fixed nprobe (see
+    * [[knnGraphCandidates]]). */
+  def knnGraphHierCandidates(corpus: DataFrame, nlist: Int,
+      nprobe: Int = 4, superProbe: Int = 4, trainCap: Int = 100000,
+      seed: Long = 42L): DataFrame = {
+    val (cand, probes) = hierCellsAndProbes(corpus, nlist, nprobe,
+      superProbe, trainCap, seed)
+    probedPairs(cand, probes, broadcastProbes = false)
+      .select("q_id", "vec_id")
   }
 
   /**
@@ -596,20 +659,37 @@ object Similarity {
       trainFraction: Double = 1.0, dim: Int = -1,
       hierRouting: Boolean = false, superProbe: Int = 4): DataFrame = {
     val d = if (dim > 0) dim else deriveDim(candidates, "embedding")
+    val allowed = ivfPqCandidates(candidates, queries, nlist, nprobe,
+      trainFraction, hierRouting, superProbe)
+    adcTopK(candidates, queries, k, m, codebook, lossless, d, Some(allowed))
+  }
+
+  /**
+   * The (q_id, vec_id) candidate set [[ivfPqTopK]] scores through the
+   * PQ codes — probe×cell rows, the IVF-PQ workload-count instrument
+   * (Bench's `wl` gate). With a FIXED query set, fixed nprobe and
+   * nlist ∝ N, per-cell size stays ~constant so this cardinality
+   * stays ~constant as the corpus grows — the per-query serving cost
+   * a 100 TB deployment watches; a growing count flags a routing or
+   * cell-layout regression regardless of wall time. Shared verbatim
+   * with [[ivfPqTopK]] (the instrument cannot drift from the plan).
+   *
+   * The probe-side BROADCAST (and flatTopK's) is the one remaining
+   * queries-bounded shape in the serving APIs: with hierRouting the
+   * routing cost is per-row O(√nlist) on both sides, but a
+   * corpus-sized query batch would still broadcast corpus × nprobe
+   * thin rows here — that shape belongs to [[knnGraphHier]], which
+   * shuffle-joins the probes instead.
+   */
+  def ivfPqCandidates(candidates: DataFrame, queries: DataFrame,
+      nlist: Int = 16, nprobe: Int = 4, trainFraction: Double = 1.0,
+      hierRouting: Boolean = false, superProbe: Int = 4): DataFrame = {
     val (cellOf, probes) = ivfCells(candidates, queries, nlist, nprobe,
       trainFraction, hierRouting, superProbe)
-    // IVF candidate set: (q_id, vec_id) pairs in probed cells. The
-    // probe-side BROADCAST (and flatTopK's) is the one remaining
-    // queries-bounded shape in the serving APIs: with hierRouting the
-    // routing cost is per-row O(√nlist) on both sides, but a
-    // corpus-sized query batch would still broadcast corpus × nprobe
-    // thin rows here — that shape belongs to [[knnGraphHier]], which
-    // shuffle-joins the probes instead.
-    val allowed = cellOf.select(col("vec_id"), col("cell"))
+    cellOf.select(col("vec_id"), col("cell"))
       .join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id")
-    adcTopK(candidates, queries, k, m, codebook, lossless, d, Some(allowed))
   }
 
   /** Left-fold a sorted struct array: ((x0 + x1) + x2) + … — the fixed

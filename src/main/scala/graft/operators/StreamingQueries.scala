@@ -73,11 +73,16 @@ object StreamingQueries {
     // first micro-batch — which is what pins the state partition
     // count into the checkpoint — may plan after start() returns)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query = build(unioned)
-      .writeStream.format("memory").queryName(qn)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // The conf.set and start() sit INSIDE the try: if plan build or
+    // start() throws, the finally still restores prevParts — otherwise
+    // every subsequent key in the session would silently run at 8
+    // shuffle partitions (round-12 ADVICE item 1).
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      query = build(unioned)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
       query.processAllAvailable()
       // ONE sentinel batch suffices (round-11 trim, profiled via
       // StreamingQueryProgress): each processAllAvailable produces the
@@ -104,7 +109,7 @@ object StreamingQueries {
           p.stateOperators.exists(_.numRowsTotal > 0)),
         s"streaming path did not execute for $qn: no stateful micro-batch progress")
     } finally {
-      try query.stop()
+      try if (query != null) query.stop()
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     s.table(qn)

@@ -717,13 +717,36 @@ object TextPipeline {
       queryTerms: Seq[String], k: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
     val toks = bm25Toks(df, idCol, textCol)
-    val tf = bm25Postings(toks).filter(col("term").isin(queryTerms: _*))
+    val tf = bm25CandidatesFromToks(toks, queryTerms)
     // per-term df is identical whether counted before or after the
     // query filter (df is a property of the term), so the direct path
     // counts it on the already-filtered rows
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     bm25Score(tf, dfreq, bm25Stats(toks), k)
   }
+
+  /**
+   * The post-term-filter posting rows [[bm25TopK]] scores — the BM25
+   * workload-count instrument (Bench's `wl` gate): this cardinality is
+   * what a broken pre-shuffle term filter or a tokenizer regression
+   * inflates, it is deterministic run to run, and with a FIXED query
+   * set it stays ~constant as the corpus grows (the per-query serving
+   * cost a 100 TB deployment actually watches). Shares
+   * [[bm25CandidatesFromToks]] with the measured pipeline so the
+   * instrument cannot drift from the plan (the
+   * [[graft.operators.Dedup.minhashCandidates]] discipline).
+   */
+  def bm25Candidates(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Candidates needs at least one query term")
+    bm25CandidatesFromToks(bm25Toks(df, idCol, textCol), queryTerms)
+  }
+
+  /** The shared candidate stage: posting rows restricted to the query
+    * terms — the filter runs BEFORE any shuffle of the exploded corpus. */
+  private def bm25CandidatesFromToks(toks: DataFrame,
+      queryTerms: Seq[String]): DataFrame =
+    bm25Postings(toks).filter(col("term").isin(queryTerms: _*))
 
   /** (doc_id, ws) non-empty token arrays — the shared BM25 tokenization. */
   private def bm25Toks(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -363,7 +363,9 @@ class ChDialectSpec extends AnyFunSuite {
       val rnd = new scala.util.Random(11)
       val vals = (1 to 120).map { _ =>
         val sign = if (rnd.nextBoolean()) "-" else ""
-        val ip = rnd.nextLong().abs % 10000000000L // <= 10 integral digits
+        // floorMod, not .abs % n: Long.MinValue.abs is negative and
+        // would emit a malformed "--…" literal if the seed ever hits it
+        val ip = math.floorMod(rnd.nextLong(), 10000000000L) // <= 10 integral digits
         val fd = 1 + rnd.nextInt(8)                // 1..8 fractional digits
         val fp = (1 to fd).map(_ => rnd.nextInt(10)).mkString
         s"$sign$ip.$fp"

@@ -200,13 +200,30 @@ if (fam("bm25")) {
   val tBm1 = (1 to 2).map(_ => time(force(bm25(1)))).min
   System.gc()
   val tBm100 = time(force(bm25(100)))
-  println(f"SCALE100 bm25: 1x=$tBm1%.2f 100x=$tBm100%.2f ratio=${tBm100 / tBm1}%.1f")
+  // candidate postings after the term filter (round 12): the word
+  // bijection renames every copy's words, so the FIXED query terms
+  // match only copy 0 -- expected candRatio = 1.0 (per-query serving
+  // cost stays corpus-independent); a growing count means the term
+  // filter stopped running before the shuffle
+  val cb1 = graft.operators.TextPipeline.bm25Candidates(
+    docsAt(1), "doc_id", "text", Seq("dup", "merge", "window")).count()
+  val cb100 = graft.operators.TextPipeline.bm25Candidates(
+    docsAt(100), "doc_id", "text", Seq("dup", "merge", "window")).count()
+  println(f"SCALE100 bm25: 1x=$tBm1%.2f 100x=$tBm100%.2f ratio=${tBm100 / tBm1}%.1f cand1=$cb1 cand100=$cb100 candRatio=${cb100.toDouble / cb1}%.2f")
 }
 if (fam("knn")) {
   val tKnn1 = (1 to 2).map(_ => time(force(knn(1)))).min
   System.gc()
   val tKnn100 = time(force(knn(100)))
-  println(f"SCALE100 knn_hier: 1x=$tKnn1%.2f 100x=$tKnn100%.2f ratio=${tKnn100 / tKnn1}%.1f")
+  // probed-cell candidate pairs (round 12): nlist prop. to N with
+  // fixed nprobe keeps per-cell size ~constant => expected ~100x;
+  // deterministic (hash-ranked train sample + seeded Lloyd), so this
+  // certifies linearity even when the wall number is storm-inflated
+  val ck1 = graft.operators.Similarity.knnGraphHierCandidates(
+    embAt(1), nlist = 16, nprobe = 4, superProbe = 2, trainCap = 100000).count()
+  val ck100 = graft.operators.Similarity.knnGraphHierCandidates(
+    embAt(100), nlist = 1600, nprobe = 4, superProbe = 2, trainCap = 100000).count()
+  println(f"SCALE100 knn_hier: 1x=$tKnn1%.2f 100x=$tKnn100%.2f ratio=${tKnn100 / tKnn1}%.1f cand1=$ck1 cand100=$ck100 candRatio=${ck100.toDouble / ck1}%.1f")
 }
 if (fam("semdedup")) {
   val d1 = semdedup(1).filter(!col("kept")).count()
@@ -215,7 +232,14 @@ if (fam("semdedup")) {
   val ts0 = System.nanoTime()
   val d100 = semdedup(100).filter(!col("kept")).count()
   val tSd100 = (System.nanoTime() - ts0) / 1e9
-  println(f"SCALE100 semdedup: 1x=$tSd1%.2f 100x=$tSd100%.2f ratio=${tSd100 / tSd1}%.1f dropped1=$d1 dropped100=$d100 dropRatio=${d100.toDouble / d1}%.1f")
+  // rank-join candidate pairs (round 12): the by-design within-cluster
+  // work, exactly sum c*(c-1)/2 -- per-copy cluster structure is
+  // preserved verbatim => expected candRatio exactly 100.0
+  val cs1 = graft.operators.Dedup.semDeDupCandidates(
+    embClustered(1), "vec_id", "embedding", "cluster").count()
+  val cs100 = graft.operators.Dedup.semDeDupCandidates(
+    embClustered(100), "vec_id", "embedding", "cluster").count()
+  println(f"SCALE100 semdedup: 1x=$tSd1%.2f 100x=$tSd100%.2f ratio=${tSd100 / tSd1}%.1f dropped1=$d1 dropped100=$d100 dropRatio=${d100.toDouble / d1}%.1f cand1=$cs1 cand100=$cs100 candRatio=${cs100.toDouble / cs1}%.1f")
 }
 if (fam("cc")) {
   val e1 = ccPairs(1); val n1 = e1.count()   // materialize outside the window
@@ -266,6 +290,19 @@ if (fam("pq")) {
   val tPq1 = (1 to 2).map(_ => time(force(ivfpq(1)))).min
   System.gc()
   val tPq100 = time(force(ivfpq(100)))
-  println(f"SCALE100 ivfpq: 1x=$tPq1%.2f 100x=$tPq100%.2f ratio=${tPq100 / tPq1}%.1f")
+  // probe-x-cell candidate rows over the FIXED 20-query set (round
+  // 12, the verdict's "ivfpq cert rests on wall alone" fix): nlist
+  // prop. to N keeps per-cell size ~constant => expected candRatio
+  // ~1.0; deterministic, so the serving-cost certification survives
+  // any host weather the wall row absorbs
+  val cq1 = graft.operators.Similarity.ivfPqCandidates(
+    embAt(1).select(col("vec_id"), col("embedding")),
+    embAt(1).select(col("vec_id"), col("embedding")).filter(col("vec_id") < 20),
+    nlist = 16, nprobe = 4, trainFraction = 0.5, hierRouting = true).count()
+  val cq100 = graft.operators.Similarity.ivfPqCandidates(
+    embAt(100).select(col("vec_id"), col("embedding")),
+    embAt(1).select(col("vec_id"), col("embedding")).filter(col("vec_id") < 20),
+    nlist = 1600, nprobe = 4, trainFraction = 0.5, hierRouting = true).count()
+  println(f"SCALE100 ivfpq: 1x=$tPq1%.2f 100x=$tPq100%.2f ratio=${tPq100 / tPq1}%.1f cand1=$cq1 cand100=$cq100 candRatio=${cq100.toDouble / cq1}%.2f")
 }
 System.exit(0)

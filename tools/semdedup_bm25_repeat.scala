@@ -1,0 +1,90 @@
+// Round-12 (verdict item 1): isolated rep studies for the two
+// round-11 weak marks -- q_dedup_semdedup (driver sweep 16.3 s /
+// remeasure 23.3 s vs a ~1.1 s quiet floor) and scale_bm25_10x
+// (sweep 3.13 / remeasure 10.43 vs a 0.95 floor). Same discipline
+// that closed scale_dedup_10x and scale_cc_1x in round 11
+// (tools/dedup_cc_repeat.scala): N fresh reps with per-rep
+// wall/gc/stall, a System.gc + heal pass, N more, then a POSITIONAL
+// probe that mimics the sweep-end neighborhood the r11 remeasures ran
+// in (immediately after the heavy workload-count pass). A storm shows
+// a fast floor; a plan/heap problem repeats.
+import org.apache.spark.sql.functions._
+val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+val keyShift = 100000000L
+def docsAt(copies: Int) = {
+  val d = spark.read.parquet(s"$sf/documents.parquet")
+  val alpha = "abcdefghij"
+  (0 until copies).map { i =>
+    val mapped = if (i == 0) col("text")
+      else translate(col("text"), alpha, alpha.drop(i) + alpha.take(i))
+    d.select((col("doc_id") + lit(i * keyShift)).as("doc_id"), mapped.as("text"))
+  }.reduce(_ unionByName _)
+}
+def time(f: => Unit): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+def force(df: org.apache.spark.sql.DataFrame): Unit =
+  df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+def gcMillis(): Long = { var s = 0L; gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime)); s }
+@volatile var stallNs = 0L
+val hb = new Thread(() => {
+  var last = System.nanoTime()
+  while (true) {
+    Thread.sleep(50)
+    val now = System.nanoTime()
+    val gap = now - last
+    if (gap > 250L * 1000000L) stallNs += gap
+    last = now
+  }
+})
+hb.setDaemon(true); hb.start()
+
+// the two suspects, exactly as the sweep builds them
+def semdedup() = graft.SparkEntry.queries("q_dedup_semdedup")(spark, sf)
+def bm25_10x() = graft.operators.TextPipeline.bm25TopK(
+  docsAt(10), "doc_id", "text", Seq("dup", "merge", "window"), k = 10)
+
+def study(tag: String, mk: () => org.apache.spark.sql.DataFrame, reps: Int): Unit = {
+  (1 to reps).foreach { i =>
+    val g0 = gcMillis(); val s0 = stallNs
+    val w = time(force(mk()))
+    println(f"STUDY $tag rep$i wall=$w%.2f gc=${(gcMillis() - g0) / 1e3}%.2f stall=${(stallNs - s0) / 1e9}%.2f")
+  }
+}
+// warm shared codegen/shuffle plumbing
+force(graft.operators.TextPipeline.bm25TopK(docsAt(1), "doc_id", "text",
+  Seq("dup", "merge", "window"), k = 10))
+force(semdedup())
+
+println("== q_dedup_semdedup isolated ==")
+study("semdedup", () => semdedup(), 6)
+println("-- System.gc + heal --")
+System.gc()
+(1 to 2).foreach { _ =>
+  spark.read.parquet(s"$sf/lineitem.parquet")
+    .groupBy("l_returnflag").agg(sum("l_quantity"), count(lit(1))).collect()
+}
+study("semdedup_postgc", () => semdedup(), 3)
+
+println("== scale_bm25_10x isolated ==")
+study("bm25_10x", () => bm25_10x(), 6)
+println("-- System.gc + heal --")
+System.gc()
+study("bm25_10x_postgc", () => bm25_10x(), 3)
+
+// POSITIONAL probe: r11's anomalous readings both came from the
+// sweep-end remeasure window, which runs immediately after the
+// workload-count pass (10x dedup candidates + 10x containment
+// candidates + 10x cc + 10x spans back to back). Reproduce that
+// neighborhood: run the heavy counts, then measure each suspect.
+println("== positional: suspects right after the wl-count pass ==")
+(1 to 3).foreach { i =>
+  graft.operators.Dedup.minhashCandidates(docsAt(10), "doc_id", "text").count()
+  graft.operators.Dedup.containmentCandidates(docsAt(10), "doc_id", "text", theta = 0.9).count()
+  val g0 = gcMillis(); val s0 = stallNs
+  val w1 = time(force(semdedup()))
+  println(f"STUDY semdedup_after_wl rep$i wall=$w1%.2f gc=${(gcMillis() - g0) / 1e3}%.2f stall=${(stallNs - s0) / 1e9}%.2f")
+  val g1 = gcMillis(); val s1 = stallNs
+  val w2 = time(force(bm25_10x()))
+  println(f"STUDY bm25_10x_after_wl rep$i wall=$w2%.2f gc=${(gcMillis() - g1) / 1e3}%.2f stall=${(stallNs - s1) / 1e9}%.2f")
+}
+System.exit(0)
