@@ -37,6 +37,18 @@ val hb = new Thread(() => {
   }
 })
 hb.setDaemon(true); hb.start()
+// hypervisor steal (round 12): /proc/stat field 8 -- CPU-jiffies the
+// host withheld, summed over vCPUs. The first run of this study read
+// 30-39 s walls with stall ~ 0 and gc ~ 0: a sleeping heartbeat still
+// wakes on time while compute threads crawl, so steal-shaped
+// degradation needs its own counter.
+def stealSecs(): Double = try {
+  val src = scala.io.Source.fromFile("/proc/stat")
+  try {
+    val f = src.getLines().next().trim.split("\\s+")
+    if (f.length > 8) f(8).toLong / 100.0 else 0.0
+  } finally src.close()
+} catch { case _: Throwable => 0.0 }
 
 // the two suspects, exactly as the sweep builds them
 def semdedup() = graft.SparkEntry.queries("q_dedup_semdedup")(spark, sf)
@@ -45,9 +57,9 @@ def bm25_10x() = graft.operators.TextPipeline.bm25TopK(
 
 def study(tag: String, mk: () => org.apache.spark.sql.DataFrame, reps: Int): Unit = {
   (1 to reps).foreach { i =>
-    val g0 = gcMillis(); val s0 = stallNs
+    val g0 = gcMillis(); val s0 = stallNs; val v0 = stealSecs()
     val w = time(force(mk()))
-    println(f"STUDY $tag rep$i wall=$w%.2f gc=${(gcMillis() - g0) / 1e3}%.2f stall=${(stallNs - s0) / 1e9}%.2f")
+    println(f"STUDY $tag rep$i wall=$w%.2f gc=${(gcMillis() - g0) / 1e3}%.2f stall=${(stallNs - s0) / 1e9}%.2f steal=${stealSecs() - v0}%.2f")
   }
 }
 // warm shared codegen/shuffle plumbing
@@ -79,12 +91,14 @@ study("bm25_10x_postgc", () => bm25_10x(), 3)
 println("== positional: suspects right after the wl-count pass ==")
 (1 to 3).foreach { i =>
   graft.operators.Dedup.minhashCandidates(docsAt(10), "doc_id", "text").count()
-  graft.operators.Dedup.containmentCandidates(docsAt(10), "doc_id", "text", theta = 0.9).count()
-  val g0 = gcMillis(); val s0 = stallNs
+  // containmentCandidates is private[graft]; the full exact pipeline is
+  // a strict superset of the count pass -- same heavy neighborhood
+  graft.operators.Dedup.containmentPairsExact(docsAt(10), "doc_id", "text", theta = 0.9).count()
+  val g0 = gcMillis(); val s0 = stallNs; val v0 = stealSecs()
   val w1 = time(force(semdedup()))
-  println(f"STUDY semdedup_after_wl rep$i wall=$w1%.2f gc=${(gcMillis() - g0) / 1e3}%.2f stall=${(stallNs - s0) / 1e9}%.2f")
-  val g1 = gcMillis(); val s1 = stallNs
+  println(f"STUDY semdedup_after_wl rep$i wall=$w1%.2f gc=${(gcMillis() - g0) / 1e3}%.2f stall=${(stallNs - s0) / 1e9}%.2f steal=${stealSecs() - v0}%.2f")
+  val g1 = gcMillis(); val s1 = stallNs; val v1 = stealSecs()
   val w2 = time(force(bm25_10x()))
-  println(f"STUDY bm25_10x_after_wl rep$i wall=$w2%.2f gc=${(gcMillis() - g1) / 1e3}%.2f stall=${(stallNs - s1) / 1e9}%.2f")
+  println(f"STUDY bm25_10x_after_wl rep$i wall=$w2%.2f gc=${(gcMillis() - g1) / 1e3}%.2f stall=${(stallNs - s1) / 1e9}%.2f steal=${stealSecs() - v1}%.2f")
 }
 System.exit(0)
