@@ -46,6 +46,22 @@ def ordersAt(copies: Int) = {
 def time(f: => Unit): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
 def force(df: org.apache.spark.sql.DataFrame): Unit =
   df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+// hypervisor-steal marks (round 12): each family row is followed by a
+// HOST line carrying the steal CPU-seconds that elapsed during it, so
+// every cert number carries its own quiet-window evidence
+def stealSecs(): Double = try {
+  val src = scala.io.Source.fromFile("/proc/stat")
+  try {
+    val f = src.getLines().next().trim.split("\\s+")
+    if (f.length > 8) f(8).toLong / 100.0 else 0.0
+  } finally src.close()
+} catch { case _: Throwable => 0.0 }
+var lastSteal = stealSecs()
+def hostMark(tag: String): Unit = {
+  val s = stealSecs()
+  println(f"SCALE100HOST $tag stealDelta=${s - lastSteal}%.1f")
+  lastSteal = s
+}
 
 // warm
 force(docsAt(1).select(call_function("fnv1a64", col("text"))))
@@ -164,11 +180,13 @@ if (fam("agg") || fam("join")) {
     val tAgg1 = (1 to 2).map(_ => time(force(agg(1)))).min
     val tAgg100 = (1 to 2).map(_ => time(force(agg(100)))).min
     println(f"SCALE100 agg: 1x=$tAgg1%.2f 100x=$tAgg100%.2f ratio=${tAgg100 / tAgg1}%.1f")
+  hostMark("agg")
   }
   if (fam("join")) {
     val tJoin1 = (1 to 2).map(_ => time(force(join(1)))).min
     val tJoin100 = (1 to 2).map(_ => time(force(join(100)))).min
     println(f"SCALE100 join: 1x=$tJoin1%.2f 100x=$tJoin100%.2f ratio=${tJoin100 / tJoin1}%.1f")
+  hostMark("join")
   }
   spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 }
@@ -186,6 +204,7 @@ if (fam("dedup")) {
   val c1 = graft.operators.Dedup.minhashCandidates(docsAt(1), "doc_id", "text").count()
   val c100 = graft.operators.Dedup.minhashCandidates(docsAt(100), "doc_id", "text").count()
   println(f"SCALE100 dedup: 1x=$tDedup1%.2f 100x=$tDedup100%.2f ratio=${tDedup100 / tDedup1}%.1f pairs1=$p1 pairs100=$p100 pairRatio=${p100.toDouble / p1}%.1f cand1=$c1 cand100=$c100 candRatio=${c100.toDouble / c1}%.1f")
+  hostMark("dedup")
 }
 if (fam("containment")) {
   val pc1 = containment(1).count()
@@ -195,6 +214,7 @@ if (fam("containment")) {
   val pc100 = containment(100).count()
   val tCont100 = (System.nanoTime() - tc0) / 1e9
   println(f"SCALE100 containment: 1x=$tCont1%.2f 100x=$tCont100%.2f ratio=${tCont100 / tCont1}%.1f pairs1=$pc1 pairs100=$pc100 pairRatio=${pc100.toDouble / pc1}%.1f")
+  hostMark("containment")
 }
 if (fam("bm25")) {
   val tBm1 = (1 to 2).map(_ => time(force(bm25(1)))).min
@@ -210,6 +230,7 @@ if (fam("bm25")) {
   val cb100 = graft.operators.TextPipeline.bm25Candidates(
     docsAt(100), "doc_id", "text", Seq("dup", "merge", "window")).count()
   println(f"SCALE100 bm25: 1x=$tBm1%.2f 100x=$tBm100%.2f ratio=${tBm100 / tBm1}%.1f cand1=$cb1 cand100=$cb100 candRatio=${cb100.toDouble / cb1}%.2f")
+  hostMark("bm25")
 }
 if (fam("knn")) {
   val tKnn1 = (1 to 2).map(_ => time(force(knn(1)))).min
@@ -224,6 +245,7 @@ if (fam("knn")) {
   val ck100 = graft.operators.Similarity.knnGraphHierCandidates(
     embAt(100), nlist = 1600, nprobe = 4, superProbe = 2, trainCap = 100000).count()
   println(f"SCALE100 knn_hier: 1x=$tKnn1%.2f 100x=$tKnn100%.2f ratio=${tKnn100 / tKnn1}%.1f cand1=$ck1 cand100=$ck100 candRatio=${ck100.toDouble / ck1}%.1f")
+  hostMark("knn_hier")
 }
 if (fam("semdedup")) {
   val d1 = semdedup(1).filter(!col("kept")).count()
@@ -240,6 +262,7 @@ if (fam("semdedup")) {
   val cs100 = graft.operators.Dedup.semDeDupCandidates(
     embClustered(100), "vec_id", "embedding", "cluster").count()
   println(f"SCALE100 semdedup: 1x=$tSd1%.2f 100x=$tSd100%.2f ratio=${tSd100 / tSd1}%.1f dropped1=$d1 dropped100=$d100 dropRatio=${d100.toDouble / d1}%.1f cand1=$cs1 cand100=$cs100 candRatio=${cs100.toDouble / cs1}%.1f")
+  hostMark("semdedup")
 }
 if (fam("cc")) {
   val e1 = ccPairs(1); val n1 = e1.count()   // materialize outside the window
@@ -253,6 +276,7 @@ if (fam("cc")) {
   val c100 = l100.count()
   val tCc100 = (System.nanoTime() - tcc0) / 1e9
   println(f"SCALE100 cc: 1x=$tCc1%.2f 100x=$tCc100%.2f ratio=${tCc100 / tCc1}%.1f edges1=$n1 edges100=$n100 rounds1=$r1 rounds100=$r100 nodes100=$c100")
+  hostMark("cc")
 }
 // Span dedup (ExactSubstr) at 100x: the word bijection keeps each
 // copy's w-token segment TEXTS disjoint from every other copy's, so
@@ -269,6 +293,7 @@ if (fam("spans")) {
   val s100 = spans(100).agg(sum("n_seg"), sum("n_kept")).head()
   val tSp100 = (System.nanoTime() - tsp0) / 1e9
   println(f"SCALE100 spans: 1x=$tSp1%.2f 100x=$tSp100%.2f ratio=${tSp100 / tSp1}%.1f seg1=${s1.getLong(0)} seg100=${s100.getLong(0)} kept1=${s1.getLong(1)} kept100=${s100.getLong(1)} segRatio=${s100.getLong(0).toDouble / s1.getLong(0)}%.1f keptRatio=${s100.getLong(1).toDouble / s1.getLong(1)}%.1f")
+  hostMark("spans")
 }
 // BPE trainer at 100x: numMerges FIXED while the corpus grows -- the
 // batched top-M counting keeps the distributed pass count a function
@@ -281,12 +306,14 @@ if (fam("bpe")) {
   System.gc()
   val tBp100 = time(force(bpe(100)))
   println(f"SCALE100 bpe: 1x=$tBp1%.2f 100x=$tBp100%.2f ratio=${tBp100 / tBp1}%.1f")
+  hostMark("bpe")
 }
 if (fam("pq")) {
   val tPt1 = (1 to 2).map(_ => time(force(pqTrain(1)))).min
   System.gc()
   val tPt100 = time(force(pqTrain(100)))
   println(f"SCALE100 pq_train: 1x=$tPt1%.2f 100x=$tPt100%.2f ratio=${tPt100 / tPt1}%.1f")
+  hostMark("pq_train")
   val tPq1 = (1 to 2).map(_ => time(force(ivfpq(1)))).min
   System.gc()
   val tPq100 = time(force(ivfpq(100)))
@@ -304,5 +331,6 @@ if (fam("pq")) {
     embAt(1).select(col("vec_id"), col("embedding")).filter(col("vec_id") < 20),
     nlist = 1600, nprobe = 4, trainFraction = 0.5, hierRouting = true).count()
   println(f"SCALE100 ivfpq: 1x=$tPq1%.2f 100x=$tPq100%.2f ratio=${tPq100 / tPq1}%.1f cand1=$cq1 cand100=$cq100 candRatio=${cq100.toDouble / cq1}%.2f")
+  hostMark("ivfpq")
 }
 System.exit(0)
