@@ -124,7 +124,6 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => 0L }
     def stealSecs(): Double = stealJiffies() / 100.0 // USER_HZ = 100
     val stealAtStart = stealSecs()
-    /** Runs f `reps` times; returns (wall sec, gc sec, stall sec) per rep. */
     val benchDebug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     // Per-rep wall curves for every key whose winning rep exceeds ~1 s
     // (round-10, generalizing the q21 attribution discipline): the rep
@@ -153,7 +152,11 @@ object Bench {
         (w, g, st, sv)
       }
     }
-    val nCpus = cpus.toInt
+    // steal is summed over the MACHINE's vCPUs regardless of how many
+    // threads Spark was given, so normalize by the real count — with
+    // SPARK_GRAFT_CPUS=8 on this 32-vCPU VM, dividing by 8 would
+    // overestimate per-CPU steal 4× and trip contamination on noise
+    val nCpus = Runtime.getRuntime.availableProcessors
     def timeReps(reps: Int, label: String = "")(f: => Unit): (Double, Double) = {
       var samples = timeRepsFull(reps, label)(f)
       // Host-contaminated minimum: when the WINNING rep itself
@@ -663,16 +666,25 @@ object Bench {
     //                 cluster structure preserved per copy ⇒ ~10×
     //   knn         → probed-cell candidate pairs (flat KMeans cells;
     //                 nlist ∝ N keeps per-cell size ~constant ⇒ ~10×,
-    //                 with cell-balance wiggle — see wlMaxRatio)
+    //                 with cell-balance wiggle — the gate's wlMaxRatio
+    //                 map sets per-family ceilings)
     //   knn_hier    → same via the two-level router (deterministic
     //                 hash-ranked train sample)
     //   ivfpq       → probe×cell candidate rows over the FIXED
     //                 20-query set ⇒ expected ratio ≈ 1
     val wlCounts = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    // An instrument that THROWS records (-1, -1) instead of silently
+    // vanishing from the map: an AnalysisException here (renamed
+    // column, broken builder) is exactly the collapse class the gate
+    // below hunts, so it must trip the round, not erase its own
+    // coverage (round-12 self-review).
     def wlPair(fam: String)(mk: Int => Long): Unit =
       if (only.isEmpty) // full sweeps only — iteration runs skip the cost
         try wlCounts(fam) = (mk(1), mk(10))
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"WL INSTRUMENT THREW for $fam: $e")
+          wlCounts(fam) = (-1L, -1L)
+        }
     wlPair("dedup") { c =>
       graft.operators.Dedup.minhashCandidates(docsAt(c), "doc_id", "text").count()
     }
@@ -1019,17 +1031,30 @@ object Bench {
     // fast or slow the host happened to run it. Expected ratio is
     // exactly ~10 by data construction; 12 absorbs only the handful
     // of accidental cross-copy hash collisions a 64-bit space allows.
+    // Per-family count-ratio ceilings: the linear-by-construction
+    // families expect exactly ~10 (12 absorbs hash-collision noise);
+    // the FIXED-QUERY serving families (bm25, ivfpq) expect ~1 —
+    // certified 1.00 / 1.02 at 10× and 1.00 / 1.06 at 100× — so for
+    // them a ratio of, say, 8 is an 8× per-query serving-cost blowup
+    // that the uniform 12 would wave through (round-12 self-review);
+    // 3.0 leaves margin for cell-balance drift while still catching
+    // any real routing regression.
+    val wlMaxRatio = Map("bm25" -> 3.0, "ivfpq" -> 3.0).withDefaultValue(12.0)
     val countTripped = wlCounts.toSeq.flatMap { case (fam, (c1, c10)) =>
-      if (c1 <= 0)
-        // Dead-zone fix (round-12 ADVICE item 3): every instrumented
-        // family has a known-nonzero 1x workload on this fixture
-        // (dedup 257, containment 98895, cc 477, spans 36049, and the
-        // round-12 five are all >0 — see BENCH_NOTES), so a zero 1x
-        // count IS the failure: the instrument collapsed (a regression
-        // returning nothing), whatever the 10x side read.
-        Some(s"wl_$fam: 1x count $c1 — instrument collapsed (known-nonzero workload)")
-      else if (c10 > 12L * c1)
-        Some(s"wl_$fam: 10x count $c10 > 12 x 1x count $c1 — super-linear workload")
+      if (c1 < 0)
+        Some(s"wl_$fam: instrument THREW — count coverage lost (see stderr)")
+      else if (c1 == 0 || c10 == 0)
+        // Dead-zone fix (round-12 ADVICE item 3 + self-review): every
+        // instrumented family has a known-nonzero workload at BOTH
+        // scales on this fixture (1x: dedup 257, containment 98895,
+        // cc 477, spans 36049, bm25 7977, semdedup 199666, knn 997301,
+        // knn_hier 1003385, ivfpq 9825 — BENCH_NOTES round 12), so a
+        // zero on either side IS the failure: the instrument (or the
+        // multi-copy data construction) collapsed, whatever the other
+        // side read.
+        Some(s"wl_$fam: counts ($c1, $c10) — instrument collapsed (known-nonzero workload both sides)")
+      else if (c10 > wlMaxRatio(fam) * c1)
+        Some(s"wl_$fam: 10x count $c10 > ${wlMaxRatio(fam)} x 1x count $c1 — super-linear workload")
       else None
     }
     val tripped = countTripped ++ Seq("agg", "join", "dedup", "semdedup", "knn", "knn_hier",
@@ -1052,7 +1077,7 @@ object Bench {
         // un-instrumented families instead of a blanket pass: re-run
         // both points; fail only if the ≥15 ratio reproduces.
         val countLinear = wlCounts.get(k).exists { case (c1, c10) =>
-          c1 > 0 && c10 <= 12L * c1 }
+          c1 > 0 && c10 > 0 && c10 <= wlMaxRatio(k) * c1 }
         val re = remeasureRatio(k)
         if (re >= 15.0)
           Some(f"scale_$k: 10x/1x ratio ${t10x / t1x}%.1f >= 15 (retry ${re}%.1f" +
