@@ -112,6 +112,38 @@ class WlInstrumentSpec extends AnyFunSuite {
     assert(c1 > 0)
   }
 
+  test("candidate instruments carry no cartesian / broadcast-nested-loop node") {
+    // the candidate functions are not registry keys, so PlanLintSpec's
+    // repo-wide guard doesn't see them — but Bench executes them at 1x
+    // AND 10x every sweep, so an accidental all-pairs join here is a
+    // real scale hazard, not just a test artifact
+    val clustered = spark.read.parquet(s"${SparkTestBase.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label").cast("string").as("cluster"))
+    val corpus = emb
+    // "knn" (the flat form) is allowed one BroadcastNestedLoopJoin:
+    // probeCells crossJoins the nlist-row centroid routing table — the
+    // same bounded broadcast PlanLintSpec allowlists for q_knn_graph
+    // ("centroid table bounded by nlist")
+    val plans = Seq(
+      ("bm25", TextPipeline.bm25Candidates(docs, "doc_id", "text", terms), false),
+      ("semdedup", Dedup.semDeDupCandidates(clustered, "vec_id", "embedding", "cluster"), false),
+      ("knn", Similarity.knnGraphCandidates(corpus, nlist = 8, nprobe = 2), true),
+      ("knn_hier", Similarity.knnGraphHierCandidates(corpus, nlist = 8, nprobe = 2,
+        superProbe = 2), false),
+      ("ivfpq", Similarity.ivfPqCandidates(corpus,
+        corpus.filter(col("vec_id") < 5), nlist = 8, nprobe = 2, hierRouting = true), false))
+    SparkTestBase.withAqeDisabled {
+      plans.foreach { case (tag, df, allowBoundedBnlj) =>
+        val s = df.queryExecution.executedPlan.toString
+        assert(!s.contains("CartesianProduct"),
+          s"candidate instrument '$tag' plans a cartesian product")
+        if (!allowBoundedBnlj)
+          assert(!s.contains("BroadcastNestedLoopJoin"),
+            s"candidate instrument '$tag' plans an all-pairs join")
+      }
+    }
+  }
+
   test("semDeDupCandidates covers semDeDup's dropped ids (no undercount)") {
     // at eps = 0 every candidate pair verifies, so every id with an
     // earlier-ranked cluster-mate must be dropped — the candidate set
