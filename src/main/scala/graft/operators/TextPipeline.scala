@@ -501,13 +501,42 @@ object TextPipeline {
     * of every batch is always safe, so each pass advances ≥ 1 step:
     * the distributed job count is O(merges / batch), worst case
     * numMerges, typically far fewer. */
-  private[operators] def bpeTrain(df: DataFrame, textCol: String, numMerges: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame, Int) = {
-    def lit1(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    var words = df.select(explode(wordTokens(col(textCol))).as("word"))
+  /** The word-frequency table with per-word character token arrays —
+    * the BPE train loop's initial state. */
+  private def bpeWordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(wordTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("toks",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  /** One BPE pass's adjacent-pair aggregate over the current word
+    * table: (lhs, rhs, cnt) with cnt = frequency-weighted occurrence
+    * count. Shared verbatim between [[bpeTrain]]'s per-pass top-M
+    * collect and [[bpePairCount]] (the workload-count instrument), so
+    * the instrument measures exactly the cardinality the train loop
+    * aggregates over and cannot drift from it. */
+  private def bpePairAgg(words: DataFrame): DataFrame = words
+    .filter(size(col("toks")) >= 2)
+    .select(col("freq"), explode(expr(
+      "transform(sequence(1, size(toks) - 1)," +
+        " i -> struct(element_at(toks, i) AS lhs, element_at(toks, i + 1) AS rhs))")).as("p"))
+    .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+    .agg(sum(col("freq")).as("cnt"))
+
+  /** Pass-1 DISTINCT adjacent-pair cardinality over the corpus — the
+    * group count of [[bpePairAgg]] on the initial character-token
+    * word table. This is the quantity a degenerate tokenizer explodes
+    * (the per-pass aggregate's state size and the top-M collect's
+    * input); it is VOCABULARY-bounded (≤ distinct-symbol², not corpus-
+    * sized), so on a growing corpus with a stable character set it
+    * should stay ~flat — Bench's `wl` gate pins that expectation. */
+  def bpePairCount(df: DataFrame, textCol: String): Long =
+    bpePairAgg(bpeWordTable(df, textCol)).count()
+
+  private[operators] def bpeTrain(df: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame, Int) = {
+    def lit1(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    var words = bpeWordTable(df, textCol)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var passes = 0 // distributed pair-count passes — the batching's whole point
@@ -515,13 +544,7 @@ object TextPipeline {
     val m = math.max(64, 8 * numMerges) // top-M stale window per pass
     while (step <= numMerges && !exhausted) {
       passes += 1
-      val top = words
-        .filter(size(col("toks")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(toks) - 1)," +
-            " i -> struct(element_at(toks, i) AS lhs, element_at(toks, i + 1) AS rhs))")).as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum(col("freq")).as("cnt"))
+      val top = bpePairAgg(words)
         .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
         .limit(m).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

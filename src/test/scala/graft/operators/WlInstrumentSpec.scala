@@ -161,4 +161,26 @@ class WlInstrumentSpec extends AnyFunSuite {
     assert(droppedIds.subsetOf(candIdA))
     assert(candIdA.nonEmpty)
   }
+
+  test("bpePairCount equals brute-force distinct adjacent pairs and is deterministic") {
+    import spark.implicits._
+    // round-13 wl family `bpe`: the pass-1 aggregate's GROUP count —
+    // brute force straight from the tokenizer contract (lower, split
+    // on non-alphanumeric runs, distinct WORDS, adjacent char pairs)
+    val texts = Seq(
+      (1L, "Spark splits Words; spark splits again!"),
+      (2L, "aaab aab 99x"),
+      (3L, "  -- punctuation only --  "),
+      (4L, "mixedCASE mixedcase"))
+    val df = texts.toDF("doc_id", "text")
+    val words = texts.flatMap(_._2.toLowerCase.split("[^a-z0-9]+")).filter(_.nonEmpty).distinct
+    val truth = words.flatMap(w => w.sliding(2).filter(_.length == 2)
+      .map(p => (p.substring(0, 1), p.substring(1)))).distinct.size
+    val got = TextPipeline.bpePairCount(df, "text")
+    assert(got === truth.toLong)
+    assert(got === TextPipeline.bpePairCount(df, "text"))
+    // and on the bench fixture: nonzero (the wl dead-zone gate's
+    // known-nonzero premise for this family)
+    assert(TextPipeline.bpePairCount(docs, "text") > 0L)
+  }
 }
