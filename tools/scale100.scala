@@ -57,11 +57,28 @@ def stealSecs(): Double = try {
   } finally src.close()
 } catch { case _: Throwable => 0.0 }
 var lastSteal = stealSecs()
+// Fixed single-thread CPU spin (round 13): one ivfpq cert attempt
+// read 550.7 s with only 69.9 CPU-s steal -- a contention mode the
+// steal counter under-reads (host memory bandwidth / frequency).
+// A deterministic 20M-iteration FNV spin measures EFFECTIVE per-core
+// speed directly: quiet-host baseline ~0.02-0.04 s; a slow family row
+// with normal spin + low steal is a plan question, slow spin is host
+// whatever the steal column says. (Guest PSI cannot see this mode
+// either -- bandwidth-starved tasks stay runnable, just slow.)
+def spinProbe(): Double = {
+  val t0 = System.nanoTime
+  var h = 1469598103934665603L
+  var i = 0
+  while (i < 20000000) { h ^= i; h *= 1099511628211L; i += 1 }
+  if (h == 42L) print("")  // defeat dead-code elimination
+  (System.nanoTime - t0) / 1e9
+}
 def hostMark(tag: String): Unit = {
   val s = stealSecs()
-  println(f"SCALE100HOST $tag stealDelta=${s - lastSteal}%.1f")
+  println(f"SCALE100HOST $tag stealDelta=${s - lastSteal}%.1f spin=${spinProbe()}%.3f")
   lastSteal = s
 }
+println(f"SCALE100HOST baseline spin=${spinProbe()}%.3f")
 
 // warm
 force(docsAt(1).select(call_function("fnv1a64", col("text"))))
