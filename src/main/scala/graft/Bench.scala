@@ -127,9 +127,18 @@ object Bench {
     // would silently mis-scale the contamination threshold); fall
     // back to the mainstream-Linux 100 if getconf is unavailable.
     val userHz: Double = try {
-      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      // stderr merged into stdout and a bounded waitFor (ADVICE r13):
+      // a getconf that blocks (stub waiting on stdin, full stderr
+      // pipe) must not hang the whole bench before any timing starts —
+      // the NonFatal catch cannot fire on a hang.
+      val p = new ProcessBuilder("getconf", "CLK_TCK")
+        .redirectErrorStream(true).start()
+      p.getOutputStream.close()
       val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
-      p.waitFor()
+      if (!p.waitFor(2, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly()
+        throw new RuntimeException("getconf CLK_TCK timed out")
+      }
       val v = out.toDouble
       if (v > 0) v else 100.0
     } catch { case scala.util.control.NonFatal(_) => 100.0 }
@@ -751,8 +760,11 @@ object Bench {
     //          ~1; growth means the grouping keys themselves exploded)
     //   bpe  → pass-1 distinct adjacent-pair cardinality (the per-pass
     //          aggregate state + top-M collect input; VOCAB-bounded,
-    //          not corpus-sized — docsAt's 10-letter rotation keeps the
-    //          character set fixed, so expected ratio ~1)
+    //          not corpus-sized — the rotation boundaries mint new
+    //          pairs, but the set is the union of ≤10 rotations of a
+    //          fixed charset, so the ratio SATURATES below ~6 (measured
+    //          3.84× on this fixture) rather than growing with the
+    //          corpus — see the wlMaxRatio rationale below)
     // NOT instrumented: pq_train/encode — its historical failure mode
     // (the flat O(N·nlist) argmin under nlist ∝ N, caught by the 100×
     // cert) is a COMPUTE-shape quadratic with row counts that stay

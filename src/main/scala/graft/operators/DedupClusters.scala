@@ -49,12 +49,6 @@ object DedupClusters {
       .distinct()
       .localCheckpoint()
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint()
-
-    var converged = false
-    var i = 0
     // Convergence signal: labels are node ids and every step is
     // non-increasing per node (min with neighbours includes self;
     // pointer jump maps cluster(id) → cluster(cluster(id)) ≤
@@ -69,7 +63,40 @@ object DedupClusters {
       val v = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().get(0)
       if (v == null) BigDecimal(0) else BigDecimal(v.asInstanceOf[java.math.BigDecimal])
     }
-    var labelSum = labelSumOf(labels)
+    def jump(stepped: DataFrame): DataFrame = {
+      // pointer jump: follow one indirection, label := label(label)
+      val lookup = stepped.select(col("id").as("l_id"), col("cluster").as("l_cluster"))
+      stepped.join(lookup, col("cluster") === col("l_id"), "left")
+        .select(col("id"), coalesce(col("l_cluster"), col("cluster")).as("cluster"))
+        .localCheckpoint(eager = false) // truncated on first action below
+    }
+    if (maxIterations < 1)
+      throw new IllegalStateException(
+        s"DedupClusters.assign did not converge in $maxIterations iterations " +
+          "- raise maxIterations (component diameter exceeds 2^iterations)")
+    // Round 1 FUSED (r14 optimization): with labels == id, the
+    // neighbour-min join against the initial label table is an
+    // identity — min(dst_cluster) == min(dst) — so round 1 is ONE
+    // aggregate over the edge set. This removes the init label table
+    // entirely (its distinct shuffle, its localCheckpoint job, and its
+    // labelSum action) plus round 1's edges⋈labels shuffle join; the
+    // label sequence is bit-identical (same min/least arithmetic), so
+    // the per-round sums — and therefore the round COUNT the scale
+    // certification pins — are unchanged. The initial sum(id) needed
+    // for round 1's convergence check rides the same aggregate job as
+    // round 1's label sum (sum over the identical node set: every node
+    // of a symmetric edge table appears as src).
+    val stepped1 = edges.groupBy(col("src")).agg(min(col("dst")).as("nc"))
+      .select(col("src").as("id"), least(col("src"), col("nc")).as("cluster"))
+    var labels = jump(stepped1)
+    val firstSums = labels.agg(
+      sum(col("cluster").cast("decimal(38,0)")),
+      sum(col("id").cast("decimal(38,0)"))).head()
+    def dec(v: Any): BigDecimal =
+      if (v == null) BigDecimal(0) else BigDecimal(v.asInstanceOf[java.math.BigDecimal])
+    var labelSum = dec(firstSums.get(0))
+    var converged = labelSum == dec(firstSums.get(1))
+    var i = 1
     while (!converged && i < maxIterations) {
       // (1) each node adopts min(own label, neighbours' labels)
       val neighbourMin = edges
@@ -79,11 +106,8 @@ object DedupClusters {
       val stepped = labels.join(neighbourMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
-      // (2) pointer jump: follow one indirection, label := label(label)
-      val lookup = stepped.select(col("id").as("l_id"), col("cluster").as("l_cluster"))
-      val next = stepped.join(lookup, col("cluster") === col("l_id"), "left")
-        .select(col("id"), coalesce(col("l_cluster"), col("cluster")).as("cluster"))
-        .localCheckpoint(eager = false) // truncated on first action below
+      // (2) pointer jump + lazy checkpoint, materialized by the sum
+      val next = jump(stepped)
       val nextSum = labelSumOf(next)
       labels = next
       converged = nextSum == labelSum

@@ -135,7 +135,7 @@ object Q {
    * integers first.
    */
   def strArr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{array_join, coalesce, lit, when}
+    import org.apache.spark.sql.functions.{array, array_join, coalesce, element_at, lit, transform, when}
     // A NULL ARRAY (outer-join miss) serializes as the sentinel '\N',
     // distinct from an EMPTY array's '' — so a genuine engine
     // divergence (one side NULL, the other []) shows up in the oracle
@@ -143,8 +143,16 @@ object Q {
     // the raw column; the inner coalesce only covers DuckDB's
     // array_to_string returning NULL for an empty (non-NULL) list,
     // mirrored in [[strArrSql]].
-    when(c.isNull, lit("\\N"))
-      .otherwise(coalesce(array_join(c.cast("array<string>"), "|"), lit("")))
+    // The argument is evaluated ONCE, by binding it as the element of a
+    // 1-element array and serializing inside the lambda (r14): the
+    // previous when(c.isNull, …).otherwise(f(c)) spelling expanded the
+    // argument expression twice per row, and strArr callers pass
+    // expensive derived arrays (aggregate()/transform() higher-order
+    // functions run in non-codegen projections — q_fn_array_transform
+    // paid its cumulative-sum aggregate twice per row).
+    element_at(transform(array(c), a =>
+      when(a.isNull, lit("\\N"))
+        .otherwise(coalesce(array_join(a.cast("array<string>"), "|"), lit("")))), 1)
   }
 
   /** Oracle mirror of [[strArr]]: NULL array → '\N' sentinel; the
@@ -169,13 +177,15 @@ object Q {
    * as scaled integers instead (the q_fn_array_sort approach).
    */
   def strArr4dp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{array_join, coalesce, format_string, lit, transform, when}
+    import org.apache.spark.sql.functions.{array, array_join, coalesce, element_at, format_string, lit, transform, when}
     // same NULL-array sentinel discipline as [[strArr]] (previously the
     // Spark side passed NULL through while the oracle coalesced to '' —
-    // a latent mismatch no 4dp query happened to trigger)
-    when(c.isNull, lit("\\N"))
-      .otherwise(coalesce(
-        array_join(transform(c, x => format_string("%.4f", x)), "|"), lit("")))
+    // a latent mismatch no 4dp query happened to trigger); same
+    // evaluate-once binding as [[strArr]] (r14)
+    element_at(transform(array(c), a =>
+      when(a.isNull, lit("\\N"))
+        .otherwise(coalesce(
+          array_join(transform(a, x => format_string("%.4f", x)), "|"), lit("")))), 1)
   }
 
   /** Oracle mirror of [[strArr4dp]]. */

@@ -178,8 +178,26 @@ object Similarity {
       broadcastProbes: Boolean): DataFrame = {
     val candN = cand.withColumn("e_norm",
       sqrt(dotD(col("embedding"), col("embedding"))))
-    val probeSide = if (broadcastProbes) broadcast(probes) else probes
-    candN.join(probeSide, "cell")
+    // Corpus-vs-corpus regime (broadcastProbes = false — the kNN-graph
+    // shape): BOTH sides are corpus-scale, so the cell join is pinned
+    // to a shuffled hash join. Without the pin, Catalyst's size
+    // estimate at small inputs picks a BroadcastHashJoin whose
+    // STREAMED side is the raw corpus scan — often a single input
+    // split — so the entire per-cell pair scoring AND the top-k sort
+    // run in one task (measured r14, sf0.1 exact gate: knnGraphHier
+    // 7.5 s broadcast vs 1.6 s pinned, knnGraph 5.4 vs 2.5, identical
+    // results). At 100 TB the pin is the documented design invariant
+    // ("nothing corpus-sized broadcasts"): the probes equi-join the
+    // cell assignments co-partitioned on the cell id. Shuffled HASH
+    // (not merge) for the same reason as Dedup.fetchSide: the stream
+    // side rows carry the wide q_emb/embedding payloads a sort-merge
+    // would sort on both sides; per-task build memory is
+    // |corpus|/shuffle.partitions under the standard
+    // partitions-scale-with-input deployment assumption.
+    val (candSide, probeSide) =
+      if (broadcastProbes) (candN, broadcast(probes))
+      else (candN.hint("shuffle_hash"), probes.hint("shuffle_hash"))
+    candSide.join(probeSide, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dotD(col("embedding"), col("q_emb"))
@@ -591,14 +609,30 @@ object Similarity {
       else {
         // nearest centroid by L2: argmin over |sub|² − 2·sub·c + |c|²
         // (|sub|² constant per row — omitted); deterministic code
-        // tie-break
-        val dist = lit(-2.0) * dotD(col("sub"), col("centroid")) +
-          dotD(col("centroid"), col("centroid"))
-        subs.join(cb, "s")
-          .withColumn("rnk", row_number().over(Window.partitionBy("vec_id", "s")
-            .orderBy(dist, col("code"))))
-          .filter(col("rnk") === 1)
-          .select(col("vec_id"), col("s"), col("code"))
+        // tie-break. The codebook is ksub·m rows of corpus-independent
+        // metadata, so the argmin runs as a PER-ROW array_min over the
+        // per-subspace centroid array (broadcast as m rows) instead of
+        // the previous join-then-rank window — which materialized
+        // N·m·ksub joined rows through a sort (r14 measurement at the
+        // 10× scale point: 20M rows, ~3.0 s of the key's 7.0 s wall;
+        // the array form computes the identical N·m·ksub distances as
+        // one projection with nothing materialized or sorted).
+        // Equivalence: array_min over struct(d, code) uses the same
+        // lexicographic (dist ASC NULLS FIRST, code ASC) total order
+        // as the replaced row_number window, and c·c is the same
+        // arithmetic hoisted per codebook entry (bit-identical doubles,
+        // so the chosen codes are identical — pinned in LlmOpsSpec).
+        val cents = cb
+          .select(col("s"), struct(col("code"), col("centroid"),
+            dotD(col("centroid"), col("centroid")).as("c2")).as("e"))
+          .groupBy("s").agg(collect_list(col("e")).as("cents"))
+        subs.join(broadcast(cents), "s")
+          .select(col("vec_id"), col("s"),
+            array_min(transform(col("cents"), e =>
+              struct((lit(-2.0) * dotD(col("sub"), e.getField("centroid"))
+                  + e.getField("c2")).as("d"),
+                e.getField("code").as("code"))))
+              .getField("code").as("code"))
       }
     // --- ADC tables: (q_id, s, code, dot, c2) + per-query norm -----------
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

@@ -1318,8 +1318,14 @@ class LlmOpsSpec extends AnyFunSuite {
         (ia, sa) <- sets; (ib, sb) <- sets
         if ia != ib && sa.count(sb.contains).toDouble / sa.size >= theta
       } yield (ia, ib)).toSet
-      val contGot = Dedup.containmentPairsExact(df, "doc_id", "text", theta)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // collected ONCE with the containment value (ADVICE r13: a second
+      // collect of the same expensive exact-containment plan per
+      // seed/theta iteration doubled the adversarial loop's cost); the
+      // id-pair truth check and the key-verify identity pin both derive
+      // from this single collect.
+      val contProd = Dedup.containmentPairsExact(df, "doc_id", "text", theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val contGot = contProd.map { case (a, b, _) => (a, b) }
       assert(contGot === contTruth, s"containment mismatch seed=$seed theta=$theta")
       // the round-13 A/B shape (inverted-index key-join verify) must
       // stay output-IDENTICAL to the production arrays verify — it is
@@ -1330,8 +1336,6 @@ class LlmOpsSpec extends AnyFunSuite {
       // the same exact inter/n_a to 4dp.
       val contKeyV = Dedup.containmentPairsExactKeyVerify(
           df, "doc_id", "text", theta)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val contProd = Dedup.containmentPairsExact(df, "doc_id", "text", theta)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(contKeyV === contProd, s"key-verify diverged seed=$seed theta=$theta")
     }
