@@ -305,7 +305,39 @@ object Similarity {
   private def knnCellsAndProbes(corpus: DataFrame, nlist: Int,
       nprobe: Int, trainFraction: Double): (DataFrame, DataFrame) = {
     val (cand, centroidDf) = buildIvfIndex(corpus, nlist, trainFraction)
-    (cand, probeCells(corpus, centroidDf, nprobe))
+    // The queries here are the CORPUS, so probeCells' crossJoin +
+    // rank-window form would push N·nlist rows — each carrying the
+    // wide q_emb payload — through an exchange and two sorts just to
+    // pick nprobe cells per row (at the 10× scale point: 3.2M rows,
+    // ~1.2 s of a 6 s key — r14 decomposition). The centroid table is
+    // nlist rows of driver-resident metadata (KMeans clusterCenters —
+    // a LocalRelation; the collect below is driver-local, no job), so
+    // the ranking runs instead as a per-row expression: sort the
+    // nlist (dist, cell) structs, slice nprobe, explode. Equivalence
+    // to the window's row_number (dist ASC NULLS FIRST, cell ASC):
+    // array_sort uses the same lexicographic struct order with null
+    // fields first, and the dist arithmetic is the identical
+    // -(dot/(√·√)) expression — pinned in LlmOpsSpec. probeCells
+    // stays for the query-bounded serving paths, where a broadcast
+    // crossJoin over a handful of queries is already free.
+    val centers = centroidDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val centsLit = array(centers.map { case (cellId, c) =>
+      struct(lit(cellId).as("cell"), typedLit(c).as("centroid"))
+    }: _*)
+    val ranked = slice(array_sort(transform(centsLit, c =>
+      struct((-(dotD(col("q_emb"), c.getField("centroid")) /
+          (sqrt(dotD(col("q_emb"), col("q_emb")))
+            * sqrt(dotD(c.getField("centroid"), c.getField("centroid"))))))
+          .as("dist"),
+        c.getField("cell").as("cell")))), 1, nprobe)
+    val probes = corpus
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_norm", sqrt(dotD(col("q_emb"), col("q_emb"))))
+      .withColumn("cell", explode(transform(ranked, x => x.getField("cell"))))
+      .select("q_id", "q_emb", "q_norm", "cell")
+    (cand, probes)
   }
 
   /**

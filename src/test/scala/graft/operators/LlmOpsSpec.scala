@@ -134,8 +134,105 @@ class LlmOpsSpec extends AnyFunSuite {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }.length
     assert(windows(approx) === 1, "hier plan must have only the top-k window")
-    assert(windows(Similarity.knnGraph(emb, k = 3, nlist = 16, nprobe = 4)) === 2,
-      "flat plan carries the probe-ranking window the hier form removes")
+    // r14: the flat kNN-graph probe ranking is a per-row expression
+    // (array_sort over the driver-resident centroid table) instead of
+    // the crossJoin + rank window, so the flat plan now carries only
+    // the final top-k window too — the N·nlist probe exchange is gone.
+    assert(windows(Similarity.knnGraph(emb, k = 3, nlist = 16, nprobe = 4)) === 1,
+      "flat kNN-graph plan must rank probes as an expression, not a window")
+  }
+
+  test("flat kNN probe expression == crossJoin+rank-window reference (r14)") {
+    // The r14 optimization replaced probeCells' crossJoin + row_number
+    // window with a per-row array_sort expression INSIDE
+    // knnCellsAndProbes. This pin rebuilds the window form over the
+    // same quantizer output and asserts the chosen (q_id, cell) probe
+    // sets — hence the scored pair sets — are identical, tie-breaks
+    // and all, in an approximate regime where cell choice is visible.
+    import org.apache.spark.sql.expressions.Window
+    val (cells, cents) = Similarity.buildIvfIndex(emb, nlist = 8,
+      trainFraction = 0.5)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("vec_dot", a, b)
+    val refProbes = emb
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", -(dot(col("q_emb"), col("centroid")) /
+        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("centroid"), col("centroid"))))))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+      .filter(col("cell_rank") <= 2)
+      .select(col("q_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // the production path's probe set, read off the candidate pairs'
+    // plan seam: candidates = probes ⋈ cells, so project the probe
+    // side back out of the (q_id, vec_id) pairs via the cell of vec_id
+    val cellOf = cells.select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val gotProbes = Similarity.knnGraphCandidates(emb, nlist = 8, nprobe = 2,
+      trainFraction = 0.5)
+      .collect().map(r => (r.getLong(0), cellOf(r.getLong(1)))).toSet
+    // refProbes restricted to pairs that have at least one candidate in
+    // the cell (a probe of an empty-for-this-query cell emits no pair)
+    assert(gotProbes.subsetOf(refProbes),
+      s"expression probe chose a cell the window form would not")
+    val refPairSet = refProbes.filter { case (q, c) =>
+      cellOf.exists { case (v, vc) => vc == c && v != q } }
+    assert(gotProbes === refPairSet,
+      "expression probe and window probe disagree on the probed cells")
+  }
+
+  test("PQ encode argmin: array_min ordering == rank-window ordering (r14)") {
+    // The r14 optimization computes the nearest-centroid encode as a
+    // per-row array_min over struct(d, code) instead of a row_number
+    // window over the N·m·ksub joined rows. This pin checks the
+    // equivalence lemma directly on an adversarial fixture: duplicate
+    // distances (ties broken by code), including exact-zero distances.
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, rnd.nextInt(4), Array.fill(4)(
+        // coarse grid => many exact distance ties across codes
+        (rnd.nextInt(5) - 2).toFloat))
+    }
+    val subs = rows.toDF("vec_id", "s", "sub")
+    val cb = (0 until 4).flatMap { s =>
+      (1 to 8).map(c => (s, c, Array.fill(4)((rnd.nextInt(3) - 1).toFloat)))
+    }.toDF("s", "code", "centroid")
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("vec_dot", a, b)
+    val dist = lit(-2.0) * dot(col("sub"), col("centroid")) +
+      dot(col("centroid"), col("centroid"))
+    val viaWindow = subs.join(cb, "s")
+      .withColumn("rnk", row_number().over(Window.partitionBy("vec_id", "s")
+        .orderBy(dist, col("code"))))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("s"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val cents = cb
+      .select(col("s"), struct(col("code"), col("centroid"),
+        dot(col("centroid"), col("centroid")).as("c2")).as("e"))
+      .groupBy("s").agg(collect_list(col("e")).as("cents"))
+    val viaArrayMin = subs.join(broadcast(cents), "s")
+      .select(col("vec_id"), col("s"),
+        array_min(transform(col("cents"), e =>
+          struct((lit(-2.0) * dot(col("sub"), e.getField("centroid"))
+              + e.getField("c2")).as("d"),
+            e.getField("code").as("code"))))
+          .getField("code").as("code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(viaArrayMin === viaWindow)
+    // and end-to-end: the sampled-codebook PQ path (the one that runs
+    // the argmin encode) still beats a random ranking on recall — the
+    // existing recall tests cover this; here we only pin determinism
+    val a = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+      m = 4, lossless = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+      m = 4, lossless = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b)
   }
 
   test("hier routing through the IVF/IVF-PQ query paths keeps the exact gate") {

@@ -68,7 +68,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q_sim_cosine_ivfpq" -> "centroid + codebook tables bounded",
     "q_sim_index_persist" -> "centroid routing table bounded by nlist",
     "q_sim_hard_negatives" -> "query-batch side bounded",
-    "q_knn_graph" -> "centroid table bounded by nlist",
+    // NOTE q_knn_graph needs no allowlist entry since r14: the flat
+    // probe ranking runs as a per-row array_sort expression over the
+    // driver-resident centroid table, so the centroid crossJoin (the
+    // old BroadcastNestedLoopJoin) no longer exists in the plan.
     "q_embed_classify" -> "label-centroid prototypes bounded by label domain",
     // --- semantically all-pairs / deliberate anchors ------------------
     "q_join_cross" -> "IS the cross-join operator",
