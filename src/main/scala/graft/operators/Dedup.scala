@@ -871,7 +871,18 @@ object Dedup {
     val kept = segs.join(fetchSide(firsts), "seg")
       .filter(col("doc_id") === col("first.doc_id") &&
         col("seg_idx") === col("first.seg_idx"))
-    val base = segs.groupBy("doc_id").agg(count(lit(1)).as("n_seg"))
+    // n_seg straight off the token arrays (r14): the segment generator
+    // emits exactly nSeg rows per document by construction, so counting
+    // them back out of a THIRD tokenize+explode pass (the old
+    // segs.groupBy(doc_id).count() over the exploded segment TEXT rows)
+    // bought nothing — the per-doc count is the same nSeg expression
+    // evaluated before any explode. The aggregate stays (it is what
+    // merges a duplicate doc_id's rows, same as before) but now
+    // map-side-combines thin (doc_id, int) rows instead of shuffling
+    // per-segment text rows. Value-identical by construction
+    // (oracle-checked; the wl spans instrument sums this column).
+    val base = toks.select(col("doc_id"), nSeg.cast("long").as("ns"))
+      .groupBy("doc_id").agg(sum(col("ns")).as("n_seg"))
     val reassembled = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       array_join(transform(
@@ -937,7 +948,19 @@ object Dedup {
       col("emb").as("emb_a"), col("cent_sim").as("cs_a"))
     val r = withSim.select(col("cluster").as("cl_b"), col("id").as("id_b"),
       col("emb").as("emb_b"), col("cent_sim").as("cs_b"))
-    l.join(corpusSide(r), col("cl_a") === col("cl_b") &&
+    // BOTH sides pinned shuffle_hash (r14 — the same corpus-vs-corpus
+    // discipline as Similarity.probedPairs): both sides ARE the corpus,
+    // so under the old corpusSide small-leaf bypass Catalyst broadcast
+    // one side and streamed the raw scan — collapsing the Σcᵢ² pair
+    // scoring onto the scan's few input splits (measured same-session
+    // at sf0.1: 1×/10× 1.24/3.23 s → 0.79/2.16 s pinned, identical
+    // verdicts). Hash, not merge (2.37 s), for fetchSide's reason: the
+    // stream side rows carry the wide emb payload a sort would move
+    // twice. Build memory per task is |corpus|/shuffle.partitions and
+    // per-cluster skew is bounded by the algorithm's own cᵢ bound
+    // (nlist ∝ N keeps cluster sizes constant).
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"),
+      col("cl_a") === col("cl_b") &&
       (col("cs_b") < col("cs_a") ||
         (col("cs_b") === col("cs_a") && col("id_b") < col("id_a"))))
   }
@@ -1056,15 +1079,21 @@ object Dedup {
       .withColumn("cent_sim",
         round(Similarity.cosine(col("emb"), col("cent")), 4))
       .select(col("id"), col("emb"), col("cluster"), col("cent_sim"))
-    val repHit = withSim
-      .join(corpusSide(reps.select(col("cluster"), col("emb").as("emb_r"))), Seq("cluster"))
+    // same shuffle_hash pins as [[semDeDupRankPairs]] (r14): both
+    // sides of each cluster-key join are batch/reps-scale with wide
+    // emb payloads — the small-leaf bypass let the pair scoring
+    // collapse onto the raw scan's input splits
+    val repHit = withSim.hint("shuffle_hash")
+      .join(reps.select(col("cluster"), col("emb").as("emb_r"))
+        .hint("shuffle_hash"), Seq("cluster"))
       .filter(round(Similarity.cosine(col("emb"), col("emb_r")), 4) >= eps)
       .select("id")
     val l = withSim.select(col("cluster").as("cl_a"), col("id").as("id_a"),
       col("emb").as("emb_a"), col("cent_sim").as("cs_a"))
     val r = withSim.select(col("cluster").as("cl_b"), col("id").as("id_b"),
       col("emb").as("emb_b"), col("cent_sim").as("cs_b"))
-    val batchHit = l.join(corpusSide(r), col("cl_a") === col("cl_b") &&
+    val batchHit = l.hint("shuffle_hash").join(r.hint("shuffle_hash"),
+        col("cl_a") === col("cl_b") &&
         (col("cs_b") < col("cs_a") ||
           (col("cs_b") === col("cs_a") && col("id_b") < col("id_a"))))
       .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4) >= eps)
