@@ -213,9 +213,20 @@ object Dedup {
     val (sigs, cand) = minhashStages(df, idCol, textCol, k, bands, shingleN, useAggregator)
 
     // --- verify: fetch both signatures by id, estimate, threshold --------
+    // UNCONDITIONAL shuffle-hash fetches (r14): the small-corpus
+    // broadcast bypass was re-measured for this operator specifically
+    // (tools/r14_bypass_ab.scala, autoBroadcastJoinThreshold -1 == the
+    // fully-pinned plan, same session): bypass-on 1.67/3.11 s at
+    // 1×/10× vs pinned 1.04/2.57 — the broadcast plans stream the raw
+    // scan's few input splits through the verify, the same parallelism
+    // collapse Similarity.probedPairs documents. Containment keeps its
+    // bypass (measured the other way, 1.62 vs 1.85 — the r8 finding
+    // stands there).
     cand
-      .join(fetchSide(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))), "id_a")
-      .join(fetchSide(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         estJaccardCol(col("sig_a"), col("sig_b")).as("est_sim"))
       .filter(col("est_sim") >= threshold)
@@ -285,9 +296,15 @@ object Dedup {
     // --- candidate join on (band, band_hash); collapse multi-band --------
     // collisions while rows are only (id_a, id_b): distinct() here is a
     // HashAggregate over two longs with map-side partials
+    // unconditional shuffle-merge for the banding self-join (r14, same
+    // measured A/B as the verify fetches above — the bypass let the
+    // candidate join stream the raw scan single-split at small SFs;
+    // merge not hash here because band_hash is a CONTENT key: one hot
+    // bucket's row group must stream, corpusSide's standing argument)
     val cand = buckets.select(col("band"), col("band_hash"), col("id").as("id_a"))
-      .join(corpusSide(buckets.select(col("band").as("band_b"),
-          col("band_hash").as("hash_b"), col("id").as("id_b"))),
+      .join(buckets.select(col("band").as("band_b"),
+          col("band_hash").as("hash_b"), col("id").as("id_b"))
+          .hint("shuffle_merge"),
         col("band") === col("band_b") && col("band_hash") === col("hash_b") &&
           col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -812,8 +829,10 @@ object Dedup {
       col("id").as("id_b"), col("fp").as("fp_b"))
     // hamming per collision, then hash-agg collapse (same pattern as
     // minhashPairs: tiny shuffle rows, map-side combine of multi-slice
-    // collisions)
-    l.join(corpusSide(r), col("slice") === col("slice_b") && col("key") === col("key_b") &&
+    // collisions). Unconditional shuffle-merge (r14): same bypass A/B
+    // as minhash — 0.55 s bypass-on vs 0.48 pinned at sf0.1, and the
+    // pinned shape is the at-scale plan.
+    l.join(r.hint("shuffle_merge"), col("slice") === col("slice_b") && col("key") === col("key_b") &&
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingCol(col("fp_a"), col("fp_b")).as("pair_ham"))
