@@ -1147,7 +1147,11 @@ object Bench {
     }
     val tripped = countTripped ++ Seq("agg", "join", "dedup", "semdedup", "knn", "knn_hier",
       "bm25", "containment", "ivfpq", "spans", "cc").flatMap { k =>
-      if (!byName.contains(s"scale_${k}_1x")) None // filtered out (local iteration)
+      // BOTH points must be present (filtered local-iteration runs can
+      // select one point of a pair; r14 caught the bare byName(10x)
+      // lookup throwing NoSuchElementException on exactly that)
+      if (!byName.contains(s"scale_${k}_1x") ||
+        !byName.contains(s"scale_${k}_10x")) None // filtered out (local iteration)
       else {
       val (t1x, t10x) = (byName(s"scale_${k}_1x"), byName(s"scale_${k}_10x"))
       if (t1x <= 0 || t10x < 0)
