@@ -90,16 +90,12 @@ object AnalyticsQueries {
       // window), the fact stream joins them by value — two bounded
       // equi-joins, no O(n log n) global sort of the facts.
       (s, dir) => {
-        val rows = t(s, dir, "lineitem").select(
+        val li = t(s, dir, "lineitem")
+        val rows = li.select(
           floor(col("l_quantity") * 100).cast("long").as("x"),
           floor(col("l_extendedprice") * 100).cast("long").as("y"))
-        def ranks(c: String, out: String) = {
-          val bv = rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-          val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-          bv.withColumn("below", coalesce(sum("cnt").over(w), lit(0L)))
-            .select(col("v").as(c), (col("below") * 2 + col("cnt") + 1).as(out))
-        }
-        val j = rows.join(ranks("x", "rx"), "x").join(ranks("y", "ry"), "y")
+        val j = rows.join(rankTable(rows, "x", "rx"), "x")
+          .join(rankTable(rows, "y", "ry"), "y")
         val sums = j.agg(
           count(lit(1)).as("n"),
           sum(col("rx").cast("decimal(38,0)")).as("su"),
@@ -924,4 +920,79 @@ object AnalyticsQueries {
                                   + ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1)) / CAST(nb AS DOUBLE)), 6) AS z
               FROM a, b"""))
   )
+
+  /**
+   * (v → doubled tie-averaged rank) table for q_agg_rank_corr's
+   * Spearman: rank = 2·(#values strictly below) + cnt + 1 over the
+   * per-distinct-value count table. Two physically different,
+   * arithmetically IDENTICAL shapes behind a size switch:
+   *
+   *  - at or below `spark.graft.rankcorr.partition.minBytes` of input
+   *    leaf bytes (default 256 MiB — sf0.1 lineitem is two orders
+   *    below) the cumulative sum runs as ONE unpartitioned window over
+   *    the distinct-value table: measured fastest at bench scale (r14
+   *    A/B: 1.96 s vs 2.65 s partitioned — the extra exchange +
+   *    checkpoint jobs beat the ~600k-row single-partition sort only
+   *    on bigger inputs, OPTIMIZATION_r14.md);
+   *  - above it, the at-scale shape ([[rankTablePartitioned]]): a
+   *    range-partitioned prefix sum whose only global window is over
+   *    the PARTITION-COUNT-sized offset table, so no task ever sorts
+   *    the full distinct-value set (the 100-TB hazard the single
+   *    window carries: one partition holding every distinct value of a
+   *    near-unique column).
+   *
+   * Equivalence is pinned in AnalyticsOpsSpec on a tie-heavy fixture;
+   * the switch can therefore never change the declared result, only
+   * the plan.
+   */
+  private def rankTable(rows: org.apache.spark.sql.DataFrame, c: String,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val bv = rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+    val minBytes = rows.sparkSession.conf
+      .get("spark.graft.rankcorr.partition.minBytes",
+        (256L * 1024 * 1024).toString).toLong
+    val leafBytes = rows.queryExecution.analyzed.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (leafBytes <= BigInt(minBytes)) rankTableWindowed(bv, c, out)
+    else rankTablePartitioned(bv, c, out)
+  }
+
+  /** The small-input shape: one unpartitioned cumulative window over
+    * the distinct-value table. Package-private for the equivalence
+    * spec. */
+  private[operators] def rankTableWindowed(bv: org.apache.spark.sql.DataFrame,
+      c: String, out: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    bv.withColumn("below", coalesce(sum("cnt").over(w), lit(0L)))
+      .select(col("v").as(c), (col("below") * 2 + col("cnt") + 1).as(out))
+  }
+
+  /** The at-scale shape: range-partition the distinct-value table,
+    * cumulative-sum locally per partition, and add per-partition
+    * offsets from a prefix sum over the nPart-row totals table (the
+    * only remaining global window — bounded by shuffle partitions, not
+    * by data). repartitionByRange samples its boundaries, so `ranged`
+    * is frozen with localCheckpoint: both consumers (local sums,
+    * partition totals) must see the SAME materialized partition ids —
+    * re-deriving the subtree could re-draw the sample. Range
+    * partitions are contiguous ascending in v, so below(v) =
+    * offset(part) + local_below(v) exactly; all sums are longs —
+    * bit-identical to [[rankTableWindowed]]. */
+  private[operators] def rankTablePartitioned(bv: org.apache.spark.sql.DataFrame,
+      c: String, out: String): org.apache.spark.sql.DataFrame = {
+    val nPart = bv.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = bv.repartitionByRange(nPart, col("v"))
+      .withColumn("part", spark_partition_id())
+      .localCheckpoint()
+    val wLoc = Window.partitionBy("part").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("lb", coalesce(sum("cnt").over(wLoc), lit(0L)))
+    val wOff = Window.orderBy("part").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("part").agg(sum("cnt").as("ptot"))
+      .withColumn("off", coalesce(sum("ptot").over(wOff), lit(0L)))
+      .select("part", "off")
+    local.join(broadcast(offsets), "part")
+      .select(col("v").as(c),
+        ((col("lb") + col("off")) * 2 + col("cnt") + 1).as(out))
+  }
 }

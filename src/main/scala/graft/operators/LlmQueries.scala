@@ -1620,11 +1620,23 @@ object LlmQueries {
         val fxPost = ScanQueries.fixtureDir(dir, "bm25_postings")
         val fxDict = ScanQueries.fixtureDir(dir, "bm25_dict")
         val fxStats = ScanQueries.fixtureDir(dir, "bm25_stats")
-        val (postings, dict, stats) = TextPipeline.buildTextIndex(
+        val (postings, _, _) = TextPipeline.buildTextIndex(
           t(s, dir, "documents"), "doc_id", "text")
         postings.write.format("clickhouse_native").mode("overwrite").save(fxPost)
-        dict.write.format("clickhouse_native").mode("overwrite").save(fxDict)
-        stats.write.format("clickhouse_native").mode("overwrite").save(fxStats)
+        // dict and stats derive from the JUST-WRITTEN postings artifact
+        // (r15, guide §1.2 "don't compute what you throw away" applied
+        // to recomputation: the three writes each re-ran the corpus
+        // tokenize+explode lineage — postings' own, dict's, and stats'
+        // — when the second and third are exact functions of the first;
+        // see TextPipeline.dictFromPostings/statsFromPostings for the
+        // equivalence argument). The corpus is now tokenized ONCE per
+        // build instead of three times; artifact contents are
+        // unchanged, as is every serve-path read.
+        val posted = s.read.format("clickhouse_native").load(fxPost)
+        TextPipeline.dictFromPostings(posted)
+          .write.format("clickhouse_native").mode("overwrite").save(fxDict)
+        TextPipeline.statsFromPostings(posted)
+          .write.format("clickhouse_native").mode("overwrite").save(fxStats)
         TextPipeline.serveBm25(
           s.read.format("clickhouse_native").load(fxPost),
           s.read.format("clickhouse_native").load(fxDict),

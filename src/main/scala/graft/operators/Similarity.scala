@@ -632,6 +632,20 @@ object Similarity {
       else pqCodebookSampled(candidates, m, d)
     }
     val equalityEncode = lossless && (codebook eq null)
+    // r15 evaluated-and-REVERTED: materializing the (bounded, ksub·m
+    // row) codebook driver-side once via collect + LocalRelation — so
+    // the train pass would feed both consumers (encode cents, ADC
+    // tables) from one materialization — measured WORSE at both bench
+    // scale points (same-window isolated min-of-3, quiet host:
+    // 1× 3.04 → 3.20 s, 10× 6.12 → 6.98 s) even though the static plan
+    // shrank (86 → 46 parquet scans, 30 → 6 windows,
+    // plans/r15/scale_ivfpq_10x_collect.txt). Cause: AQE's runtime
+    // stage reuse already deduplicates the identical codebook exchange
+    // across the two consumers, so the duplicate lineage was ~free,
+    // while the eager collect added a serializing barrier job per
+    // invocation that the old single-job plan overlapped with its
+    // other stages. Keeping the codebook relational is the measured
+    // optimum; see OPTIMIZATION_r15.md.
     val subs = subVectors(candidates.select(col("vec_id"), col("embedding")), m, d)
     // --- encode: (vec_id, s, code) ---------------------------------------
     val enc =

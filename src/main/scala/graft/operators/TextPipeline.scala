@@ -831,6 +831,25 @@ object TextPipeline {
       dict, bm25Stats(toks))
   }
 
+  /** Dict (term, df) derived from an already-persisted postings
+    * artifact: df = posting rows per term, exactly how
+    * [[buildTextIndex]] counts it — but over the written table instead
+    * of re-running the corpus tokenize+explode lineage. */
+  def dictFromPostings(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Corpus stats (n_docs, avgdl_milli) derived from an
+    * already-persisted postings artifact. Equivalent to
+    * [[buildTextIndex]]'s direct stats pass because every non-empty
+    * document emits at least one posting row (any token is a term) and
+    * `dl` is constant across a document's postings — so distinct
+    * (doc_id → dl) recovers exactly the per-document lengths the
+    * tokenize pass saw, without re-reading the corpus. */
+  def statsFromPostings(postings: DataFrame): DataFrame =
+    postings.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"), expr("sum_dl * 1000 div n_docs").as("avgdl_milli"))
+
   /**
    * BM25 top-k answered from a persisted [[buildTextIndex]] artifact
    * alone: the query-term filter reaches the postings SCAN (with a

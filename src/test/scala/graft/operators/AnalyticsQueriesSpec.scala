@@ -78,6 +78,41 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(math.abs(rc - cov / (sx * sy)) < 1e-3, s"got $rc vs ${cov / (sx * sy)}")
   }
 
+  test("rank_corr rank table: range-partitioned prefix sum == single window") {
+    // Tie-heavy, negative-value, skewed fixture: repeated blocks (one
+    // hot value with 500 duplicates), a dense unique run, and sparse
+    // high values with varying tie counts — every case the doubled
+    // tie-averaged rank formula must agree on between the two shapes.
+    import spark.implicits._
+    val vs: Seq[Long] = Seq.fill(500)(7L) ++ (100L to 499L) ++
+      Seq.fill(300)(-3L) ++
+      (1000L to 1200L).flatMap(v => Seq.fill((v % 5).toInt + 1)(v))
+    val bv = vs.toDF("v").groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val windowed = AnalyticsQueries.rankTableWindowed(bv, "x", "r")
+    val partitioned = AnalyticsQueries.rankTablePartitioned(bv, "x", "r")
+    assert(rowsOf(partitioned) === rowsOf(windowed))
+    // The at-scale shape's only unpartitioned window runs over the
+    // per-partition totals table (bounded by shuffle partitions);
+    // the data-sized cumulative window is partition-local.
+    val plan = partitioned.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      "partitioned rank table should materialize its range partitioning once (localCheckpoint)")
+  }
+
+  test("q_agg_rank_corr size switch: forced-partitioned result identical") {
+    val default = run("q_agg_rank_corr").collect()(0).getAs[Double]("rank_corr")
+    spark.conf.set("spark.graft.rankcorr.partition.minBytes", "0")
+    try {
+      val forced = run("q_agg_rank_corr")
+      val plan = forced.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD"),
+        "minBytes=0 must flip the rank tables to the partitioned shape")
+      assert(forced.collect()(0).getAs[Double]("rank_corr") === default)
+    } finally spark.conf.unset("spark.graft.rankcorr.partition.minBytes")
+  }
+
   test("q_agg_theils_u is asymmetric-association in [0,1] and matches recompute") {
     val u = run("q_agg_theils_u").collect()(0).getAs[Double]("theils_u")
     assert(u >= 0.0 && u <= 1.0, s"theils_u=$u")

@@ -1735,6 +1735,26 @@ class LlmOpsSpec extends AnyFunSuite {
       leaves.mkString("\n").take(800))
   }
 
+  test("bm25 dict and stats derived from persisted postings equal the direct build") {
+    // r15: q_bm25_index_persist derives dict/stats from the written
+    // postings artifact (one corpus tokenize pass instead of three) —
+    // pin exact artifact-content identity against the direct build.
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx2").toString
+    val (postings, dict, stats) = TextPipeline.buildTextIndex(docs, "doc_id", "text")
+    postings.write.format("clickhouse_native").mode("overwrite").save(s"$tmp/p")
+    val posted = spark.read.format("clickhouse_native").load(s"$tmp/p")
+    val dictDirect = dict.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val dictDerived = TextPipeline.dictFromPostings(posted).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dictDerived === dictDirect)
+    assert(dictDerived.nonEmpty)
+    val statsDirect = stats.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val statsDerived = TextPipeline.statsFromPostings(posted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(statsDerived === statsDirect)
+  }
+
   test("boilerplate strip removes planted chrome and reassembles originals") {
     import spark.implicits._
     val header = "subscribe to our site now"
