@@ -163,13 +163,23 @@ object Dedup {
     def fetch(df: DataFrame): DataFrame = df.hint("shuffle_merge")
     def candidate(df: DataFrame): DataFrame = df.hint("shuffle_merge")
   }
-  /** r8 shape — containment's measured optimum: provably-small bypass
-    * (small corpora may broadcast the fetches), shuffle-hash verify
-    * fetches (no stream-side sort of wide candidate rows), sort-merge
-    * candidates (content keys skew). */
+  /** Containment's measured optimum (re-bisected r15): UNCONDITIONAL
+    * shuffle-hash verify fetches (no stream-side sort of wide candidate
+    * rows) + unconditional sort-merge candidates (content keys skew).
+    * The r8 small-corpus broadcast bypass was re-measured with an
+    * interleaved same-session conf A/B (tools/r15_contain_conf_ab.scala,
+    * ngram as the conf-invariant noise control): the bypass costs the
+    * 10x scale point 12-19% (bypass 7.12/7.06/7.04 s vs pinned
+    * 5.71/6.56/6.26 s across three interleaved rounds) for a ~0.1 s win
+    * at 1x — the same parallelism-collapse class as r14's minhash
+    * finding (the broadcast's STREAMED side is a near-single-split
+    * scan), which the r14 containment A/B missed by measuring only the
+    * 1x key. Unconditional pins also make the small-SF plan the same
+    * shape as the at-scale plan, where leaf bytes exceed any broadcast
+    * threshold and the pins were already active. */
   private[operators] case object ContainmentStrategy extends PrefixStrategy {
-    def fetch(df: DataFrame): DataFrame = fetchSide(df)
-    def candidate(df: DataFrame): DataFrame = corpusSide(df)
+    def fetch(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    def candidate(df: DataFrame): DataFrame = df.hint("shuffle_merge")
   }
 
   /** Per-row MinHash signature of a text column (codegen'd). */

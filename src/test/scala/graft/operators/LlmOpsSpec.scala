@@ -1552,7 +1552,18 @@ class LlmOpsSpec extends AnyFunSuite {
       // keeps the same shuffle shape the at-scale plan has.
       assert(nBroadcasts(Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)) === 0,
         "minhash must stay pinned (no broadcast) even on a known-small corpus")
-      assert(nBroadcasts(Dedup.containmentPairsExact(docs, "doc_id", "text", 0.9)) > 0,
+      // containment joined the unconditional-pin camp in r15: the
+      // interleaved same-session conf A/B
+      // (tools/r15_contain_conf_ab.scala, ngram as the conf-invariant
+      // noise control) measured the bypass costing the 10x scale point
+      // 12-19% (7.04-7.12 s vs 5.56-6.26 s pinned) for ~0.1 s at 1x —
+      // the r14 minhash parallelism-collapse class; the r14 A/B that
+      // kept containment's bypass had only measured the 1x key.
+      assert(nBroadcasts(Dedup.containmentPairsExact(docs, "doc_id", "text", 0.9)) === 0,
+        "containment must stay pinned (no broadcast) even on a known-small corpus")
+      // the positive branch of leavesKnownSmall still engages where it
+      // measured FASTER (embeddingPairs kept its bypass in the r14 A/B)
+      assert(nBroadcasts(Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.95)) > 0,
         "known-small corpus must leave the planner free to broadcast")
       // ngram deliberately has NO bypass (NgramStrategy pins are
       // unconditional): the round-8 bisect measured the bypass itself
