@@ -39,8 +39,18 @@ for (k <- sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYS", "q_stream_funnel,q_stream
   // record (labeled by function name).
   val micro = if (stateful.nonEmpty) stateful else snap
   val summary = micro.zipWithIndex.map { case ((fn, p), i) =>
-    val scans = p.split("\n").count(s => s.contains("FileScan") || s.contains("Scan parquet") || s.contains("BatchScan"))
-    s"microbatch $i fn=$fn planLines=${p.split("\n").length} fileScans=$scans"
+    val scanLines = p.split("\n").filter(s =>
+      s.contains("FileScan") || s.contains("Scan parquet") || s.contains("BatchScan"))
+    val srcs = scanLines.map { s =>
+      if (s.contains("parquet")) {
+        val m = "([a-z_0-9]+)\\.parquet".r.findFirstMatchIn(s)
+        "parquet:" + m.map(_.group(1)).getOrElse("?")
+      } else if (s.contains("clickhouse_native")) {
+        val m = "clickhouse_native\\(([^)]*)\\)".r.findFirstMatchIn(s)
+        "native:" + m.map(_.group(1).split("/").last).getOrElse("?")
+      } else "other"
+    }
+    s"microbatch $i fn=$fn planLines=${p.split("\n").length} fileScans=${scanLines.length} [${srcs.mkString(", ")}]"
   }
   val body = new StringBuilder
   body ++= s"== $k: ${snap.length} executions captured, ${micro.length} micro-batch plans ==\n"
