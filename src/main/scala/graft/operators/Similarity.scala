@@ -501,10 +501,6 @@ object Similarity {
       .withColumn("code", row_number().over(
         Window.partitionBy("s").orderBy(col("centroid"))))
 
-  /** Pre-reduce fan-in for [[pqCodebookSampled]]: the final
-    * per-subspace rank sees at most this many × ksub survivor rows. */
-  private[operators] val PreReduceBuckets = 64
-
   /**
    * Sampled codebook: `ksub` centroids per subspace drawn
    * deterministically from the corpus' distinct subvectors (seeded
@@ -512,32 +508,30 @@ object Similarity {
    * analogue of [[ivfTopK]]'s `trainFraction` — a KMeans-refined
    * codebook plugs into the same (s, code, centroid) seam.
    *
-   * Scale shape: the seeded-hash top-ksub runs in TWO window stages so
-   * no partition ever ranks more than a bounded row count — a local
-   * top-ksub per (subspace, hash-bucket) over [[PreReduceBuckets]]
-   * buckets (each partition sees ~distinct/buckets rows), then the
-   * final per-subspace rank over at most buckets·ksub survivors.
-   * Equivalent to a single global rank (every global top-ksub row is
-   * by definition inside its own bucket's top-ksub) but without the
-   * corpus-sized single-partition sort a billion distinct subvectors
-   * would otherwise hit; LlmOpsSpec pins both the equivalence and
-   * the bound.
+   * Scale shape (r15, guide §2 "shuffle fewer bytes"): the seeded-hash
+   * top-ksub runs as ONE mergeable bounded aggregate
+   * ([[graft.functions.MinKDistinctAgg]]) — each map partition keeps at
+   * most ksub distinct survivors per subspace and only those cross the
+   * shuffle (m·ksub rows per task), with dedup absorbed into the
+   * buffer. This replaces the previous distinct() + bucketed-rank
+   * windows (two data-sized exchanges + two sorts; a billion distinct
+   * subvectors never hit a sort at all now). Selection is identical to
+   * the single global rank by (hk, centroid) — `code` is the survivor's
+   * position in that order — and LlmOpsSpec pins the equivalence.
    */
   def pqCodebookSampled(candidates: DataFrame, m: Int, dim: Int,
       ksub: Int = 256, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     val hashed = subVectors(candidates.select(col("vec_id"), col("embedding")), m, dim)
-      .select(col("s"), col("sub").as("centroid")).distinct()
+      .select(col("s"), col("sub").as("centroid"))
       .withColumn("hk", xxhash64(col("centroid").cast("string"), lit(seed)))
-      .withColumn("b", pmod(xxhash64(col("centroid").cast("string"),
-        lit(seed + 1)), lit(PreReduceBuckets.toLong)))
-    val local = hashed
-      .withColumn("lr", row_number().over(
-        Window.partitionBy("s", "b").orderBy(col("hk"), col("centroid"))))
-      .filter(col("lr") <= ksub)
-    local.withColumn("code", row_number().over(Window.partitionBy("s")
-        .orderBy(col("hk"), col("centroid"))))
-      .filter(col("code") <= ksub)
-      .select(col("s"), col("centroid"), col("code"))
+    hashed.groupBy("s")
+      .agg(Bridge.column(graft.functions.MinKDistinctAgg(
+          Bridge.expression(col("hk")),
+          Bridge.expression(col("centroid")), ksub)
+        .toAggregateExpression()).as("tops"))
+      .select(col("s"), posexplode(col("tops")).as(Seq("pos", "centroid")))
+      .select(col("s"), col("centroid"), (col("pos") + 1).as("code"))
   }
 
   /**

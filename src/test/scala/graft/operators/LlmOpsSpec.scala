@@ -1064,13 +1064,14 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
-  test("sampled PQ codebook: two-stage pre-reduce == global rank, bounded partitions") {
-    // pqCodebookSampled runs its seeded-hash top-ksub as a local
-    // top-ksub per (subspace, hash-bucket) + a final rank over the
-    // survivors, so no window partition ever ranks more than a bounded
-    // row count (the r5-flagged 100-TB seam). Pins (a) result
-    // equivalence with the single-window global-rank spelling and
-    // (b) the survivor bound feeding the final rank.
+  test("sampled PQ codebook: bounded aggregate == global rank, no window/distinct") {
+    // pqCodebookSampled runs its seeded-hash top-ksub as one mergeable
+    // bounded aggregate (MinKDistinctAgg): map-side partials keep at
+    // most ksub distinct survivors per subspace, so no data-sized sort
+    // or dedup exchange exists at any scale (the r5-flagged 100-TB
+    // seam, tightened in r15 from the bucketed-window shape). Pins
+    // (a) result equivalence with the single-window global-rank
+    // spelling over distinct subvectors and (b) the plan shape.
     import org.apache.spark.sql.expressions.Window
     val m = 4; val ksub = 16; val seed = 42L
     val dim = emb.head().getAs[Seq[Float]]("embedding").size
@@ -1090,20 +1091,13 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(2),
         r.getSeq[Float](1).mkString(","))).toSet
     assert(staged === global)
-    // (b) the final rank's input is the local stage's survivors:
-    // ≤ PreReduceBuckets·ksub rows per subspace by construction
-    val localSurvivors = subs
-      .withColumn("hk", xxhash64(col("centroid").cast("string"), lit(seed)))
-      .withColumn("b", pmod(xxhash64(col("centroid").cast("string"),
-        lit(seed + 1)), lit(Similarity.PreReduceBuckets.toLong)))
-      .withColumn("lr", row_number().over(
-        Window.partitionBy("s", "b").orderBy(col("hk"), col("centroid"))))
-      .filter(col("lr") <= ksub)
-      .groupBy("s").count().collect()
-    localSurvivors.foreach { r =>
-      assert(r.getLong(1) <= Similarity.PreReduceBuckets.toLong * ksub,
-        s"subspace ${r.get(0)}: ${r.getLong(1)} survivors exceed the bound")
-    }
+    // (b) the codebook plan carries no window, no dedup aggregate on
+    // the subvector stream — just the bounded object aggregate
+    val plan = Similarity.pqCodebookSampled(emb, m, dim, ksub, seed)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected object agg in:\n$plan")
+    assert(!plan.toLowerCase.contains("sort"), s"unexpected sort in:\n$plan")
   }
 
   test("KMeans PQ codebook plugs into the codebook seam and holds recall") {
